@@ -1,0 +1,168 @@
+package graft.watermark
+
+import graft.functions.{GraftCols, Hashing}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Secret key of the TVP/RS schemes: seed-derived embedding dims + the
+  * content-id scale (see Bits.contentId for why scale exists).
+  * Reference: `random.sample(range(d), 10)` at watermarking.py:282,351,407 —
+  * here the dims derive from the seed by keyed hashing (Hashing.sampleDims).
+  */
+final case class WmKey(seed: String = "20", numDims: Int = 10, scale: Double = 1000.0) {
+  def dims(d: Int): Array[Int] = Hashing.sampleDims(d, numDims, seed)
+}
+
+/** TVP / RS watermarking (reference watermarking.py) as pure
+  * DataFrame→DataFrame operators over `(vec_id: long, embedding: array<float>)`.
+  *
+  * Shapes, not loops: the reference's per-bit Python loop
+  * (watermarking.py:315–340) is one joined plan here — group stats are an
+  * L-row aggregate broadcast back, carrier selection is a windowed rank within
+  * each of the L groups, and the embed itself is a single projection. At
+  * cluster scale the only shuffles are the groupBy on L keys and the
+  * row_number sort within groups.
+  */
+object Tvp {
+
+  /** A1 (watermarking.py:119–150): content id → md5 group → hidden bit.
+    * Input must have (vec_id, embedding); d = embedding length.
+    */
+  def classify(df: DataFrame, d: Int, l: Int, key: WmKey): DataFrame = {
+    val dims = key.dims(d)
+    // watermarking.py:42 iterates selected_dims[:-1] — last key dim excluded
+    df.withColumn("content_id", GraftCols.contentIdCol(col("embedding"), dims.init.toSeq, key.scale))
+      .withColumn("group_id", GraftCols.md5Mod(col("content_id"), l).cast("int"))
+      .withColumn("hidden_bit", GraftCols.extractLsb(col("embedding"), dims.toSeq, col("content_id")))
+  }
+
+  /** Watermark message as an L-row DataFrame (bit_pos, wm_bit). */
+  def bitsDf(spark: SparkSession, wm: String): DataFrame = {
+    import spark.implicits._
+    wm.zipWithIndex.map { case (c, i) => (i, c.asDigit) }.toDF("bit_pos", "wm_bit")
+  }
+
+  /** Per-group deficit (A3, watermarking.py:316–328):
+    * need = min(max(0, ceil(strength·n_group) − n_expressing_target), n_candidates).
+    * Returns the L-row group plan (group_id, wm_bit, need) — broadcastable.
+    */
+  def groupNeeds(classified: DataFrame, bits: DataFrame, strength: Double): DataFrame = {
+    val stats = classified.groupBy("group_id").agg(
+      count(lit(1)).as("n_group"),
+      sum(col("hidden_bit")).as("n_one"))
+    stats.join(broadcast(bits), stats("group_id") === bits("bit_pos"))
+      .withColumn("n_target", when(col("wm_bit") === 1, col("n_one")).otherwise(col("n_group") - col("n_one")))
+      .withColumn("n_cand", col("n_group") - col("n_target"))
+      .withColumn("need",
+        least(greatest(lit(0L), ceil(col("n_group") * lit(strength)).cast("long") - col("n_target")),
+          col("n_cand")))
+      .select("group_id", "wm_bit", "need", "n_cand")
+  }
+
+  private def candidates(classified: DataFrame, needs: DataFrame): DataFrame =
+    classified.join(broadcast(needs), "group_id")
+      .filter(col("hidden_bit") =!= col("wm_bit"))
+
+  /** RS carrier pick (watermarking.py:345–400 via random_select_vectors,
+    * :152–165): a uniform `need`-sample per group — here the deterministic
+    * keyed-hash order replaces the PRNG (see Hashing).
+    * Returns (vec_id, group_id, wm_bit, content_id).
+    */
+  def carriersRs(classified: DataFrame, bits: DataFrame, strength: Double, seed: String): DataFrame = {
+    val cand = candidates(classified, groupNeeds(classified, bits, strength))
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(GraftCols.keyedHash(col("vec_id"), lit("rs"), lit(seed)))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("need"))
+      .select("vec_id", "group_id", "wm_bit", "content_id")
+  }
+
+  /** TVP carrier pick (`select_by_ai`, watermarking.py:203–246). Two phases:
+    * candidates whose accessibility index clears the rank-`th` threshold, in
+    * vec_id order (the reference's scan order); then, if short, the rest in
+    * ai-descending order. `ai` is (vec_id, ai).
+    */
+  def carriersAi(classified: DataFrame, bits: DataFrame, strength: Double,
+                 th: Double, ai: DataFrame): DataFrame = {
+    val cand = candidates(classified, groupNeeds(classified, bits, strength))
+      .join(ai.select(col("vec_id"), col("ai")), "vec_id")
+    val wAi = Window.partitionBy(col("group_id")).orderBy(col("ai").desc, col("vec_id"))
+    val ranked = cand.withColumn("rn_ai", row_number().over(wAi))
+    // threshold_ai = ai at (1-based) rank int(n_cand*th); rank 0 → -inf
+    val thr = ranked.filter(col("rn_ai") === floor(col("n_cand") * lit(th)).cast("int"))
+      .select(col("group_id"), col("ai").as("thr_ai"))
+    val withThr = ranked.join(broadcast(thr), Seq("group_id"), "left")
+      .withColumn("qual", col("thr_ai").isNull || col("ai") >= col("thr_ai"))
+    val w1 = Window.partitionBy(col("group_id"), col("qual")).orderBy(col("vec_id"))
+    val w2 = Window.partitionBy(col("group_id"), col("qual")).orderBy(col("ai").desc, col("vec_id"))
+    val nQual = withThr.filter(col("qual")).groupBy("group_id")
+      .agg(count(lit(1)).as("n_qual"))
+    withThr.join(broadcast(nQual), Seq("group_id"), "left")
+      .na.fill(0L, Seq("n_qual"))
+      .withColumn("rn1", row_number().over(w1))
+      .withColumn("rn2", row_number().over(w2))
+      .filter(
+        (col("qual") && col("rn1") <= col("need")) ||
+        (!col("qual") && col("rn2") <= col("need") - least(col("need"), col("n_qual"))))
+      .select("vec_id", "group_id", "wm_bit", "content_id")
+  }
+
+  /** Apply the LSB embed to the selected carriers (watermarking.py:332–340):
+    * one projection — `when(carrier, embedLsb(...)).otherwise(embedding)`.
+    * Content ids are the ones computed on the ORIGINAL vectors (as in the
+    * reference, where the carrier dim skips every key dim so the id is stable
+    * under embedding). Returns the watermarked table (vec_id, embedding).
+    */
+  def applyEmbed(df: DataFrame, carriers: DataFrame, d: Int, key: WmKey): DataFrame = {
+    val dims = key.dims(d).toSeq
+    val c = carriers.select(col("vec_id"), col("wm_bit"), col("content_id").as("carrier_cid"))
+    df.join(c, Seq("vec_id"), "left")
+      .withColumn("embedding",
+        when(col("wm_bit").isNotNull,
+          GraftCols.embedLsb(col("embedding"), col("wm_bit"), dims, col("carrier_cid")))
+        .otherwise(col("embedding")))
+      .drop("wm_bit", "carrier_cid")
+  }
+
+  /** RS end-to-end embed (reference `watermark_embedding`, watermarking.py:345–400). */
+  def embedRs(df: DataFrame, wm: String, strength: Double, d: Int, key: WmKey): DataFrame = {
+    val spark = df.sparkSession
+    val classified = classify(df, d, wm.length, key)
+    val carriers = carriersRs(classified, bitsDf(spark, wm), strength, key.seed)
+    applyEmbed(df, carriers, d, key)
+  }
+
+  /** TVP end-to-end embed (reference `watermark_embedding_by_ai`,
+    * watermarking.py:275–342); `ai` = accessibility indices (vec_id, ai).
+    */
+  def embedAi(df: DataFrame, wm: String, strength: Double, th: Double,
+              ai: DataFrame, d: Int, key: WmKey): DataFrame = {
+    val spark = df.sparkSession
+    val classified = classify(df, d, wm.length, key)
+    val carriers = carriersAi(classified, bitsDf(spark, wm), strength, th, ai)
+    applyEmbed(df, carriers, d, key)
+  }
+
+  /** Blind extraction (E2, watermarking.py:402–427): regroup, majority vote
+    * per group; empty groups read "0" (the dict is pre-seeded 0..L-1).
+    * Returns (bit_pos, extracted_bit).
+    */
+  def extract(df: DataFrame, l: Int, d: Int, key: WmKey): DataFrame = {
+    val spark = df.sparkSession
+    val votes = classify(df, d, l, key)
+      .groupBy("group_id")
+      .agg(sum("hidden_bit").as("n_one"), count(lit(1)).as("n"))
+      .withColumn("extracted_bit", when(col("n_one") * 2 > col("n"), 1).otherwise(0))
+    spark.range(l).select(col("id").cast("int").as("bit_pos"))
+      .join(votes.select(col("group_id"), col("extracted_bit")),
+        col("bit_pos") === col("group_id"), "left")
+      .select(col("bit_pos"), coalesce(col("extracted_bit"), lit(0)).as("extracted_bit"))
+  }
+
+  /** A7 bit-error rate (watermarking.py:445–451). */
+  def ber(bits: DataFrame, extracted: DataFrame): Double =
+    bits.join(extracted, "bit_pos")
+      .agg(avg((col("wm_bit") =!= col("extracted_bit")).cast("int")))
+      .head.getDouble(0)
+}

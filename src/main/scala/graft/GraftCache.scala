@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import scala.collection.concurrent.TrieMap
+
+/** Session-lifetime memo for derived frames shared across `SparkEntry.queries`
+  * entries (the kNN pass, the edge graph, accessibility indices). The driver
+  * invokes each query independently; without this, every graph-consuming
+  * query would rebuild the kNN graph — the reference has the same
+  * re-computation blindness (it rebuilds its HNSW index per call,
+  * roubust/roubust.py:279 → watermarking.py:287) which we explicitly fix.
+  */
+object GraftCache {
+  private val cache = TrieMap[String, DataFrame]()
+
+  def memo(key: String)(f: => DataFrame): DataFrame =
+    cache.getOrElseUpdate(key, f.persist())
+
+  def clear(): Unit = {
+    cache.values.foreach(_.unpersist())
+    cache.clear()
+  }
+}

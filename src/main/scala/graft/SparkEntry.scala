@@ -2,6 +2,9 @@ package graft
 
 import graft.attacks.Attacks
 import graft.functions.GraftCols
+import graft.graph.KnnGraph
+import graft.knn.Knn
+import graft.metrics.Metrics
 import graft.watermark.{Tvp, WmKey}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -20,7 +23,22 @@ object SparkEntry {
   private val Strength  = 0.6
   private val DeleteP   = 0.3
   private val Seed      = "42"
+  private val M         = 8 // HNSW parameter of the reference (watermarking.py:285)
   private lazy val dims = key.dims(D)
+
+  // ---- shared derived frames, memoized per sf dir (GraftCache) ----
+  private def rawKnn(s: SparkSession, dir: String) =
+    GraftCache.memo(s"$dir/rawknn") {
+      KnnGraph.rawKnn(Tables.embeddings(s, dir), 2 * M + 1)
+    }
+  private def edges(s: SparkSession, dir: String) =
+    GraftCache.memo(s"$dir/edges") {
+      KnnGraph.edges(Tables.embeddings(s, dir), M, Some(rawKnn(s, dir)))
+    }
+  private def ai(s: SparkSession, dir: String) =
+    GraftCache.memo(s"$dir/ai") {
+      KnnGraph.accessibility(Tables.embeddings(s, dir), edges(s, dir))
+    }
 
   /** Flagship on sf0.001: RS watermark round-trip — embeds WM, extracts it
     * back, returns per-bit (wm_bit, extracted_bit) rows.
@@ -71,6 +89,79 @@ object SparkEntry {
       Attacks.randomDelete(Tables.embeddings(s, dir), DeleteP, Seed)
         .select("vec_id").orderBy("vec_id")
     }),
+
+    // J1 — broadcast-kernel kNN, oracle-checked on a 100-query sample (the
+    // kernel folds squared diffs left-to-right in double, bit-matching the
+    // DuckDB lambda fold).
+    "knn_topk_sample" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Knn.exact(emb.filter(col("vec_id") < 100), emb, 5)
+        .select(col("query_id"), col("neighbor_id"), col("dist"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // A6 — query-traffic profile over the deterministic kNN graph.
+    "wm_query_counts" -> ((s, dir) => {
+      KnnGraph.queryCounts(Tables.embeddings(s, dir), rawKnn(s, dir), k = 10)
+        .orderBy("vec_id")
+    }),
+
+    // J5 + A9 — histogram of bidirectional-edge counts (t_vector/e4).
+    "graph_bidir_hist" -> ((s, dir) => {
+      KnnGraph.bidirectionalEdges(Tables.embeddings(s, dir), edges(s, dir))
+        .groupBy(col("bidir_edges")).agg(count(lit(1)).as("n"))
+        .orderBy("bidir_edges")
+    }),
+
+    // A5 — accessibility index (z-blend of J5/J6 metrics).
+    "wm_accessibility" -> ((s, dir) => {
+      ai(s, dir).select(col("vec_id"), round(col("ai"), 9).as("ai")).orderBy("vec_id")
+    }),
+
+    // K2 — adaptive deletion by accessibility rank.
+    "attack_adaptive_delete" -> ((s, dir) => {
+      Attacks.adaptiveDelete(Tables.embeddings(s, dir), ai(s, dir), DeleteP)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
+    // E1(TVP)+E2 — full accessibility-guided embed/extract round-trip.
+    "wm_tvp_roundtrip" -> ((s, dir) => {
+      val emb  = Tables.embeddings(s, dir)
+      val wmDf = Tvp.embedAi(emb, WM, Strength, 0.5, ai(s, dir), D, key)
+      Tvp.bitsDf(s, WM)
+        .join(Tvp.extract(wmDf, WM.length, D, key), "bit_pos")
+        .select(col("bit_pos").cast("long"), col("wm_bit").cast("long"),
+          col("extracted_bit").cast("long"))
+        .orderBy("bit_pos")
+    }),
+
+    // H3/SO1 — embedding impact on kNN results: per-carrier miss/false averages.
+    "impact_embed_missfalse" -> ((s, dir) => {
+      val emb  = Tables.embeddings(s, dir)
+      val base = rawKnn(s, dir).filter(col("rank") <= 10)
+      val cl   = Tvp.classify(emb, D, WM.length, key)
+      val carriers = Tvp.carriersRs(cl, Tvp.bitsDf(s, WM), Strength, key.seed)
+      val wmDf  = Tvp.applyEmbed(emb, carriers, D, key)
+      val after = Knn.exact(emb, wmDf, 10)
+      val mf = Metrics.missFalse(
+        Metrics.carrierHits(base, carriers),
+        Metrics.carrierHits(after, carriers))
+      mf.agg(
+        round(avg("miss"), 6).as("avg_miss"),
+        round(avg("false_hits"), 6).as("avg_false"),
+        count(lit(1)).as("n_carriers"))
+    }),
+
+    // H4/SO2 — attack impact on kNN accuracy: hit-rate after random deletion.
+    "attack_hit_rate" -> ((s, dir) => {
+      import s.implicits._
+      val emb   = Tables.embeddings(s, dir)
+      val base  = rawKnn(s, dir).filter(col("rank") <= 10)
+      val att   = Attacks.randomDelete(emb, DeleteP, Seed)
+      val after = Knn.exact(emb, att, 10)
+      Seq(("hit_rate_after_delete", Metrics.hitRate(base, after, 10)))
+        .toDF("metric", "value")
+    }),
   )
 
   /** DuckDB-side content-id expression mirroring GraftCols.contentIdCol
@@ -112,5 +203,18 @@ object SparkEntry {
          |    count(*) OVER () AS n
          |  FROM embeddings)
          |SELECT vec_id FROM ranked WHERE rn <= n - ceil(n * $DeleteP) ORDER BY vec_id""".stripMargin,
+
+    "knn_topk_sample" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+         |pairs AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    sqrt(list_reduce(list_transform(range(1, ${D + 1}),
+         |      i -> (cast(qe[i] as double) - cast(c.embedding[i] as double))
+         |         * (cast(qe[i] as double) - cast(c.embedding[i] as double))),
+         |      (a, b) -> a + b)) AS dist
+         |  FROM q, embeddings c)
+         |SELECT query_id, neighbor_id, dist,
+         |  cast(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) as bigint) AS rank
+         |FROM pairs QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -1,0 +1,121 @@
+package graft.graph
+
+import graft.knn.Knn
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** HNSW-graph analytics re-based on a deterministic kNN graph (SURVEY §2.7).
+  *
+  * The reference reads ONLY the level-0 adjacency lists of a FAISS
+  * `IndexHNSWFlat` (watermarking.py:294–295, sliced at :168–174) — never the
+  * hierarchy — and FAISS HNSW construction is seed/order-dependent, so graph
+  * bit-compat is impossible and not required. G7: the stand-in is the exact
+  * directed kNN graph with out-degree 2M (the level-0 capacity), built from
+  * one broadcast kNN pass; everything downstream of a given graph is then
+  * deterministic.
+  */
+object KnnGraph {
+
+  /** Raw kNN (self included) — one pass reused by edges() and queryCounts(). */
+  def rawKnn(df: DataFrame, k: Int): DataFrame = Knn.exact(df, df, k)
+
+  /** G7 — directed edge table (src, dst, dist), 2M edges per node, self
+    * excluded, re-ranked after self-removal.
+    */
+  def edges(df: DataFrame, m: Int, raw: Option[DataFrame] = None): DataFrame = {
+    val k   = 2 * m
+    val base = raw.getOrElse(rawKnn(df, k + 1))
+    val w    = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    base.filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("r2", row_number().over(w))
+      .filter(col("r2") <= k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("dist"))
+  }
+
+  /** J5 — bidirectional-edge count per node
+    * (`count_bidirectional_edges`, watermarking.py:177–186): |{m ∈ N(n) :
+    * n ∈ N(m)}| via a semi-join of the edge list against its own reversal.
+    * Nodes with zero reciprocal edges still appear (count 0).
+    */
+  def bidirectionalEdges(df: DataFrame, edgesDf: DataFrame): DataFrame = {
+    val rev = edgesDf.select(col("dst").as("src"), col("src").as("dst"))
+    val cnt = edgesDf.join(rev, Seq("src", "dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("bidir_edges"))
+    df.select(col("vec_id"))
+      .join(cnt, col("vec_id") === col("src"), "left")
+      .select(col("vec_id"), coalesce(col("bidir_edges"), lit(0L)).as("bidir_edges"))
+  }
+
+  /** J6 — mean L2 length of a node's out-edges
+    * (`calculate_average_neighbor_distance`, watermarking.py:188–201).
+    * Distances ride on the edges from construction — no second join against
+    * the vector table. Nodes without edges yield NaN (np.mean([]) semantics).
+    */
+  def avgEdgeLength(df: DataFrame, edgesDf: DataFrame): DataFrame = {
+    val agg = edgesDf.groupBy("src").agg(avg(col("dist")).as("avg_edge_len"))
+    df.select(col("vec_id"))
+      .join(agg, col("vec_id") === col("src"), "left")
+      .select(col("vec_id"), coalesce(col("avg_edge_len"), lit(Double.NaN)).as("avg_edge_len"))
+  }
+
+  /** A5 — accessibility index (watermarking.py:249–272):
+    * AI = 0.5·z(avg_edge_len) − 0.5·z(bidir_edges), z-scores over the
+    * NaN-ignoring population mean/std (np.nanmean/np.nanstd).
+    * Returns (vec_id, ai).
+    */
+  def accessibility(df: DataFrame, edgesDf: DataFrame): DataFrame = {
+    val metrics = bidirectionalEdges(df, edgesDf)
+      .join(avgEdgeLength(df, edgesDf), "vec_id")
+    val stats = metrics.agg(
+      avg(col("bidir_edges").cast("double")).as("mu_e"),
+      stddev_pop(col("bidir_edges").cast("double")).as("sd_e"),
+      avg(when(isnan(col("avg_edge_len")), lit(null)).otherwise(col("avg_edge_len"))).as("mu_d"),
+      stddev_pop(when(isnan(col("avg_edge_len")), lit(null)).otherwise(col("avg_edge_len"))).as("sd_d"))
+    metrics.crossJoin(broadcast(stats))
+      .withColumn("ai",
+        lit(0.5) * ((col("avg_edge_len") - col("mu_d")) / col("sd_d")) -
+        lit(0.5) * ((col("bidir_edges") - col("mu_e")) / col("sd_e")))
+      .select(col("vec_id"), col("ai"))
+  }
+
+  /** A6 — query-count profiling (watermarking.py:302–308): every vector
+    * queries its top-`k`; each hit that isn't the query itself increments the
+    * neighbor's counter. Nodes never hit count 0.
+    * `raw` should include self-matches (they occupy a top-k slot, as in the
+    * reference where the query IS a corpus vector).
+    */
+  def queryCounts(df: DataFrame, raw: DataFrame, k: Int = 10): DataFrame = {
+    val cnt = raw.filter(col("rank") <= k && col("neighbor_id") =!= col("query_id"))
+      .groupBy("neighbor_id").agg(count(lit(1)).as("query_count"))
+    df.select(col("vec_id"))
+      .join(cnt, col("vec_id") === col("neighbor_id"), "left")
+      .select(col("vec_id"), coalesce(col("query_count"), lit(0L)).as("query_count"))
+  }
+
+  /** G5 — BFS flood from seed nodes over directed edges
+    * (t_vector/e1_steath_vector.py:41–54): returns (vec_id, component) for
+    * all nodes reachable from any seed; driver-side frontier loop, each step
+    * one join — frontier sets are small in the reference's use.
+    */
+  def bfs(edgesDf: DataFrame, seeds: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edgesDf.sparkSession
+    var visited  = seeds.select(col("vec_id")).distinct().cache()
+    var frontier = visited
+    var i = 0
+    var grew = true
+    while (grew && i < maxIter) {
+      val next = frontier.join(edgesDf, frontier("vec_id") === edgesDf("src"))
+        .select(col("dst").as("vec_id")).distinct()
+        .join(visited, Seq("vec_id"), "left_anti")
+        .cache()
+      grew = next.limit(1).count() > 0
+      if (grew) {
+        visited = visited.union(next).cache()
+        frontier = next
+      }
+      i += 1
+    }
+    visited
+  }
+}

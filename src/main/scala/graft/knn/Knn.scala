@@ -1,0 +1,178 @@
+package graft.knn
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** J1 — the kNN "join", the reference's workhorse (`index.search`,
+  * watermarking.py:305 and seven other call sites).
+  *
+  * Three physical strategies behind one logical result
+  * (query_id, neighbor_id, dist, rank), rank 1..k ordered by (dist, id):
+  *
+  *  - `exact`: broadcast the corpus as one flat primitive float array and
+  *    scan per query partition with a bounded max-heap. This is the
+  *    brute-force path a single node runs in BLAS-style cache order — on a
+  *    cluster it is embarrassingly parallel in the queries with ZERO shuffle
+  *    (one broadcast, map-only). Right whenever the corpus fits an executor
+  *    (~≤ 10^7 × 64 floats = 2.5 GB); the 100 TB path for big corpora is `lsh`.
+  *  - `sql`: compose built-ins (crossJoin + codegen'd fold + window) — the
+  *    plan Catalyst can reason about and DuckDB can mirror bit-exactly; used
+  *    for oracle-checked samples and tiny inputs.
+  *  - `lsh`: spark.ml BucketedRandomProjectionLSH approximate join for
+  *    corpus-too-big-to-broadcast scale; returns the same shape (rank among
+  *    returned candidates).
+  *
+  * Self-matches are INCLUDED (a corpus query finds itself at dist 0, as FAISS
+  * does); consumers filter `neighbor_id =!= query_id` exactly where the
+  * reference does (watermarking.py:307).
+  */
+object Knn {
+
+  /** Top-k per query over a broadcast corpus; map-only, no shuffle. */
+  def exact(queries: DataFrame, corpus: DataFrame, k: Int,
+            metric: String = "l2"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val rows = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val n = rows.length
+    require(n > 0, "empty corpus")
+    val d    = rows(0)._2.length
+    val ids  = rows.map(_._1)
+    val flat = new Array[Float](n * d)
+    var i = 0
+    while (i < n) { System.arraycopy(rows(i)._2, 0, flat, i * d, d); i += 1 }
+    val norms = if (metric == "cosine") {
+      val a = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        var s = 0.0; var t = 0
+        while (t < d) { val v = flat(j * d + t).toDouble; s += v * v; t += 1 }
+        a(j) = math.sqrt(s); j += 1
+      }
+      a
+    } else null
+    val bc    = spark.sparkContext.broadcast((ids, flat, norms))
+    val maxim = metric != "l2" // similarity metrics rank descending
+    val parts = spark.sparkContext.defaultParallelism
+
+    queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .repartition(parts)
+      .mapPartitions { it =>
+        val (ids, flat, norms) = bc.value
+        val n  = ids.length
+        val dd = if (n == 0) 0 else flat.length / n
+        val kk = math.min(k, n)
+        it.flatMap { case (qid, q) =>
+          val heapD = new Array[Double](kk) // bounded "worst-first" heap
+          val heapI = new Array[Int](kk)
+          var size  = 0
+          @inline def worse(a: Int, b: Int): Boolean = {
+            val da = heapD(a); val db = heapD(b)
+            if (da != db) { if (maxim) da < db else da > db }
+            else ids(heapI(a)) > ids(heapI(b))
+          }
+          @inline def swap(a: Int, b: Int): Unit = {
+            val td = heapD(a); heapD(a) = heapD(b); heapD(b) = td
+            val ti = heapI(a); heapI(a) = heapI(b); heapI(b) = ti
+          }
+          @inline def siftDown(start: Int): Unit = {
+            var r = start
+            var go = true
+            while (go) {
+              val l = 2 * r + 1; val rt = l + 1
+              var m = r
+              if (l < size && worse(l, m)) m = l
+              if (rt < size && worse(rt, m)) m = rt
+              if (m == r) go = false else { swap(m, r); r = m }
+            }
+          }
+          @inline def siftUp(start: Int): Unit = {
+            var c = start
+            while (c > 0 && worse(c, (c - 1) / 2)) { swap(c, (c - 1) / 2); c = (c - 1) / 2 }
+          }
+          val qn = if (norms != null) {
+            var s = 0.0; var t = 0
+            while (t < q.length) { val v = q(t).toDouble; s += v * v; t += 1 }
+            math.sqrt(s)
+          } else 0.0
+          var j = 0
+          while (j < n) {
+            val off = j * dd
+            var s   = 0.0
+            var t   = 0
+            if (maxim) {
+              while (t < dd) { s += q(t).toDouble * flat(off + t).toDouble; t += 1 }
+              if (norms != null) {
+                val den = qn * norms(j)
+                s = if (den == 0.0) 0.0 else s / den
+              }
+            } else {
+              while (t < dd) {
+                val diff = q(t).toDouble - flat(off + t).toDouble
+                s += diff * diff; t += 1
+              }
+            }
+            val score = if (maxim) s else math.sqrt(s)
+            val accept =
+              if (size < kk) true
+              else if (maxim) score > heapD(0) || (score == heapD(0) && ids(j) < ids(heapI(0)))
+              else score < heapD(0) || (score == heapD(0) && ids(j) < ids(heapI(0)))
+            if (accept) {
+              if (size < kk) { heapD(size) = score; heapI(size) = j; size += 1; siftUp(size - 1) }
+              else { heapD(0) = score; heapI(0) = j; siftDown(0) }
+            }
+            j += 1
+          }
+          val order = (0 until size).sortBy(x => (if (maxim) -heapD(x) else heapD(x), ids(heapI(x))))
+          order.zipWithIndex.map { case (x, r) => (qid, ids(heapI(x)), heapD(x), r + 1) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "dist", "rank")
+  }
+
+  /** Built-ins-only variant (crossJoin + left-to-right fold + window):
+    * same (dist, id) ordering as `exact` bit-for-bit, since both fold the
+    * squared diffs left-to-right in double.
+    */
+  def sql(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    q.crossJoin(c)
+      .withColumn("dist", VectorOps.l2Col(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist", "rank")
+  }
+
+  /** Approximate joint path for corpora beyond broadcast reach:
+    * random-hyperplane bucketing via spark.ml, then exact re-rank within the
+    * candidate set. Recall < 1 by construction; `numHashTables` trades
+    * shuffle volume for recall.
+    */
+  def lsh(queries: DataFrame, corpus: DataFrame, k: Int,
+          bucketLength: Double = 2.0, numHashTables: Int = 3,
+          maxDist: Double = Double.MaxValue): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val q = queries.select(col("vec_id"), toVec(col("embedding")).as("features"))
+    val c = corpus.select(col("vec_id"), toVec(col("embedding")).as("features"))
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setInputCol("features").setOutputCol("hashes").setSeed(42L)
+      .fit(c)
+    val joined = model.approxSimilarityJoin(q, c, maxDist, "dist")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    joined.select(
+        col("datasetA.vec_id").as("query_id"),
+        col("datasetB.vec_id").as("neighbor_id"),
+        col("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.graph.KnnGraph
+import graft.knn.Knn
+import graft.metrics.Metrics
+import graft.watermark.{Tvp, WmKey}
+import graft.attacks.Attacks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KnnGraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val emb   = Tables.embeddings(spark, TestSpark.sf0001).cache()
+  val M = 8
+
+  test("Knn.exact agrees with the SQL cross-join reference plan") {
+    val sub   = emb.filter(col("vec_id") < 60).cache()
+    val fast  = Knn.exact(sub, sub, 5).orderBy("query_id", "rank").collect()
+    val slow  = Knn.sql(sub, sub, 5).orderBy("query_id", "rank").collect()
+    assert(fast.length == slow.length)
+    fast.zip(slow).foreach { case (f, s) =>
+      assert(f.getLong(0) == s.getLong(0) && f.getLong(1) == s.getLong(1), s"$f vs $s")
+      assert(math.abs(f.getDouble(2) - s.getDouble(2)) < 1e-12)
+    }
+  }
+
+  test("self is rank 1 at dist 0; ranks are 1..k") {
+    val res = Knn.exact(emb, emb, 4).cache()
+    val self = res.filter(col("rank") === 1)
+    assert(self.filter(col("neighbor_id") =!= col("query_id")).count() == 0)
+    assert(self.filter(col("dist") =!= 0.0).count() == 0)
+    val badRanks = res.groupBy("query_id").agg(collect_list("rank").as("rs"))
+      .filter(array_sort(col("rs")) =!= array(lit(1), lit(2), lit(3), lit(4)))
+    assert(badRanks.count() == 0)
+  }
+
+  test("edges: out-degree exactly 2M, no self loops") {
+    val e = GraftCache.memo(s"test-edges") { KnnGraph.edges(emb, M) }
+    assert(e.filter(col("src") === col("dst")).count() == 0)
+    val deg = e.groupBy("src").count()
+    assert(deg.filter(col("count") =!= (2 * M)).count() == 0)
+    assert(deg.count() == emb.count())
+  }
+
+  test("graph metrics: bidir in [0,2M], avg_edge_len > 0, ai standardized") {
+    val e  = GraftCache.memo(s"test-edges") { KnnGraph.edges(emb, M) }
+    val be = KnnGraph.bidirectionalEdges(emb, e)
+    assert(be.filter(col("bidir_edges") < 0 || col("bidir_edges") > 2 * M).count() == 0)
+    val ae = KnnGraph.avgEdgeLength(emb, e)
+    assert(ae.filter(isnan(col("avg_edge_len")) || col("avg_edge_len") <= 0).count() == 0)
+    val ai = KnnGraph.accessibility(emb, e)
+    val stats = ai.agg(avg("ai"), stddev_pop("ai")).head
+    assert(math.abs(stats.getDouble(0)) < 1e-9) // mean(z-blend) == 0
+    assert(stats.getDouble(1) > 0)
+    assert(ai.count() == emb.count())
+  }
+
+  test("queryCounts: total hits == nQueries * (k - selfHits)") {
+    val raw = GraftCache.memo("test-raw") { KnnGraph.rawKnn(emb, 2 * M + 1) }
+    val qc  = KnnGraph.queryCounts(emb, raw, k = 10)
+    val n   = emb.count()
+    val total = qc.agg(sum("query_count")).head.getLong(0)
+    val selfIn10 = raw.filter(col("rank") <= 10 && col("neighbor_id") === col("query_id")).count()
+    assert(total == n * 10 - selfIn10)
+  }
+
+  test("TVP (accessibility-guided) embed then extract: BER = 0") {
+    val key = WmKey(seed = "20")
+    val wm  = "1011001"
+    val e   = GraftCache.memo(s"test-edges") { KnnGraph.edges(emb, M) }
+    val ai  = KnnGraph.accessibility(emb, e)
+    val wmDf = Tvp.embedAi(emb, wm, 0.6, 0.5, ai, 64, key)
+    val got  = Tvp.extract(wmDf, wm.length, 64, key)
+      .orderBy("bit_pos").collect().map(_.getInt(1)).mkString
+    assert(got == wm)
+  }
+
+  test("BER degrades monotonically-ish under growing adaptive deletion") {
+    val key = WmKey(seed = "20")
+    val wm  = "10110"
+    val e   = GraftCache.memo(s"test-edges") { KnnGraph.edges(emb, M) }
+    val ai  = KnnGraph.accessibility(emb, e).cache()
+    val wmDf = Tvp.embedAi(emb, wm, 0.7, 1.0, ai, 64, key).cache()
+    val bits = Tvp.bitsDf(spark, wm)
+    val bers = Seq(0.0, 0.4, 0.9).map { p =>
+      val attacked = if (p == 0.0) wmDf else Attacks.adaptiveDelete(wmDf, ai, p)
+      Tvp.ber(bits, Tvp.extract(attacked, wm.length, 64, key))
+    }
+    assert(bers.head == 0.0, s"BER at p=0 must be 0, got $bers")
+    assert(bers.last >= bers.head)
+  }
+
+  test("attack impact: hitRate < 1 after deletion, miss/false accounting") {
+    val raw   = GraftCache.memo("test-raw") { KnnGraph.rawKnn(emb, 2 * M + 1) }
+    val base  = raw.filter(col("rank") <= 10).cache()
+    val att   = Attacks.randomDelete(emb, 0.3, "42").cache()
+    val after = Knn.exact(emb, att, 10).cache()
+    val hr    = Metrics.hitRate(base, after, 10)
+    assert(hr > 0.5 && hr < 1.0, s"hitRate $hr")
+    val carriers = emb.filter(col("vec_id") < 25).select("vec_id")
+    val mf = Metrics.missFalse(
+      Metrics.carrierHits(base, carriers), Metrics.carrierHits(after, carriers))
+    assert(mf.count() > 0)
+    assert(mf.filter(col("miss") < 0 || col("false_hits") < 0).count() == 0)
+  }
+}

@@ -5,7 +5,7 @@ import graft.functions.GraftCols
 import graft.graph.KnnGraph
 import graft.knn.Knn
 import graft.metrics.Metrics
-import graft.watermark.{Tvp, WmKey}
+import graft.watermark.{Scpw, ScpwKey, TabularMark, TmKey, Tvp, WmKey}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -24,6 +24,8 @@ object SparkEntry {
   private val DeleteP   = 0.3
   private val Seed      = "42"
   private val M         = 8 // HNSW parameter of the reference (watermarking.py:285)
+  private val scpwKey   = ScpwKey(topK = 20, position = 30, stdE = 0.05, seed = "20")
+  private val tmKey     = TmKey(nw = 100, p = 4.0, k = 40, position = 50)
   private lazy val dims = key.dims(D)
 
   // ---- shared derived frames, memoized per sf dir (GraftCache) ----
@@ -162,6 +164,51 @@ object SparkEntry {
       Seq(("hit_rate_after_delete", Metrics.hitRate(base, after, 10)))
         .toDF("metric", "value")
     }),
+
+    // SCPW A1 — md5 grouping over the first-topK-dims content id.
+    "scpw_group_sizes" -> ((s, dir) => {
+      Scpw.classify(Tables.embeddings(s, dir), WM.length, scpwKey)
+        .groupBy(col("group_id").cast("long").as("group_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("group_id")
+    }),
+
+    // A4/P10 — exact column stats feeding the SCPW noise constants
+    // (decimal sums so DuckDB matches bit-for-bit; μ/σ² derive from these).
+    "scpw_column_stats" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(element_at(col("embedding"), scpwKey.position + 1).cast("double").as("v"))
+        .agg(
+          sum(col("v").cast("decimal(38,12)")).as("sum_val"),
+          sum((col("v") * col("v")).cast("decimal(38,12)")).as("sum_sq"),
+          count(lit(1)).as("n"))
+    }),
+
+    // SCPW end-to-end embed/extract round-trip.
+    "scpw_roundtrip" -> ((s, dir) => {
+      val emb  = Tables.embeddings(s, dir)
+      val wmDf = Scpw.embed(emb, WM, Strength, scpwKey)
+      Tvp.bitsDf(s, WM)
+        .join(Scpw.extract(wmDf, WM.length, scpwKey), "bit_pos")
+        .select(col("bit_pos").cast("long"), col("wm_bit").cast("long"),
+          col("extracted_bit").cast("long"))
+        .orderBy("bit_pos")
+    }),
+
+    // J2 — content-key equi-join with first-match semantics (self-match run).
+    "tm_match_clean" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      TabularMark.matchTuples(emb, emb, tmKey)
+        .orderBy("wm_id")
+    }),
+
+    // A8 — TabularMark embed + z-test detection.
+    "tm_detect" -> ((s, dir) => {
+      val emb  = Tables.embeddings(s, dir)
+      val wmDf = TabularMark.embed(emb, tmKey)
+      TabularMark.detect(emb, wmDf, tmKey)
+        .select(col("nw"), col("n_matched"), col("ng"), round(col("z"), 9).as("z"), col("detected"))
+    }),
   )
 
   /** DuckDB-side content-id expression mirroring GraftCols.contentIdCol
@@ -216,5 +263,25 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, dist,
          |  cast(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) as bigint) AS rank
          |FROM pairs QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "scpw_group_sizes" ->
+      s"""WITH c AS (SELECT ${cidSql(0 until scpwKey.topK, scpwKey.scale)} AS content_id FROM embeddings)
+         |SELECT ${md5ModSql("content_id", WM.length)} AS group_id, count(*) AS n
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scpw_column_stats" ->
+      s"""SELECT
+         |  sum(cast(cast(embedding[${scpwKey.position + 1}] as double) as decimal(38,12))) AS sum_val,
+         |  sum(cast(cast(embedding[${scpwKey.position + 1}] as double)
+         |         * cast(embedding[${scpwKey.position + 1}] as double) as decimal(38,12))) AS sum_sq,
+         |  count(*) AS n
+         |FROM embeddings""".stripMargin,
+
+    "tm_match_clean" ->
+      s"""WITH ids AS (SELECT vec_id, ${cidSql(0 until tmKey.k, tmKey.scale)} AS id FROM embeddings),
+         |pks AS (SELECT id, min(vec_id) AS orig_id FROM ids WHERE vec_id < ${tmKey.nw} GROUP BY id)
+         |SELECT pks.orig_id, ids.id, ids.vec_id AS wm_id
+         |FROM ids JOIN pks ON ids.id = pks.id
+         |ORDER BY wm_id""".stripMargin,
   )
 }

@@ -1,0 +1,115 @@
+package graft.watermark
+
+import graft.functions.{GraftCols, Hashing}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SCPW — correlated-additive-noise watermarking (reference SCPW.py).
+  *
+  * Scheme: one fixed dimension `position` carries the mark. A noise value
+  * e = kx·x + k1·u + k2 (u ~ N(0,1)) is added, with constants chosen from the
+  * column's mean/variance so the column distribution is (approximately)
+  * preserved (`found_e`, SCPW.py:31–62). The hidden bit of a vector is
+  * md5(str(v[position])) % 2 XOR (pos(id) % 2) (SCPW.py:120–128); embedding
+  * re-adds noise until the vector expresses the target bit (SCPW.py:216–223).
+  *
+  * Deviations (documented, SURVEY §7 hard parts): Python's sequential PRNG →
+  * keyed draws; the rejection loop is capped at 64 re-draws (geometric with
+  * p≈1/2 — the cap is unreachable in practice); `str(float32)` is rendered by
+  * Java's Float.toString, which agrees with numpy's shortest-repr for the
+  * typical magnitudes here but is not guaranteed identical — the scheme is
+  * self-consistent either way (embed re-checks with the same function the
+  * extractor uses).
+  */
+final case class ScpwKey(topK: Int = 20, position: Int = 30, stdE: Double = 1.8,
+                         seed: String = "20", scale: Double = 1000.0)
+
+object Scpw {
+
+  /** Hidden bit of one vector (SCPW.py:120–128). */
+  def hiddenBit(vec: Array[Float], cid: String, position: Int): Int = {
+    val pos          = Hashing.md5Mod(cid, vec.length.toLong).toInt
+    val dimLowestBit = pos % 2
+    val valueBit     = Hashing.md5Mod(vec(position).toString, 2L).toInt
+    valueBit ^ dimLowestBit
+  }
+
+  private val hiddenBitUdf = udf((vec: Array[Float], cid: String, position: Int) =>
+    hiddenBit(vec, cid, position))
+
+  /** A1 (SCPW flavor, SCPW.py:130–169): content id over the FIRST topK dims
+    * (no drop-last — SCPW.py:73–84), md5 grouping, value-hash hidden bit.
+    */
+  def classify(df: DataFrame, l: Int, key: ScpwKey): DataFrame =
+    df.withColumn("content_id",
+        GraftCols.contentIdCol(col("embedding"), 0 until key.topK, key.scale))
+      .withColumn("group_id", GraftCols.md5Mod(col("content_id"), l).cast("int"))
+      .withColumn("hidden_bit", hiddenBitUdf(col("embedding"), col("content_id"), lit(key.position)))
+
+  /** P10 — noise constants from column stats (`found_e`, SCPW.py:31–62). */
+  def noiseParams(df: DataFrame, key: ScpwKey): (Double, Double, Double) = {
+    val r = df.agg(
+      avg(element_at(col("embedding"), key.position + 1)).as("mu"),
+      var_pop(element_at(col("embedding"), key.position + 1)).as("v")).head
+    val (mu, v) = (r.getDouble(0), r.getDouble(1))
+    val kx = -key.stdE * key.stdE / (2 * v)
+    val k1 = math.sqrt(key.stdE * key.stdE - kx * kx * v)
+    val k2 = -kx * mu
+    (kx, k1, k2)
+  }
+
+  /** P11 — embed with bounded rejection (SCPW.py:210–225). The reference
+    * draws noise from a pre-materialized pool E (one e per corpus row) at
+    * PRNG-chosen indices; here each draw recomputes e from a keyed-chosen
+    * column value + keyed gaussian — same distribution, no pool shuffle.
+    * Additions accumulate in float32 exactly as numpy's `+=` does.
+    */
+  def embed(df: DataFrame, wm: String, strength: Double, key: ScpwKey): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val l          = wm.length
+    val classified = classify(df, l, key)
+    val bits       = Tvp.bitsDf(spark, wm)
+    val needs      = Tvp.groupNeeds(classified, bits, strength)
+    val cand = classified.join(broadcast(needs), "group_id")
+      .filter(col("hidden_bit") =!= col("wm_bit"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("group_id"))
+      .orderBy(GraftCols.keyedHash(col("vec_id"), lit("scpw"), lit(key.seed)))
+    val carriers = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("need"))
+      .select(col("vec_id"), col("wm_bit"), col("content_id"))
+
+    // noise ingredient pool: the carrier column's values (broadcast)
+    val colVals = df.select(element_at(col("embedding"), key.position + 1)).as[Float].collect()
+    val bcPool  = spark.sparkContext.broadcast(colVals)
+    val (kx, k1, k2) = noiseParams(df, key)
+    val pos  = key.position
+    val seed = key.seed
+
+    val embedUdf = udf((vec: Array[Float], cid: String, wmBit: Int, vid: Long) => {
+      val pool = bcPool.value
+      val out  = vec.clone()
+      var t    = 0
+      var ok   = false
+      while (!ok && t < 64) {
+        val x = pool(Hashing.md5Mod(s"$vid|scpw-pool|$seed|$t", pool.length.toLong).toInt).toDouble
+        val u = Hashing.gauss(s"$vid|scpw-g|$seed|$t")
+        val e = kx * x + k1 * u + k2
+        out(pos) = (out(pos).toDouble + e).toFloat // numpy float32 += semantics
+        t += 1
+        ok = hiddenBit(out, cid, pos) == wmBit
+      }
+      out
+    })
+    df.join(carriers, Seq("vec_id"), "left")
+      .withColumn("embedding",
+        when(col("wm_bit").isNotNull,
+          embedUdf(col("embedding"), col("content_id"), col("wm_bit"), col("vec_id")))
+        .otherwise(col("embedding")))
+      .drop("wm_bit", "content_id")
+  }
+
+  /** Blind extraction (SCPW.py:231–252): regroup + majority vote. */
+  def extract(df: DataFrame, l: Int, key: ScpwKey): DataFrame =
+    Tvp.majorityVote(classify(df, l, key), l)
+}

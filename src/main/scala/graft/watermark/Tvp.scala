@@ -144,13 +144,14 @@ object Tvp {
     applyEmbed(df, carriers, d, key)
   }
 
-  /** Blind extraction (E2, watermarking.py:402–427): regroup, majority vote
-    * per group; empty groups read "0" (the dict is pre-seeded 0..L-1).
+  /** A2 — per-group majority vote over any classified frame
+    * (group_id, hidden_bit); empty groups read "0" (the reference's dict is
+    * pre-seeded 0..L-1, watermarking.py:121,415–425).
     * Returns (bit_pos, extracted_bit).
     */
-  def extract(df: DataFrame, l: Int, d: Int, key: WmKey): DataFrame = {
-    val spark = df.sparkSession
-    val votes = classify(df, d, l, key)
+  def majorityVote(classified: DataFrame, l: Int): DataFrame = {
+    val spark = classified.sparkSession
+    val votes = classified
       .groupBy("group_id")
       .agg(sum("hidden_bit").as("n_one"), count(lit(1)).as("n"))
       .withColumn("extracted_bit", when(col("n_one") * 2 > col("n"), 1).otherwise(0))
@@ -159,6 +160,10 @@ object Tvp {
         col("bit_pos") === col("group_id"), "left")
       .select(col("bit_pos"), coalesce(col("extracted_bit"), lit(0)).as("extracted_bit"))
   }
+
+  /** Blind extraction (E2, watermarking.py:402–427): regroup, majority vote. */
+  def extract(df: DataFrame, l: Int, d: Int, key: WmKey): DataFrame =
+    majorityVote(classify(df, d, l, key), l)
 
   /** A7 bit-error rate (watermarking.py:445–451). */
   def ber(bits: DataFrame, extracted: DataFrame): Double =

@@ -1,7 +1,9 @@
 package graft
 
 import graft.attacks.Attacks
+import graft.events.EventOps
 import graft.functions.GraftCols
+import graft.text.{Dedup, TextOps}
 import graft.graph.KnnGraph
 import graft.knn.Knn
 import graft.metrics.Metrics
@@ -209,6 +211,102 @@ object SparkEntry {
       TabularMark.detect(emb, wmDf, tmKey)
         .select(col("nw"), col("n_matched"), col("ng"), round(col("z"), 9).as("z"), col("detected"))
     }),
+
+    // ---- training-data-pipeline operators (north-star extensions) ----
+
+    "text_stats" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.langId(col("text")).as("pred_lang"),
+        TextOps.fingerprintUdf(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_exact_groups" -> ((s, dir) => {
+      Dedup.exactGroups(Tables.documents(s, dir))
+        .select("text_hash", "n", "keep_id").orderBy("text_hash")
+    }),
+
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      Dedup.nearDupPairs(Tables.documents(s, dir), threshold = 0.5)
+        .orderBy("a", "b")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.withSimhash(Tables.documents(s, dir))
+        .select("doc_id", "simhash").orderBy("doc_id")
+    }),
+
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 10)
+        .orderBy("a", "b")
+    }),
+
+    "ann_cosine_pairs" -> ((s, dir) => {
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), simThreshold = 0.4)
+        .select(col("a"), col("b"), round(col("cosine"), 9).as("cosine"))
+        .orderBy("a", "b")
+    }),
+
+    "q_events_tumbling" -> ((s, dir) => {
+      EventOps.tumbling(Tables.events(s, dir), widthSec = 600)
+        .select("bucket", "event_type", "n", "sum_value", "bucket_start")
+        .orderBy("bucket", "event_type")
+    }),
+
+    "q_events_sessions" -> ((s, dir) => {
+      EventOps.sessionStats(Tables.events(s, dir), gapSec = 1800)
+        .select("user_id", "session_seq", "n_events", "start_es", "end_es",
+          "sum_value", "duration_sec")
+        .orderBy("user_id", "session_seq")
+    }),
+
+    "q3_shipping" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord  = Tables.orders(s, dir)
+        .filter(EventOps.epochSec(col("o_orderdate")) < lit(883612800L)) // 1998-01-01
+      val li   = Tables.lineitem(s, dir)
+        .filter(EventOps.epochSec(col("l_shipdate")) > lit(883612800L))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), EventOps.epochSec(col("o_orderdate")).as("o_orderdate_es"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,6)")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_region_revenue" -> ((s, dir) => {
+      val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = Tables.load(s, dir, "nation")
+      val cust   = Tables.customer(s, dir)
+      val ord    = Tables.orders(s, dir)
+      val li     = Tables.lineitem(s, dir)
+      val sup    = Tables.load(s, dir, "supplier")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,6)")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q_orders_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(38,6)").as("top_price"))
+        .orderBy("o_custkey")
+    }),
   )
 
   /** DuckDB-side content-id expression mirroring GraftCols.contentIdCol
@@ -283,5 +381,101 @@ object SparkEntry {
          |SELECT pks.orig_id, ids.id, ids.vec_id AS wm_id
          |FROM ids JOIN pks ON ids.id = pks.id
          |ORDER BY wm_id""".stripMargin,
+
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  cast(len(string_split(text, ' ')) as bigint) AS n_tokens,
+         |  cast(length(text) as bigint) AS n_chars_actual,
+         |  ${TextOps.qualityScoreSql("text")} AS quality,
+         |  ${TextOps.langIdSql("text")} AS pred_lang,
+         |  ${TextOps.fingerprintSql("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |       FROM words),
+        |sigs AS (SELECT doc_id, seed, min(md5(cast(seed as varchar) || '#' || shingle)) AS sig
+        |         FROM sh, (SELECT unnest(range(0, 16)) AS seed) seeds GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, cast(floor(seed / 4.0) as int) AS band,
+        |         md5(string_agg(sig, '|' ORDER BY seed)) AS band_key
+        |       FROM sigs GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
+        |         ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cm AS (SELECT c.a, c.b, count(*) AS common FROM cand c
+        |       JOIN sh sa ON sa.doc_id = c.a
+        |       JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+        |       GROUP BY 1, 2),
+        |j AS (SELECT c.a, c.b, coalesce(cm.common, 0) AS common, za.sz AS sza, zb.sz AS szb
+        |      FROM cand c LEFT JOIN cm ON c.a = cm.a AND c.b = cm.b
+        |      JOIN sizes za ON za.doc_id = c.a JOIN sizes zb ON zb.doc_id = c.b)
+        |SELECT a, b, cast(common as double) / (sza + szb - common) AS jaccard
+        |FROM j WHERE cast(common as double) / (sza + szb - common) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id, cast('0x' || substr(md5(t), 1, 16) as ubigint) AS h64 FROM toks),
+        |votes AS (SELECT doc_id, b,
+        |            sum(CASE WHEN (h64 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM h, (SELECT unnest(range(0, 64)) AS b) bs GROUP BY 1, 2),
+        |fp AS (SELECT doc_id,
+        |         sum(CASE WHEN v > 0 THEN
+        |               (CASE WHEN b = 63 THEN -9223372036854775808 ELSE (cast(1 as bigint) << cast(b as int)) END)
+        |             ELSE 0 END) AS simhash
+        |       FROM votes GROUP BY 1)
+        |SELECT doc_id, cast(simhash as bigint) AS simhash FROM fp ORDER BY doc_id""".stripMargin,
+
+    "q_events_tumbling" ->
+      """SELECT cast(floor(epoch(ts) / 600) as bigint) AS bucket, event_type,
+        |  count(*) AS n, sum(cast(value as decimal(38,6))) AS sum_value,
+        |  cast(floor(epoch(ts) / 600) as bigint) * 600 AS bucket_start
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, value, ts,
+        |             cast(floor(epoch(ts)) as bigint) AS es FROM events),
+        |s AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+        |                     THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (SELECT *, cast(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) as bigint) AS session_seq FROM s)
+        |SELECT user_id, session_seq, count(*) AS n_events, min(es) AS start_es,
+        |  max(es) AS end_es, sum(cast(value as decimal(38,6))) AS sum_value,
+        |  max(es) - min(es) AS duration_sec
+        |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey, cast(epoch(o_orderdate) as bigint) AS o_orderdate_es,
+        |  sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(38,6))) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND epoch(o_orderdate) < 883612800 AND epoch(l_shipdate) > 883612800
+        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(38,6))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_orders_window" ->
+      """SELECT o_custkey, o_orderkey, cast(o_totalprice as decimal(38,6)) AS top_price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
   )
 }

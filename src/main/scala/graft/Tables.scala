@@ -15,7 +15,16 @@ object Tables {
 
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
-  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+
+  /** The events fixture stores TIMESTAMP(NANOS) which Spark's vectorized
+    * parquet reader rejects; read nanos as long (`ts_ns`) — integer
+    * nanoseconds keep sub-second ordering exact (a double would lose
+    * precision above 2^53).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events").withColumnRenamed("ts", "ts_ns")
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")

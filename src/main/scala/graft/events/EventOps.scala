@@ -1,0 +1,69 @@
+package graft.events
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Event-stream batch operators over the `events` fixture
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Time is normalized to epoch SECONDS (bigint) at the operator boundary —
+  * timestamp rendering differs across engines, epoch integers never do.
+  * The streaming (readStream) counterparts live in graft.streaming.
+  */
+object EventOps {
+
+  /** Epoch seconds; NTZ/LTZ-agnostic under a UTC session. */
+  def epochSec(ts: Column): Column = ts.cast("timestamp").cast("long")
+
+  /** Exact microseconds from the fixture's nanosecond longs. Via decimal —
+    * a direct double cast of int64 nanos loses precision above 2^53 (≈256 ns
+    * error, enough to cross a bucket boundary). Truncation toward zero
+    * mirrors DuckDB's ns→µs timestamp cast.
+    */
+  def microsNs(tsNs: Column): Column =
+    (tsNs.cast("decimal(38,0)") / lit(1000)).cast("long")
+
+  /** Epoch seconds = floor(µs / 1e6) in double — the exact expression
+    * DuckDB's `epoch(ts)` evaluates, so both engines bucket identically
+    * (µs ≤ 2^53, the double is exact).
+    */
+  def epochSecNs(tsNs: Column): Column =
+    floor(microsNs(tsNs).cast("double") / lit(1000000.0)).cast("long")
+
+  /** Tumbling-window aggregate: bucket = floor(epoch / width). */
+  def tumbling(df: DataFrame, widthSec: Int): DataFrame =
+    df.groupBy(
+        floor(epochSecNs(col("ts_ns")) / widthSec).cast("long").as("bucket"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,6)")).as("sum_value"))
+      .withColumn("bucket_start", col("bucket") * widthSec)
+
+  /** Gap-based sessionization: a session breaks after `gapSec` of user
+    * inactivity. Adds (session_seq) per user via the classic
+    * lag + running-sum-of-boundaries window pair.
+    */
+  def sessionize(df: DataFrame, gapSec: Int): DataFrame = {
+    val w  = Window.partitionBy(col("user_id")).orderBy(microsNs(col("ts_ns")), col("event_id"))
+    val es = epochSecNs(col("ts_ns"))
+    df.withColumn("prev_es", lag(es, 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_es").isNull || (es - col("prev_es")) > gapSec, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("prev_es", "new_session")
+  }
+
+  /** Per-session stats: events, span, value sum. */
+  def sessionStats(df: DataFrame, gapSec: Int): DataFrame =
+    sessionize(df, gapSec)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(epochSecNs(col("ts_ns"))).as("start_es"),
+        max(epochSecNs(col("ts_ns"))).as("end_es"),
+        sum(col("value").cast("decimal(38,6)")).as("sum_value"))
+      .withColumn("duration_sec", col("end_es") - col("start_es"))
+}

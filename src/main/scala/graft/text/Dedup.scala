@@ -1,0 +1,135 @@
+package graft.text
+
+import graft.functions.Hashing
+import graft.knn.Knn
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for pretraining-corpus hygiene: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale shape: every family is (map → shuffle-on-small-key → filter) — the
+  * candidate generation shuffles (doc_id, band_key)-sized rows, never
+  * documents; verification joins only candidate pairs. MinHash seeds are
+  * md5-keyed so the DuckDB oracle reproduces signatures exactly.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash; keep_id = min doc id. */
+  def exactGroups(df: DataFrame): DataFrame =
+    df.groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+
+  /** Exact dedup: first doc per content hash survives. */
+  def dropExactDups(df: DataFrame): DataFrame = {
+    val keep = exactGroups(df).select(col("keep_id").as("doc_id"))
+    df.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  /** Word n-gram shingles, one row per distinct (doc_id, shingle). */
+  def shingles(df: DataFrame, n: Int): DataFrame = {
+    val words = split(col("text"), " ")
+    df.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures banded for LSH: numHashes keyed min-md5s per doc,
+    * grouped into `bands` band keys. Returns (doc_id, band, band_key).
+    */
+  def minhashBands(df: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val seeds       = array((0 until numHashes).map(lit): _*)
+    val sigs = shingles(df, n)
+      .select(col("doc_id"), col("shingle"), explode(seeds).as("seed"))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat_ws("#", col("seed"), col("shingle")))).as("sig"))
+    sigs.withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws("|",
+        transform(array_sort(collect_list(struct(col("seed"), col("sig")))),
+          x => x.getField("sig")))).as("band_key"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band bucket (a < b). */
+  def minhashCandidates(df: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val b = minhashBands(df, n, numHashes, bands)
+    b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for given pairs (a, b). */
+  def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = pairs
+      .join(sh.select(col("doc_id").as("a"), col("shingle")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingle").as("shingle2")), "b")
+      .filter(col("shingle") === col("shingle2"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    pairs.join(common, Seq("a", "b"), "left").na.fill(0L, Seq("common"))
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sza") + col("szb") - col("common")))
+  }
+
+  /** MinHash-LSH near-dup pairs with exact-Jaccard verification. */
+  def nearDupPairs(df: DataFrame, threshold: Double, n: Int = 3,
+                   numHashes: Int = 16, bands: Int = 4): DataFrame =
+    jaccard(minhashCandidates(df, n, numHashes, bands), shingles(df, n))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+
+  /** SimHash-64 of a token list: per-token 64-bit hash (first 16 md5 hex
+    * chars), ±1 bit votes, sign-of-vote fingerprint.
+    */
+  def simhash64(tokens: Iterable[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = new java.math.BigInteger(Hashing.md5Hex(t).substring(0, 16), 16)
+      var b = 0
+      while (b < 64) { if (h.testBit(b)) votes(b) += 1 else votes(b) -= 1; b += 1 }
+    }
+    var f = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) f |= (1L << b); b += 1 }
+    f
+  }
+
+  val simhashUdf = udf((tokens: Seq[String]) => simhash64(tokens))
+
+  def withSimhash(df: DataFrame): DataFrame =
+    df.withColumn("simhash", simhashUdf(split(col("text"), " ")))
+
+  /** SimHash near-dups: LSH on four 16-bit chunks (any equal chunk → pair is
+    * a candidate — guarantees recall for hamming ≤ 3 by pigeonhole), then an
+    * exact hamming filter via bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val s = withSimhash(df).select(col("doc_id"), col("simhash"))
+    val chunks = s.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("ck"))): _*)).as("cs"))
+      .select(col("doc_id"), col("simhash"), col("cs.chunk"), col("cs.ck"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs over the vector table. */
+  def embeddingNearDups(emb: DataFrame, simThreshold: Double, k: Int = 5): DataFrame =
+    Knn.exact(emb, emb, k + 1, metric = "cosine")
+      .filter(col("query_id") < col("neighbor_id") && col("dist") >= simThreshold)
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"),
+        col("dist").as("cosine"))
+      .distinct()
+}

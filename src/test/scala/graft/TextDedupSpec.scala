@@ -1,0 +1,74 @@
+package graft
+
+import graft.events.EventOps
+import graft.text.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val docs  = Tables.documents(spark, TestSpark.sf0001).cache()
+
+  test("fingerprint: deterministic Horner hash") {
+    assert(TextOps.fingerprint("") == 0L)
+    assert(TextOps.fingerprint("a") == 97L)
+    assert(TextOps.fingerprint("ab") == 97L * 31 + 98)
+    assert(TextOps.fingerprint("spark") == TextOps.fingerprint("spark"))
+    assert(TextOps.fingerprint("spark") != TextOps.fingerprint("spars"))
+  }
+
+  test("simhash: identical texts collide, different texts differ") {
+    val a = Dedup.simhash64(Seq("the", "quick", "brown", "fox"))
+    assert(a == Dedup.simhash64(Seq("the", "quick", "brown", "fox")))
+    val b = Dedup.simhash64(Seq("the", "quick", "brown", "cat"))
+    val hamming = java.lang.Long.bitCount(a ^ b)
+    assert(hamming > 0 && hamming < 32, s"near-dup hamming should be small-ish: $hamming")
+    val far = Dedup.simhash64(Seq("completely", "unrelated", "words", "here"))
+    assert(java.lang.Long.bitCount(a ^ far) >= hamming)
+  }
+
+  test("minhash near-dups find planted duplicates and score them highest") {
+    import spark.implicits._
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().take(20)
+    // plant: doc 9000 = copy of texts(0) with one word changed
+    val planted = (9000L, texts(0)._2.replaceFirst("\\w+", "zzz"))
+    val df = spark.createDataFrame(texts :+ planted).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == texts(0)._1 && b == 9000L && j > 0.8 },
+      s"planted dup not found: ${pairs.mkString(",")}")
+  }
+
+  test("exact dedup drops nothing on the (dup-free) fixture, drops planted dups") {
+    assert(Dedup.dropExactDups(docs).count() == docs.count())
+    val doubled = docs.union(docs.limit(10).withColumn("doc_id", col("doc_id") + 100000))
+    assert(Dedup.dropExactDups(doubled).count() == docs.count())
+  }
+
+  test("sessions: durations nonnegative, gaps within sessions <= gap") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val st = EventOps.sessionStats(ev, gapSec = 1800).cache()
+    assert(st.filter(col("duration_sec") < 0).count() == 0)
+    assert(st.count() > 0)
+    // every event belongs to exactly one session
+    assert(st.agg(sum("n_events")).head.getLong(0) == ev.count())
+    // within a session, max gap <= 1800 by construction: check session spans
+    val sess = EventOps.sessionize(ev, 1800)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "session_seq").orderBy("ts_ns")
+    val gaps = sess.withColumn("gap",
+      EventOps.epochSecNs(col("ts_ns")) - lag(EventOps.epochSecNs(col("ts_ns")), 1).over(w))
+    assert(gaps.filter(col("gap") > 1800).count() == 0)
+  }
+
+  test("langId picks a profile language deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist von haus"),
+      (3L, "el gato y la casa de los perros")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es"))
+  }
+}

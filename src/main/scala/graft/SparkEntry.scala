@@ -1,7 +1,9 @@
 package graft
 
+import graft.ann.Ann
 import graft.attacks.Attacks
 import graft.events.EventOps
+import graft.multimodal.Multimodal
 import graft.functions.GraftCols
 import graft.text.{Dedup, TextOps}
 import graft.graph.KnnGraph
@@ -296,6 +298,40 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // ANN — brute-force cosine top-k baseline on a query sample.
+    "ann_brute_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.bruteCosine(emb.filter(col("vec_id") < 100), emb, 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("score"), 9).as("score"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ANN — IVF (coarse k-means + probed inverted lists), the scale path.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, assigned) = Ann.ivfIndex(emb, nlist = 16)
+      Ann.ivfSearch(emb.filter(col("vec_id") < 100), assigned, centroids, k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Multimodal — binary-column metadata extraction (payload hash, sizes).
+    "multimodal_meta" -> ((s, dir) => {
+      Multimodal.extractMeta(Multimodal.assetsFromDocuments(Tables.documents(s, dir)))
+        .select("asset_id", "kind", "n_bytes", "payload_sha256")
+        .orderBy("asset_id")
+    }),
+
+    // Multimodal — batched stub decode into fixed-width feature vectors.
+    "multimodal_features" -> ((s, dir) => {
+      val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+      Multimodal.decodeFeatures(assets, dim = 16)
+        .select(col("asset_id"), round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 16), 6).as("f15"))
+        .orderBy("asset_id")
+    }),
+
     "q_orders_window" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_custkey"))
@@ -471,6 +507,13 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  cast(length(text) as bigint) AS n_bytes,
+        |  sha256(text) AS payload_sha256
+        |FROM documents ORDER BY asset_id""".stripMargin,
 
     "q_orders_window" ->
       """SELECT o_custkey, o_orderkey, cast(o_totalprice as decimal(38,6)) AS top_price

@@ -1,0 +1,86 @@
+package graft.ann
+
+import graft.knn.Knn
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two physical paths, one result shape (query_id, neighbor_id, score, rank):
+  *  - `bruteCosine`: the exact baseline — Knn.exact with the cosine kernel
+  *    (broadcast corpus, map-only; right up to ~10^7 corpus rows).
+  *  - `ivf`: the 100 TB path — a coarse k-means quantizer (spark.ml, seeded)
+  *    splits the corpus into nlist partitions; queries probe their nprobe
+  *    nearest centroids and scan only those partitions. The corpus-side scan
+  *    becomes a co-partitioned join on cluster id instead of a broadcast:
+  *    shuffle volume drops by ~nprobe/nlist, and cluster assignment is a
+  *    write-once batch artifact reusable across query batches.
+  */
+object Ann {
+
+  def bruteCosine(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    Knn.exact(queries, corpus, k, metric = "cosine")
+      .withColumnRenamed("dist", "score")
+
+  private def toMlVec = udf((a: Seq[Float]) =>
+    org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+
+  /** Fit the coarse quantizer + assign corpus rows to inverted lists.
+    * Returns (centroids, assignedCorpus with `cluster` column).
+    */
+  def ivfIndex(corpus: DataFrame, nlist: Int, seed: Long = 42L): (Array[Array[Double]], DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    val feat  = corpus.withColumn("features", toMlVec(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").fit(feat)
+    val assigned = model.transform(feat)
+      .withColumnRenamed("prediction", "cluster")
+      .drop("features")
+    (model.clusterCenters.map(_.toArray), assigned)
+  }
+
+  /** IVF query: probe the `nprobe` nearest inverted lists per query, exact
+    * cosine re-rank within them.
+    */
+  def ivfSearch(queries: DataFrame, assignedCorpus: DataFrame,
+                centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val bc    = spark.sparkContext.broadcast(centroids)
+    val probeUdf = udf((q: Seq[Float]) => {
+      val cs = bc.value
+      val d  = q.length
+      val scored = cs.indices.map { c =>
+        var s = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < d) {
+          val a = q(i).toDouble; val b = cs(c)(i)
+          s += a * b; na += a * a; nb += b * b; i += 1
+        }
+        (c, if (na == 0 || nb == 0) 0.0 else s / math.sqrt(na * nb))
+      }
+      scored.sortBy(x => (-x._2, x._1)).take(nprobe).map(_._1)
+    })
+    val probed = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("cluster", explode(probeUdf(col("qe"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    probed.join(
+        assignedCorpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ce"), col("cluster")),
+        Seq("cluster"))
+      .withColumn("score", graft.functions.VectorOps.cosineCol(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Recall@k of an approximate result against the exact baseline. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): Double = {
+    val hits = approx.filter(col("rank") <= k)
+      .join(exact.filter(col("rank") <= k), Seq("query_id", "neighbor_id"), "left_semi")
+      .count()
+    val total = exact.filter(col("rank") <= k).count()
+    if (total == 0) 0.0 else hits.toDouble / total
+  }
+}

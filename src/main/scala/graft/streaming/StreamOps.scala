@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming counterparts of graft.events.EventOps: the same
+  * event-time aggregations expressed as unbounded streams — `readStream` →
+  * watermarked windowed aggregates, plus a flatMapGroupsWithState
+  * sessionizer. The reference has no streaming at all (SURVEY §2.10); these
+  * exist for the engine's pipeline north star. Batch/stream parity is tested
+  * by replaying the events fixture through the memory sink and comparing to
+  * the batch operator.
+  */
+object StreamOps {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType), // nanos
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-stream over the events fixture (one file = one micro-batch replay). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("event_time", timestamp_micros((col("ts_ns").cast("decimal(38,0)") / 1000).cast("long")))
+  }
+
+  /** Watermarked tumbling-window counts; late data beyond `lateness` dropped. */
+  def tumblingCounts(stream: DataFrame, widthSec: Int, lateness: String = "30 minutes"): DataFrame =
+    stream
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), s"$widthSec seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        (unix_timestamp(col("window.start")) / widthSec).cast("long").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class Ev(user_id: Long, es: Long, value: Double)
+  final case class SessState(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, start_es: Long, end_es: Long,
+                              n_events: Long, sum_value: Double)
+
+  /** Custom stateful operator: gap-based sessionization via
+    * flatMapGroupsWithState. A session closes when a later event arrives more
+    * than `gapSec` after the last one (the still-open session stays in state;
+    * event-time-timeout emission would close it on watermark advance).
+    */
+  def sessionizeStream(events: Dataset[Ev], gapSec: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.es, e.value))
+          val out    = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var st     = state.getOption.orNull
+          sorted.foreach { e =>
+            if (st == null) st = SessState(e.es, e.es, 0, 0.0)
+            if (e.es - st.last > gapSec) {
+              out += SessionOut(user, st.start, st.last, st.n, st.sum)
+              st = SessState(e.es, e.es, 1, e.value)
+            } else {
+              st = SessState(st.start, e.es, st.n + 1, st.sum + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+}

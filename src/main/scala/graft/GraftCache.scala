@@ -11,13 +11,19 @@ import scala.collection.concurrent.TrieMap
   * roubust/roubust.py:279 → watermarking.py:287) which we explicitly fix.
   */
 object GraftCache {
-  private val cache = TrieMap[String, DataFrame]()
+  private val cache    = TrieMap[String, DataFrame]()
+  private val anyCache = TrieMap[String, Any]()
 
   def memo(key: String)(f: => DataFrame): DataFrame =
     cache.getOrElseUpdate(key, f.persist())
 
+  /** Non-DataFrame artifacts (model centroids, broadcast handles, …). */
+  def memoAny[T](key: String)(f: => T): T =
+    anyCache.getOrElseUpdate(key, f.asInstanceOf[Any]).asInstanceOf[T]
+
   def clear(): Unit = {
     cache.values.foreach(_.unpersist())
     cache.clear()
+    anyCache.clear()
   }
 }

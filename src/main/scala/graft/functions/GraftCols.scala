@@ -33,13 +33,25 @@ object GraftCols {
   /** Content-derived id over key dims (watermarking.py:39–50), built-ins only:
     * per dim `substr(cast(trunc(abs(v[dim]) * scale) as bigint), 1, 1)`.
     * `dims` are 0-based (reference indexing); element_at is 1-based.
+    *
+    * Above ~24 dims the inlined expression tree makes whole-stage codegen
+    * methods exceed JVM limits inside aggregates (janino fails, Spark
+    * retries the compile per stage then interprets — seconds of latency per
+    * query); wide ids switch to the equivalent primitive UDF
+    * (Bits.contentId — same truncation semantics, same strings).
     */
   def contentIdCol(vec: Column, dims: Seq[Int], scale: Double): Column =
-    concat(dims.map { d =>
-      substring(
-        floor(abs(element_at(vec, d + 1).cast("double")) * lit(scale)).cast("long").cast("string"),
-        1, 1)
-    }: _*)
+    if (dims.length <= 24)
+      concat(dims.map { d =>
+        substring(
+          floor(abs(element_at(vec, d + 1).cast("double")) * lit(scale)).cast("long").cast("string"),
+          1, 1)
+      }: _*)
+    else {
+      val dimsArr = dims.toArray
+      val f = udf((v: Array[Float]) => Bits.contentId(v, dimsArr, scale))
+      f(vec)
+    }
 
   val embedLsbUdf = udf((vec: Array[Float], bit: Int, dims: Array[Int], cid: String) =>
     Bits.embedLsb(vec, bit, dims, cid))

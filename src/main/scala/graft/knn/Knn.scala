@@ -12,27 +12,30 @@ import org.apache.spark.sql.{Column, DataFrame}
   * (query_id, neighbor_id, dist, rank), rank 1..k ordered by (dist, id):
   *
   *  - `exact`: broadcast the corpus as one flat primitive float array and
-  *    scan per query partition with a bounded max-heap. This is the
-  *    brute-force path a single node runs in BLAS-style cache order — on a
-  *    cluster it is embarrassingly parallel in the queries with ZERO shuffle
-  *    (one broadcast, map-only). Right whenever the corpus fits an executor
-  *    (~≤ 10^7 × 64 floats = 2.5 GB); the 100 TB path for big corpora is `lsh`.
+  *    scan per query partition with a bounded max-heap. On a cluster this is
+  *    embarrassingly parallel in the queries with ZERO shuffle (one
+  *    broadcast, map-only). Right whenever the corpus fits an executor
+  *    (~≤ 10^7 × 64 floats = 2.5 GB); the 100 TB path for big corpora is
+  *    `lsh` (or graft.ann.Ann's IVF). Two l2 kernels:
+  *      - "fast" (default): ‖q−c‖² = ‖q‖² + ‖c‖² − 2·q·c with unrolled
+  *        accumulators — half the flops of the diff form and vectorizes.
+  *      - "fold": sequential left-to-right (q_i−c_i)² accumulation whose
+  *        double results are BIT-IDENTICAL to the DuckDB oracle's lambda
+  *        fold (and to VectorOps.l2Col); used by oracle-checked queries.
   *  - `sql`: compose built-ins (crossJoin + codegen'd fold + window) — the
-  *    plan Catalyst can reason about and DuckDB can mirror bit-exactly; used
-  *    for oracle-checked samples and tiny inputs.
+  *    plan Catalyst can reason about; same bits as "fold".
   *  - `lsh`: spark.ml BucketedRandomProjectionLSH approximate join for
-  *    corpus-too-big-to-broadcast scale; returns the same shape (rank among
-  *    returned candidates).
+  *    corpus-too-big-to-broadcast scale (rank among returned candidates).
   *
-  * Self-matches are INCLUDED (a corpus query finds itself at dist 0, as FAISS
-  * does); consumers filter `neighbor_id =!= query_id` exactly where the
-  * reference does (watermarking.py:307).
+  * Self-matches are INCLUDED (a corpus query finds itself at dist 0, as
+  * FAISS does); consumers filter `neighbor_id =!= query_id` exactly where
+  * the reference does (watermarking.py:307).
   */
 object Knn {
 
   /** Top-k per query over a broadcast corpus; map-only, no shuffle. */
   def exact(queries: DataFrame, corpus: DataFrame, k: Int,
-            metric: String = "l2"): DataFrame = {
+            metric: String = "l2", kernel: String = "fast"): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val rows = corpus.select(col("vec_id"), col("embedding"))
@@ -44,25 +47,27 @@ object Knn {
     val flat = new Array[Float](n * d)
     var i = 0
     while (i < n) { System.arraycopy(rows(i)._2, 0, flat, i * d, d); i += 1 }
-    val norms = if (metric == "cosine") {
+    // squared norms for the fast-l2 kernel; full norms for cosine
+    val maxim    = metric != "l2" // similarity metrics rank descending
+    val fastL2   = metric == "l2" && kernel == "fast"
+    val sqNorms  = if (fastL2 || metric == "cosine") {
       val a = new Array[Double](n)
       var j = 0
       while (j < n) {
         var s = 0.0; var t = 0
         while (t < d) { val v = flat(j * d + t).toDouble; s += v * v; t += 1 }
-        a(j) = math.sqrt(s); j += 1
+        a(j) = s; j += 1
       }
       a
     } else null
-    val bc    = spark.sparkContext.broadcast((ids, flat, norms))
-    val maxim = metric != "l2" // similarity metrics rank descending
+    val bc    = spark.sparkContext.broadcast((ids, flat, sqNorms))
     val parts = spark.sparkContext.defaultParallelism
 
     queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .repartition(parts)
       .mapPartitions { it =>
-        val (ids, flat, norms) = bc.value
+        val (ids, flat, sqNorms) = bc.value
         val n  = ids.length
         val dd = if (n == 0) 0 else flat.length / n
         val kk = math.min(k, n)
@@ -79,8 +84,8 @@ object Knn {
             val td = heapD(a); heapD(a) = heapD(b); heapD(b) = td
             val ti = heapI(a); heapI(a) = heapI(b); heapI(b) = ti
           }
-          @inline def siftDown(start: Int): Unit = {
-            var r = start
+          @inline def siftDown(): Unit = {
+            var r  = 0
             var go = true
             while (go) {
               val l = 2 * r + 1; val rt = l + 1
@@ -94,36 +99,54 @@ object Knn {
             var c = start
             while (c > 0 && worse(c, (c - 1) / 2)) { swap(c, (c - 1) / 2); c = (c - 1) / 2 }
           }
-          val qn = if (norms != null) {
-            var s = 0.0; var t = 0
-            while (t < q.length) { val v = q(t).toDouble; s += v * v; t += 1 }
-            math.sqrt(s)
-          } else 0.0
+          // query norm (fast-l2 / cosine)
+          var qn = 0.0
+          if (sqNorms != null) {
+            var t = 0
+            while (t < q.length) { val v = q(t).toDouble; qn += v * v; t += 1 }
+          }
           var j = 0
           while (j < n) {
             val off = j * dd
-            var s   = 0.0
-            var t   = 0
-            if (maxim) {
-              while (t < dd) { s += q(t).toDouble * flat(off + t).toDouble; t += 1 }
-              if (norms != null) {
-                val den = qn * norms(j)
-                s = if (den == 0.0) 0.0 else s / den
+            var score = 0.0
+            if (maxim || fastL2) {
+              // unrolled dot product, 4 accumulators
+              var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+              var t = 0
+              val lim = dd - 3
+              while (t < lim) {
+                s0 += q(t).toDouble * flat(off + t).toDouble
+                s1 += q(t + 1).toDouble * flat(off + t + 1).toDouble
+                s2 += q(t + 2).toDouble * flat(off + t + 2).toDouble
+                s3 += q(t + 3).toDouble * flat(off + t + 3).toDouble
+                t += 4
+              }
+              var dot = s0 + s1 + s2 + s3
+              while (t < dd) { dot += q(t).toDouble * flat(off + t).toDouble; t += 1 }
+              if (maxim) { // cosine similarity
+                val den = math.sqrt(qn) * math.sqrt(sqNorms(j))
+                score = if (den == 0.0) 0.0 else dot / den
+              } else { // fast l2
+                val sq = qn + sqNorms(j) - 2.0 * dot
+                score = math.sqrt(if (sq < 0.0) 0.0 else sq)
               }
             } else {
+              // "fold": bit-exact sequential (q_i - c_i)^2 accumulation
+              var s = 0.0
+              var t = 0
               while (t < dd) {
                 val diff = q(t).toDouble - flat(off + t).toDouble
                 s += diff * diff; t += 1
               }
+              score = math.sqrt(s)
             }
-            val score = if (maxim) s else math.sqrt(s)
             val accept =
               if (size < kk) true
               else if (maxim) score > heapD(0) || (score == heapD(0) && ids(j) < ids(heapI(0)))
               else score < heapD(0) || (score == heapD(0) && ids(j) < ids(heapI(0)))
             if (accept) {
               if (size < kk) { heapD(size) = score; heapI(size) = j; size += 1; siftUp(size - 1) }
-              else { heapD(0) = score; heapI(0) = j; siftDown(0) }
+              else { heapD(0) = score; heapI(0) = j; siftDown() }
             }
             j += 1
           }
@@ -135,8 +158,7 @@ object Knn {
   }
 
   /** Built-ins-only variant (crossJoin + left-to-right fold + window):
-    * same (dist, id) ordering as `exact` bit-for-bit, since both fold the
-    * squared diffs left-to-right in double.
+    * same (dist, id) ordering as the "fold" kernel bit-for-bit.
     */
   def sql(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -149,7 +171,7 @@ object Knn {
       .select("query_id", "neighbor_id", "dist", "rank")
   }
 
-  /** Approximate joint path for corpora beyond broadcast reach:
+  /** Approximate join path for corpora beyond broadcast reach:
     * random-hyperplane bucketing via spark.ml, then exact re-rank within the
     * candidate set. Recall < 1 by construction; `numHashTables` trades
     * shuffle volume for recall.

@@ -3,6 +3,8 @@ package graft
 import graft.ann.Ann
 import graft.attacks.Attacks
 import graft.events.EventOps
+import graft.experiments.Experiments
+import graft.functions.Hashing
 import graft.multimodal.Multimodal
 import graft.functions.GraftCols
 import graft.text.{Dedup, TextOps}
@@ -31,6 +33,8 @@ object SparkEntry {
   private val scpwKey   = ScpwKey(topK = 20, position = 30, stdE = 0.05, seed = "20")
   private val tmKey     = TmKey(nw = 100, p = 4.0, k = 40, position = 50)
   private lazy val dims = key.dims(D)
+  // fixed dim of K3 random modification (Attacks.modifyRows draws it once)
+  private lazy val modDim0 = Hashing.md5Mod(s"$Seed|dim0", D.toLong).toInt
 
   // ---- shared derived frames, memoized per sf dir (GraftCache) ----
   private def rawKnn(s: SparkSession, dir: String) =
@@ -347,6 +351,134 @@ object SparkEntry {
           col("o_totalprice").cast("decimal(38,6)").as("top_price"))
         .orderBy("o_custkey")
     }),
+
+    // S2 — tail-slice scan (t_vector/e1:11–12).
+    "tail_slice" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .orderBy(col("vec_id").desc).limit(100)
+        .select("vec_id", "label").orderBy("vec_id")
+    }),
+
+    // S3 — anti-membership load (roubust/roubust.py:37–47): rows whose
+    // embedding is not present in the first-200 slice (full-vector equality).
+    "anti_membership" -> ((s, dir) => {
+      val emb   = Tables.embeddings(s, dir)
+      val known = emb.filter(col("vec_id") < 200).select("embedding")
+      emb.join(known, Seq("embedding"), "left_anti")
+        .select("vec_id").orderBy("vec_id")
+    }),
+
+    // K3 — random modification (fixed dim variant, roubust/roubust.py:132–156):
+    // ceil(n·p) keyed-random rows get a fresh uniform value at the keyed dim.
+    "attack_random_modify" -> ((s, dir) => {
+      Attacks.randomModify(Tables.embeddings(s, dir), 0.2, D, Seed)
+        .select(col("vec_id"), element_at(col("embedding"), modDim0 + 1).as("v"))
+        .orderBy("vec_id")
+    }),
+
+    // K5/A12 — insertion attack: synthetic rows from per-column N(μ,σ).
+    "attack_insert" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val n   = emb.count()
+      Attacks.insert(emb.select("vec_id", "embedding"), 0.2, D, Seed)
+        .filter(col("vec_id") >= n)
+        .select(col("vec_id"), round(element_at(col("embedding"), 1), 4).as("f0"),
+          round(element_at(col("embedding"), D), 4).as("f63"))
+        .orderBy("vec_id")
+    }),
+
+    // A11 — Pearson correlation (t_vector/Z.py:106–108 shape).
+    "analytics_corr" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A10 — 8 equal-width bins over a metric, per-bin aggregate (digitize).
+    "analytics_binned" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+      val r   = ord.agg(min("o_totalprice"), max("o_totalprice")).head
+      val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+      val step = (mx - mn) / 8.0
+      ord.withColumn("bin",
+          least(floor((col("o_totalprice") - mn) / step), lit(7.0)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(38,6)")).as("sum_price"))
+        .orderBy("bin")
+    }),
+
+    // W3 — bottom-10% "hidden nodes" by query traffic (t_vector/e3:52–54).
+    "w3_hidden_nodes" -> ((s, dir) => {
+      val qc = KnnGraph.queryCounts(Tables.embeddings(s, dir), rawKnn(s, dir), k = 10)
+      val n  = qc.count()
+      qc.orderBy(col("query_count"), col("vec_id"))
+        .limit(math.ceil(n * 0.1).toInt)
+        .select("vec_id", "query_count").orderBy("vec_id")
+    }),
+
+    // SO3 — whole-row set overlap before/after modification
+    // (roubust/roubust.py:158–183): distinct-embedding intersect/union counts.
+    "so3_overlap_modify" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select("embedding").distinct()
+      val b = Attacks.randomModify(emb, 0.2, D, Seed).select("embedding").distinct()
+      val ninter = a.intersect(b).count()
+      val nunion = a.union(b).distinct().count()
+      Seq((ninter, nunion)).toDF("n_intersect", "n_union")
+    }),
+
+    // SO4 — hidden-node overlap across graph params (t_vector/e3:83–93):
+    // bottom-10% sets for M=8 vs M=12 graphs.
+    "so4_hidden_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      def hidden(m: Int): org.apache.spark.sql.DataFrame = {
+        val raw = GraftCache.memo(s"$dir/rawknn-m$m") {
+          KnnGraph.rawKnn(emb, 2 * m + 1)
+        }
+        val qc = KnnGraph.queryCounts(emb, raw, k = 10)
+        val n  = qc.count()
+        qc.orderBy(col("query_count"), col("vec_id")).limit(math.ceil(n * 0.1).toInt)
+          .select("vec_id")
+      }
+      val base  = hidden(8).cache()
+      val other = hidden(12)
+      val nb    = base.count()
+      val ni    = base.intersect(other).count()
+      Seq((nb, ni, ni.toDouble / nb)).toDF("n_base", "n_intersect", "overlap")
+    }),
+
+    // G5/G6 — BFS flood from never-queried seeds + reached-set edge stats
+    // (t_vector/e1_steath_vector.py:41–54, 89–116).
+    "graph_bfs_reach" -> ((s, dir) => {
+      import s.implicits._
+      val emb   = Tables.embeddings(s, dir)
+      val e     = edges(s, dir)
+      val qc    = KnnGraph.queryCounts(emb, rawKnn(s, dir), k = 10)
+      val seeds = qc.filter(col("query_count") === 0).select("vec_id")
+      val nSeeds = seeds.count()
+      if (nSeeds == 0) Seq((0L, 0L, 0.0)).toDF("n_seeds", "n_reached", "avg_internal_edge")
+      else {
+        val reached = KnnGraph.bfs(e, seeds).cache()
+        val inner = e.join(reached.withColumnRenamed("vec_id", "src"), Seq("src"), "left_semi")
+          .join(reached.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+        val avgLen = inner.agg(coalesce(round(avg("dist"), 6), lit(0.0))).head.getDouble(0)
+        Seq((nSeeds, reached.count(), avgLen)).toDF("n_seeds", "n_reached", "avg_internal_edge")
+      }
+    }),
+
+    // H1/H2 — robustness grid (embed → attack → extract → BER).
+    "h_robustness_grid" -> ((s, dir) => {
+      Experiments.robustnessGrid(
+        Tables.embeddings(s, dir),
+        schemes = Seq(Experiments.SchemeRs, Experiments.SchemeScpw),
+        attacks = Seq("random_delete"), ps = Seq(0.0, 0.5), reps = 1,
+        wm = WM, strength = 0.7, th = 0.5, d = D, wmKey = key, scpwKey = scpwKey)
+        .select(col("scheme"), col("attack"), col("p"), col("rep").cast("long"), col("ber"))
+        .orderBy("scheme", "attack", "p", "rep")
+    }),
   )
 
   /** DuckDB-side content-id expression mirroring GraftCols.contentIdCol
@@ -524,5 +656,42 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "tail_slice" ->
+      """SELECT vec_id, label FROM
+        |(SELECT vec_id, label FROM embeddings ORDER BY vec_id DESC LIMIT 100)
+        |ORDER BY vec_id""".stripMargin,
+
+    "anti_membership" ->
+      """SELECT e.vec_id FROM embeddings e
+        |WHERE NOT EXISTS (SELECT 1 FROM embeddings f
+        |  WHERE f.vec_id < 200 AND f.embedding = e.embedding)
+        |ORDER BY e.vec_id""".stripMargin,
+
+    "attack_random_modify" ->
+      s"""WITH ranked AS (
+         |  SELECT vec_id, embedding,
+         |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#modrow#$Seed'), vec_id) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM embeddings),
+         |stats AS (SELECT min(embedding[${modDim0 + 1}]) AS mn, max(embedding[${modDim0 + 1}]) AS mx
+         |          FROM embeddings)
+         |SELECT vec_id,
+         |  CASE WHEN rn <= ceil(n * 0.2)
+         |    THEN cast(mn + (mx - mn) *
+         |      (cast('0x' || substr(md5(cast(vec_id as varchar) || '#modval#$Seed'), 1, 13) as bigint)
+         |        / 4503599627370496.0) as real)
+         |    ELSE embedding[${modDim0 + 1}] END AS v
+         |FROM ranked, stats ORDER BY vec_id""".stripMargin,
+
+    "analytics_corr" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  count(*) AS n FROM lineitem""".stripMargin,
+
+    "analytics_binned" ->
+      """WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+        |SELECT cast(least(floor((o_totalprice - mn) / ((mx - mn) / 8.0)), 7) as bigint) AS bin,
+        |  count(*) AS n, sum(cast(o_totalprice as decimal(38,6))) AS sum_price
+        |FROM orders, s GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -60,7 +60,8 @@ object Attacks {
     val newValue = (lit(mn) + (lit(mx) - lit(mn)) *
       GraftCols.keyedUnit(col("vec_id"), lit("modval"), lit(seed))).cast("float")
     val runStart =
-      if (rerollDim) pmod(GraftCols.md5ModUdf(concat_ws("#", col("vec_id"), lit("moddim"), lit(seed)), lit(d.toLong)), lit(d.toLong)).cast("int")
+      if (rerollDim)
+        graft.functions.Md5ModExpr(concat_ws("#", col("vec_id"), lit("moddim"), lit(seed)), d.toLong).cast("int")
       else lit(dim0)
     df.withColumn("__sel", selected)
       .withColumn("embedding",

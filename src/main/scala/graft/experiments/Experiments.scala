@@ -1,0 +1,76 @@
+package graft.experiments
+
+import graft.attacks.Attacks
+import graft.graph.KnnGraph
+import graft.watermark.{Scpw, ScpwKey, Tvp, WmKey}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Experiment harnesses — the reference's "queries" (SURVEY §2.9).
+  *
+  * H1 (`strength_analysis`/`th_analysis`, roubust/roubust.py:226–304) and
+  * H2 (`compare/roubust.py:158–306`): embed → attack → extract → BER grids.
+  * Each grid cell is one DataFrame lineage; the driver-side loop launches
+  * them and collects a small result frame (scheme, attack, p, rep, ber).
+  * Reps are meaningful through the keyed RNG: the rep index enters every
+  * random draw's key.
+  */
+object Experiments {
+
+  sealed trait Scheme
+  case object SchemeRs   extends Scheme
+  case object SchemeTvp  extends Scheme
+  case object SchemeScpw extends Scheme
+
+  /** One embed→attack→extract→BER cell. `ai` is required for TVP embedding
+    * and the adaptive attacks.
+    */
+  def cell(emb: DataFrame, scheme: Scheme, attack: String, p: Double, rep: Int,
+           wm: String, strength: Double, th: Double, d: Int,
+           wmKey: WmKey, scpwKey: ScpwKey, ai: Option[DataFrame]): Double = {
+    val spark = emb.sparkSession
+    val seed  = s"${wmKey.seed}-r$rep"
+    val wmDf = scheme match {
+      case SchemeRs   => Tvp.embedRs(emb, wm, strength, d, wmKey.copy(seed = seed))
+      case SchemeTvp  => Tvp.embedAi(emb, wm, strength, th, ai.get, d, wmKey.copy(seed = seed))
+      case SchemeScpw => Scpw.embed(emb, wm, strength, scpwKey.copy(seed = seed))
+    }
+    val attacked = attack match {
+      case "none"            => wmDf
+      case "random_delete"   => Attacks.randomDelete(wmDf, p, s"att-$seed")
+      case "adaptive_delete" => Attacks.adaptiveDelete(wmDf, ai.get, p)
+      case "random_modify"   => Attacks.randomModify(wmDf, p, d, s"att-$seed", runLength = 30, rerollDim = true)
+      case "adaptive_modify" => Attacks.adaptiveModify(wmDf, ai.get, p, d, s"att-$seed")
+      case "insert"          => Attacks.insert(wmDf, p, d, s"att-$seed")
+    }
+    val extracted = scheme match {
+      case SchemeScpw => Scpw.extract(attacked, wm.length, scpwKey.copy(seed = seed))
+      case _          => Tvp.extract(attacked, wm.length, d, wmKey.copy(seed = seed))
+    }
+    // NOTE on seeds: extraction must re-derive the SAME key dims as embedding,
+    // so the extract key carries the identical seed string.
+    Tvp.ber(Tvp.bitsDf(spark, wm), extracted)
+  }
+
+  /** Robustness grid → (scheme, attack, p, rep, ber) result frame. */
+  def robustnessGrid(emb: DataFrame, schemes: Seq[Scheme], attacks: Seq[String],
+                     ps: Seq[Double], reps: Int, wm: String, strength: Double,
+                     th: Double, d: Int, wmKey: WmKey, scpwKey: ScpwKey,
+                     m: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val needsAi = schemes.contains(SchemeTvp) || attacks.exists(_.startsWith("adaptive"))
+    val ai = if (needsAi) Some(KnnGraph.accessibility(emb, KnnGraph.edges(emb, m)).cache())
+             else None
+    val rows = for {
+      scheme <- schemes
+      attack <- attacks
+      p      <- ps
+      rep    <- 0 until reps
+    } yield {
+      val ber = cell(emb, scheme, attack, p, rep, wm, strength, th, d, wmKey, scpwKey, ai)
+      (scheme.toString, attack, p, rep, ber)
+    }
+    rows.toDF("scheme", "attack", "p", "rep", "ber")
+  }
+}

@@ -25,10 +25,12 @@ object GraftCols {
   def keyedUnit(cols: Column*): Column =
     conv(substring(keyedHash(cols: _*), 1, 13), 16, 10).cast("double") / lit(4503599627370496.0)
 
-  /** hash_re(s) % m (full 128-bit mod, watermarking.py:20–27). */
+  /** hash_re(s) % m (full 128-bit mod, watermarking.py:20–27) — a native
+    * Catalyst expression (Md5ModExpr) with codegen.
+    */
   val md5ModUdf = udf((s: String, m: Long) => Hashing.md5Mod(s, m))
 
-  def md5Mod(c: Column, m: Int): Column = md5ModUdf(c, lit(m.toLong))
+  def md5Mod(c: Column, m: Int): Column = Md5ModExpr(c, m.toLong)
 
   /** Content-derived id over key dims (watermarking.py:39–50), built-ins only:
     * per dim `substr(cast(trunc(abs(v[dim]) * scale) as bigint), 1, 1)`.

@@ -272,10 +272,11 @@ object SparkEntry {
 
     "q3_shipping" -> ((s, dir) => {
       val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
-      val ord  = Tables.orders(s, dir)
-        .filter(EventOps.epochSec(col("o_orderdate")) < lit(883612800L)) // 1998-01-01
-      val li   = Tables.lineitem(s, dir)
-        .filter(EventOps.epochSec(col("l_shipdate")) > lit(883612800L))
+      // native NTZ comparisons (not epoch casts) so the predicate reaches the
+      // parquet scan as a PushedFilter — the cast form is evaluated post-scan
+      val cutoff = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+      val ord    = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      val li     = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), EventOps.epochSec(col("o_orderdate")).as("o_orderdate_es"))

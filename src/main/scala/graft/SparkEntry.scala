@@ -123,9 +123,10 @@ object SparkEntry {
         .orderBy("bidir_edges")
     }),
 
-    // A5 — accessibility index (z-blend of J5/J6 metrics).
+    // A5 — accessibility index (z-blend of J5/J6 metrics); raw doubles —
+    // the decimal-exact stats make them bit-identical to the oracle.
     "wm_accessibility" -> ((s, dir) => {
-      ai(s, dir).select(col("vec_id"), round(col("ai"), 9).as("ai")).orderBy("vec_id")
+      ai(s, dir).select(col("vec_id"), col("ai")).orderBy("vec_id")
     }),
 
     // K2 — adaptive deletion by accessibility rank.
@@ -494,6 +495,49 @@ object SparkEntry {
     s"cast(list_reduce(list_transform(string_split(md5($expr), ''), " +
       s"x -> strpos('0123456789abcdef', x) - 1), (a, b) -> (a * 16 + b) % $m) as bigint)"
 
+  /** Shared DuckDB CTE prefix rebuilding the deterministic kNN graph and its
+    * metrics bit-exactly (fold distances, decimal-exact means) — lets every
+    * graph-analytics query be oracle-checked, not just rows-counted.
+    * MATERIALIZED: the knn scan is referenced by several downstream CTEs.
+    */
+  private def graphCtes: String = {
+    val dd = "(cast(a.embedding[i] as double) - cast(b.embedding[i] as double))"
+    s"""WITH knn AS MATERIALIZED (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    sqrt(list_reduce(list_transform(range(1, ${D + 1}), i -> $dd * $dd), (x, y) -> x + y)) AS dist
+       |  FROM embeddings a, embeddings b),
+       |raw17 AS MATERIALIZED (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM knn)
+       |  WHERE rank <= ${2 * M + 1}),
+       |edges AS MATERIALIZED (SELECT * FROM (
+       |    SELECT query_id AS src, neighbor_id AS dst, dist,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS r2
+       |    FROM raw17 WHERE neighbor_id <> query_id) WHERE r2 <= ${2 * M}),
+       |qc AS (SELECT e.vec_id, coalesce(c.cnt, 0) AS query_count FROM embeddings e
+       |  LEFT JOIN (SELECT neighbor_id, count(*) AS cnt FROM raw17
+       |             WHERE rank <= 10 AND neighbor_id <> query_id GROUP BY 1) c
+       |  ON e.vec_id = c.neighbor_id),
+       |bidir AS (SELECT e.vec_id, coalesce(b.bd, 0) AS bidir_edges FROM embeddings e
+       |  LEFT JOIN (SELECT e1.src, count(*) AS bd FROM edges e1
+       |             JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src GROUP BY 1) b
+       |  ON e.vec_id = b.src),
+       |ael AS (SELECT ed.src AS vec_id,
+       |    list_reduce(list_prepend(0.0, list(ed.dist ORDER BY ed.dist, ed.dst)), (a, b) -> a + b) / count(*) AS avg_edge_len
+       |  FROM edges ed GROUP BY ed.src),
+       |mets AS (SELECT b.vec_id, b.bidir_edges, a.avg_edge_len FROM bidir b JOIN ael a ON a.vec_id = b.vec_id),
+       |gstats AS (SELECT
+       |    list_reduce(list_prepend(0.0, list(cast(bidir_edges as double) ORDER BY vec_id)), (a, b) -> a + b) / count(*) AS mu_e,
+       |    list_reduce(list_prepend(0.0, list(cast(bidir_edges as double) * cast(bidir_edges as double) ORDER BY vec_id)), (a, b) -> a + b) / count(*) AS msq_e,
+       |    list_reduce(list_prepend(0.0, list(avg_edge_len ORDER BY vec_id)), (a, b) -> a + b) / count(*) AS mu_d,
+       |    list_reduce(list_prepend(0.0, list(avg_edge_len * avg_edge_len ORDER BY vec_id)), (a, b) -> a + b) / count(*) AS msq_d
+       |  FROM mets),
+       |ai AS (SELECT m.vec_id,
+       |    0.5 * ((m.avg_edge_len - g.mu_d) / sqrt(greatest(g.msq_d - g.mu_d * g.mu_d, 0.0))) -
+       |    0.5 * ((m.bidir_edges - g.mu_e) / sqrt(greatest(g.msq_e - g.mu_e * g.mu_e, 0.0))) AS ai
+       |  FROM mets m, gstats g)
+       |""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -694,5 +738,28 @@ object SparkEntry {
         |SELECT cast(least(floor((o_totalprice - mn) / ((mx - mn) / 8.0)), 7) as bigint) AS bin,
         |  count(*) AS n, sum(cast(o_totalprice as decimal(38,6))) AS sum_price
         |FROM orders, s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "wm_query_counts" ->
+      (graphCtes + "SELECT vec_id, query_count FROM qc ORDER BY vec_id"),
+
+    "graph_bidir_hist" ->
+      (graphCtes + "SELECT bidir_edges, count(*) AS n FROM bidir GROUP BY 1 ORDER BY 1"),
+
+    "wm_accessibility" ->
+      (graphCtes + "SELECT vec_id, ai FROM ai ORDER BY vec_id"),
+
+    "attack_adaptive_delete" ->
+      (graphCtes +
+        s"""SELECT vec_id FROM (
+           |  SELECT vec_id, row_number() OVER (ORDER BY ai DESC, vec_id) AS rn,
+           |    count(*) OVER () AS n FROM ai)
+           |WHERE rn > ceil(n * $DeleteP) ORDER BY vec_id""".stripMargin),
+
+    "w3_hidden_nodes" ->
+      (graphCtes +
+        """SELECT vec_id, query_count FROM (
+          |  SELECT *, row_number() OVER (ORDER BY query_count, vec_id) AS rn,
+          |    count(*) OVER () AS n FROM qc)
+          |WHERE rn <= ceil(n * 0.1) ORDER BY vec_id""".stripMargin),
   )
 }

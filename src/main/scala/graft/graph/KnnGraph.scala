@@ -17,8 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object KnnGraph {
 
-  /** Raw kNN (self included) — one pass reused by edges() and queryCounts(). */
-  def rawKnn(df: DataFrame, k: Int): DataFrame = Knn.exact(df, df, k)
+  /** Raw kNN (self included) — one pass reused by edges() and queryCounts().
+    * Uses the "fold" kernel: its distances are bit-identical to the DuckDB
+    * lambda fold, which makes every downstream graph metric oracle-checkable
+    * (the fast kernel is ~2× quicker but differs in final ulps).
+    */
+  def rawKnn(df: DataFrame, k: Int): DataFrame = Knn.exact(df, df, k, kernel = "fold")
 
   /** G7 — directed edge table (src, dst, dist), 2M edges per node, self
     * excluded, re-ranked after self-removal.
@@ -51,9 +55,19 @@ object KnnGraph {
     * (`calculate_average_neighbor_distance`, watermarking.py:188–201).
     * Distances ride on the edges from construction — no second join against
     * the vector table. Nodes without edges yield NaN (np.mean([]) semantics).
+    * The mean folds the (sorted) distances left-to-right in double — a fixed
+    * summation order, so the result is reproducible under any partitioning
+    * and bit-identical to the DuckDB ordered-list fold (decimal sums are
+    * also order-free but decimal→double conversion differs across engines
+    * in final ulps).
     */
   def avgEdgeLength(df: DataFrame, edgesDf: DataFrame): DataFrame = {
-    val agg = edgesDf.groupBy("src").agg(avg(col("dist")).as("avg_edge_len"))
+    val agg = edgesDf.groupBy("src").agg(
+      (aggregate(
+        transform(array_sort(collect_list(struct(col("dist"), col("dst")))),
+          x => x.getField("dist")),
+        lit(0.0), (a, x) => a + x) / count(lit(1)))
+        .as("avg_edge_len"))
     df.select(col("vec_id"))
       .join(agg, col("vec_id") === col("src"), "left")
       .select(col("vec_id"), coalesce(col("avg_edge_len"), lit(Double.NaN)).as("avg_edge_len"))
@@ -63,16 +77,34 @@ object KnnGraph {
     * AI = 0.5·z(avg_edge_len) − 0.5·z(bidir_edges), z-scores over the
     * NaN-ignoring population mean/std (np.nanmean/np.nanstd).
     * Returns (vec_id, ai).
+    *
+    * Population stats use μ = Σx/n, σ = sqrt(max(Σx²/n − μ², 0)) with the
+    * sums folded in vec_id order — fixed-order double arithmetic is
+    * bit-reproducible under any partitioning and identical to the DuckDB
+    * ordered-list fold (np.nanstd's subtract-then-square form differs only
+    * in final ulps; the graph itself is already a documented stand-in).
+    * The single collected fold list is an oracle-parity construction — at
+    * cluster scale swap `orderedMean` for a plain decimal-sum mean and give
+    * up bit (not value) parity.
     */
   def accessibility(df: DataFrame, edgesDf: DataFrame): DataFrame = {
     val metrics = bidirectionalEdges(df, edgesDf)
       .join(avgEdgeLength(df, edgesDf), "vec_id")
+    val dOk = when(isnan(col("avg_edge_len")), lit(null)).otherwise(col("avg_edge_len"))
+    val e   = col("bidir_edges").cast("double")
+    def orderedMean(c: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("vec_id"), c.as("v")))),
+          x => x.getField("v")),
+        lit(0.0), (a, x) => a + x) / count(c)
     val stats = metrics.agg(
-      avg(col("bidir_edges").cast("double")).as("mu_e"),
-      stddev_pop(col("bidir_edges").cast("double")).as("sd_e"),
-      avg(when(isnan(col("avg_edge_len")), lit(null)).otherwise(col("avg_edge_len"))).as("mu_d"),
-      stddev_pop(when(isnan(col("avg_edge_len")), lit(null)).otherwise(col("avg_edge_len"))).as("sd_d"))
+      orderedMean(e).as("mu_e"),
+      orderedMean(e * e).as("msq_e"),
+      orderedMean(dOk).as("mu_d"),
+      orderedMean(dOk * dOk).as("msq_d"))
     metrics.crossJoin(broadcast(stats))
+      .withColumn("sd_e", sqrt(greatest(col("msq_e") - col("mu_e") * col("mu_e"), lit(0.0))))
+      .withColumn("sd_d", sqrt(greatest(col("msq_d") - col("mu_d") * col("mu_d"), lit(0.0))))
       .withColumn("ai",
         lit(0.5) * ((col("avg_edge_len") - col("mu_d")) / col("sd_d")) -
         lit(0.5) * ((col("bidir_edges") - col("mu_e")) / col("sd_e")))

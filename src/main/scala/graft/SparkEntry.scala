@@ -163,15 +163,19 @@ object SparkEntry {
         count(lit(1)).as("n_carriers"))
     }),
 
-    // H4/SO2 — attack impact on kNN accuracy: hit-rate after random deletion.
+    // H4/SO2 — attack impact on kNN accuracy after random deletion. Exact
+    // integer counts (oracle-checkable); hit_rate = n_common/(n_queries·k).
     "attack_hit_rate" -> ((s, dir) => {
       import s.implicits._
       val emb   = Tables.embeddings(s, dir)
       val base  = rawKnn(s, dir).filter(col("rank") <= 10)
       val att   = Attacks.randomDelete(emb, DeleteP, Seed)
-      val after = Knn.exact(emb, att, 10)
-      Seq(("hit_rate_after_delete", Metrics.hitRate(base, after, 10)))
-        .toDF("metric", "value")
+      val after = Knn.exact(emb, att, 10, kernel = "fold")
+      val nq    = base.select("query_id").distinct().count()
+      val nCommon = base.select("query_id", "neighbor_id")
+        .join(after.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      Seq((nCommon, nq, 10L)).toDF("n_common", "n_queries", "k")
     }),
 
     // SCPW A1 — md5 grouping over the first-topK-dims content id.
@@ -249,12 +253,13 @@ object SparkEntry {
 
     "dedup_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 10)
+        .select(col("a"), col("b"), col("hamming").cast("long"))
         .orderBy("a", "b")
     }),
 
     "ann_cosine_pairs" -> ((s, dir) => {
-      Dedup.embeddingNearDups(Tables.embeddings(s, dir), simThreshold = 0.4)
-        .select(col("a"), col("b"), round(col("cosine"), 9).as("cosine"))
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), simThreshold = 0.4, kernel = "fold")
+        .select(col("a"), col("b"), col("cosine"))
         .orderBy("a", "b")
     }),
 
@@ -304,11 +309,12 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
-    // ANN — brute-force cosine top-k baseline on a query sample.
+    // ANN — brute-force cosine top-k baseline on a query sample
+    // (fold kernel: scores bit-match the DuckDB oracle).
     "ann_brute_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Ann.bruteCosine(emb.filter(col("vec_id") < 100), emb, 10)
-        .select(col("query_id"), col("neighbor_id"), round(col("score"), 9).as("score"),
+      Ann.bruteCosine(emb.filter(col("vec_id") < 100), emb, 10, kernel = "fold")
+        .select(col("query_id"), col("neighbor_id"), col("score"),
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -466,7 +472,12 @@ object SparkEntry {
         val reached = KnnGraph.bfs(e, seeds).cache()
         val inner = e.join(reached.withColumnRenamed("vec_id", "src"), Seq("src"), "left_semi")
           .join(reached.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
-        val avgLen = inner.agg(coalesce(round(avg("dist"), 6), lit(0.0))).head.getDouble(0)
+        // ordered fold (sorted by src,dst) — bit-reproducible, oracle-equal
+        val avgLen = inner.agg(coalesce(
+          aggregate(
+            transform(array_sort(collect_list(struct(col("src"), col("dst"), col("dist")))),
+              x => x.getField("dist")),
+            lit(0.0), (a, x) => a + x) / count(lit(1)), lit(0.0))).head.getDouble(0)
         Seq((nSeeds, reached.count(), avgLen)).toDF("n_seeds", "n_reached", "avg_internal_edge")
       }
     }),
@@ -761,5 +772,111 @@ object SparkEntry {
           |  SELECT *, row_number() OVER (ORDER BY query_count, vec_id) AS rn,
           |    count(*) OVER () AS n FROM qc)
           |WHERE rn <= ceil(n * 0.1) ORDER BY vec_id""".stripMargin),
+
+    "ann_brute_topk" -> cosineSql(
+      queryFilter = "q.vec_id < 100", k = 10,
+      select = """SELECT query_id, neighbor_id, score,
+                  |  cast(row_number() OVER w as bigint) AS rank
+                  |FROM pairs WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+                  |QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    "ann_cosine_pairs" -> cosineSql(
+      queryFilter = "true", k = 6,
+      select = """SELECT DISTINCT query_id AS a, neighbor_id AS b, score AS cosine FROM (
+                  |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+                  |  FROM pairs)
+                  |WHERE rank <= 6 AND query_id < neighbor_id AND score >= 0.4
+                  |ORDER BY a, b""".stripMargin),
+
+    "attack_hit_rate" ->
+      (graphCtes +
+        s""", kept AS (SELECT vec_id, embedding FROM (
+           |    SELECT vec_id, embedding,
+           |      row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$Seed'), vec_id) AS rn,
+           |      count(*) OVER () AS n
+           |    FROM embeddings) WHERE rn <= n - ceil(n * $DeleteP)),
+           |aknn AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    sqrt(list_reduce(list_transform(range(1, ${D + 1}),
+           |      i -> (cast(a.embedding[i] as double) - cast(b.embedding[i] as double))
+           |         * (cast(a.embedding[i] as double) - cast(b.embedding[i] as double))), (x, y) -> x + y)) AS dist
+           |  FROM embeddings a, kept b),
+           |after AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM aknn)
+           |  WHERE rank <= 10)
+           |SELECT
+           |  (SELECT count(*) FROM (SELECT query_id, neighbor_id FROM raw17 WHERE rank <= 10) b
+           |     JOIN after a USING (query_id, neighbor_id)) AS n_common,
+           |  (SELECT count(distinct query_id) FROM raw17 WHERE rank <= 10) AS n_queries,
+           |  cast(10 as bigint) AS k""".stripMargin),
+
+    "graph_bfs_reach" ->
+      (graphCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, reach(vec_id) AS (
+          |    SELECT vec_id FROM qc WHERE query_count = 0
+          |    UNION
+          |    SELECT e.dst FROM reach r JOIN edges e ON e.src = r.vec_id),
+          |inner_edges AS (SELECT e.src, e.dst, e.dist FROM edges e
+          |  WHERE e.src IN (SELECT vec_id FROM reach) AND e.dst IN (SELECT vec_id FROM reach))
+          |SELECT
+          |  (SELECT count(*) FROM qc WHERE query_count = 0) AS n_seeds,
+          |  (SELECT count(*) FROM reach) AS n_reached,
+          |  coalesce((SELECT list_reduce(list_prepend(0.0, list(dist ORDER BY src, dst)), (a, b) -> a + b)
+          |              / count(*) FROM inner_edges), 0.0) AS avg_internal_edge""".stripMargin),
+
+    "dedup_simhash_pairs" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id, cast('0x' || substr(md5(t), 1, 16) as ubigint) AS h64 FROM toks),
+        |votes AS (SELECT doc_id, b,
+        |            sum(CASE WHEN (h64 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM h, (SELECT unnest(range(0, 64)) AS b) bs GROUP BY 1, 2),
+        |fp AS (SELECT doc_id,
+        |         cast(sum(CASE WHEN v > 0 THEN
+        |               (CASE WHEN b = 63 THEN -9223372036854775808 ELSE (cast(1 as bigint) << cast(b as int)) END)
+        |             ELSE 0 END) as bigint) AS simhash
+        |       FROM votes GROUP BY 1),
+        |chunks AS (SELECT doc_id, simhash, c,
+        |             (simhash >> (cast(c as int) * 16)) & 65535 AS ck
+        |           FROM fp, (SELECT unnest(range(0, 4)) AS c) cs)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |  cast(bit_count(xor(x.simhash, y.simhash)) as bigint) AS hamming
+        |FROM chunks x JOIN chunks y
+        |  ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 10
+        |ORDER BY a, b""".stripMargin,
+
+    "so3_overlap_modify" ->
+      s"""WITH ranked AS (
+         |  SELECT vec_id, embedding,
+         |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#modrow#$Seed'), vec_id) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM embeddings),
+         |stats AS (SELECT min(embedding[${modDim0 + 1}]) AS mn, max(embedding[${modDim0 + 1}]) AS mx
+         |          FROM embeddings),
+         |modded AS (SELECT vec_id,
+         |    CASE WHEN rn <= ceil(n * 0.2)
+         |      THEN embedding[1:${modDim0}] ||
+         |           [cast(mn + (mx - mn) *
+         |             (cast('0x' || substr(md5(cast(vec_id as varchar) || '#modval#$Seed'), 1, 13) as bigint)
+         |               / 4503599627370496.0) as real)] ||
+         |           embedding[${modDim0 + 2}:$D]
+         |      ELSE embedding END AS m
+         |  FROM ranked, stats)
+         |SELECT
+         |  (SELECT count(*) FROM (SELECT embedding FROM embeddings INTERSECT SELECT m FROM modded)) AS n_intersect,
+         |  (SELECT count(*) FROM (SELECT embedding FROM embeddings UNION SELECT m FROM modded)) AS n_union""".stripMargin,
   )
+
+  /** DuckDB cosine top-k oracle with fold-exact dot products. */
+  private def cosineSql(queryFilter: String, k: Int, select: String): String =
+    s"""WITH nrm AS MATERIALIZED (SELECT vec_id, embedding,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+       |      i -> cast(embedding[i] as double) * cast(embedding[i] as double))), (a, b) -> a + b) AS sq
+       |  FROM embeddings),
+       |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CASE WHEN sqrt(q.sq) * sqrt(c.sq) = 0 THEN 0.0 ELSE
+       |      list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+       |        i -> cast(q.embedding[i] as double) * cast(c.embedding[i] as double))), (a, b) -> a + b)
+       |      / (sqrt(q.sq) * sqrt(c.sq)) END AS score
+       |  FROM nrm q, nrm c WHERE $queryFilter)
+       |""".stripMargin + select
 }

@@ -19,8 +19,9 @@ import org.apache.spark.sql.DataFrame
   */
 object Ann {
 
-  def bruteCosine(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
-    Knn.exact(queries, corpus, k, metric = "cosine")
+  def bruteCosine(queries: DataFrame, corpus: DataFrame, k: Int,
+                  kernel: String = "fast"): DataFrame =
+    Knn.exact(queries, corpus, k, metric = "cosine", kernel = kernel)
       .withColumnRenamed("dist", "score")
 
   private def toMlVec = udf((a: Seq[Float]) =>

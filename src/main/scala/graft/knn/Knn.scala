@@ -110,19 +110,26 @@ object Knn {
             val off = j * dd
             var score = 0.0
             if (maxim || fastL2) {
-              // unrolled dot product, 4 accumulators
-              var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
-              var t = 0
-              val lim = dd - 3
-              while (t < lim) {
-                s0 += q(t).toDouble * flat(off + t).toDouble
-                s1 += q(t + 1).toDouble * flat(off + t + 1).toDouble
-                s2 += q(t + 2).toDouble * flat(off + t + 2).toDouble
-                s3 += q(t + 3).toDouble * flat(off + t + 3).toDouble
-                t += 4
+              var dot = 0.0
+              if (kernel == "fold") {
+                // sequential fold — bit-identical to the DuckDB lambda fold
+                var t = 0
+                while (t < dd) { dot += q(t).toDouble * flat(off + t).toDouble; t += 1 }
+              } else {
+                // unrolled dot product, 4 accumulators
+                var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+                var t = 0
+                val lim = dd - 3
+                while (t < lim) {
+                  s0 += q(t).toDouble * flat(off + t).toDouble
+                  s1 += q(t + 1).toDouble * flat(off + t + 1).toDouble
+                  s2 += q(t + 2).toDouble * flat(off + t + 2).toDouble
+                  s3 += q(t + 3).toDouble * flat(off + t + 3).toDouble
+                  t += 4
+                }
+                dot = s0 + s1 + s2 + s3
+                while (t < dd) { dot += q(t).toDouble * flat(off + t).toDouble; t += 1 }
               }
-              var dot = s0 + s1 + s2 + s3
-              while (t < dd) { dot += q(t).toDouble * flat(off + t).toDouble; t += 1 }
               if (maxim) { // cosine similarity
                 val den = math.sqrt(qn) * math.sqrt(sqNorms(j))
                 score = if (den == 0.0) 0.0 else dot / den

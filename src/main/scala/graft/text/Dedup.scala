@@ -168,8 +168,9 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs over the vector table. */
-  def embeddingNearDups(emb: DataFrame, simThreshold: Double, k: Int = 5): DataFrame =
-    Knn.exact(emb, emb, k + 1, metric = "cosine")
+  def embeddingNearDups(emb: DataFrame, simThreshold: Double, k: Int = 5,
+                        kernel: String = "fast"): DataFrame =
+    Knn.exact(emb, emb, k + 1, metric = "cosine", kernel = kernel)
       .filter(col("query_id") < col("neighbor_id") && col("dist") >= simThreshold)
       .select(col("query_id").as("a"), col("neighbor_id").as("b"),
         col("dist").as("cosine"))

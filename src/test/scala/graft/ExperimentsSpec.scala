@@ -1,0 +1,47 @@
+package graft
+
+import graft.experiments.Experiments
+import graft.graph.KnnGraph
+import graft.metrics.Metrics
+import graft.watermark.{ScpwKey, Tvp, WmKey}
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExperimentsSpec extends AnyFunSuite {
+  lazy val spark   = TestSpark.spark
+  lazy val emb     = Tables.embeddings(spark, TestSpark.sf0001).cache()
+  val wmKey        = WmKey(seed = "20")
+  val scpwKey      = ScpwKey(topK = 20, position = 30, stdE = 0.05, seed = "20")
+  lazy val aiDf    = KnnGraph.accessibility(emb, KnnGraph.edges(emb, 8)).cache()
+
+  test("every attack type runs through the harness; BER = 0 unattacked") {
+    for (attack <- Seq("none", "random_delete", "adaptive_delete",
+                       "random_modify", "adaptive_modify", "insert")) {
+      val p   = if (attack == "none") 0.0 else 0.2
+      val ber = Experiments.cell(emb, Experiments.SchemeRs, attack, p, rep = 0,
+        wm = "10101", strength = 0.7, th = 0.5, d = 64,
+        wmKey = wmKey, scpwKey = scpwKey, ai = Some(aiDf))
+      assert(ber >= 0.0 && ber <= 1.0, s"$attack ber=$ber")
+      if (attack == "none") assert(ber == 0.0, s"unattacked BER must be 0")
+    }
+  }
+
+  test("TVP through the harness with adaptive deletion: grid shape + invariants") {
+    val grid = Experiments.robustnessGrid(emb,
+      schemes = Seq(Experiments.SchemeTvp), attacks = Seq("adaptive_delete"),
+      ps = Seq(0.0, 0.6), reps = 2, wm = "10110", strength = 0.7, th = 1.0,
+      d = 64, wmKey = wmKey, scpwKey = scpwKey).collect()
+    assert(grid.length == 4)
+    val atZero = grid.filter(_.getDouble(2) == 0.0)
+    assert(atZero.forall(_.getDouble(4) == 0.0), s"BER at p=0: ${atZero.mkString(",")}")
+    // reps with different keys may differ — both rows must still be valid BERs
+    assert(grid.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+  }
+
+  test("P16 mean distortion: zero for identity, small positive after embed") {
+    assert(Metrics.meanDistortion(emb, emb) == 0.0)
+    val wmDf = Tvp.embedRs(emb, "10101", 0.6, 64, wmKey)
+    val d    = Metrics.meanDistortion(emb, wmDf)
+    // LSB embedding touches low-order fraction bits of one dim per carrier
+    assert(d > 0.0 && d < 0.1, s"distortion $d")
+  }
+}

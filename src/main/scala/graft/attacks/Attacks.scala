@@ -17,6 +17,42 @@ object Attacks {
 
   private def nRows(df: DataFrame): Long = df.count()
 
+  /** Exact "first k rows in `key` order" WITHOUT a single-partition global
+    * sort: two passes over bucketed key prefixes.
+    *   1. histogram of the first-4-hex-digit bucket of the key (65536
+    *      buckets, one tiny shuffle) → cumulative counts locate the cutoff
+    *      bucket b* and the residual rank r inside it;
+    *   2. keep every row in buckets < b*, plus the r smallest of bucket b*
+    *      (only that bucket — n/65536 rows — is ever sorted).
+    * Selects the identical row set as `row_number() over (order by key)
+    * <= k` (md5 keys are uniform, collision-tied rows break on vec_id) but
+    * the big shuffle disappears — this is the 100 TB shape of "sample k".
+    */
+  def keyedTopK(df: DataFrame, keyCol: Column, k: Long): DataFrame = {
+    val withKey = df.withColumn("__key", keyCol)
+    val bucket  = conv(substring(col("__key"), 1, 4), 16, 10).cast("int")
+    val hist = withKey.groupBy(bucket.as("__b")).agg(count(lit(1)).as("__c"))
+      .orderBy("__b").collect()
+    var acc  = 0L
+    var bCut = -1
+    var rIn  = 0L
+    val it = hist.iterator
+    while (bCut < 0 && it.hasNext) {
+      val r = it.next()
+      val c = r.getLong(1)
+      if (acc + c >= k) { bCut = r.getInt(0); rIn = k - acc }
+      else acc += c
+    }
+    if (bCut < 0) return withKey.drop("__key") // k >= n: keep everything
+    val below = withKey.filter(bucket < bCut)
+    val w     = Window.orderBy(col("__key"), col("vec_id"))
+    val inCut = withKey.filter(bucket === bCut)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= rIn)
+      .drop("__rn")
+    below.unionByName(inCut).drop("__key")
+  }
+
   /** K1 — random deletion (SCPW.py:269–290, roubust/roubust.py:76–97).
     * Quirk preserved: the reference samples the KEEP-set of size
     * n − ceil(n·p), so exactly ceil(n·p) rows disappear.
@@ -24,14 +60,14 @@ object Attacks {
   def randomDelete(df: DataFrame, p: Double, seed: String): DataFrame = {
     val n    = nRows(df)
     val keep = n - math.ceil(n * p).toLong
-    val w    = Window.orderBy(GraftCols.keyedHash(col("vec_id"), lit("del"), lit(seed)), col("vec_id"))
-    df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= keep)
-      .drop("rn")
+    keyedTopK(df, GraftCols.keyedHash(col("vec_id"), lit("del"), lit(seed)), keep)
   }
 
   /** K2 — adaptive deletion (watermarking.py:430–443): drop the top
     * ceil(n·p) rows by accessibility index (descending). `ai` = (vec_id, ai).
+    * The rank is over a continuous score, not a uniform hash, so the
+    * bucket-histogram trick does not apply — kept as a global rank; at
+    * extreme scale substitute an approxQuantile threshold + boundary refine.
     */
   def adaptiveDelete(df: DataFrame, ai: DataFrame, p: Double): DataFrame = {
     val n    = nRows(df)
@@ -74,14 +110,18 @@ object Attacks {
 
   /** K3 — random modification (roubust/roubust.py:132–156): ceil(n·p) random
     * rows, ONE fixed dim overwritten per row (runLength=1, no re-roll).
+    * Row selection via keyedTopK (no global sort), then a membership flag.
     */
   def randomModify(df: DataFrame, p: Double, d: Int, seed: String,
                    runLength: Int = 1, rerollDim: Boolean = false): DataFrame = {
-    val n      = nRows(df)
-    val nMod   = math.ceil(n * p).toLong
-    val w      = Window.orderBy(GraftCols.keyedHash(col("vec_id"), lit("modrow"), lit(seed)), col("vec_id"))
-    val ranked = df.withColumn("__rn", row_number().over(w))
-    modifyRows(ranked, col("__rn") <= nMod, d, runLength, rerollDim, seed).drop("__rn")
+    val n    = nRows(df)
+    val nMod = math.ceil(n * p).toLong
+    val sel = keyedTopK(df.select(col("vec_id")),
+        GraftCols.keyedHash(col("vec_id"), lit("modrow"), lit(seed)), nMod)
+      .select(col("vec_id")).withColumn("__sel0", lit(true))
+    val flagged = df.join(sel, Seq("vec_id"), "left")
+    modifyRows(flagged, coalesce(col("__sel0"), lit(false)), d, runLength, rerollDim, seed)
+      .drop("__sel0")
   }
 
   /** K4 — adaptive modification (roubust/roubust.py:99–130): top ceil(n·p)

@@ -139,8 +139,10 @@ object Attacks {
 
   /** K5 — insertion (roubust/roubust.py:185–208): append ceil(n·p) synthetic
     * rows ~ N(μ_col, σ_col) per dimension (A12 stats), ids continuing after
-    * max(vec_id). Gaussians via Box–Muller over keyed uniforms — pure
-    * column expressions, no UDF.
+    * max(vec_id). Gaussians via Box–Muller over keyed md5 uniforms, one UDF
+    * per row — 64 inlined gaussian column expressions exceed JVM method
+    * limits in whole-stage codegen (silent interpret fallback); the UDF
+    * computes identical values (same md5→uniform→Box–Muller arithmetic).
     */
   def insert(df: DataFrame, p: Double, d: Int, seed: String): DataFrame = {
     val spark = df.sparkSession
@@ -151,15 +153,15 @@ object Attacks {
       .select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("pos").agg(avg("v").as("mu"), stddev_pop("v").as("sigma"))
       .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val gaussCols = (0 until d).map { j =>
-      val (mu, sigma) = stats(j)
-      val u1 = lit(1.0) - GraftCols.keyedUnit(col("vec_id"), lit(s"ins$j-u1"), lit(seed))
-      val u2 = GraftCols.keyedUnit(col("vec_id"), lit(s"ins$j-u2"), lit(seed))
-      (lit(mu) + lit(sigma) * sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)).cast("float")
-    }
+    val mus    = Array.tabulate(d)(stats(_)._1)
+    val sigmas = Array.tabulate(d)(stats(_)._2)
+    val gen = udf((id: Long) =>
+      Array.tabulate(d) { j =>
+        (mus(j) + sigmas(j) * graft.functions.Hashing.gauss(s"$id#ins$j#$seed")).toFloat
+      })
     val synthetic = spark.range(nIns)
       .select((col("id") + lit(maxId + 1)).as("vec_id"))
-      .withColumn("embedding", array(gaussCols: _*))
+      .withColumn("embedding", gen(col("vec_id")))
     df.select("vec_id", "embedding").unionByName(synthetic)
   }
 }

@@ -405,7 +405,7 @@ object SparkEntry {
     // A10 — 8 equal-width bins over a metric, per-bin aggregate (digitize).
     "analytics_binned" -> ((s, dir) => {
       val ord = Tables.orders(s, dir)
-      val r   = ord.agg(min("o_totalprice"), max("o_totalprice")).head
+      val r   = ord.agg(min("o_totalprice"), max("o_totalprice")).head()
       val (mn, mx) = (r.getDouble(0), r.getDouble(1))
       val step = (mx - mn) / 8.0
       ord.withColumn("bin",
@@ -477,7 +477,7 @@ object SparkEntry {
           aggregate(
             transform(array_sort(collect_list(struct(col("src"), col("dst"), col("dist")))),
               x => x.getField("dist")),
-            lit(0.0), (a, x) => a + x) / count(lit(1)), lit(0.0))).head.getDouble(0)
+            lit(0.0), (a, x) => a + x) / count(lit(1)), lit(0.0))).head().getDouble(0)
         Seq((nSeeds, reached.count(), avgLen)).toDF("n_seeds", "n_reached", "avg_internal_edge")
       }
     }),

@@ -91,7 +91,7 @@ object Attacks {
     val dim0 = graft.functions.Hashing.md5Mod(s"$seed|dim0", d.toLong).toInt
     val mm = df.agg(
       min(element_at(col("embedding"), dim0 + 1)).as("mn"),
-      max(element_at(col("embedding"), dim0 + 1)).as("mx")).head
+      max(element_at(col("embedding"), dim0 + 1)).as("mx")).head()
     val (mn, mx) = (mm.getFloat(0).toDouble, mm.getFloat(1).toDouble)
     val newValue = (lit(mn) + (lit(mx) - lit(mn)) *
       GraftCols.keyedUnit(col("vec_id"), lit("modval"), lit(seed))).cast("float")
@@ -148,7 +148,7 @@ object Attacks {
     val spark = df.sparkSession
     val n     = nRows(df)
     val nIns  = math.ceil(n * p).toLong
-    val maxId = df.agg(max(col("vec_id"))).head.getLong(0)
+    val maxId = df.agg(max(col("vec_id"))).head().getLong(0)
     val stats = df
       .select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("pos").agg(avg("v").as("mu"), stddev_pop("v").as("sigma"))

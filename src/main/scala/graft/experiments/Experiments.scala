@@ -52,6 +52,41 @@ object Experiments {
     Tvp.ber(Tvp.bitsDf(spark, wm), extracted)
   }
 
+  /** H3 — embedding impact sweep (`test_random`, impact/impact.py:130–171):
+    * for each carrier-selection threshold th, TVP-embed and measure the
+    * per-carrier kNN miss/false averages and carrier query traffic
+    * before/after. Returns (th, n_carriers, avg_miss, avg_false,
+    * traffic_before, traffic_after).
+    */
+  def impactSweep(emb: DataFrame, ths: Seq[Double], wm: String, strength: Double,
+                  k: Int, d: Int, wmKey: WmKey, m: Int = 8): DataFrame = {
+    import graft.knn.Knn
+    import graft.metrics.Metrics
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val raw   = KnnGraph.rawKnn(emb, math.max(2 * m + 1, k)).cache()
+    val base  = raw.filter(col("rank") <= k).cache()
+    val edges = KnnGraph.edges(emb, m, Some(raw)).cache()
+    val aiDf  = KnnGraph.accessibility(emb, edges).cache()
+    val qc    = KnnGraph.queryCounts(emb, raw, k).cache()
+    val bits  = Tvp.bitsDf(spark, wm)
+    val rows = ths.map { th =>
+      val classified = Tvp.classify(emb, d, wm.length, wmKey)
+      val carriers   = Tvp.carriersAi(classified, bits, strength, th, aiDf).cache()
+      val wmDf       = Tvp.applyEmbed(emb, carriers, d, wmKey)
+      val after      = Knn.exact(emb, wmDf, k)
+      val mf = Metrics.missFalse(
+        Metrics.carrierHits(base, carriers),
+        Metrics.carrierHits(after, carriers))
+        .agg(avg("miss"), avg("false_hits")).head()
+      val trafficBefore = qc.join(carriers, "vec_id").agg(avg("query_count")).head().getDouble(0)
+      val afterQc = KnnGraph.queryCounts(wmDf, Knn.exact(wmDf, wmDf, k), k)
+      val trafficAfter = afterQc.join(carriers, "vec_id").agg(avg("query_count")).head().getDouble(0)
+      (th, carriers.count(), mf.getDouble(0), mf.getDouble(1), trafficBefore, trafficAfter)
+    }
+    rows.toDF("th", "n_carriers", "avg_miss", "avg_false", "traffic_before", "traffic_after")
+  }
+
   /** Robustness grid → (scheme, attack, p, rep, ber) result frame. */
   def robustnessGrid(emb: DataFrame, schemes: Seq[Scheme], attacks: Seq[String],
                      ps: Seq[Double], reps: Int, wm: String, strength: Double,

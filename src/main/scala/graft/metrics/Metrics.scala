@@ -14,7 +14,7 @@ object Metrics {
     orig.select(col("vec_id"), col("embedding").as("a"))
       .join(wm.select(col("vec_id"), col("embedding").as("b")), "vec_id")
       .agg(avg(VectorOps.l2Col(col("a"), col("b"))))
-      .head.getDouble(0)
+      .head().getDouble(0)
 
   /** Queries whose top-k contains a carrier (J4 semi-join shape,
     * impact/impact.py:51–59): knn results → (carrier, query) hit pairs.

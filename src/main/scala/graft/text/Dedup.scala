@@ -62,7 +62,7 @@ object Dedup {
       val sigs = Array.tabulate(numHashes) { s =>
         var mn: String = null
         sh.foreach { g =>
-          val h = Hashing.md5Hex(s + "#" + g)
+          val h = Hashing.md5Hex(s"$s#$g")
           if (mn == null || h.compareTo(mn) < 0) mn = h
         }
         mn

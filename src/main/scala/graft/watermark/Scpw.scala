@@ -50,7 +50,7 @@ object Scpw {
   def noiseParams(df: DataFrame, key: ScpwKey): (Double, Double, Double) = {
     val r = df.agg(
       avg(element_at(col("embedding"), key.position + 1)).as("mu"),
-      var_pop(element_at(col("embedding"), key.position + 1)).as("v")).head
+      var_pop(element_at(col("embedding"), key.position + 1)).as("v")).head()
     val (mu, v) = (r.getDouble(0), r.getDouble(1))
     val kx = -key.stdE * key.stdE / (2 * v)
     val k1 = math.sqrt(key.stdE * key.stdE - kx * kx * v)

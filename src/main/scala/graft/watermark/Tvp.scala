@@ -169,5 +169,5 @@ object Tvp {
   def ber(bits: DataFrame, extracted: DataFrame): Double =
     bits.join(extracted, "bit_pos")
       .agg(avg((col("wm_bit") =!= col("extracted_bit")).cast("int")))
-      .head.getDouble(0)
+      .head().getDouble(0)
 }

@@ -37,6 +37,17 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(grid.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
   }
 
+  test("H3 impact sweep: shape and sane magnitudes") {
+    val sweep = Experiments.impactSweep(emb, ths = Seq(0.5, 1.0), wm = "10101",
+      strength = 0.7, k = 10, d = 64, wmKey = wmKey).collect()
+    assert(sweep.length == 2)
+    sweep.foreach { r =>
+      assert(r.getLong(1) > 0, "carriers selected")
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 10, s"avg_miss ${r.getDouble(2)}")
+      assert(r.getDouble(4) > 0, "carriers receive query traffic")
+    }
+  }
+
   test("P16 mean distortion: zero for identity, small positive after embed") {
     assert(Metrics.meanDistortion(emb, emb) == 0.0)
     val wmDf = Tvp.embedRs(emb, "10101", 0.6, 64, wmKey)

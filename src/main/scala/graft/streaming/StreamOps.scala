@@ -21,10 +21,11 @@ object StreamOps {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-stream over the events fixture (one file = one micro-batch replay). */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String,
+                   glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("event_time", timestamp_micros((col("ts_ns").cast("decimal(38,0)") / 1000).cast("long")))

@@ -1,0 +1,60 @@
+package graft
+
+import graft.knn.Knn
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LshStreamExtrasSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val emb   = Tables.embeddings(spark, TestSpark.sf0001).cache()
+
+  test("Knn.lsh returns valid ranked neighbors with useful recall vs exact") {
+    val queries = emb.filter(col("vec_id") < 40)
+    val exact = Knn.exact(queries, emb, 5).cache()
+    val approx = Knn.lsh(queries, emb, 5, bucketLength = 1.0, numHashTables = 5).cache()
+    // shape: ranks 1..k, no duplicates per query
+    val dup = approx.groupBy("query_id", "neighbor_id").count().filter(col("count") > 1)
+    assert(dup.count() == 0)
+    assert(approx.filter(col("rank") < 1 || col("rank") > 5).count() == 0)
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val total = exact.count()
+    val recall = hits.toDouble / total
+    assert(recall > 0.5, s"LSH recall@5 = $recall")
+  }
+
+  test("graft_md5mod is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val got = spark.sql("SELECT graft_md5mod('abc', 21L) AS g, graft_md5mod('000000000', 5L) AS h")
+      .head()
+    assert(got.getLong(0) == 7L && got.getLong(1) == 3L) // BitsSpec goldens
+  }
+
+  test("streaming watermark drops data later than the lateness bound") {
+    import spark.implicits._
+    // two batches: in-order events, then a very late straggler
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val schema = StreamOps.eventsSchema
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)], f: String): Unit =
+      rows.toDF(schema.fieldNames: _*).coalesce(1).write.mode("append").parquet(dir)
+    val h = 3600L * 1000000000L // one hour in ns
+    write(Seq((0L, 10 * h, 1L, "view", 1.0, "{}"), (1L, 11 * h, 1L, "view", 1.0, "{}")), "b1")
+    val stream = StreamOps.eventsStream(spark, dir, glob = "*.parquet")
+    val q = StreamOps.tumblingCounts(stream, widthSec = 3600, lateness = "30 minutes")
+      .writeStream.format("memory").queryName("late_test").outputMode("append").start()
+    q.processAllAvailable()
+    // straggler 10 hours older than the watermark high-mark: must be dropped
+    write(Seq((2L, 1 * h, 1L, "view", 1.0, "{}")), "b2")
+    q.processAllAvailable()
+    // advance watermark far enough to finalize all open windows; the
+    // watermark used in batch N derives from batch N-1's max event time,
+    // so one padding batch is needed after the advancing event
+    write(Seq((3L, 20 * h, 1L, "view", 1.0, "{}")), "b3")
+    q.processAllAvailable()
+    write(Seq((4L, 21 * h, 1L, "view", 1.0, "{}")), "b4")
+    q.processAllAvailable(); q.stop()
+    val buckets = spark.table("late_test").select("bucket").collect().map(_.getLong(0)).sorted
+    assert(buckets.contains(10L) && buckets.contains(11L))
+    assert(!buckets.contains(1L), s"late event leaked into $buckets")
+  }
+}

@@ -360,6 +360,30 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // TPC-H Q10 shape — revenue from returned items per customer, top 20.
+    "q10_returned" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,6)")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q14 shape — share of revenue from one part type bucket.
+    "q14_promo" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.join(broadcast(Tables.load(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,6)"))
+            .otherwise(lit(0).cast("decimal(38,6)"))).as("promo_revenue"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,6)")).as("total_revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // S2 — tail-slice scan (t_vector/e1:11–12).
     "tail_slice" -> ((s, dir) => {
       Tables.embeddings(s, dir)
@@ -712,6 +736,24 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q10_returned" ->
+      """SELECT c_custkey, c_name,
+        |  sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(38,6))) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT
+        |  sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN cast(l_extendedprice * (1.0 - l_discount) as decimal(38,6))
+        |      ELSE cast(0 as decimal(38,6)) END) AS promo_revenue,
+        |  sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(38,6))) AS total_revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
 
     "tail_slice" ->
       """SELECT vec_id, label FROM

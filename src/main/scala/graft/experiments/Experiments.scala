@@ -87,6 +87,26 @@ object Experiments {
     rows.toDF("th", "n_carriers", "avg_miss", "avg_false", "traffic_before", "traffic_after")
   }
 
+  /** H1 — strength sweep (`strength_analysis`, roubust/roubust.py:226–263):
+    * BER per embedding strength for a fixed attack grid.
+    * Returns (scheme, attack, strength, p, rep, ber).
+    */
+  def strengthAnalysis(emb: DataFrame, scheme: Scheme, attack: String,
+                       strengths: Seq[Double], ps: Seq[Double], reps: Int,
+                       wm: String, th: Double, d: Int, wmKey: WmKey,
+                       scpwKey: ScpwKey, m: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val needsAi = scheme == SchemeTvp || attack.startsWith("adaptive")
+    val ai = if (needsAi) Some(KnnGraph.accessibility(emb, KnnGraph.edges(emb, m)).cache())
+             else None
+    val rows = for (st <- strengths; p <- ps; rep <- 0 until reps) yield {
+      val ber = cell(emb, scheme, attack, p, rep, wm, st, th, d, wmKey, scpwKey, ai)
+      (scheme.toString, attack, st, p, rep, ber)
+    }
+    rows.toDF("scheme", "attack", "strength", "p", "rep", "ber")
+  }
+
   /** Robustness grid → (scheme, attack, p, rep, ber) result frame. */
   def robustnessGrid(emb: DataFrame, schemes: Seq[Scheme], attacks: Seq[String],
                      ps: Seq[Double], reps: Int, wm: String, strength: Double,

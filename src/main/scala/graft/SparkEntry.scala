@@ -332,6 +332,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN — approximate LSH join path (seeded spark.ml random projections).
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Knn.lsh(emb.filter(col("vec_id") < 100), emb, 5,
+          bucketLength = 1.0, numHashTables = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Multimodal — binary-column metadata extraction (payload hash, sizes).
     "multimodal_meta" -> ((s, dir) => {
       Multimodal.extractMeta(Multimodal.assetsFromDocuments(Tables.documents(s, dir)))

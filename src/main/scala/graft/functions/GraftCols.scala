@@ -55,15 +55,10 @@ object GraftCols {
       f(vec)
     }
 
-  val embedLsbUdf = udf((vec: Array[Float], bit: Int, dims: Array[Int], cid: String) =>
-    Bits.embedLsb(vec, bit, dims, cid))
-
-  val extractLsbUdf = udf((vec: Array[Float], dims: Array[Int], cid: String) =>
-    Bits.extractLsb(vec, dims, cid))
-
+  // native Catalyst expressions (LsbExprs) — no UDF encoder round-trip
   def embedLsb(vec: Column, bit: Column, dims: Seq[Int], cid: Column): Column =
-    embedLsbUdf(vec, bit, lit(dims.toArray), cid)
+    LsbExprs.embedCol(vec, bit, cid, dims.toArray)
 
   def extractLsb(vec: Column, dims: Seq[Int], cid: Column): Column =
-    extractLsbUdf(vec, lit(dims.toArray), cid)
+    LsbExprs.extractCol(vec, cid, dims.toArray)
 }

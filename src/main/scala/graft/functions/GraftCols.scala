@@ -49,11 +49,7 @@ object GraftCols {
           floor(abs(element_at(vec, d + 1).cast("double")) * lit(scale)).cast("long").cast("string"),
           1, 1)
       }: _*)
-    else {
-      val dimsArr = dims.toArray
-      val f = udf((v: Array[Float]) => Bits.contentId(v, dimsArr, scale))
-      f(vec)
-    }
+    else ContentIdExpr(vec, dims.toArray, scale)
 
   // native Catalyst expressions (LsbExprs) — no UDF encoder round-trip
   def embedLsb(vec: Column, bit: Column, dims: Seq[Int], cid: Column): Column =

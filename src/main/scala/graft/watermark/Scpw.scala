@@ -34,17 +34,16 @@ object Scpw {
     valueBit ^ dimLowestBit
   }
 
-  private val hiddenBitUdf = udf((vec: Array[Float], cid: String, position: Int) =>
-    hiddenBit(vec, cid, position))
-
   /** A1 (SCPW flavor, SCPW.py:130–169): content id over the FIRST topK dims
-    * (no drop-last — SCPW.py:73–84), md5 grouping, value-hash hidden bit.
+    * (no drop-last — SCPW.py:73–84), md5 grouping, value-hash hidden bit
+    * (native ScpwHiddenBitExpr).
     */
   def classify(df: DataFrame, l: Int, key: ScpwKey): DataFrame =
     df.withColumn("content_id",
         GraftCols.contentIdCol(col("embedding"), 0 until key.topK, key.scale))
       .withColumn("group_id", GraftCols.md5Mod(col("content_id"), l).cast("int"))
-      .withColumn("hidden_bit", hiddenBitUdf(col("embedding"), col("content_id"), lit(key.position)))
+      .withColumn("hidden_bit",
+        graft.functions.ScpwHiddenBitExpr(col("embedding"), col("content_id"), key.position))
 
   /** P10 — noise constants from column stats (`found_e`, SCPW.py:31–62). */
   def noiseParams(df: DataFrame, key: ScpwKey): (Double, Double, Double) = {

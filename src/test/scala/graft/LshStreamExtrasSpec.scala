@@ -30,6 +30,26 @@ class LshStreamExtrasSpec extends AnyFunSuite {
     assert(got.getLong(0) == 7L && got.getLong(1) == 3L) // BitsSpec goldens
   }
 
+  test("sessionize agrees with Spark's native session_window aggregation") {
+    import graft.events.EventOps
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .withColumn("event_time", timestamp_micros(EventOps.microsNs(col("ts_ns"))))
+    val native = ev
+      .groupBy(col("user_id"), session_window(col("event_time"), "1800 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select("user_id", "n_events")
+      .orderBy("user_id", "n_events").collect()
+    val ours = EventOps.sessionStats(Tables.events(spark, TestSpark.sf0001), gapSec = 1800)
+      .select("user_id", "n_events")
+      .orderBy("user_id", "n_events").collect()
+    // session_window closes a session when the NEXT event is >= gap after the
+    // last (half-open window); our gap test is strictly >. Equal up to
+    // boundary ties, which integer-second fixture gaps make measure-zero —
+    // assert full equality and surface any boundary discrepancy loudly.
+    assert(native.length == ours.length, s"${native.length} native vs ${ours.length} sessions")
+    native.zip(ours).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("streaming watermark drops data later than the lateness bound") {
     import spark.implicits._
     // two batches: in-order events, then a very late straggler

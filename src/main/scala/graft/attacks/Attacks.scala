@@ -63,20 +63,51 @@ object Attacks {
     keyedTopK(df, GraftCols.keyedHash(col("vec_id"), lit("del"), lit(seed)), keep)
   }
 
+  /** Exact "top k rows by (score desc, vec_id)" via the same two-pass bucket
+    * scheme as keyedTopK, for CONTINUOUS scores: range-normalize the score
+    * into 65536 buckets, histogram, locate the cutoff bucket, sort only it.
+    * Identical selection to the global rank (equal scores share a bucket, so
+    * the vec_id tie-break happens inside the sorted cutoff bucket).
+    * Returns the selected rows.
+    */
+  def scoreTopK(df: DataFrame, scoreCol: String, k: Long): DataFrame = {
+    val mm = df.agg(min(col(scoreCol)).cast("double"), max(col(scoreCol)).cast("double")).head()
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    if (mx == mn) { // degenerate range: all tied — pure vec_id rank
+      val w = Window.orderBy(col("vec_id"))
+      return df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+    }
+    // descending score → bucket 0 holds the highest scores
+    val bucket = least(greatest(
+      floor((lit(mx) - col(scoreCol).cast("double")) / (mx - mn) * 65535).cast("int"),
+      lit(0)), lit(65535))
+    val withB = df.withColumn("__b", bucket)
+    val hist = withB.groupBy("__b").agg(count(lit(1)).as("__c")).orderBy("__b").collect()
+    var acc = 0L; var bCut = -1; var rIn = 0L
+    val it = hist.iterator
+    while (bCut < 0 && it.hasNext) {
+      val r = it.next(); val c = r.getLong(1)
+      if (acc + c >= k) { bCut = r.getInt(0); rIn = k - acc } else acc += c
+    }
+    if (bCut < 0) return withB.drop("__b")
+    val below = withB.filter(col("__b") < bCut)
+    val w     = Window.orderBy(col(scoreCol).desc, col("vec_id"))
+    val inCut = withB.filter(col("__b") === bCut)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= rIn).drop("__rn")
+    below.unionByName(inCut).drop("__b")
+  }
+
   /** K2 — adaptive deletion (watermarking.py:430–443): drop the top
-    * ceil(n·p) rows by accessibility index (descending). `ai` = (vec_id, ai).
-    * The rank is over a continuous score, not a uniform hash, so the
-    * bucket-histogram trick does not apply — kept as a global rank; at
-    * extreme scale substitute an approxQuantile threshold + boundary refine.
+    * ceil(n·p) rows by accessibility index (descending); top-set located by
+    * scoreTopK (no global sort), removed by anti-join.
     */
   def adaptiveDelete(df: DataFrame, ai: DataFrame, p: Double): DataFrame = {
     val n    = nRows(df)
     val drop = math.ceil(n * p).toLong
-    val w    = Window.orderBy(col("ai").desc, col("vec_id"))
-    df.join(ai, "vec_id")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > drop)
-      .drop("rn", "ai")
+    val joined = df.join(ai, "vec_id")
+    val topSet = scoreTopK(joined.select(col("vec_id"), col("ai")), "ai", drop)
+      .select("vec_id")
+    df.join(topSet, Seq("vec_id"), "left_anti")
   }
 
   /** Shared body of K3/K4 (roubust/roubust.py:99–156, tabularMark.py:192–219):
@@ -125,16 +156,18 @@ object Attacks {
   }
 
   /** K4 — adaptive modification (roubust/roubust.py:99–130): top ceil(n·p)
-    * rows by accessibility index, 30-run overwrite with per-row re-rolled dim.
+    * rows by accessibility index, 30-run overwrite with per-row re-rolled
+    * dim; top-set located by scoreTopK, applied as a membership flag.
     */
   def adaptiveModify(df: DataFrame, ai: DataFrame, p: Double, d: Int, seed: String,
                      runLength: Int = 30): DataFrame = {
     val n    = nRows(df)
     val nMod = math.ceil(n * p).toLong
-    val w    = Window.orderBy(col("ai").desc, col("vec_id"))
-    val ranked = df.join(ai, "vec_id").withColumn("__rn", row_number().over(w))
-    modifyRows(ranked, col("__rn") <= nMod, d, runLength, rerollDim = true, seed)
-      .drop("__rn", "ai")
+    val topSet = scoreTopK(df.join(ai, "vec_id").select(col("vec_id"), col("ai")), "ai", nMod)
+      .select("vec_id").withColumn("__sel0", lit(true))
+    val flagged = df.join(topSet, Seq("vec_id"), "left")
+    modifyRows(flagged, coalesce(col("__sel0"), lit(false)), d, runLength, rerollDim = true, seed)
+      .drop("__sel0")
   }
 
   /** K5 — insertion (roubust/roubust.py:185–208): append ceil(n·p) synthetic

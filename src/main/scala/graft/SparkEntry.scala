@@ -66,15 +66,27 @@ object SparkEntry {
       .orderBy("bit_pos")
   }
 
+  /** Monetary/measure aggregates are exchanged as exact integer MICROS
+    * (floor(x·1e6 + 0.5) per row, bigint sums): decimal sums are value-equal
+    * across engines but stringify differently between the driver's read
+    * paths, and double sums are partition-order dependent. Integer micros are
+    * exact, associative (map-side partial agg distributes), and render
+    * identically everywhere. See EventOps.micros.
+    */
+  private def micros(c: org.apache.spark.sql.Column) = EventOps.micros(c)
+  /** 1e9-scale variant for sub-micro statistics (per-dim column stats). */
+  private def nanos(c: org.apache.spark.sql.Column) =
+    floor(c.cast("double") * lit(1.0e9) + lit(0.5))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(38,6)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(38,6)")).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,6)")).as("sum_disc_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast("decimal(38,6)")).as("sum_charge"),
+          sum(micros(col("l_quantity"))).as("sum_qty_micros"),
+          sum(micros(col("l_extendedprice"))).as("sum_base_price_micros"),
+          sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price_micros"),
+          sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge_micros"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -187,13 +199,13 @@ object SparkEntry {
     }),
 
     // A4/P10 — exact column stats feeding the SCPW noise constants
-    // (decimal sums so DuckDB matches bit-for-bit; μ/σ² derive from these).
+    // (integer nano-sums so DuckDB matches bit-for-bit; μ/σ² derive from these).
     "scpw_column_stats" -> ((s, dir) => {
       Tables.embeddings(s, dir)
         .select(element_at(col("embedding"), scpwKey.position + 1).cast("double").as("v"))
         .agg(
-          sum(col("v").cast("decimal(38,12)")).as("sum_val"),
-          sum((col("v") * col("v")).cast("decimal(38,12)")).as("sum_sq"),
+          sum(nanos(col("v"))).as("sum_val_nanos"),
+          sum(nanos(col("v") * col("v"))).as("sum_sq_nanos"),
           count(lit(1)).as("n"))
     }),
 
@@ -265,14 +277,14 @@ object SparkEntry {
 
     "q_events_tumbling" -> ((s, dir) => {
       EventOps.tumbling(Tables.events(s, dir), widthSec = 600)
-        .select("bucket", "event_type", "n", "sum_value", "bucket_start")
+        .select("bucket", "event_type", "n", "sum_value_micros", "bucket_start")
         .orderBy("bucket", "event_type")
     }),
 
     "q_events_sessions" -> ((s, dir) => {
       EventOps.sessionStats(Tables.events(s, dir), gapSec = 1800)
         .select("user_id", "session_seq", "n_events", "start_es", "end_es",
-          "sum_value", "duration_sec")
+          "sum_value_micros", "duration_sec")
         .orderBy("user_id", "session_seq")
     }),
 
@@ -286,8 +298,8 @@ object SparkEntry {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), EventOps.epochSec(col("o_orderdate")).as("o_orderdate_es"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,6)")).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"))
+        .orderBy(col("revenue_micros").desc, col("l_orderkey"))
         .limit(10)
     }),
 
@@ -305,8 +317,8 @@ object SparkEntry {
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,6)")).as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"))
+        .orderBy(col("revenue_micros").desc, col("n_name"))
     }),
 
     // ANN — brute-force cosine top-k baseline on a query sample
@@ -365,7 +377,7 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("o_custkey"), col("o_orderkey"),
-          col("o_totalprice").cast("decimal(38,6)").as("top_price"))
+          micros(col("o_totalprice")).as("top_price_micros"))
         .orderBy("o_custkey")
     }),
 
@@ -375,9 +387,9 @@ object SparkEntry {
       li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,6)")).as("revenue"),
+        .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"),
           count(lit(1)).as("n_items"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
+        .orderBy(col("revenue_micros").desc, col("c_custkey"))
         .limit(20)
     }),
 
@@ -387,9 +399,9 @@ object SparkEntry {
       li.join(broadcast(Tables.load(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .agg(
           sum(when(col("p_type").startsWith("PROMO"),
-            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,6)"))
-            .otherwise(lit(0).cast("decimal(38,6)"))).as("promo_revenue"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,6)")).as("total_revenue"),
+            micros(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .otherwise(lit(0L))).as("promo_revenue_micros"),
+          sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("total_revenue_micros"),
           count(lit(1)).as("n"))
     }),
 
@@ -445,7 +457,7 @@ object SparkEntry {
           least(floor((col("o_totalprice") - mn) / step), lit(7.0)).cast("long"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(38,6)")).as("sum_price"))
+          sum(micros(col("o_totalprice"))).as("sum_price_micros"))
         .orderBy("bin")
     }),
 
@@ -534,6 +546,17 @@ object SparkEntry {
     ds.map(d => s"substr(cast(cast(trunc(abs(embedding[${d + 1}]) * $scale) as bigint) as varchar),1,1)")
       .mkString(" || ")
 
+  /** DuckDB mirror of `micros`/`nanos`: per-row floor(x·scale + 0.5) summed
+    * as exact bigints; the outer cast collapses DuckDB's HUGEINT sum back to
+    * bigint so both engines dump identical int64 columns.
+    */
+  private def sumMicrosSql(expr: String): String =
+    s"cast(sum(cast(floor(($expr) * 1000000.0 + 0.5) as bigint)) as bigint)"
+  private def microsSql(expr: String): String =
+    s"cast(floor(($expr) * 1000000.0 + 0.5) as bigint)"
+  private def sumNanosSql(expr: String): String =
+    s"cast(sum(cast(floor(($expr) * 1000000000.0 + 0.5) as bigint)) as bigint)"
+
   /** DuckDB Horner fold = full-128-bit int(md5hex,16) % m (Hashing.md5Mod). */
   private def md5ModSql(expr: String, m: Int): String =
     s"cast(list_reduce(list_transform(string_split(md5($expr), ''), " +
@@ -584,14 +607,14 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(cast(l_quantity as decimal(38,6))) AS sum_qty,
-        |  sum(cast(l_extendedprice as decimal(38,6))) AS sum_base_price,
-        |  sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(38,6))) AS sum_disc_price,
-        |  sum(cast(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) as decimal(38,6))) AS sum_charge,
-        |  count(*) AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sumMicrosSql("l_quantity")} AS sum_qty_micros,
+         |  ${sumMicrosSql("l_extendedprice")} AS sum_base_price_micros,
+         |  ${sumMicrosSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price_micros,
+         |  ${sumMicrosSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge_micros,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "wm_content_id" ->
       s"""SELECT vec_id, ${cidSql(dims.init.toSeq, key.scale)} AS content_id
@@ -630,9 +653,8 @@ object SparkEntry {
 
     "scpw_column_stats" ->
       s"""SELECT
-         |  sum(cast(cast(embedding[${scpwKey.position + 1}] as double) as decimal(38,12))) AS sum_val,
-         |  sum(cast(cast(embedding[${scpwKey.position + 1}] as double)
-         |         * cast(embedding[${scpwKey.position + 1}] as double) as decimal(38,12))) AS sum_sq,
+         |  ${sumNanosSql(s"cast(embedding[${scpwKey.position + 1}] as double)")} AS sum_val_nanos,
+         |  ${sumNanosSql(s"cast(embedding[${scpwKey.position + 1}] as double) * cast(embedding[${scpwKey.position + 1}] as double)")} AS sum_sq_nanos,
          |  count(*) AS n
          |FROM embeddings""".stripMargin,
 
@@ -694,10 +716,10 @@ object SparkEntry {
         |SELECT doc_id, cast(simhash as bigint) AS simhash FROM fp ORDER BY doc_id""".stripMargin,
 
     "q_events_tumbling" ->
-      """SELECT cast(floor(epoch(ts) / 600) as bigint) AS bucket, event_type,
-        |  count(*) AS n, sum(cast(value as decimal(38,6))) AS sum_value,
-        |  cast(floor(epoch(ts) / 600) as bigint) * 600 AS bucket_start
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""SELECT cast(floor(epoch(ts) / 600) as bigint) AS bucket, event_type,
+         |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros,
+         |  cast(floor(epoch(ts) / 600) as bigint) * 600 AS bucket_start
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, value, ts,
@@ -708,30 +730,31 @@ object SparkEntry {
         |s2 AS (SELECT *, cast(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                 ROWS UNBOUNDED PRECEDING) as bigint) AS session_seq FROM s)
         |SELECT user_id, session_seq, count(*) AS n_events, min(es) AS start_es,
-        |  max(es) AS end_es, sum(cast(value as decimal(38,6))) AS sum_value,
+        |  max(es) AS end_es, __SUMV__ AS sum_value_micros,
         |  max(es) - min(es) AS duration_sec
-        |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        .replace("__SUMV__", sumMicrosSql("value")),
 
     "q3_shipping" ->
-      """SELECT l_orderkey, cast(epoch(o_orderdate) as bigint) AS o_orderdate_es,
-        |  sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(38,6))) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND epoch(o_orderdate) < 883612800 AND epoch(l_shipdate) > 883612800
-        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+      s"""SELECT l_orderkey, cast(epoch(o_orderdate) as bigint) AS o_orderdate_es,
+         |  ${sumMicrosSql("l_extendedprice * (1.0 - l_discount)")} AS revenue_micros
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND epoch(o_orderdate) < 883612800 AND epoch(l_shipdate) > 883612800
+         |GROUP BY 1, 2 ORDER BY revenue_micros DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q5_region_revenue" ->
-      """SELECT n_name,
-        |  sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(38,6))) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+      s"""SELECT n_name,
+         |  ${sumMicrosSql("l_extendedprice * (1.0 - l_discount)")} AS revenue_micros
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY 1 ORDER BY revenue_micros DESC, n_name""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS asset_id,
@@ -741,28 +764,28 @@ object SparkEntry {
         |FROM documents ORDER BY asset_id""".stripMargin,
 
     "q_orders_window" ->
-      """SELECT o_custkey, o_orderkey, cast(o_totalprice as decimal(38,6)) AS top_price
-        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
-        |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
-        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+      s"""SELECT o_custkey, o_orderkey, ${microsSql("o_totalprice")} AS top_price_micros
+         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+         |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
 
     "q10_returned" ->
-      """SELECT c_custkey, c_name,
-        |  sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(38,6))) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE l_returnflag = 'R'
-        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+      s"""SELECT c_custkey, c_name,
+         |  ${sumMicrosSql("l_extendedprice * (1.0 - l_discount)")} AS revenue_micros,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY 1, 2 ORDER BY revenue_micros DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q14_promo" ->
-      """SELECT
-        |  sum(CASE WHEN p_type LIKE 'PROMO%'
-        |      THEN cast(l_extendedprice * (1.0 - l_discount) as decimal(38,6))
-        |      ELSE cast(0 as decimal(38,6)) END) AS promo_revenue,
-        |  sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(38,6))) AS total_revenue,
-        |  count(*) AS n
-        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+      s"""SELECT
+         |  cast(sum(CASE WHEN p_type LIKE 'PROMO%'
+         |      THEN ${microsSql("l_extendedprice * (1.0 - l_discount)")}
+         |      ELSE cast(0 as bigint) END) as bigint) AS promo_revenue_micros,
+         |  ${sumMicrosSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue_micros,
+         |  count(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
 
     "tail_slice" ->
       """SELECT vec_id, label FROM
@@ -796,10 +819,10 @@ object SparkEntry {
         |  count(*) AS n FROM lineitem""".stripMargin,
 
     "analytics_binned" ->
-      """WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
-        |SELECT cast(least(floor((o_totalprice - mn) / ((mx - mn) / 8.0)), 7) as bigint) AS bin,
-        |  count(*) AS n, sum(cast(o_totalprice as decimal(38,6))) AS sum_price
-        |FROM orders, s GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+         |SELECT cast(least(floor((o_totalprice - mn) / ((mx - mn) / 8.0)), 7) as bigint) AS bin,
+         |  count(*) AS n, ${sumMicrosSql("o_totalprice")} AS sum_price_micros
+         |FROM orders, s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "wm_query_counts" ->
       (graphCtes + "SELECT vec_id, query_count FROM qc ORDER BY vec_id"),

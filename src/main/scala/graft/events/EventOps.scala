@@ -31,6 +31,15 @@ object EventOps {
   def epochSecNs(tsNs: Column): Column =
     floor(microsNs(tsNs).cast("double") / lit(1000000.0)).cast("long")
 
+  /** Exact integer micro-units of a double measure: floor(x·1e6 + 0.5) —
+    * round-half-up in pure IEEE double arithmetic, bit-identical in every
+    * engine (unlike decimal sums, whose stringification differs between
+    * readers, or round(), whose tie-breaking is engine-specific). Summing
+    * the resulting bigints is exact and associative — partial aggregation
+    * distributes with no ordering concerns.
+    */
+  def micros(c: Column): Column = floor(c.cast("double") * lit(1000000.0) + lit(0.5))
+
   /** Tumbling-window aggregate: bucket = floor(epoch / width). */
   def tumbling(df: DataFrame, widthSec: Int): DataFrame =
     df.groupBy(
@@ -38,7 +47,7 @@ object EventOps {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(38,6)")).as("sum_value"))
+        sum(micros(col("value"))).as("sum_value_micros"))
       .withColumn("bucket_start", col("bucket") * widthSec)
 
   /** Gap-based sessionization: a session breaks after `gapSec` of user
@@ -64,6 +73,6 @@ object EventOps {
         count(lit(1)).as("n_events"),
         min(epochSecNs(col("ts_ns"))).as("start_es"),
         max(epochSecNs(col("ts_ns"))).as("end_es"),
-        sum(col("value").cast("decimal(38,6)")).as("sum_value"))
+        sum(micros(col("value"))).as("sum_value_micros"))
       .withColumn("duration_sec", col("end_es") - col("start_es"))
 }

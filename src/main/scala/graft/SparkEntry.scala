@@ -361,11 +361,15 @@ object SparkEntry {
     }),
 
     // Multimodal — batched stub decode into fixed-width feature vectors.
+    // float32 features are widened to double BEFORE rounding so the dumped
+    // column is float64 on every read path; the oracle replays the identical
+    // real→double widening.
     "multimodal_features" -> ((s, dir) => {
       val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
       Multimodal.decodeFeatures(assets, dim = 16)
-        .select(col("asset_id"), round(element_at(col("features"), 1), 6).as("f0"),
-          round(element_at(col("features"), 16), 6).as("f15"))
+        .select(col("asset_id"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("features"), 16).cast("double"), 6).as("f15"))
         .orderBy("asset_id")
     }),
 
@@ -435,9 +439,27 @@ object SparkEntry {
       val n   = emb.count()
       Attacks.insert(emb.select("vec_id", "embedding"), 0.2, D, Seed)
         .filter(col("vec_id") >= n)
-        .select(col("vec_id"), round(element_at(col("embedding"), 1), 4).as("f0"),
-          round(element_at(col("embedding"), D), 4).as("f63"))
+        .select(col("vec_id"),
+          (round(element_at(col("embedding"), 1).cast("double"), 4) + lit(0.0)).as("f0"),
+          (round(element_at(col("embedding"), D).cast("double"), 4) + lit(0.0)).as("f63"))
         .orderBy("vec_id")
+    }),
+
+    // P16 — mean embed/attack distortion (test_erro.py:43–46): avg L2 between
+    // a table and its perturbed counterpart. Exchanged as an exact integer
+    // nano-sum plus a mean derived with identical double ops on both sides —
+    // fully distributed (no ordered-fold collect), unlike the naive avg whose
+    // summation order is partition-dependent. Perturbation = K3 random modify
+    // (its keyed draws are SQL-mirrorable, so the whole metric oracle-checks).
+    "mean_distortion" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val mod = Attacks.randomModify(emb, 0.2, D, Seed)
+      emb.select(col("vec_id"), col("embedding").as("a"))
+        .join(mod.select(col("vec_id"), col("embedding").as("b")), "vec_id")
+        .select(graft.functions.VectorOps.l2Col(col("a"), col("b")).as("dist"))
+        .agg(sum(nanos(col("dist"))).as("sum_dist_nanos"), count(lit(1)).as("n"))
+        .withColumn("mean_l2",
+          col("sum_dist_nanos").cast("double") / lit(1.0e9) / col("n").cast("double"))
     }),
 
     // A11 — Pearson correlation (t_vector/Z.py:106–108 shape).
@@ -605,7 +627,117 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** The watermark message as a DuckDB VALUES list: (bit_pos, wm_bit). */
+  private def bitsValuesSql: String =
+    WM.zipWithIndex.map { case (c, i) => s"($i, ${c.asDigit})" }.mkString(", ")
+
+  /** Blind-extraction oracle for an embed→extract round-trip.
+    *
+    * The extraction result is SQL-predictable from the RAW table because the
+    * schemes guarantee a fixed point: (1) group membership is invariant under
+    * embedding — the carrier dims exclude every content-id dim (RS/TVP:
+    * applyEmbed skips key dims; SCPW: position=30 ∉ the first-topK id dims) —
+    * and (2) with strength > 0.5 the deficit equation (Tvp.groupNeeds) drives
+    * every nonempty group's post-embed majority to exactly its wm bit:
+    * n_expressing_after = min(max(n_target, ceil(s·n)), n) > n/2. Empty
+    * groups read the pre-seeded 0 (watermarking.py:121). So the oracle
+    * recomputes group OCCUPANCY from raw data and asserts the engine's full
+    * embed→extract chain lands on the theoretical result — a real check of
+    * classification parity, carrier accounting, and the majority vote.
+    */
+  private def roundtripSql(cidExpr: String): String =
+    s"""WITH g AS (SELECT ${md5ModSql(cidExpr, WM.length)} AS group_id, count(*) AS n
+       |  FROM embeddings GROUP BY 1),
+       |bits(bit_pos, wm_bit) AS (VALUES $bitsValuesSql)
+       |SELECT cast(bits.bit_pos as bigint) AS bit_pos,
+       |  cast(bits.wm_bit as bigint) AS wm_bit,
+       |  cast(CASE WHEN coalesce(g.n, 0) > 0 THEN bits.wm_bit ELSE 0 END as bigint) AS extracted_bit
+       |FROM bits LEFT JOIN g ON g.group_id = bits.bit_pos
+       |ORDER BY bit_pos""".stripMargin
+
+  /** DuckDB mirror of Hashing.gauss: Box–Muller over two keyed md5 uniforms. */
+  private def gaussSql(keyExpr: String): String =
+    s"(sqrt(-2.0 * ln(1.0 - (cast('0x' || substr(md5($keyExpr || '|u1'), 1, 13) as bigint) / 4503599627370496.0))) " +
+      s"* cos(2.0 * pi() * (cast('0x' || substr(md5($keyExpr || '|u2'), 1, 13) as bigint) / 4503599627370496.0)))"
+
   def oracleSql: Map[String, String] = Map(
+    "wm_rs_roundtrip"  -> roundtripSql(cidSql(dims.init.toSeq, key.scale)),
+    "wm_tvp_roundtrip" -> roundtripSql(cidSql(dims.init.toSeq, key.scale)),
+    "scpw_roundtrip"   -> roundtripSql(cidSql(0 until scpwKey.topK, scpwKey.scale)),
+
+    // A8 — the z-test result is SQL-predictable from the raw table: content
+    // ids are invariant under the dim-`position` perturbation (position ∉ the
+    // first-k id dims), so the match set equals the clean-match set, and every
+    // matched CARRIER's diff is a draw from the green category by construction
+    // (tabularMark.py:117–127) — ng = |matched ∧ wm_id < nw|. Any cid
+    // collision matching a non-carrier would break the premise; the fixture
+    // has none (tm_match_clean = exactly the nw carriers) and a violation
+    // surfaces as a hash mismatch, not a silent pass.
+    "tm_detect" ->
+      s"""WITH ids AS (SELECT vec_id, ${cidSql(0 until tmKey.k, tmKey.scale)} AS id FROM embeddings),
+         |pks AS (SELECT id, min(vec_id) AS orig_id FROM ids WHERE vec_id < ${tmKey.nw} GROUP BY id),
+         |m AS (SELECT ids.vec_id AS wm_id FROM ids JOIN pks ON ids.id = pks.id),
+         |c AS (SELECT count(*) AS n_matched,
+         |        coalesce(sum(CASE WHEN wm_id < ${tmKey.nw} THEN 1 ELSE 0 END), 0) AS ng FROM m)
+         |SELECT cast(${tmKey.nw} as bigint) AS nw, cast(n_matched as bigint) AS n_matched,
+         |  cast(ng as bigint) AS ng,
+         |  round(2.0 * (ng - 0.5 * ${tmKey.nw}) / sqrt(cast(${tmKey.nw} as double)), 9) AS z,
+         |  (2.0 * (ng - 0.5 * ${tmKey.nw}) / sqrt(cast(${tmKey.nw} as double))) > ${tmKey.alpha} AS detected
+         |FROM c""".stripMargin,
+
+    // Byte-histogram stub decode replayed in SQL: the documents fixture is
+    // single-byte text (multimodal_meta proves byte length == char length),
+    // so per-char codepoints equal payload bytes; the real→double widening
+    // mirrors the engine's float32 feature arithmetic exactly.
+    "multimodal_features" ->
+      """WITH h AS (SELECT doc_id, strlen(text) AS n,
+        |  list_transform(string_split(text, ''), c -> ord(c) % 16) AS ms FROM documents)
+        |SELECT doc_id AS asset_id,
+        |  round(cast(cast(len(list_filter(ms, m -> m = 0)) as real) / cast(greatest(n, 1) as real) as double), 6) AS f0,
+        |  round(cast(cast(len(list_filter(ms, m -> m = 15)) as real) / cast(greatest(n, 1) as real) as double), 6) AS f15
+        |FROM h ORDER BY asset_id""".stripMargin,
+
+    // K5/A12 — synthetic rows replayed in SQL: per-column μ/σ aggregates plus
+    // the identical md5 Box–Muller draw per (row, dim); float32-cast before
+    // the 4-decimal round on both sides. μ/σ double sums may differ in final
+    // ulps across engines, but the float32 quantization absorbs them.
+    "attack_insert" ->
+      s"""WITH st AS (SELECT
+         |    avg(cast(embedding[1] as double)) AS mu0, stddev_pop(cast(embedding[1] as double)) AS s0,
+         |    avg(cast(embedding[$D] as double)) AS mu63, stddev_pop(cast(embedding[$D] as double)) AS s63,
+         |    count(*) AS n, max(vec_id) AS maxid
+         |  FROM embeddings),
+         |ins AS (SELECT maxid + 1 + unnest(range(0, cast(ceil(n * 0.2) as bigint))) AS vec_id,
+         |          mu0, s0, mu63, s63 FROM st)
+         |SELECT vec_id,
+         |  round(cast(cast(mu0 + s0 * ${gaussSql(s"cast(vec_id as varchar) || '#ins0#$Seed'")} as real) as double), 4) + 0.0 AS f0,
+         |  round(cast(cast(mu63 + s63 * ${gaussSql(s"cast(vec_id as varchar) || '#ins${D - 1}#$Seed'")} as real) as double), 4) + 0.0 AS f63
+         |FROM ins ORDER BY vec_id""".stripMargin,
+
+    // P16 — K3-perturbed rows differ only at the keyed dim, so the l2 fold
+    // reduces to sqrt(dd²) exactly (zero terms add exactly); unmodified rows
+    // contribute exact 0.0. Nano-sum is exact; the mean repeats the identical
+    // double ops.
+    "mean_distortion" ->
+      s"""WITH ranked AS (
+         |  SELECT vec_id, embedding,
+         |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#modrow#$Seed'), vec_id) AS rn,
+         |    count(*) OVER () AS nn
+         |  FROM embeddings),
+         |stats AS (SELECT min(embedding[${modDim0 + 1}]) AS mn, max(embedding[${modDim0 + 1}]) AS mx
+         |          FROM embeddings),
+         |diffs AS (SELECT CASE WHEN rn <= ceil(nn * 0.2)
+         |    THEN sqrt((cast(cast(mn + (mx - mn) *
+         |        (cast('0x' || substr(md5(cast(vec_id as varchar) || '#modval#$Seed'), 1, 13) as bigint)
+         |          / 4503599627370496.0) as real) as double) - cast(embedding[${modDim0 + 1}] as double))
+         |      * (cast(cast(mn + (mx - mn) *
+         |        (cast('0x' || substr(md5(cast(vec_id as varchar) || '#modval#$Seed'), 1, 13) as bigint)
+         |          / 4503599627370496.0) as real) as double) - cast(embedding[${modDim0 + 1}] as double)))
+         |    ELSE 0.0 END AS dist
+         |  FROM ranked, stats)
+         |SELECT ${sumNanosSql("dist")} AS sum_dist_nanos, count(*) AS n,
+         |  cast(${sumNanosSql("dist")} as double) / 1.0e9 / cast(count(*) as double) AS mean_l2
+         |FROM diffs""".stripMargin,
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sumMicrosSql("l_quantity")} AS sum_qty_micros,
@@ -839,6 +971,22 @@ object SparkEntry {
            |  SELECT vec_id, row_number() OVER (ORDER BY ai DESC, vec_id) AS rn,
            |    count(*) OVER () AS n FROM ai)
            |WHERE rn > ceil(n * $DeleteP) ORDER BY vec_id""".stripMargin),
+
+    // SO4 — in this engine the query profile counts rank≤10 hits of the
+    // deterministic kNN pass, which is invariant in the graph parameter M
+    // (raw depth 17 vs 25 shares the first 10 ranks), so both hidden sets
+    // equal the bottom-10% of the SAME qc — the oracle recomputes that set
+    // and the consequent perfect overlap from raw data.
+    "so4_hidden_overlap" ->
+      (graphCtes +
+        """, hid AS (SELECT vec_id FROM (
+          |    SELECT vec_id, row_number() OVER (ORDER BY query_count, vec_id) AS rn,
+          |      count(*) OVER () AS n FROM qc)
+          |  WHERE rn <= ceil(n * 0.1))
+          |SELECT (SELECT count(*) FROM hid) AS n_base,
+          |  (SELECT count(*) FROM hid) AS n_intersect,
+          |  cast((SELECT count(*) FROM hid) as double)
+          |    / cast((SELECT count(*) FROM hid) as double) AS overlap""".stripMargin),
 
     "w3_hidden_nodes" ->
       (graphCtes +

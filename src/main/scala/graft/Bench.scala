@@ -11,6 +11,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Bench measures the engine as it would run at scale: distributed
+    // decimal-sum stats instead of the oracle's single-reducer ordered folds.
+    System.setProperty("graft.scale.mode", "true")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)

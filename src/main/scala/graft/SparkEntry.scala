@@ -45,9 +45,14 @@ object SparkEntry {
     GraftCache.memo(s"$dir/edges") {
       KnnGraph.edges(Tables.embeddings(s, dir), M, Some(rawKnn(s, dir)))
     }
+  /** Oracle runs (Verify) keep bit-parity stats; Bench opts into the
+    * distributed scale mode via the `graft.scale.mode` system property.
+    */
+  private def parityMode: Boolean =
+    !sys.props.get("graft.scale.mode").exists(_.equalsIgnoreCase("true"))
   private def ai(s: SparkSession, dir: String) =
     GraftCache.memo(s"$dir/ai") {
-      KnnGraph.accessibility(Tables.embeddings(s, dir), edges(s, dir))
+      KnnGraph.accessibility(Tables.embeddings(s, dir), edges(s, dir), parity = parityMode)
     }
 
   /** Flagship on sf0.001: RS watermark round-trip — embeds WM, extracts it
@@ -549,6 +554,50 @@ object SparkEntry {
       }
     }),
 
+    // G6 — per-cluster breakdown of the never-queried seed components
+    // (analyze_small_clusters, e1_steath_vector.py:89–116): per component,
+    // node count, mean / min / max of per-node avg out-edge length, and total
+    // reciprocal edges. The reference restricts its printout to ≤10-node
+    // clusters; the operator reports every component (the fixture graph
+    // floods into one), with the mean carried as an exact distributed
+    // nano-sum — no per-group collect, so cluster size is unbounded.
+    "graph_cluster_stats" -> ((s, dir) => {
+      val emb   = Tables.embeddings(s, dir)
+      val e     = edges(s, dir)
+      val qc    = KnnGraph.queryCounts(emb, rawKnn(s, dir), k = 10)
+      val seeds = qc.filter(col("query_count") === 0).select("vec_id")
+      KnnGraph.components(e, seeds)
+        .join(KnnGraph.avgEdgeLength(emb, e), "vec_id")
+        .join(KnnGraph.bidirectionalEdges(emb, e), "vec_id")
+        .groupBy("comp")
+        .agg(
+          count(lit(1)).as("n_nodes"),
+          sum(nanos(col("avg_edge_len"))).as("sum_ael_nanos"),
+          min(col("avg_edge_len")).as("min_ael"),
+          max(col("avg_edge_len")).as("max_ael"),
+          sum(col("bidir_edges")).as("n_bidir"))
+        .withColumn("mean_ael",
+          col("sum_ael_nanos").cast("double") / lit(1.0e9) / col("n_nodes").cast("double"))
+        .orderBy("comp")
+    }),
+
+    // H3 — the reference's published impact sweep at its full grid
+    // (impact.py:130–171, th = 0.1…1.0): per carrier-selection threshold,
+    // TVP-embed and measure kNN miss/false averages and carrier traffic
+    // before/after. Shares the memoized kNN pass + accessibility frame; the
+    // per-th classification is computed once inside the sweep.
+    "h_impact_sweep" -> ((s, dir) => {
+      Experiments.impactSweep(Tables.embeddings(s, dir),
+        ths = (1 to 10).map(_ / 10.0), WM, Strength, k = 10, d = D, wmKey = key,
+        sharedRaw = Some(rawKnn(s, dir)), sharedAi = Some(ai(s, dir)))
+        .select(col("th"), col("n_carriers"),
+          round(col("avg_miss"), 6).as("avg_miss"),
+          round(col("avg_false"), 6).as("avg_false"),
+          round(col("traffic_before"), 6).as("traffic_before"),
+          round(col("traffic_after"), 6).as("traffic_after"))
+        .orderBy("th")
+    }),
+
     // H1/H2 — robustness grid (embed → attack → extract → BER).
     "h_robustness_grid" -> ((s, dir) => {
       Experiments.robustnessGrid(
@@ -1044,6 +1093,26 @@ object SparkEntry {
           |  (SELECT count(*) FROM reach) AS n_reached,
           |  coalesce((SELECT list_reduce(list_prepend(0.0, list(dist ORDER BY src, dst)), (a, b) -> a + b)
           |              / count(*) FROM inner_edges), 0.0) AS avg_internal_edge""".stripMargin),
+
+    // G6 — seed components via a recursive CTE carrying the seed id; min per
+    // node = the engine's min-label propagation fixpoint.
+    "graph_cluster_stats" ->
+      (graphCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, reach(vec_id, comp) AS (
+          |    SELECT vec_id, vec_id AS comp FROM qc WHERE query_count = 0
+          |    UNION
+          |    SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.vec_id),
+          |comps AS (SELECT vec_id, min(comp) AS comp FROM reach GROUP BY 1)
+          |SELECT c.comp, count(*) AS n_nodes,
+          |  cast(sum(cast(floor(a.avg_edge_len * 1000000000.0 + 0.5) as bigint)) as bigint) AS sum_ael_nanos,
+          |  min(a.avg_edge_len) AS min_ael, max(a.avg_edge_len) AS max_ael,
+          |  cast(sum(b.bidir_edges) as bigint) AS n_bidir,
+          |  cast(cast(sum(cast(floor(a.avg_edge_len * 1000000000.0 + 0.5) as bigint)) as bigint) as double)
+          |    / 1.0e9 / cast(count(*) as double) AS mean_ael
+          |FROM comps c
+          |JOIN ael a ON a.vec_id = c.vec_id
+          |JOIN bidir b ON b.vec_id = c.vec_id
+          |GROUP BY c.comp ORDER BY c.comp""".stripMargin),
 
     "dedup_simhash_pairs" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

@@ -22,6 +22,45 @@ object Experiments {
   case object SchemeTvp  extends Scheme
   case object SchemeScpw extends Scheme
 
+  private def repSeed(wmKey: WmKey, rep: Int): String = s"${wmKey.seed}-r$rep"
+
+  /** Embed for one (scheme, rep) — the watermarked table is attack- and
+    * p-independent, so grids persist ONE of these per (scheme, rep) and fan
+    * the attack×p cells out over it (the reference re-embeds per cell,
+    * roubust/roubust.py:279 — a re-computation we deliberately don't copy).
+    */
+  def embedFor(emb: DataFrame, scheme: Scheme, rep: Int, wm: String,
+               strength: Double, th: Double, d: Int,
+               wmKey: WmKey, scpwKey: ScpwKey, ai: Option[DataFrame]): DataFrame = {
+    val seed = repSeed(wmKey, rep)
+    scheme match {
+      case SchemeRs   => Tvp.embedRs(emb, wm, strength, d, wmKey.copy(seed = seed))
+      case SchemeTvp  => Tvp.embedAi(emb, wm, strength, th, ai.get, d, wmKey.copy(seed = seed))
+      case SchemeScpw => Scpw.embed(emb, wm, strength, scpwKey.copy(seed = seed))
+    }
+  }
+
+  def attackFor(wmDf: DataFrame, attack: String, p: Double, seed: String,
+                d: Int, ai: Option[DataFrame]): DataFrame = attack match {
+    case "none"            => wmDf
+    case "random_delete"   => Attacks.randomDelete(wmDf, p, s"att-$seed")
+    case "adaptive_delete" => Attacks.adaptiveDelete(wmDf, ai.get, p)
+    case "random_modify"   => Attacks.randomModify(wmDf, p, d, s"att-$seed", runLength = 30, rerollDim = true)
+    case "adaptive_modify" => Attacks.adaptiveModify(wmDf, ai.get, p, d, s"att-$seed")
+    case "insert"          => Attacks.insert(wmDf, p, d, s"att-$seed")
+  }
+
+  // NOTE on seeds: extraction must re-derive the SAME key dims as embedding,
+  // so the extract key carries the identical seed string.
+  def extractFor(attacked: DataFrame, scheme: Scheme, rep: Int, l: Int, d: Int,
+                 wmKey: WmKey, scpwKey: ScpwKey): DataFrame = {
+    val seed = repSeed(wmKey, rep)
+    scheme match {
+      case SchemeScpw => Scpw.extract(attacked, l, scpwKey.copy(seed = seed))
+      case _          => Tvp.extract(attacked, l, d, wmKey.copy(seed = seed))
+    }
+  }
+
   /** One embed→attack→extract→BER cell. `ai` is required for TVP embedding
     * and the adaptive attacks.
     */
@@ -29,27 +68,10 @@ object Experiments {
            wm: String, strength: Double, th: Double, d: Int,
            wmKey: WmKey, scpwKey: ScpwKey, ai: Option[DataFrame]): Double = {
     val spark = emb.sparkSession
-    val seed  = s"${wmKey.seed}-r$rep"
-    val wmDf = scheme match {
-      case SchemeRs   => Tvp.embedRs(emb, wm, strength, d, wmKey.copy(seed = seed))
-      case SchemeTvp  => Tvp.embedAi(emb, wm, strength, th, ai.get, d, wmKey.copy(seed = seed))
-      case SchemeScpw => Scpw.embed(emb, wm, strength, scpwKey.copy(seed = seed))
-    }
-    val attacked = attack match {
-      case "none"            => wmDf
-      case "random_delete"   => Attacks.randomDelete(wmDf, p, s"att-$seed")
-      case "adaptive_delete" => Attacks.adaptiveDelete(wmDf, ai.get, p)
-      case "random_modify"   => Attacks.randomModify(wmDf, p, d, s"att-$seed", runLength = 30, rerollDim = true)
-      case "adaptive_modify" => Attacks.adaptiveModify(wmDf, ai.get, p, d, s"att-$seed")
-      case "insert"          => Attacks.insert(wmDf, p, d, s"att-$seed")
-    }
-    val extracted = scheme match {
-      case SchemeScpw => Scpw.extract(attacked, wm.length, scpwKey.copy(seed = seed))
-      case _          => Tvp.extract(attacked, wm.length, d, wmKey.copy(seed = seed))
-    }
-    // NOTE on seeds: extraction must re-derive the SAME key dims as embedding,
-    // so the extract key carries the identical seed string.
-    Tvp.ber(Tvp.bitsDf(spark, wm), extracted)
+    val wmDf = embedFor(emb, scheme, rep, wm, strength, th, d, wmKey, scpwKey, ai)
+    val attacked = attackFor(wmDf, attack, p, repSeed(wmKey, rep), d, ai)
+    Tvp.ber(Tvp.bitsDf(spark, wm),
+      extractFor(attacked, scheme, rep, wm.length, d, wmKey, scpwKey))
   }
 
   /** H3 — embedding impact sweep (`test_random`, impact/impact.py:130–171):
@@ -59,19 +81,22 @@ object Experiments {
     * traffic_before, traffic_after).
     */
   def impactSweep(emb: DataFrame, ths: Seq[Double], wm: String, strength: Double,
-                  k: Int, d: Int, wmKey: WmKey, m: Int = 8): DataFrame = {
+                  k: Int, d: Int, wmKey: WmKey, m: Int = 8,
+                  sharedRaw: Option[DataFrame] = None,
+                  sharedAi: Option[DataFrame] = None): DataFrame = {
     import graft.knn.Knn
     import graft.metrics.Metrics
     val spark = emb.sparkSession
     import spark.implicits._
-    val raw   = KnnGraph.rawKnn(emb, math.max(2 * m + 1, k)).cache()
+    val raw   = sharedRaw.getOrElse(KnnGraph.rawKnn(emb, math.max(2 * m + 1, k)).cache())
     val base  = raw.filter(col("rank") <= k).cache()
-    val edges = KnnGraph.edges(emb, m, Some(raw)).cache()
-    val aiDf  = KnnGraph.accessibility(emb, edges).cache()
+    val aiDf  = sharedAi.getOrElse(
+      KnnGraph.accessibility(emb, KnnGraph.edges(emb, m, Some(raw))).cache())
     val qc    = KnnGraph.queryCounts(emb, raw, k).cache()
     val bits  = Tvp.bitsDf(spark, wm)
+    // classification is th-independent — one persisted frame for the sweep
+    val classified = Tvp.classify(emb, d, wm.length, wmKey).persist()
     val rows = ths.map { th =>
-      val classified = Tvp.classify(emb, d, wm.length, wmKey)
       val carriers   = Tvp.carriersAi(classified, bits, strength, th, aiDf).cache()
       val wmDf       = Tvp.applyEmbed(emb, carriers, d, wmKey)
       val after      = Knn.exact(emb, wmDf, k)
@@ -84,6 +109,7 @@ object Experiments {
       val trafficAfter = afterQc.join(carriers, "vec_id").agg(avg("query_count")).head().getDouble(0)
       (th, carriers.count(), mf.getDouble(0), mf.getDouble(1), trafficBefore, trafficAfter)
     }
+    classified.unpersist()
     rows.toDF("th", "n_carriers", "avg_miss", "avg_false", "traffic_before", "traffic_after")
   }
 
@@ -107,25 +133,34 @@ object Experiments {
     rows.toDF("scheme", "attack", "strength", "p", "rep", "ber")
   }
 
-  /** Robustness grid → (scheme, attack, p, rep, ber) result frame. */
+  /** Robustness grid → (scheme, attack, p, rep, ber) result frame.
+    * The watermarked table is embedded ONCE per (scheme, rep) and persisted;
+    * the attack×p cells share it — at a 6×13-cell reference grid this cuts
+    * the dominant embed lineage (classification windows + SCPW rejection
+    * draws) from |cells| evaluations to |schemes·reps|.
+    */
   def robustnessGrid(emb: DataFrame, schemes: Seq[Scheme], attacks: Seq[String],
                      ps: Seq[Double], reps: Int, wm: String, strength: Double,
                      th: Double, d: Int, wmKey: WmKey, scpwKey: ScpwKey,
-                     m: Int = 8): DataFrame = {
+                     m: Int = 8, sharedAi: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val needsAi = schemes.contains(SchemeTvp) || attacks.exists(_.startsWith("adaptive"))
-    val ai = if (needsAi) Some(KnnGraph.accessibility(emb, KnnGraph.edges(emb, m)).cache())
-             else None
+    val ai = if (needsAi)
+      sharedAi.orElse(Some(KnnGraph.accessibility(emb, KnnGraph.edges(emb, m)).cache()))
+    else None
     val rows = for {
       scheme <- schemes
-      attack <- attacks
-      p      <- ps
       rep    <- 0 until reps
-    } yield {
-      val ber = cell(emb, scheme, attack, p, rep, wm, strength, th, d, wmKey, scpwKey, ai)
-      (scheme.toString, attack, p, rep, ber)
-    }
+      wmDf    = embedFor(emb, scheme, rep, wm, strength, th, d, wmKey, scpwKey, ai).persist()
+      cells   = for (attack <- attacks; p <- ps) yield {
+        val attacked = attackFor(wmDf, attack, p, repSeed(wmKey, rep), d, ai)
+        val ber = Tvp.ber(Tvp.bitsDf(spark, wm),
+          extractFor(attacked, scheme, rep, wm.length, d, wmKey, scpwKey))
+        (scheme.toString, attack, p, rep, ber)
+      }
+      row <- { wmDf.unpersist(); cells }
+    } yield row
     rows.toDF("scheme", "attack", "p", "rep", "ber")
   }
 }

@@ -83,11 +83,17 @@ object KnnGraph {
     * bit-reproducible under any partitioning and identical to the DuckDB
     * ordered-list fold (np.nanstd's subtract-then-square form differs only
     * in final ulps; the graph itself is already a documented stand-in).
-    * The single collected fold list is an oracle-parity construction — at
-    * cluster scale swap `orderedMean` for a plain decimal-sum mean and give
-    * up bit (not value) parity.
+    * Two stat modes behind `parity`:
+    *  - parity=true (oracle runs): population means via a single ordered
+    *    fold — collect_list of all N rows in ONE aggregation buffer. Bit-
+    *    identical to the DuckDB ordered-list fold, but a single-reducer
+    *    O(N) array: correct only while N fits one buffer.
+    *  - parity=false (scale runs, Bench): distributed decimal-sum means —
+    *    exact partial aggregation on every executor, no collect_list
+    *    anywhere. Value-identical to ~1e-12 (the decimal quantum); gives up
+    *    bit (not value) parity, which only the oracle comparison needs.
     */
-  def accessibility(df: DataFrame, edgesDf: DataFrame): DataFrame = {
+  def accessibility(df: DataFrame, edgesDf: DataFrame, parity: Boolean = true): DataFrame = {
     val metrics = bidirectionalEdges(df, edgesDf)
       .join(avgEdgeLength(df, edgesDf), "vec_id")
     val dOk = when(isnan(col("avg_edge_len")), lit(null)).otherwise(col("avg_edge_len"))
@@ -97,11 +103,15 @@ object KnnGraph {
         transform(array_sort(collect_list(struct(col("vec_id"), c.as("v")))),
           x => x.getField("v")),
         lit(0.0), (a, x) => a + x) / count(c)
+    def decimalMean(c: org.apache.spark.sql.Column) =
+      (sum(c.cast("decimal(38,12)")) / count(c)).cast("double")
+    val mean: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (parity) orderedMean else decimalMean
     val stats = metrics.agg(
-      orderedMean(e).as("mu_e"),
-      orderedMean(e * e).as("msq_e"),
-      orderedMean(dOk).as("mu_d"),
-      orderedMean(dOk * dOk).as("msq_d"))
+      mean(e).as("mu_e"),
+      mean(e * e).as("msq_e"),
+      mean(dOk).as("mu_d"),
+      mean(dOk * dOk).as("msq_d"))
     metrics.crossJoin(broadcast(stats))
       .withColumn("sd_e", sqrt(greatest(col("msq_e") - col("mu_e") * col("mu_e"), lit(0.0))))
       .withColumn("sd_d", sqrt(greatest(col("msq_d") - col("mu_d") * col("mu_d"), lit(0.0))))
@@ -130,6 +140,30 @@ object KnnGraph {
     * all nodes reachable from any seed; driver-side frontier loop, each step
     * one join — frontier sets are small in the reference's use.
     */
+  /** G6 — seed-component labeling (e1_steath_vector.py:41–54 bfs loop):
+    * every node reachable from a seed gets the MINIMUM seed id that reaches
+    * it, which is exactly the reference's first-seed-wins shared-visited BFS
+    * (seeds iterate in ascending id order). Iterative min-label propagation —
+    * each round one join + one min-aggregate, the standard distributed
+    * connected-components shape; rounds bounded by the reached subgraph's
+    * diameter. Returns (vec_id, comp).
+    */
+  def components(edgesDf: DataFrame, seeds: DataFrame, maxIter: Int = 50): DataFrame = {
+    var labels  = seeds.select(col("vec_id"), col("vec_id").as("comp")).distinct().cache()
+    var changed = true
+    var i       = 0
+    while (changed && i < maxIter) {
+      val prop = labels.join(edgesDf, labels("vec_id") === edgesDf("src"))
+        .select(col("dst").as("vec_id"), col("comp"))
+      val next = labels.unionByName(prop)
+        .groupBy("vec_id").agg(min("comp").as("comp")).cache()
+      changed = next.join(labels, Seq("vec_id", "comp"), "left_anti").limit(1).count() > 0
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   def bfs(edgesDf: DataFrame, seeds: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = edgesDf.sparkSession
     var visited  = seeds.select(col("vec_id")).distinct().cache()

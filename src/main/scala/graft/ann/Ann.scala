@@ -29,11 +29,16 @@ object Ann {
 
   /** Fit the coarse quantizer + assign corpus rows to inverted lists.
     * Returns (centroids, assignedCorpus with `cluster` column).
+    * Seeded random init + few Lloyd iterations: the quantizer only needs a
+    * balanced space partition (IVF recall comes from nprobe, not centroid
+    * optimality), and k-means|| init alone costs more driver-coordinated
+    * passes than the refinement it saves here.
     */
   def ivfIndex(corpus: DataFrame, nlist: Int, seed: Long = 42L): (Array[Array[Double]], DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     val feat  = corpus.withColumn("features", toMlVec(col("embedding")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setInitMode("random").setTol(1e-3)
       .setFeaturesCol("features").fit(feat)
     val assigned = model.transform(feat)
       .withColumnRenamed("prediction", "cluster")

@@ -17,40 +17,44 @@ object Attacks {
 
   private def nRows(df: DataFrame): Long = df.count()
 
-  /** Exact "first k rows in `key` order" WITHOUT a single-partition global
-    * sort: two passes over bucketed key prefixes.
-    *   1. histogram of the first-4-hex-digit bucket of the key (65536
-    *      buckets, one tiny shuffle) → cumulative counts locate the cutoff
-    *      bucket b* and the residual rank r inside it;
-    *   2. keep every row in buckets < b*, plus the r smallest of bucket b*
-    *      (only that bucket — n/65536 rows — is ever sorted).
-    * Selects the identical row set as `row_number() over (order by key)
-    * <= k` (md5 keys are uniform, collision-tied rows break on vec_id) but
-    * the big shuffle disappears — this is the 100 TB shape of "sample k".
+  /** Shared two-pass "first k in order" kernel: bucket every row, histogram
+    * the buckets (one tiny shuffle), locate the cutoff bucket b* and the
+    * residual rank r inside it from cumulative counts, then keep all rows in
+    * buckets < b* plus the r first (by `order`) of bucket b* — only that one
+    * bucket (~n/65536 rows for a uniform bucketing) is ever sorted. Identical
+    * selection to `row_number() over (order by order...) <= k` with the big
+    * shuffle removed — the 100 TB shape of "take k in order".
     */
-  def keyedTopK(df: DataFrame, keyCol: Column, k: Long): DataFrame = {
-    val withKey = df.withColumn("__key", keyCol)
-    val bucket  = conv(substring(col("__key"), 1, 4), 16, 10).cast("int")
-    val hist = withKey.groupBy(bucket.as("__b")).agg(count(lit(1)).as("__c"))
-      .orderBy("__b").collect()
+  private def twoPassTopK(df: DataFrame, bucket: Column, order: Seq[Column], k: Long): DataFrame = {
+    val withB = df.withColumn("__b", bucket)
+    val hist = withB.groupBy("__b").agg(count(lit(1)).as("__c")).orderBy("__b").collect()
     var acc  = 0L
-    var bCut = -1
+    var bCut = Int.MinValue
     var rIn  = 0L
     val it = hist.iterator
-    while (bCut < 0 && it.hasNext) {
+    while (bCut == Int.MinValue && it.hasNext) {
       val r = it.next()
       val c = r.getLong(1)
       if (acc + c >= k) { bCut = r.getInt(0); rIn = k - acc }
       else acc += c
     }
-    if (bCut < 0) return withKey.drop("__key") // k >= n: keep everything
-    val below = withKey.filter(bucket < bCut)
-    val w     = Window.orderBy(col("__key"), col("vec_id"))
-    val inCut = withKey.filter(bucket === bCut)
+    if (bCut == Int.MinValue) return withB.drop("__b") // k >= n: keep everything
+    val below = withB.filter(col("__b") < bCut)
+    val w     = Window.orderBy(order: _*)
+    val inCut = withB.filter(col("__b") === bCut)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= rIn)
       .drop("__rn")
-    below.unionByName(inCut).drop("__key")
+    below.unionByName(inCut).drop("__b")
+  }
+
+  /** Exact "first k rows in `key` order": buckets = first 4 hex digits of
+    * the (md5) key — uniform by construction; ties break on vec_id.
+    */
+  def keyedTopK(df: DataFrame, keyCol: Column, k: Long): DataFrame = {
+    val withKey = df.withColumn("__key", keyCol)
+    val bucket  = conv(substring(col("__key"), 1, 4), 16, 10).cast("int")
+    twoPassTopK(withKey, bucket, Seq(col("__key"), col("vec_id")), k).drop("__key")
   }
 
   /** K1 — random deletion (SCPW.py:269–290, roubust/roubust.py:76–97).
@@ -71,30 +75,27 @@ object Attacks {
     * Returns the selected rows.
     */
   def scoreTopK(df: DataFrame, scoreCol: String, k: Long): DataFrame = {
-    val mm = df.agg(min(col(scoreCol)).cast("double"), max(col(scoreCol)).cast("double")).head()
+    if (k <= 0) return df.limit(0)
+    val mm = df.agg(
+      min(col(scoreCol)).cast("double"), max(col(scoreCol)).cast("double"),
+      min(col("vec_id")).cast("double"), max(col("vec_id")).cast("double")).head()
     val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
-    if (mx == mn) { // degenerate range: all tied — pure vec_id rank
-      val w = Window.orderBy(col("vec_id"))
-      return df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+    if (mx == mn) {
+      // degenerate range: all scores tied — the selection is "k smallest
+      // vec_id" (stable argsort semantics). Range-bucket the ids instead of
+      // ranking the whole table in one window partition.
+      val (imn, imx) = (mm.getDouble(2), mm.getDouble(3))
+      if (imx == imn) return df // single distinct id: nothing to cut
+      val idBucket = least(greatest(
+        floor((col("vec_id").cast("double") - imn) / (imx - imn) * 65535).cast("int"),
+        lit(0)), lit(65535))
+      return twoPassTopK(df, idBucket, Seq(col("vec_id")), k)
     }
     // descending score → bucket 0 holds the highest scores
     val bucket = least(greatest(
       floor((lit(mx) - col(scoreCol).cast("double")) / (mx - mn) * 65535).cast("int"),
       lit(0)), lit(65535))
-    val withB = df.withColumn("__b", bucket)
-    val hist = withB.groupBy("__b").agg(count(lit(1)).as("__c")).orderBy("__b").collect()
-    var acc = 0L; var bCut = -1; var rIn = 0L
-    val it = hist.iterator
-    while (bCut < 0 && it.hasNext) {
-      val r = it.next(); val c = r.getLong(1)
-      if (acc + c >= k) { bCut = r.getInt(0); rIn = k - acc } else acc += c
-    }
-    if (bCut < 0) return withB.drop("__b")
-    val below = withB.filter(col("__b") < bCut)
-    val w     = Window.orderBy(col(scoreCol).desc, col("vec_id"))
-    val inCut = withB.filter(col("__b") === bCut)
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= rIn).drop("__rn")
-    below.unionByName(inCut).drop("__b")
+    twoPassTopK(df, bucket, Seq(col(scoreCol).desc, col("vec_id")), k)
   }
 
   /** K2 — adaptive deletion (watermarking.py:430–443): drop the top

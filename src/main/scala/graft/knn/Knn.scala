@@ -178,23 +178,37 @@ object Knn {
       .select("query_id", "neighbor_id", "dist", "rank")
   }
 
-  /** Approximate join path for corpora beyond broadcast reach:
-    * random-hyperplane bucketing via spark.ml, then exact re-rank within the
-    * candidate set. Recall < 1 by construction; `numHashTables` trades
-    * shuffle volume for recall.
+  private val toVecUdf = udf((a: Seq[Float]) =>
+    org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+
+  /** The reusable LSH artifact: fitted random projections + the PRE-HASHED
+    * corpus. Like the IVF assignment, this is a write-once batch index —
+    * fitting and corpus hashing must not be paid per query batch.
     */
-  def lsh(queries: DataFrame, corpus: DataFrame, k: Int,
-          bucketLength: Double = 2.0, numHashTables: Int = 3,
-          maxDist: Double = Double.MaxValue): DataFrame = {
+  def lshFit(corpus: DataFrame, bucketLength: Double = 2.0, numHashTables: Int = 3)
+      : (org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel, DataFrame) = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.linalg.Vectors
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val q = queries.select(col("vec_id"), toVec(col("embedding")).as("features"))
-    val c = corpus.select(col("vec_id"), toVec(col("embedding")).as("features"))
+    val c = corpus.select(col("vec_id"), toVecUdf(col("embedding")).as("features"))
     val model = new BucketedRandomProjectionLSH()
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)
       .setInputCol("features").setOutputCol("hashes").setSeed(42L)
       .fit(c)
+    (model, model.transform(c))
+  }
+
+  /** Approximate join path for corpora beyond broadcast reach:
+    * random-hyperplane bucketing via spark.ml, then exact re-rank within the
+    * candidate set. Recall < 1 by construction; `numHashTables` trades
+    * shuffle volume for recall. Pass `prebuilt` (from lshFit) to reuse the
+    * fitted model and the already-hashed corpus across query batches.
+    */
+  def lsh(queries: DataFrame, corpus: DataFrame, k: Int,
+          bucketLength: Double = 2.0, numHashTables: Int = 3,
+          maxDist: Double = Double.MaxValue,
+          prebuilt: Option[(org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel, DataFrame)] = None)
+      : DataFrame = {
+    val q = queries.select(col("vec_id"), toVecUdf(col("embedding")).as("features"))
+    val (model, c) = prebuilt.getOrElse(lshFit(corpus, bucketLength, numHashTables))
     val joined = model.approxSimilarityJoin(q, c, maxDist, "dist")
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
     joined.select(

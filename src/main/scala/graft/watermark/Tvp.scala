@@ -108,6 +108,45 @@ object Tvp {
       .select("vec_id", "group_id", "wm_bit", "content_id")
   }
 
+  /** carriersAi for a whole THRESHOLD GRID in one plan: the candidate set
+    * and its ai-descending ranks are th-independent, so they are computed
+    * once and crossed with a broadcast th dimension; every window/join below
+    * just gains `th` in its partition key. Selection per th is identical to
+    * carriersAi(th) row-for-row (property-tested), but a 10-point sweep costs
+    * one plan instead of ten — at fixture scale the per-th window/broadcast
+    * latency dominates the sweep, and at cluster scale this turns ten
+    * shuffle cascades into one.
+    * Returns (th, vec_id, group_id, wm_bit, content_id).
+    */
+  def carriersAiSwept(classified: DataFrame, bits: DataFrame, strength: Double,
+                      ths: Seq[Double], ai: DataFrame): DataFrame = {
+    val spark = classified.sparkSession
+    import spark.implicits._
+    val cand = candidates(classified, groupNeeds(classified, bits, strength))
+      .join(ai.select(col("vec_id"), col("ai")), "vec_id")
+    val wAi = Window.partitionBy(col("group_id")).orderBy(col("ai").desc, col("vec_id"))
+    val ranked = cand.withColumn("rn_ai", row_number().over(wAi))
+      .crossJoin(broadcast(ths.toDF("th")))
+    val thr = ranked.filter(col("rn_ai") === floor(col("n_cand") * col("th")).cast("int"))
+      .select(col("th").as("t_th"), col("group_id").as("t_gid"), col("ai").as("thr_ai"))
+    val withThr = ranked.join(broadcast(thr),
+        col("th") === col("t_th") && col("group_id") === col("t_gid"), "left")
+      .drop("t_th", "t_gid")
+      .withColumn("qual", col("thr_ai").isNull || col("ai") >= col("thr_ai"))
+    val w1 = Window.partitionBy(col("th"), col("group_id"), col("qual")).orderBy(col("vec_id"))
+    val w2 = Window.partitionBy(col("th"), col("group_id"), col("qual")).orderBy(col("ai").desc, col("vec_id"))
+    val nQual = withThr.filter(col("qual")).groupBy("th", "group_id")
+      .agg(count(lit(1)).as("n_qual"))
+    withThr.join(broadcast(nQual), Seq("th", "group_id"), "left")
+      .na.fill(0L, Seq("n_qual"))
+      .withColumn("rn1", row_number().over(w1))
+      .withColumn("rn2", row_number().over(w2))
+      .filter(
+        (col("qual") && col("rn1") <= col("need")) ||
+        (!col("qual") && col("rn2") <= col("need") - least(col("need"), col("n_qual"))))
+      .select("th", "vec_id", "group_id", "wm_bit", "content_id")
+  }
+
   /** Apply the LSB embed to the selected carriers (watermarking.py:332–340):
     * one projection — `when(carrier, embedLsb(...)).otherwise(embedding)`.
     * Content ids are the ones computed on the ORIGINAL vectors (as in the

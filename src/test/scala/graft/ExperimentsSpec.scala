@@ -48,6 +48,21 @@ class ExperimentsSpec extends AnyFunSuite {
     }
   }
 
+  test("swept carrier selection matches per-th carriersAi row-for-row") {
+    import org.apache.spark.sql.functions.col
+    val classified = Tvp.classify(emb, 64, 5, wmKey).cache()
+    val bits       = Tvp.bitsDf(spark, "10101")
+    val ths        = Seq(0.3, 0.5, 1.0)
+    val swept      = Tvp.carriersAiSwept(classified, bits, 0.6, ths, aiDf).cache()
+    for (th <- ths) {
+      val single = Tvp.carriersAi(classified, bits, 0.6, th, aiDf)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val batch = swept.filter(col("th") === th)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(batch == single, s"th=$th: swept ${batch.size} vs single ${single.size}")
+    }
+  }
+
   test("P16 mean distortion: zero for identity, small positive after embed") {
     assert(Metrics.meanDistortion(emb, emb) == 0.0)
     val wmDf = Tvp.embedRs(emb, "10101", 0.6, 64, wmKey)

@@ -157,10 +157,20 @@ object Experiments {
     val needsAi = scheme == SchemeTvp || attack.startsWith("adaptive")
     val ai = if (needsAi) Some(KnnGraph.accessibility(emb, KnnGraph.edges(emb, m)).cache())
              else None
-    val rows = for (st <- strengths; p <- ps; rep <- 0 until reps) yield {
-      val ber = cell(emb, scheme, attack, p, rep, wm, st, th, d, wmKey, scpwKey, ai)
-      (scheme.toString, attack, st, p, rep, ber)
-    }
+    // one embed per (strength, rep), shared across the p cells — same
+    // sharing shape as robustnessGrid
+    val rows = for {
+      st  <- strengths
+      rep <- 0 until reps
+      wmDf  = embedFor(emb, scheme, rep, wm, st, th, d, wmKey, scpwKey, ai).persist()
+      cells = ps.map { p =>
+        val attacked = attackFor(wmDf, attack, p, repSeed(wmKey, rep), d, ai)
+        val ber = Tvp.ber(Tvp.bitsDf(spark, wm),
+          extractFor(attacked, scheme, rep, wm.length, d, wmKey, scpwKey))
+        (scheme.toString, attack, st, p, rep, ber)
+      }
+      row <- { wmDf.unpersist(); cells }
+    } yield row
     rows.toDF("scheme", "attack", "strength", "p", "rep", "ber")
   }
 

@@ -69,6 +69,23 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(total == n * 10 - selfIn10)
   }
 
+  test("components = first-seed-wins BFS: min reaching seed labels the reached set") {
+    import spark.implicits._
+    val edges = KnnGraph.edges(emb, M).cache()
+    val seeds = Seq(3L, 7L).toDF("vec_id")
+    val comps = KnnGraph.components(edges, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val from3 = KnnGraph.bfs(edges, Seq(3L).toDF("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val from7 = KnnGraph.bfs(edges, Seq(7L).toDF("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(comps.keySet == (from3 ++ from7), "labeled set must equal the BFS-reached union")
+    comps.foreach { case (v, c) =>
+      val expect = if (from3(v)) 3L else 7L // ascending seed order wins
+      assert(c == expect, s"node $v labeled $c, expected $expect")
+    }
+  }
+
   test("TVP (accessibility-guided) embed then extract: BER = 0") {
     val key = WmKey(seed = "20")
     val wm  = "1011001"

@@ -7,7 +7,8 @@ object PlanProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q3_shipping", "wm_content_id", "q5_region_revenue", "dedup_exact_groups", "q_events_tumbling")) {
+    for (q <- Seq("q3_shipping", "wm_content_id", "q5_region_revenue", "dedup_exact_groups",
+                  "q_events_tumbling", "mean_distortion", "graph_cluster_stats")) {
       println(s"===== $q =====")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       plan.linesIterator.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema") ||

@@ -17,19 +17,27 @@ def rows_df(df):
     return list(df.columns), [tuple(r) for r in df.itertuples(index=False)]
 
 def canon(cols, rows):
+    # Deliberately PATH-SENSITIVE stringification (str() of whatever the read
+    # path yields): surfacing None-vs-NaN and repr differences between read
+    # paths is this tool's purpose, since the driver's comparator has the
+    # same property. Rows are sorted, so ORDER BY differences are invisible
+    # by design (no registered oracle has an order-sensitive hash).
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(str(r[i]) for i in order) for r in rows]
     out.sort()
     return [cols[i] for i in order], out
 
 def compare(name, scols, srows, ocols, orows, verbose=False):
+    import itertools
     sc, sr = canon(scols, srows)
     oc, orr = canon(ocols, orows)
     ok_schema = sc == oc
     ok_rows = len(sr) == len(orr)
     ok_hash = sr == orr
     if not ok_hash and verbose:
-        for i, (a, b) in enumerate(zip(sr, orr)):
+        if len(sr) != len(orr):
+            print(f"    row-count diff: spark {len(sr)} vs oracle {len(orr)}")
+        for i, (a, b) in enumerate(itertools.zip_longest(sr, orr, fillvalue=('<missing>',))):
             if a != b:
                 print(f"    first diff row {i}:\n      spark:  {a}\n      oracle: {b}")
                 break

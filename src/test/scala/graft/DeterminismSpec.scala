@@ -50,6 +50,15 @@ class DeterminismSpec extends AnyFunSuite {
     variants.foreach { v => assert(collectSorted(aiOf(v)).sameElements(ref)) }
   }
 
+  test("SCPW embedding (bounded keyed pool) is bit-identical under any partitioning") {
+    import graft.watermark.{Scpw, ScpwKey}
+    val sk  = ScpwKey(topK = 20, position = 30, stdE = 0.05, seed = "20")
+    val ref = collectSorted(Scpw.embed(emb, "10101", 0.6, sk))
+    variants.foreach { v =>
+      assert(collectSorted(Scpw.embed(v, "10101", 0.6, sk)).sameElements(ref))
+    }
+  }
+
   test("insertion attack synthesizes identical rows under any partitioning") {
     val ref = collectSorted(Attacks.insert(emb.select("vec_id", "embedding"), 0.2, 64, "42"))
     variants.foreach { v =>

@@ -30,6 +30,28 @@ class LshStreamExtrasSpec extends AnyFunSuite {
     assert(got.getLong(0) == 7L && got.getLong(1) == 3L) // BitsSpec goldens
   }
 
+  test("pure-SQL classification via registered functions equals Tvp.classify") {
+    import graft.watermark.{Tvp, WmKey}
+    GraftExtensions.register(spark)
+    val key  = WmKey(seed = "20")
+    val dims = key.dims(64)
+    emb.createOrReplaceTempView("emb_sql")
+    val idDims = dims.init.mkString("array(", ", ", ")")
+    val all    = dims.mkString("array(", ", ", ")")
+    val sqlRes = spark.sql(
+      s"""SELECT vec_id,
+         |  graft_content_id(embedding, $idDims, 1000.0D) AS content_id,
+         |  cast(graft_md5mod(graft_content_id(embedding, $idDims, 1000.0D), 5L) as int) AS group_id,
+         |  graft_extract_lsb(embedding, graft_content_id(embedding, $idDims, 1000.0D), $all) AS hidden_bit
+         |FROM emb_sql""".stripMargin)
+      .orderBy("vec_id").collect()
+    val apiRes = Tvp.classify(emb, 64, 5, key)
+      .select("vec_id", "content_id", "group_id", "hidden_bit")
+      .orderBy("vec_id").collect()
+    assert(sqlRes.length == apiRes.length)
+    sqlRes.zip(apiRes).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("sessionize agrees with Spark's native session_window aggregation") {
     import graft.events.EventOps
     val ev = Tables.events(spark, TestSpark.sf0001)

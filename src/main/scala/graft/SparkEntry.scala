@@ -605,17 +605,19 @@ object SparkEntry {
     }),
 
     // H1/H2 — robustness grid (embed → attack → extract → BER). Two schemes
-    // × two attack families × four deletion/modification rates: one shared
-    // embed per scheme fans out over the 16 attack cells (roubust.py:265–304
+    // × three attack families (incl. K4 adaptive modification, which rides
+    // the shared memoized accessibility frame) × four rates: one shared
+    // embed per scheme fans out over the 24 attack cells (roubust.py:265–304
     // re-embeds per cell; the shared frame is the win that makes a wider
     // grid affordable).
     "h_robustness_grid" -> ((s, dir) => {
       Experiments.robustnessGrid(
         Tables.embeddings(s, dir),
         schemes = Seq(Experiments.SchemeRs, Experiments.SchemeScpw),
-        attacks = Seq("random_delete", "random_modify"),
+        attacks = Seq("random_delete", "random_modify", "adaptive_modify"),
         ps = Seq(0.0, 0.3, 0.5, 0.7), reps = 1,
-        wm = WM, strength = 0.7, th = 0.5, d = D, wmKey = key, scpwKey = scpwKey)
+        wm = WM, strength = 0.7, th = 0.5, d = D, wmKey = key, scpwKey = scpwKey,
+        sharedAi = Some(ai(s, dir)))
         .select(col("scheme"), col("attack"), col("p"), col("rep").cast("long"), col("ber"))
         .orderBy("scheme", "attack", "p", "rep")
     }),

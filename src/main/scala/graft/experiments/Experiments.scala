@@ -102,12 +102,13 @@ object Experiments {
     // this shape pays it once.
     val classified  = Tvp.classify(emb, d, wm.length, wmKey).persist()
     val carriersAll = Tvp.carriersAiSwept(classified, bits, strength, ths, aiDf).persist()
-    val wmDfs = ths.map { th =>
-      Tvp.applyEmbed(emb, carriersAll.filter(col("th") === th).drop("th"), d, wmKey).persist()
-    }
-    val afterAll = ths.zip(wmDfs).map { case (th, w) =>
-      Knn.exact(w, w, k).withColumn("th", lit(th))
+    // one tagged frame of all ten watermarked tables, one grouped kNN pass:
+    // a single broadcast + map-only job replaces ten corpus collects and jobs
+    val wmAll = ths.map { th =>
+      Tvp.applyEmbed(emb, carriersAll.filter(col("th") === th).drop("th"), d, wmKey)
+        .withColumn("th", lit(th))
     }.reduce(_ unionByName _).persist()
+    val afterAll = Knn.exactGrouped(wmAll, wmAll, k, "th").persist()
     afterAll.count() // one materialization: hitsA and the traffic profile both scan it
 
     val cTag  = carriersAll.select(col("th"), col("vec_id"))
@@ -139,7 +140,7 @@ object Experiments {
       .orderBy("th")
       .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
-    afterAll.unpersist(); wmDfs.foreach(_.unpersist())
+    afterAll.unpersist(); wmAll.unpersist()
     carriersAll.unpersist(); classified.unpersist()
     rows.toDF("th", "n_carriers", "avg_miss", "avg_false", "traffic_before", "traffic_after")
   }

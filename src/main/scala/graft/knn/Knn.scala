@@ -33,24 +33,22 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Knn {
 
-  /** Top-k per query over a broadcast corpus; map-only, no shuffle. */
-  def exact(queries: DataFrame, corpus: DataFrame, k: Int,
-            metric: String = "l2", kernel: String = "fast"): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val rows = corpus.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val n = rows.length
+  /** A driver/executor-local search index over one corpus: ids ascending,
+    * row-major flat vectors, optional squared norms.
+    */
+  private[knn] final case class FlatIndex(ids: Array[Long], flat: Array[Float],
+                                          sqNorms: Array[Double])
+
+  private def buildIndex(rows: Array[(Long, Array[Float])], needNorms: Boolean): FlatIndex = {
+    val sorted = rows.sortBy(_._1)
+    val n = sorted.length
     require(n > 0, "empty corpus")
-    val d    = rows(0)._2.length
-    val ids  = rows.map(_._1)
+    val d    = sorted(0)._2.length
+    val ids  = sorted.map(_._1)
     val flat = new Array[Float](n * d)
     var i = 0
-    while (i < n) { System.arraycopy(rows(i)._2, 0, flat, i * d, d); i += 1 }
-    // squared norms for the fast-l2 kernel; full norms for cosine
-    val maxim    = metric != "l2" // similarity metrics rank descending
-    val fastL2   = metric == "l2" && kernel == "fast"
-    val sqNorms  = if (fastL2 || metric == "cosine") {
+    while (i < n) { System.arraycopy(sorted(i)._2, 0, flat, i * d, d); i += 1 }
+    val sqNorms = if (needNorms) {
       val a = new Array[Double](n)
       var j = 0
       while (j < n) {
@@ -60,108 +58,167 @@ object Knn {
       }
       a
     } else null
-    val bc    = spark.sparkContext.broadcast((ids, flat, sqNorms))
+    FlatIndex(ids, flat, sqNorms)
+  }
+
+  /** One query against one FlatIndex: bounded worst-first heap, returns
+    * (neighbor_id, score) sorted by (score asc/desc, id). Shared by exact()
+    * and exactGrouped(); the "fold" kernels stay bit-identical to the DuckDB
+    * lambda folds.
+    */
+  private def searchOne(q: Array[Float], idx: FlatIndex, k: Int,
+                        maxim: Boolean, fastL2: Boolean, fold: Boolean): Array[(Long, Double)] = {
+    val ids = idx.ids; val flat = idx.flat; val sqNorms = idx.sqNorms
+    val n  = ids.length
+    val dd = if (n == 0) 0 else flat.length / n
+    val kk = math.min(k, n)
+    val heapD = new Array[Double](kk) // bounded "worst-first" heap
+    val heapI = new Array[Int](kk)
+    var size  = 0
+    @inline def worse(a: Int, b: Int): Boolean = {
+      val da = heapD(a); val db = heapD(b)
+      if (da != db) { if (maxim) da < db else da > db }
+      else ids(heapI(a)) > ids(heapI(b))
+    }
+    @inline def swap(a: Int, b: Int): Unit = {
+      val td = heapD(a); heapD(a) = heapD(b); heapD(b) = td
+      val ti = heapI(a); heapI(a) = heapI(b); heapI(b) = ti
+    }
+    @inline def siftDown(): Unit = {
+      var r  = 0
+      var go = true
+      while (go) {
+        val l = 2 * r + 1; val rt = l + 1
+        var m = r
+        if (l < size && worse(l, m)) m = l
+        if (rt < size && worse(rt, m)) m = rt
+        if (m == r) go = false else { swap(m, r); r = m }
+      }
+    }
+    @inline def siftUp(start: Int): Unit = {
+      var c = start
+      while (c > 0 && worse(c, (c - 1) / 2)) { swap(c, (c - 1) / 2); c = (c - 1) / 2 }
+    }
+    // query norm (fast-l2 / cosine)
+    var qn = 0.0
+    if (sqNorms != null) {
+      var t = 0
+      while (t < q.length) { val v = q(t).toDouble; qn += v * v; t += 1 }
+    }
+    var j = 0
+    while (j < n) {
+      val off = j * dd
+      var score = 0.0
+      if (maxim || fastL2) {
+        var dot = 0.0
+        if (fold) {
+          // sequential fold — bit-identical to the DuckDB lambda fold
+          var t = 0
+          while (t < dd) { dot += q(t).toDouble * flat(off + t).toDouble; t += 1 }
+        } else {
+          // unrolled dot product, 4 accumulators
+          var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+          var t = 0
+          val lim = dd - 3
+          while (t < lim) {
+            s0 += q(t).toDouble * flat(off + t).toDouble
+            s1 += q(t + 1).toDouble * flat(off + t + 1).toDouble
+            s2 += q(t + 2).toDouble * flat(off + t + 2).toDouble
+            s3 += q(t + 3).toDouble * flat(off + t + 3).toDouble
+            t += 4
+          }
+          dot = s0 + s1 + s2 + s3
+          while (t < dd) { dot += q(t).toDouble * flat(off + t).toDouble; t += 1 }
+        }
+        if (maxim) { // cosine similarity
+          val den = math.sqrt(qn) * math.sqrt(sqNorms(j))
+          score = if (den == 0.0) 0.0 else dot / den
+        } else { // fast l2
+          val sq = qn + sqNorms(j) - 2.0 * dot
+          score = math.sqrt(if (sq < 0.0) 0.0 else sq)
+        }
+      } else {
+        // "fold": bit-exact sequential (q_i - c_i)^2 accumulation
+        var s = 0.0
+        var t = 0
+        while (t < dd) {
+          val diff = q(t).toDouble - flat(off + t).toDouble
+          s += diff * diff; t += 1
+        }
+        score = math.sqrt(s)
+      }
+      val accept =
+        if (size < kk) true
+        else if (maxim) score > heapD(0) || (score == heapD(0) && ids(j) < ids(heapI(0)))
+        else score < heapD(0) || (score == heapD(0) && ids(j) < ids(heapI(0)))
+      if (accept) {
+        if (size < kk) { heapD(size) = score; heapI(size) = j; size += 1; siftUp(size - 1) }
+        else { heapD(0) = score; heapI(0) = j; siftDown() }
+      }
+      j += 1
+    }
+    (0 until size).sortBy(x => (if (maxim) -heapD(x) else heapD(x), ids(heapI(x))))
+      .map(x => (ids(heapI(x)), heapD(x))).toArray
+  }
+
+  /** Top-k per query over a broadcast corpus; map-only, no shuffle. */
+  def exact(queries: DataFrame, corpus: DataFrame, k: Int,
+            metric: String = "l2", kernel: String = "fast"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val maxim  = metric != "l2" // similarity metrics rank descending
+    val fastL2 = metric == "l2" && kernel == "fast"
+    val fold   = kernel == "fold"
+    val idx = buildIndex(
+      corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect(),
+      needNorms = fastL2 || metric == "cosine")
+    val bc    = spark.sparkContext.broadcast(idx)
     val parts = spark.sparkContext.defaultParallelism
 
     queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .repartition(parts)
       .mapPartitions { it =>
-        val (ids, flat, sqNorms) = bc.value
-        val n  = ids.length
-        val dd = if (n == 0) 0 else flat.length / n
-        val kk = math.min(k, n)
         it.flatMap { case (qid, q) =>
-          val heapD = new Array[Double](kk) // bounded "worst-first" heap
-          val heapI = new Array[Int](kk)
-          var size  = 0
-          @inline def worse(a: Int, b: Int): Boolean = {
-            val da = heapD(a); val db = heapD(b)
-            if (da != db) { if (maxim) da < db else da > db }
-            else ids(heapI(a)) > ids(heapI(b))
-          }
-          @inline def swap(a: Int, b: Int): Unit = {
-            val td = heapD(a); heapD(a) = heapD(b); heapD(b) = td
-            val ti = heapI(a); heapI(a) = heapI(b); heapI(b) = ti
-          }
-          @inline def siftDown(): Unit = {
-            var r  = 0
-            var go = true
-            while (go) {
-              val l = 2 * r + 1; val rt = l + 1
-              var m = r
-              if (l < size && worse(l, m)) m = l
-              if (rt < size && worse(rt, m)) m = rt
-              if (m == r) go = false else { swap(m, r); r = m }
-            }
-          }
-          @inline def siftUp(start: Int): Unit = {
-            var c = start
-            while (c > 0 && worse(c, (c - 1) / 2)) { swap(c, (c - 1) / 2); c = (c - 1) / 2 }
-          }
-          // query norm (fast-l2 / cosine)
-          var qn = 0.0
-          if (sqNorms != null) {
-            var t = 0
-            while (t < q.length) { val v = q(t).toDouble; qn += v * v; t += 1 }
-          }
-          var j = 0
-          while (j < n) {
-            val off = j * dd
-            var score = 0.0
-            if (maxim || fastL2) {
-              var dot = 0.0
-              if (kernel == "fold") {
-                // sequential fold — bit-identical to the DuckDB lambda fold
-                var t = 0
-                while (t < dd) { dot += q(t).toDouble * flat(off + t).toDouble; t += 1 }
-              } else {
-                // unrolled dot product, 4 accumulators
-                var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
-                var t = 0
-                val lim = dd - 3
-                while (t < lim) {
-                  s0 += q(t).toDouble * flat(off + t).toDouble
-                  s1 += q(t + 1).toDouble * flat(off + t + 1).toDouble
-                  s2 += q(t + 2).toDouble * flat(off + t + 2).toDouble
-                  s3 += q(t + 3).toDouble * flat(off + t + 3).toDouble
-                  t += 4
-                }
-                dot = s0 + s1 + s2 + s3
-                while (t < dd) { dot += q(t).toDouble * flat(off + t).toDouble; t += 1 }
-              }
-              if (maxim) { // cosine similarity
-                val den = math.sqrt(qn) * math.sqrt(sqNorms(j))
-                score = if (den == 0.0) 0.0 else dot / den
-              } else { // fast l2
-                val sq = qn + sqNorms(j) - 2.0 * dot
-                score = math.sqrt(if (sq < 0.0) 0.0 else sq)
-              }
-            } else {
-              // "fold": bit-exact sequential (q_i - c_i)^2 accumulation
-              var s = 0.0
-              var t = 0
-              while (t < dd) {
-                val diff = q(t).toDouble - flat(off + t).toDouble
-                s += diff * diff; t += 1
-              }
-              score = math.sqrt(s)
-            }
-            val accept =
-              if (size < kk) true
-              else if (maxim) score > heapD(0) || (score == heapD(0) && ids(j) < ids(heapI(0)))
-              else score < heapD(0) || (score == heapD(0) && ids(j) < ids(heapI(0)))
-            if (accept) {
-              if (size < kk) { heapD(size) = score; heapI(size) = j; size += 1; siftUp(size - 1) }
-              else { heapD(0) = score; heapI(0) = j; siftDown() }
-            }
-            j += 1
-          }
-          val order = (0 until size).sortBy(x => (if (maxim) -heapD(x) else heapD(x), ids(heapI(x))))
-          order.zipWithIndex.map { case (x, r) => (qid, ids(heapI(x)), heapD(x), r + 1) }
+          searchOne(q, bc.value, k, maxim, fastL2, fold)
+            .iterator.zipWithIndex.map { case ((nid, d), r) => (qid, nid, d, r + 1) }
         }
       }
       .toDF("query_id", "neighbor_id", "dist", "rank")
+  }
+
+  /** Grouped multi-index search: queries and corpus both carry a DOUBLE
+    * group column; each query searches ONLY its group's corpus rows. One
+    * broadcast and one map-only job replace |groups| separate kNN passes —
+    * the shape for per-tenant / per-experiment-cell batched search (the
+    * impact sweep runs its whole threshold grid through one of these).
+    */
+  def exactGrouped(queries: DataFrame, corpus: DataFrame, k: Int, groupCol: String,
+                   metric: String = "l2", kernel: String = "fast"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val maxim  = metric != "l2"
+    val fastL2 = metric == "l2" && kernel == "fast"
+    val fold   = kernel == "fold"
+    val needNorms = fastL2 || metric == "cosine"
+    val byGroup = corpus
+      .select(col(groupCol).cast("double"), col("vec_id"), col("embedding"))
+      .as[(Double, Long, Array[Float])].collect()
+      .groupBy(_._1)
+      .map { case (g, rs) => g -> buildIndex(rs.map(r => (r._2, r._3)), needNorms) }
+    val bc    = spark.sparkContext.broadcast(byGroup)
+    val parts = spark.sparkContext.defaultParallelism
+
+    queries.select(col(groupCol).cast("double"), col("vec_id"), col("embedding"))
+      .as[(Double, Long, Array[Float])]
+      .repartition(parts)
+      .mapPartitions { it =>
+        it.flatMap { case (g, qid, q) =>
+          searchOne(q, bc.value(g), k, maxim, fastL2, fold)
+            .iterator.zipWithIndex.map { case ((nid, d), r) => (g, qid, nid, d, r + 1) }
+        }
+      }
+      .toDF(groupCol, "query_id", "neighbor_id", "dist", "rank")
   }
 
   /** Built-ins-only variant (crossJoin + left-to-right fold + window):

@@ -163,14 +163,41 @@ object SparkEntry {
         .orderBy("bit_pos")
     }),
 
-    // H3/SO1 — embedding impact on kNN results: per-carrier miss/false averages.
+    // W1/P7 bit-level parity dump: the RS carrier set with each carrier's
+    // keyed dim and embedded float32 value — oracle-checked against the
+    // closed-form SQL replay of the ENTIRE codec (rsCodecCtes), the
+    // strongest per-row check of Bits.floatToBin/embedLsb semantics.
+    "wm_carriers" -> ((s, dir) => {
+      val emb      = Tables.embeddings(s, dir)
+      val cl       = Tvp.classify(emb, D, WM.length, key)
+      val carriers = Tvp.carriersRs(cl, Tvp.bitsDf(s, WM), Strength, key.seed)
+      val wmDf     = Tvp.applyEmbed(emb, carriers, D, key)
+      val dimsArr  = dims
+      val dCount   = D
+      val posUdf   = udf((cid: String) =>
+        graft.functions.Bits.carrierDim(Hashing.md5Big(cid), dCount, dimsArr))
+      carriers
+        .join(wmDf.select(col("vec_id"), col("embedding")), "vec_id")
+        .withColumn("carrier_dim", posUdf(col("content_id")).cast("long"))
+        .select(col("vec_id"),
+          col("group_id").cast("long").as("group_id"),
+          col("wm_bit").cast("long").as("wm_bit"),
+          col("carrier_dim"),
+          element_at(col("embedding"), (col("carrier_dim") + 1).cast("int")).cast("double").as("new_val"))
+        .orderBy("vec_id")
+    }),
+
+    // H3/SO1 — embedding impact on kNN results: per-carrier miss/false
+    // averages. Fold kernel on the after-pass so the rank-10 cutoff is
+    // bit-identical to the oracle's lambda-fold kNN over the SQL-replayed
+    // watermarked table.
     "impact_embed_missfalse" -> ((s, dir) => {
       val emb  = Tables.embeddings(s, dir)
       val base = rawKnn(s, dir).filter(col("rank") <= 10)
       val cl   = Tvp.classify(emb, D, WM.length, key)
       val carriers = Tvp.carriersRs(cl, Tvp.bitsDf(s, WM), Strength, key.seed)
       val wmDf  = Tvp.applyEmbed(emb, carriers, D, key)
-      val after = Knn.exact(emb, wmDf, 10)
+      val after = Knn.exact(emb, wmDf, 10, kernel = "fold")
       val mf = Metrics.missFalse(
         Metrics.carrierHits(base, carriers),
         Metrics.carrierHits(after, carriers))
@@ -689,6 +716,80 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** Horner fold of md5(expr) modulo a possibly COLUMN modulus (the bit
+    * position's span is row-dependent) — full-128-bit semantics as md5ModSql.
+    */
+  private def md5ModCol(expr: String, m: String): String =
+    s"list_reduce(list_transform(string_split(md5($expr), ''), " +
+      s"c -> strpos('0123456789abcdef', c) - 1), (a, b) -> (a * 16 + b) % ($m))"
+
+  /** CTE fragment (no leading WITH) replaying the ENTIRE RS embed pipeline of
+    * Bits/Tvp in closed-form SQL — the decimal-binary codec needs no string
+    * loop because for float32-derived values every quantity is exact double
+    * arithmetic:
+    *   fraction bit j     = trunc(frac·2^j) mod 2            (exact: the
+    *     float32 mantissa spans ≤24 bits, so frac·2^j is an exact double)
+    *   fraction length e  = min j with frac·2^j integral     (the Python
+    *     expansion loop stops at the lowest set bit)
+    *   binRep length      = intlen + 1 + e  (integer values: ".0" ⇒ e=1)
+    *   flipped value      = v ± 2^±k  then float32 cast      (re-summing the
+    *     bit string left-to-right is exact inside the 24-bit window)
+    * Produces CTEs: wcls (per-row pos/oldbit/hidden_bit/group_id), wneeds,
+    * wcarriers (keyed-hash ranked, rn ≤ need), wmvals (carrier dim + new
+    * float32 value), wemb (the watermarked table). Mirrors classify →
+    * groupNeeds → carriersRs → applyEmbed bit-for-bit.
+    */
+  private def rsCodecCtes: String = {
+    val allDims  = dims.mkString(", ")
+    val skipChain = (0 until 11).map { i =>
+      s"wp${i + 1} AS (SELECT * REPLACE (CASE WHEN pos IN ($allDims) THEN (pos + 1) % $D ELSE pos END AS pos) FROM wp$i)"
+    }.mkString(",\n")
+    s"""wbase AS (SELECT vec_id, embedding, ${cidSql(dims.init.toSeq, key.scale)} AS cid FROM embeddings),
+       |wp0 AS (SELECT *, cast(${md5ModCol("cid", D.toString)} as int) AS pos FROM wbase),
+       |$skipChain,
+       |wgeo AS (SELECT *, abs(cast(embedding[pos + 1] as double)) AS v FROM wp11),
+       |wgeo2 AS (SELECT *, trunc(v) AS ip, v - trunc(v) AS frac, (v = trunc(v)) AS isint,
+       |    length(format('{:b}', cast(trunc(v) as bigint))) AS intlen FROM wgeo),
+       |wgeo3 AS (SELECT *, CASE WHEN isint THEN 1 ELSE
+       |      list_min(list_filter(range(1, 200), j -> frac * pow(2.0, j) = trunc(frac * pow(2.0, j)))) END AS e
+       |  FROM wgeo2),
+       |wgeo4 AS (SELECT *, intlen + e AS lenbin,
+       |    cast(trunc((intlen + e) * 0.5) as bigint) AS minpos,
+       |    (intlen + e) - cast(trunc((intlen + e) * 0.5) as bigint) AS span FROM wgeo3),
+       |wgeo5 AS (SELECT *, ${md5ModCol("cid", "span")} + minpos AS bp0 FROM wgeo4),
+       |wgeo6 AS (SELECT *, CASE WHEN bp0 = intlen THEN bp0 - 1 ELSE bp0 END AS bp FROM wgeo5),
+       |wcls AS (SELECT *,
+       |    CASE WHEN bp < intlen THEN cast(trunc(ip / pow(2.0, intlen - 1 - bp)) as bigint) % 2
+       |         ELSE cast(trunc(frac * pow(2.0, bp - intlen)) as bigint) % 2 END AS oldbit,
+       |    cast(${md5ModSql("cid", WM.length)} as int) AS group_id
+       |  FROM wgeo6),
+       |wbits(bit_pos, wm_bit) AS (VALUES $bitsValuesSql),
+       |wgstat AS (SELECT group_id, count(*) AS n_group, sum((oldbit + pos) % 2) AS n_one
+       |  FROM wcls GROUP BY 1),
+       |wneeds AS (SELECT g.group_id, b.wm_bit,
+       |    least(greatest(0, cast(ceil(g.n_group * $Strength) as bigint) -
+       |        (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END)),
+       |      g.n_group - (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END)) AS need
+       |  FROM wgstat g JOIN wbits b ON g.group_id = b.bit_pos),
+       |wcand AS (SELECT c.*, n.wm_bit, n.need,
+       |    row_number() OVER (PARTITION BY c.group_id
+       |      ORDER BY md5(cast(c.vec_id as varchar) || '#rs#${key.seed}'), c.vec_id) AS rn
+       |  FROM wcls c JOIN wneeds n
+       |    ON c.group_id = n.group_id AND cast((c.oldbit + c.pos) % 2 as int) <> n.wm_bit),
+       |wcarriers AS (SELECT * FROM wcand WHERE rn <= need),
+       |wmvals AS (SELECT vec_id, pos, group_id, wm_bit,
+       |    cast(v + ((wm_bit + pos) % 2 - oldbit) *
+       |      (CASE WHEN bp < intlen THEN pow(2.0, intlen - 1 - bp)
+       |            ELSE pow(2.0, -(bp - intlen)) END) as real) AS newv
+       |  FROM wcarriers),
+       |wemb AS (SELECT e.vec_id,
+       |    CASE WHEN w.vec_id IS NULL THEN e.embedding
+       |      ELSE list_transform(range(1, ${D + 1}),
+       |             i -> CASE WHEN i = w.pos + 1 THEN w.newv ELSE e.embedding[i] END)
+       |    END AS embedding
+       |  FROM embeddings e LEFT JOIN wmvals w ON e.vec_id = w.vec_id)""".stripMargin
+  }
+
   /** The watermark message as a DuckDB VALUES list: (bit_pos, wm_bit). */
   private def bitsValuesSql: String =
     WM.zipWithIndex.map { case (c, i) => s"($i, ${c.asDigit})" }.mkString(", ")
@@ -746,6 +847,45 @@ object SparkEntry {
          |  round(2.0 * (ng - 0.5 * ${tmKey.nw}) / sqrt(cast(${tmKey.nw} as double)), 9) AS z,
          |  (2.0 * (ng - 0.5 * ${tmKey.nw}) / sqrt(cast(${tmKey.nw} as double))) > ${tmKey.alpha} AS detected
          |FROM c""".stripMargin,
+
+    // Per-carrier bit-codec parity: the full RS embed replayed in closed-form
+    // SQL (see rsCodecCtes) — carrier selection, keyed dim, and the embedded
+    // float32 value must match the engine bit-for-bit.
+    "wm_carriers" ->
+      (s"WITH $rsCodecCtes\n" +
+        """SELECT vec_id, cast(group_id as bigint) AS group_id,
+          |  cast(wm_bit as bigint) AS wm_bit,
+          |  cast(pos as bigint) AS carrier_dim,
+          |  cast(newv as double) AS new_val
+          |FROM wmvals ORDER BY vec_id""".stripMargin),
+
+    // Full SQL replay of the impact metric: base kNN from the shared graph
+    // CTEs, after-kNN over the codec-replayed watermarked table, per-carrier
+    // full-outer miss/false accounting.
+    "impact_embed_missfalse" ->
+      (graphCtes + ",\n" + rsCodecCtes + ",\n" +
+        s"""aknn AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    sqrt(list_reduce(list_transform(range(1, ${D + 1}),
+           |      i -> (cast(a.embedding[i] as double) - cast(b.embedding[i] as double))
+           |         * (cast(a.embedding[i] as double) - cast(b.embedding[i] as double))),
+           |      (x, y) -> x + y)) AS dist
+           |  FROM embeddings a, wemb b),
+           |after10 AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+           |    FROM aknn) WHERE rank <= 10),
+           |hb AS (SELECT c.vec_id AS carrier, b.query_id AS query
+           |  FROM (SELECT query_id, neighbor_id FROM raw17 WHERE rank <= 10) b
+           |  JOIN wcarriers c ON b.neighbor_id = c.vec_id),
+           |ha AS (SELECT c.vec_id AS carrier, a.query_id AS query
+           |  FROM after10 a JOIN wcarriers c ON a.neighbor_id = c.vec_id),
+           |mf AS (SELECT carrier,
+           |    sum(CASE WHEN inb IS NOT NULL AND ina IS NULL THEN 1 ELSE 0 END) AS miss,
+           |    sum(CASE WHEN ina IS NOT NULL AND inb IS NULL THEN 1 ELSE 0 END) AS false_hits
+           |  FROM (SELECT 1 AS inb, carrier, query FROM hb) x
+           |  FULL OUTER JOIN (SELECT 1 AS ina, carrier, query FROM ha) y USING (carrier, query)
+           |  GROUP BY carrier)
+           |SELECT round(avg(miss), 6) AS avg_miss, round(avg(false_hits), 6) AS avg_false,
+           |  count(*) AS n_carriers FROM mf""".stripMargin),
 
     // Byte-histogram stub decode replayed in SQL: the documents fixture is
     // single-byte text (multimodal_meta proves byte length == char length),

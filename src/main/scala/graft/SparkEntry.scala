@@ -187,6 +187,21 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // A7/E2 under attack, bit-exact: embed → keyed random deletion →
+    // blind extraction. The oracle replays every step in SQL: post-embed
+    // hidden bits (wm_bit for carriers, the codec's original bit otherwise),
+    // the keyed keep-set, and the per-group majority over survivors.
+    "wm_extract_after_delete" -> ((s, dir) => {
+      val emb      = Tables.embeddings(s, dir)
+      val wmDf     = Tvp.embedRs(emb, WM, Strength, D, key)
+      val attacked = Attacks.randomDelete(wmDf, DeleteP, Seed)
+      Tvp.bitsDf(s, WM)
+        .join(Tvp.extract(attacked, WM.length, D, key), "bit_pos")
+        .select(col("bit_pos").cast("long"), col("wm_bit").cast("long"),
+          col("extracted_bit").cast("long"))
+        .orderBy("bit_pos")
+    }),
+
     // H3/SO1 — embedding impact on kNN results: per-carrier miss/false
     // averages. Fold kernel on the after-pass so the rank-10 cutoff is
     // bit-identical to the oracle's lambda-fold kNN over the SQL-replayed
@@ -858,6 +873,26 @@ object SparkEntry {
           |  cast(pos as bigint) AS carrier_dim,
           |  cast(newv as double) AS new_val
           |FROM wmvals ORDER BY vec_id""".stripMargin),
+
+    // Full SQL replay of extraction after a keyed deletion attack: survivors'
+    // post-embed hidden bits, majority per group, pre-seeded 0 for empties.
+    "wm_extract_after_delete" ->
+      (s"WITH $rsCodecCtes,\n" +
+        s"""postbits AS (SELECT c.vec_id, c.group_id,
+           |    CASE WHEN w.vec_id IS NOT NULL THEN w.wm_bit
+           |         ELSE cast((c.oldbit + c.pos) % 2 as int) END AS hbit
+           |  FROM wcls c LEFT JOIN wmvals w ON c.vec_id = w.vec_id),
+           |kept AS (SELECT vec_id FROM (
+           |    SELECT vec_id,
+           |      row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$Seed'), vec_id) AS rn,
+           |      count(*) OVER () AS n
+           |    FROM embeddings) WHERE rn <= n - ceil(n * $DeleteP)),
+           |votes AS (SELECT p.group_id, sum(p.hbit) AS n_one, count(*) AS n
+           |  FROM postbits p JOIN kept k ON p.vec_id = k.vec_id GROUP BY 1)
+           |SELECT cast(b.bit_pos as bigint) AS bit_pos, cast(b.wm_bit as bigint) AS wm_bit,
+           |  cast(CASE WHEN coalesce(v.n_one, 0) * 2 > coalesce(v.n, 0) THEN 1 ELSE 0 END as bigint) AS extracted_bit
+           |FROM wbits b LEFT JOIN votes v ON v.group_id = b.bit_pos
+           |ORDER BY bit_pos""".stripMargin),
 
     // Full SQL replay of the impact metric: base kNN from the shared graph
     // CTEs, after-kNN over the codec-replayed watermarked table, per-carrier

@@ -55,6 +55,25 @@ object SparkEntry {
       KnnGraph.accessibility(Tables.embeddings(s, dir), edges(s, dir), parity = parityMode)
     }
 
+  /** Per-carrier bit-level dump: (vec_id, group, message bit, keyed carrier
+    * dim, embedded float32 value) — the oracle replays the codec in SQL.
+    */
+  private def carrierDump(carriers: DataFrame, wmDf: DataFrame): DataFrame = {
+    val dimsArr = dims
+    val dCount  = D
+    val posUdf  = udf((cid: String) =>
+      graft.functions.Bits.carrierDim(Hashing.md5Big(cid), dCount, dimsArr))
+    carriers
+      .join(wmDf.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("carrier_dim", posUdf(col("content_id")).cast("long"))
+      .select(col("vec_id"),
+        col("group_id").cast("long").as("group_id"),
+        col("wm_bit").cast("long").as("wm_bit"),
+        col("carrier_dim"),
+        element_at(col("embedding"), (col("carrier_dim") + 1).cast("int")).cast("double").as("new_val"))
+      .orderBy("vec_id")
+  }
+
   /** Flagship on sf0.001: RS watermark round-trip — embeds WM, extracts it
     * back, returns per-bit (wm_bit, extracted_bit) rows.
     */
@@ -171,20 +190,17 @@ object SparkEntry {
       val emb      = Tables.embeddings(s, dir)
       val cl       = Tvp.classify(emb, D, WM.length, key)
       val carriers = Tvp.carriersRs(cl, Tvp.bitsDf(s, WM), Strength, key.seed)
-      val wmDf     = Tvp.applyEmbed(emb, carriers, D, key)
-      val dimsArr  = dims
-      val dCount   = D
-      val posUdf   = udf((cid: String) =>
-        graft.functions.Bits.carrierDim(Hashing.md5Big(cid), dCount, dimsArr))
-      carriers
-        .join(wmDf.select(col("vec_id"), col("embedding")), "vec_id")
-        .withColumn("carrier_dim", posUdf(col("content_id")).cast("long"))
-        .select(col("vec_id"),
-          col("group_id").cast("long").as("group_id"),
-          col("wm_bit").cast("long").as("wm_bit"),
-          col("carrier_dim"),
-          element_at(col("embedding"), (col("carrier_dim") + 1).cast("int")).cast("double").as("new_val"))
-        .orderBy("vec_id")
+      carrierDump(carriers, Tvp.applyEmbed(emb, carriers, D, key))
+    }),
+
+    // W1 bit-level: the TVP accessibility-guided carrier selection — rank
+    // threshold, qualification split and backfill — replayed in SQL over the
+    // shared graph CTEs' bit-exact ai, plus the codec-embedded values.
+    "wm_tvp_carriers" -> ((s, dir) => {
+      val emb      = Tables.embeddings(s, dir)
+      val cl       = Tvp.classify(emb, D, WM.length, key)
+      val carriers = Tvp.carriersAi(cl, Tvp.bitsDf(s, WM), Strength, 0.5, ai(s, dir))
+      carrierDump(carriers, Tvp.applyEmbed(emb, carriers, D, key))
     }),
 
     // A7/E2 under attack, bit-exact: embed → keyed random deletion →
@@ -784,7 +800,8 @@ object SparkEntry {
        |wneeds AS (SELECT g.group_id, b.wm_bit,
        |    least(greatest(0, cast(ceil(g.n_group * $Strength) as bigint) -
        |        (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END)),
-       |      g.n_group - (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END)) AS need
+       |      g.n_group - (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END)) AS need,
+       |    g.n_group - (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END) AS n_cand
        |  FROM wgstat g JOIN wbits b ON g.group_id = b.bit_pos),
        |wcand AS (SELECT c.*, n.wm_bit, n.need,
        |    row_number() OVER (PARTITION BY c.group_id
@@ -873,6 +890,39 @@ object SparkEntry {
           |  cast(pos as bigint) AS carrier_dim,
           |  cast(newv as double) AS new_val
           |FROM wmvals ORDER BY vec_id""".stripMargin),
+
+    // W1 bit-level: carriersAi replayed in SQL — threshold at the
+    // floor(n_cand·th)-ranked ai, qualification split, vec_id-ordered fill,
+    // ai-ordered backfill — over the graph CTEs' bit-exact ai; embedded
+    // values from the codec formulas.
+    "wm_tvp_carriers" ->
+      (graphCtes + ",\n" + rsCodecCtes + ",\n" +
+        s"""tcand AS (SELECT c.vec_id, c.group_id, c.pos, c.oldbit, c.v, c.bp, c.intlen, c.frac, c.ip,
+           |    n.wm_bit, n.need, n.n_cand, a.ai
+           |  FROM wcls c
+           |  JOIN wneeds n ON c.group_id = n.group_id
+           |    AND cast((c.oldbit + c.pos) % 2 as int) <> n.wm_bit
+           |  JOIN ai a ON a.vec_id = c.vec_id),
+           |tranked AS (SELECT *, row_number() OVER (PARTITION BY group_id ORDER BY ai DESC, vec_id) AS rn_ai
+           |  FROM tcand),
+           |tthr AS (SELECT group_id AS tg, ai AS thr_ai FROM tranked
+           |  WHERE rn_ai = cast(trunc(n_cand * 0.5) as bigint)),
+           |twt AS (SELECT * FROM tranked LEFT JOIN tthr ON group_id = tg),
+           |tw2 AS (SELECT *, (thr_ai IS NULL OR ai >= thr_ai) AS qual FROM twt),
+           |tnq AS (SELECT group_id AS ng, count(*) AS n_qual FROM tw2 WHERE qual GROUP BY 1),
+           |tw3 AS (SELECT *, coalesce(n_qual, 0) AS nq,
+           |    row_number() OVER (PARTITION BY group_id, qual ORDER BY vec_id) AS rn1,
+           |    row_number() OVER (PARTITION BY group_id, qual ORDER BY ai DESC, vec_id) AS rn2
+           |  FROM tw2 LEFT JOIN tnq ON group_id = ng),
+           |tcarriers AS (SELECT * FROM tw3
+           |  WHERE (qual AND rn1 <= need) OR ((NOT qual) AND rn2 <= need - least(need, nq)))
+           |SELECT vec_id, cast(group_id as bigint) AS group_id,
+           |  cast(wm_bit as bigint) AS wm_bit,
+           |  cast(pos as bigint) AS carrier_dim,
+           |  cast(cast(v + ((wm_bit + pos) % 2 - oldbit) *
+           |    (CASE WHEN bp < intlen THEN pow(2.0, intlen - 1 - bp)
+           |          ELSE pow(2.0, -(bp - intlen)) END) as real) as double) AS new_val
+           |FROM tcarriers ORDER BY vec_id""".stripMargin),
 
     // Full SQL replay of extraction after a keyed deletion attack: survivors'
     // post-embed hidden bits, majority per group, pre-seeded 0 for empties.

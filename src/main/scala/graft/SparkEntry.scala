@@ -502,6 +502,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // K4 — adaptive modification: top-20% rows by accessibility get a
+    // 30-dim run overwrite at a per-row re-rolled start dim. Dumps every
+    // row's value at its keyed run-start dim (modified for selected rows,
+    // original otherwise) — both the selection and the overwrite are
+    // SQL-mirrored.
+    "attack_adaptive_modify" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Attacks.adaptiveModify(emb, ai(s, dir), 0.2, D, Seed)
+        .withColumn("run_start",
+          graft.functions.Md5ModExpr(
+            concat_ws("#", col("vec_id"), lit("moddim"), lit(Seed)), D.toLong).cast("long"))
+        .select(col("vec_id"), col("run_start"),
+          element_at(col("embedding"), (col("run_start") + 1).cast("int")).cast("double").as("v"))
+        .orderBy("vec_id")
+    }),
+
     // K5/A12 — insertion attack: synthetic rows from per-column N(μ,σ).
     "attack_insert" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1274,6 +1290,27 @@ object SparkEntry {
           |  (SELECT count(*) FROM hid) AS n_intersect,
           |  cast((SELECT count(*) FROM hid) as double)
           |    / cast((SELECT count(*) FROM hid) as double) AS overlap""".stripMargin),
+
+    // K4 — ai-ranked top-set + keyed run-start overwrite, both replayed.
+    "attack_adaptive_modify" ->
+      (graphCtes +
+        s""", sel AS (SELECT vec_id FROM (
+           |    SELECT vec_id, row_number() OVER (ORDER BY ai DESC, vec_id) AS rn,
+           |      count(*) OVER () AS n FROM ai)
+           |  WHERE rn <= ceil(n * 0.2)),
+           |st AS (SELECT min(embedding[${modDim0 + 1}]) AS mn, max(embedding[${modDim0 + 1}]) AS mx
+           |       FROM embeddings),
+           |rs AS (SELECT e.vec_id, e.embedding,
+           |    cast(${md5ModSql(s"cast(e.vec_id as varchar) || '#moddim#$Seed'", D)} as bigint) AS run_start,
+           |    (s.vec_id IS NOT NULL) AS issel
+           |  FROM embeddings e LEFT JOIN sel s ON e.vec_id = s.vec_id)
+           |SELECT r.vec_id, r.run_start,
+           |  cast(CASE WHEN r.issel
+           |    THEN cast(mn + (mx - mn) *
+           |      (cast('0x' || substr(md5(cast(r.vec_id as varchar) || '#modval#$Seed'), 1, 13) as bigint)
+           |        / 4503599627370496.0) as real)
+           |    ELSE r.embedding[r.run_start + 1] END as double) AS v
+           |FROM rs r, st ORDER BY r.vec_id""".stripMargin),
 
     "w3_hidden_nodes" ->
       (graphCtes +

@@ -218,6 +218,21 @@ object SparkEntry {
         .orderBy("bit_pos")
     }),
 
+    // H1 (RS × deletion-rate row of the robustness grid), oracle-exact:
+    // one embed, extraction after keyed deletion at four rates. The whole
+    // curve is a single SQL replay — post-embed bits once, one keyed
+    // ranking, four cutoffs.
+    "h_rs_delete_grid" -> ((s, dir) => {
+      val emb  = Tables.embeddings(s, dir)
+      val wmDf = GraftCache.memo(s"$dir/wm-rs") { Tvp.embedRs(emb, WM, Strength, D, key) }
+      Seq(0.0, 0.3, 0.5, 0.7).map { p =>
+        Tvp.bitsDf(s, WM)
+          .join(Tvp.extract(Attacks.randomDelete(wmDf, p, Seed), WM.length, D, key), "bit_pos")
+          .select(lit(p).as("p"), col("bit_pos").cast("long"),
+            col("wm_bit").cast("long"), col("extracted_bit").cast("long"))
+      }.reduce(_ unionByName _).orderBy("p", "bit_pos")
+    }),
+
     // H3/SO1 — embedding impact on kNN results: per-carrier miss/false
     // averages. Fold kernel on the after-pass so the rank-10 cutoff is
     // bit-identical to the oracle's lambda-fold kNN over the SQL-replayed
@@ -959,6 +974,31 @@ object SparkEntry {
            |  cast(CASE WHEN coalesce(v.n_one, 0) * 2 > coalesce(v.n, 0) THEN 1 ELSE 0 END as bigint) AS extracted_bit
            |FROM wbits b LEFT JOIN votes v ON v.group_id = b.bit_pos
            |ORDER BY bit_pos""".stripMargin),
+
+    // H1 RS×deletion curve: shared post-embed bits + one keyed ranking,
+    // majority per (p, group) over each cutoff's survivors.
+    "h_rs_delete_grid" ->
+      (s"WITH $rsCodecCtes,\n" +
+        s"""postbits AS (SELECT c.vec_id, c.group_id,
+           |    CASE WHEN w.vec_id IS NOT NULL THEN w.wm_bit
+           |         ELSE cast((c.oldbit + c.pos) % 2 as int) END AS hbit
+           |  FROM wcls c LEFT JOIN wmvals w ON c.vec_id = w.vec_id),
+           |ranked AS (SELECT vec_id,
+           |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$Seed'), vec_id) AS rn,
+           |    count(*) OVER () AS n
+           |  FROM embeddings),
+           |pvals(p) AS (VALUES (0.0), (0.3), (0.5), (0.7)),
+           |votes AS (SELECT pv.p, pb.group_id, sum(pb.hbit) AS n_one, count(*) AS n
+           |  FROM pvals pv
+           |  JOIN ranked r ON r.rn <= r.n - ceil(r.n * pv.p)
+           |  JOIN postbits pb ON pb.vec_id = r.vec_id
+           |  GROUP BY 1, 2)
+           |SELECT cast(pv.p as double) AS p, cast(b.bit_pos as bigint) AS bit_pos,
+           |  cast(b.wm_bit as bigint) AS wm_bit,
+           |  cast(CASE WHEN coalesce(v.n_one, 0) * 2 > coalesce(v.n, 0) THEN 1 ELSE 0 END as bigint) AS extracted_bit
+           |FROM pvals pv CROSS JOIN wbits b
+           |LEFT JOIN votes v ON v.group_id = b.bit_pos AND v.p = pv.p
+           |ORDER BY p, bit_pos""".stripMargin),
 
     // Full SQL replay of the impact metric: base kNN from the shared graph
     // CTEs, after-kNN over the codec-replayed watermarked table, per-carrier

@@ -15,7 +15,18 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Attacks {
 
-  private def nRows(df: DataFrame): Long = df.count()
+  // Attack grids call every attack on the SAME (checkpointed) watermarked
+  // frame, once per grid cell — memoize the count per DataFrame identity so a
+  // 13-cell row costs one count job, not 13 (DataFrames are immutable; weak
+  // keys let retired frames drop out).
+  private val rowCounts =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, java.lang.Long]())
+  private def nRows(df: DataFrame): Long =
+    rowCounts.computeIfAbsent(df, d => d.count()).longValue()
+  private val insertStats =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, (Long, Map[Int, (Double, Double)])]())
 
   /** Shared two-pass "first k in order" kernel: bucket every row, histogram
     * the buckets (one tiny shuffle), locate the cutoff bucket b* and the
@@ -182,11 +193,15 @@ object Attacks {
     val spark = df.sparkSession
     val n     = nRows(df)
     val nIns  = math.ceil(n * p).toLong
-    val maxId = df.agg(max(col("vec_id"))).head().getLong(0)
-    val stats = df
-      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("pos").agg(avg("v").as("mu"), stddev_pop("v").as("sigma"))
-      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // p-independent ingredients — memoized per frame like nRows, so the
+    // insert column scan runs once per attacked table, not once per p cell
+    val (maxId, stats) = insertStats.computeIfAbsent(df, d => {
+      val mx = d.agg(max(col("vec_id"))).head().getLong(0)
+      val st = d.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("pos").agg(avg("v").as("mu"), stddev_pop("v").as("sigma"))
+        .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      (mx, st)
+    })
     val mus    = Array.tabulate(d)(stats(_)._1)
     val sigmas = Array.tabulate(d)(stats(_)._2)
     val gen = udf((id: Long) =>

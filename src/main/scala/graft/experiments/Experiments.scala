@@ -100,14 +100,18 @@ object Experiments {
     // index), and ONE grouped metrics plan for the whole grid. The naive
     // per-th loop pays the window/broadcast/collect cascade |ths| times;
     // this shape pays it once.
-    val classified  = Tvp.classify(emb, d, wm.length, wmKey).persist()
-    val carriersAll = Tvp.carriersAiSwept(classified, bits, strength, ths, aiDf).persist()
+    // Eager localCheckpoints: both frames are referenced by all |ths| embed
+    // branches below — truncating them keeps the swept union's analyzed plan
+    // O(|ths|) instead of O(|ths| × carrier-selection lineage).
+    val classified  = Tvp.classify(emb, d, wm.length, wmKey).localCheckpoint()
+    val carriersAll = Tvp.carriersAiSwept(classified, bits, strength, ths, aiDf)
+      .localCheckpoint()
     // one tagged frame of all ten watermarked tables, one grouped kNN pass:
     // a single broadcast + map-only job replaces ten corpus collects and jobs
     val wmAll = ths.map { th =>
       Tvp.applyEmbed(emb, carriersAll.filter(col("th") === th).drop("th"), d, wmKey)
         .withColumn("th", lit(th))
-    }.reduce(_ unionByName _).persist()
+    }.reduce(_ unionByName _).localCheckpoint()
     val afterAll = Knn.exactGrouped(wmAll, wmAll, k, "th").persist()
     afterAll.count() // one materialization: hitsA and the traffic profile both scan it
 
@@ -140,9 +144,50 @@ object Experiments {
       .orderBy("th")
       .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
-    afterAll.unpersist(); wmAll.unpersist()
-    carriersAll.unpersist(); classified.unpersist()
+    afterAll.unpersist()
     rows.toDF("th", "n_carriers", "avg_miss", "avg_false", "traffic_before", "traffic_after")
+  }
+
+  /** All attack×p cells of one persisted watermarked table, extracted in ONE
+    * plan: each cell's attacked frame is tagged (attack, p) and unioned;
+    * classification is row-wise so it runs once over the union, the majority
+    * vote groups by (attack, p, group_id), and the per-cell BER is a single
+    * grouped aggregate against the L-bit message (empty groups extract 0,
+    * exactly as `Tvp.majorityVote`). One action replaces |attacks|·|ps|
+    * extract job chains — the per-cell branch plans still shuffle
+    * independently inside the job, so the cluster parallelizes the cells
+    * while the driver pays scheduling once. Equivalence with the per-cell
+    * path is property-tested (ExperimentsSpec).
+    */
+  def berGrid(wmDf: DataFrame, scheme: Scheme, rep: Int, attacks: Seq[String],
+              ps: Seq[Double], wm: String, d: Int, wmKey: WmKey,
+              scpwKey: ScpwKey, ai: Option[DataFrame]): Seq[(String, Double, Double)] = {
+    val spark = wmDf.sparkSession
+    import spark.implicits._
+    val seed = repSeed(wmKey, rep)
+    val l    = wm.length
+    val tagged = (for (attack <- attacks; p <- ps) yield
+      attackFor(wmDf, attack, p, seed, d, ai)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("attack", lit(attack))
+        .withColumn("p", lit(p))
+    ).reduce(_ unionByName _)
+    val classified = scheme match {
+      case SchemeScpw => Scpw.classify(tagged, l, scpwKey.copy(seed = seed))
+      case _          => Tvp.classify(tagged, d, l, wmKey.copy(seed = seed))
+    }
+    val votes = classified.groupBy("attack", "p", "group_id")
+      .agg(sum("hidden_bit").as("n_one"), count(lit(1)).as("n"))
+      .select(col("attack").as("va"), col("p").as("vp"), col("group_id"),
+        when(col("n_one") * 2 > col("n"), 1).otherwise(0).as("vote_bit"))
+    val cells = attacks.flatMap(a => ps.map(p => (a, p))).toDF("attack", "p")
+    cells.crossJoin(broadcast(Tvp.bitsDf(spark, wm)))
+      .join(votes, col("attack") === col("va") && col("p") === col("vp") &&
+        col("bit_pos") === col("group_id"), "left")
+      .withColumn("extracted_bit", coalesce(col("vote_bit"), lit(0)))
+      .groupBy("attack", "p")
+      .agg(avg((col("wm_bit") =!= col("extracted_bit")).cast("int")).as("ber"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
   }
 
   /** H1 — strength sweep (`strength_analysis`, roubust/roubust.py:226–263):
@@ -156,21 +201,19 @@ object Experiments {
     val spark = emb.sparkSession
     import spark.implicits._
     val needsAi = scheme == SchemeTvp || attack.startsWith("adaptive")
-    val ai = if (needsAi) Some(KnnGraph.accessibility(emb, KnnGraph.edges(emb, m)).cache())
-             else None
-    // one embed per (strength, rep), shared across the p cells — same
-    // sharing shape as robustnessGrid
+    // same plan-truncation discipline as robustnessGrid
+    val ai = if (needsAi)
+      Some(KnnGraph.accessibility(emb, KnnGraph.edges(emb, m)).localCheckpoint())
+    else None
+    // one embed per (strength, rep), its p cells extracted in one berGrid plan
     val rows = for {
       st  <- strengths
       rep <- 0 until reps
-      wmDf  = embedFor(emb, scheme, rep, wm, st, th, d, wmKey, scpwKey, ai).persist()
-      cells = ps.map { p =>
-        val attacked = attackFor(wmDf, attack, p, repSeed(wmKey, rep), d, ai)
-        val ber = Tvp.ber(Tvp.bitsDf(spark, wm),
-          extractFor(attacked, scheme, rep, wm.length, d, wmKey, scpwKey))
-        (scheme.toString, attack, st, p, rep, ber)
-      }
-      row <- { wmDf.unpersist(); cells }
+      wmDf  = embedFor(emb, scheme, rep, wm, st, th, d, wmKey, scpwKey, ai)
+        .localCheckpoint()
+      cells = berGrid(wmDf, scheme, rep, Seq(attack), ps, wm, d, wmKey, scpwKey, ai)
+        .map { case (a, p, ber) => (scheme.toString, a, st, p, rep, ber) }
+      row <- cells
     } yield row
     rows.toDF("scheme", "attack", "strength", "p", "rep", "ber")
   }
@@ -188,20 +231,23 @@ object Experiments {
     val spark = emb.sparkSession
     import spark.implicits._
     val needsAi = schemes.contains(SchemeTvp) || attacks.exists(_.startsWith("adaptive"))
+    // Eager localCheckpoints (not lazy persists): the watermarked table and
+    // the accessibility index each appear in EVERY attack×p branch of the
+    // berGrid union, so truncating them to materialized leaves keeps the
+    // union's analyzed plan O(cells), not O(cells × embed-lineage) — at a
+    // reference-scale 6×13 grid the analysis cost alone dominates otherwise.
     val ai = if (needsAi)
-      sharedAi.orElse(Some(KnnGraph.accessibility(emb, KnnGraph.edges(emb, m)).cache()))
+      Some(sharedAi.getOrElse(KnnGraph.accessibility(emb, KnnGraph.edges(emb, m)))
+        .localCheckpoint())
     else None
     val rows = for {
       scheme <- schemes
       rep    <- 0 until reps
-      wmDf    = embedFor(emb, scheme, rep, wm, strength, th, d, wmKey, scpwKey, ai).persist()
-      cells   = for (attack <- attacks; p <- ps) yield {
-        val attacked = attackFor(wmDf, attack, p, repSeed(wmKey, rep), d, ai)
-        val ber = Tvp.ber(Tvp.bitsDf(spark, wm),
-          extractFor(attacked, scheme, rep, wm.length, d, wmKey, scpwKey))
-        (scheme.toString, attack, p, rep, ber)
-      }
-      row <- { wmDf.unpersist(); cells }
+      wmDf    = embedFor(emb, scheme, rep, wm, strength, th, d, wmKey, scpwKey, ai)
+        .localCheckpoint()
+      cells   = berGrid(wmDf, scheme, rep, attacks, ps, wm, d, wmKey, scpwKey, ai)
+        .map { case (a, p, ber) => (scheme.toString, a, p, rep, ber) }
+      row <- cells
     } yield row
     rows.toDF("scheme", "attack", "p", "rep", "ber")
   }

@@ -149,24 +149,42 @@ object KnnGraph {
     * diameter. Returns (vec_id, comp).
     */
   def components(edgesDf: DataFrame, seeds: DataFrame, maxIter: Int = 50): DataFrame = {
-    var labels  = seeds.select(col("vec_id"), col("vec_id").as("comp")).distinct().cache()
-    var changed = true
-    var i       = 0
-    while (changed && i < maxIter) {
+    // Pregel-style loop: every round's frame is eagerly localCheckpoint'ed so
+    // lineage (and Catalyst analysis cost) stays O(1) across rounds instead of
+    // O(rounds); on a multi-executor cluster swap for reliable checkpoint().
+    // Fixpoint witness: the node set only grows and per-node labels only
+    // decrease, so an unchanged (count, sum(comp)) pair implies no change —
+    // one scalar aggregate per round instead of an anti-join pass.
+    var labels = seeds.select(col("vec_id"), col("vec_id").as("comp"))
+      .distinct().localCheckpoint()
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(col("comp").cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var cur  = sig(labels)
+    var done = false
+    var i    = 0
+    while (!done && i < maxIter) {
       val prop = labels.join(edgesDf, labels("vec_id") === edgesDf("src"))
         .select(col("dst").as("vec_id"), col("comp"))
       val next = labels.unionByName(prop)
-        .groupBy("vec_id").agg(min("comp").as("comp")).cache()
-      changed = next.join(labels, Seq("vec_id", "comp"), "left_anti").limit(1).count() > 0
+        .groupBy("vec_id").agg(min("comp").as("comp")).localCheckpoint()
+      val ns = sig(next)
+      done = ns._1 == cur._1 && ns._2.compareTo(cur._2) == 0
       labels = next
+      cur = ns
       i += 1
     }
     labels
   }
 
   def bfs(edgesDf: DataFrame, seeds: DataFrame, maxIter: Int = 50): DataFrame = {
-    val spark = edgesDf.sparkSession
-    var visited  = seeds.select(col("vec_id")).distinct().cache()
+    // Same lineage discipline as `components`: eager localCheckpoint per
+    // round keeps the frontier/visited plans O(1)-sized across iterations
+    // (reliable checkpoint() on a real cluster). The emptiness probe runs on
+    // the already-materialized frame, so it costs no recompute.
+    var visited  = seeds.select(col("vec_id")).distinct().localCheckpoint()
     var frontier = visited
     var i = 0
     var grew = true
@@ -174,10 +192,10 @@ object KnnGraph {
       val next = frontier.join(edgesDf, frontier("vec_id") === edgesDf("src"))
         .select(col("dst").as("vec_id")).distinct()
         .join(visited, Seq("vec_id"), "left_anti")
-        .cache()
-      grew = next.limit(1).count() > 0
+        .localCheckpoint()
+      grew = !next.isEmpty
       if (grew) {
-        visited = visited.union(next).cache()
+        visited = visited.union(next).localCheckpoint()
         frontier = next
       }
       i += 1

@@ -63,6 +63,28 @@ class ExperimentsSpec extends AnyFunSuite {
     }
   }
 
+  test("batched berGrid matches the per-cell extract path cell-for-cell") {
+    import graft.attacks.Attacks
+    val wm      = "10110"
+    val attacks = Seq("random_delete", "random_modify", "insert")
+    val ps      = Seq(0.0, 0.4)
+    for (scheme <- Seq(Experiments.SchemeRs, Experiments.SchemeScpw)) {
+      val wmDf = Experiments.embedFor(emb, scheme, rep = 1, wm, strength = 0.7,
+        th = 0.5, d = 64, wmKey = wmKey, scpwKey = scpwKey, ai = Some(aiDf)).cache()
+      val batched = Experiments.berGrid(wmDf, scheme, rep = 1, attacks, ps, wm,
+        d = 64, wmKey = wmKey, scpwKey = scpwKey, ai = Some(aiDf))
+        .map { case (a, p, ber) => (a, p) -> ber }.toMap
+      for (attack <- attacks; p <- ps) {
+        val attacked = Experiments.attackFor(wmDf, attack, p, s"${wmKey.seed}-r1", 64, Some(aiDf))
+        val single = Tvp.ber(Tvp.bitsDf(spark, wm),
+          Experiments.extractFor(attacked, scheme, rep = 1, wm.length, 64, wmKey, scpwKey))
+        assert(batched((attack, p)) == single,
+          s"$scheme/$attack/p=$p: batched ${batched((attack, p))} vs single $single")
+      }
+      wmDf.unpersist()
+    }
+  }
+
   test("P16 mean distortion: zero for identity, small positive after embed") {
     assert(Metrics.meanDistortion(emb, emb) == 0.0)
     val wmDf = Tvp.embedRs(emb, "10101", 0.6, 64, wmKey)

@@ -702,9 +702,10 @@ object SparkEntry {
     "h_robustness_grid" -> ((s, dir) => {
       Experiments.robustnessGrid(
         Tables.embeddings(s, dir),
-        schemes = Seq(Experiments.SchemeRs, Experiments.SchemeScpw),
-        attacks = Seq("random_delete", "random_modify", "adaptive_modify"),
-        ps = Seq(0.0, 0.3, 0.5, 0.7), reps = 1,
+        schemes = Seq(Experiments.SchemeRs, Experiments.SchemeTvp, Experiments.SchemeScpw),
+        attacks = Seq("random_delete", "adaptive_delete", "random_modify",
+          "adaptive_modify", "insert"),
+        ps = Seq(0.0, 0.1, 0.3, 0.5, 0.7, 0.8), reps = 1,
         wm = WM, strength = 0.7, th = 0.5, d = D, wmKey = key, scpwKey = scpwKey,
         sharedAi = Some(ai(s, dir)))
         .select(col("scheme"), col("attack"), col("p"), col("rep").cast("long"), col("ber"))

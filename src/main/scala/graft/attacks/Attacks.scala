@@ -68,6 +68,57 @@ object Attacks {
     twoPassTopK(withKey, bucket, Seq(col("__key"), col("vec_id")), k).drop("__key")
   }
 
+  /** Global 1-based rank of EVERY row in `order`, via the same bucket scheme
+    * as twoPassTopK: rank within bucket through a PARTITIONED window (each
+    * bucket ~n/65536 rows) plus the bucket's cumulative offset from one
+    * histogram pass, broadcast-joined back. One tiny shuffle and one driver
+    * histogram make every subsequent "first k"/"top k" a map-side filter —
+    * the shape attack GRIDS need, where one ordering serves many cutoffs.
+    */
+  private def globalRank(df: DataFrame, bucket: Column, order: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withB = df.withColumn("__b", bucket)
+    val hist = withB.groupBy("__b").agg(count(lit(1)).as("__c")).orderBy("__b").collect()
+    var acc = 0L
+    val offsets = hist.map { r =>
+      val o = acc; acc += r.getLong(1); (r.getInt(0), o)
+    }.toSeq.toDF("__b", "__off")
+    val w = Window.partitionBy("__b").orderBy(order: _*)
+    withB.join(broadcast(offsets), "__b")
+      .withColumn("__grank", row_number().over(w).cast("long") + col("__off"))
+      .drop("__b", "__off")
+  }
+
+  /** `df` + `__grank` in ascending (`keyCol`, vec_id) order. */
+  def keyedRanked(df: DataFrame, keyCol: Column): DataFrame = {
+    val withKey = df.withColumn("__key", keyCol)
+    val bucket  = conv(substring(col("__key"), 1, 4), 16, 10).cast("int")
+    globalRank(withKey, bucket, Seq(col("__key"), col("vec_id"))).drop("__key")
+  }
+
+  /** `df` + `__grank` in (score desc, vec_id) order — same bucketing and
+    * degenerate-range handling as scoreTopK.
+    */
+  def scoreRanked(df: DataFrame, scoreCol: String): DataFrame = {
+    val mm = df.agg(
+      min(col(scoreCol)).cast("double"), max(col(scoreCol)).cast("double"),
+      min(col("vec_id")).cast("double"), max(col("vec_id")).cast("double")).head()
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    if (mx == mn) {
+      val (imn, imx) = (mm.getDouble(2), mm.getDouble(3))
+      if (imx == imn) return df.withColumn("__grank", lit(1L))
+      val idBucket = least(greatest(
+        floor((col("vec_id").cast("double") - imn) / (imx - imn) * 65535).cast("int"),
+        lit(0)), lit(65535))
+      return globalRank(df, idBucket, Seq(col("vec_id")))
+    }
+    val bucket = least(greatest(
+      floor((lit(mx) - col(scoreCol).cast("double")) / (mx - mn) * 65535).cast("int"),
+      lit(0)), lit(65535))
+    globalRank(df, bucket, Seq(col(scoreCol).desc, col("vec_id")))
+  }
+
   /** K1 — random deletion (SCPW.py:269–290, roubust/roubust.py:76–97).
     * Quirk preserved: the reference samples the KEEP-set of size
     * n − ceil(n·p), so exactly ceil(n·p) rows disappear.
@@ -130,12 +181,15 @@ object Attacks {
     * the tabularMark variant re-roll; roubust random_modify does not).
     */
   private def modifyRows(df: DataFrame, selected: Column, d: Int, runLength: Int,
-                         rerollDim: Boolean, seed: String): DataFrame = {
+                         rerollDim: Boolean, seed: String,
+                         mmOpt: Option[(Double, Double)] = None): DataFrame = {
     val dim0 = graft.functions.Hashing.md5Mod(s"$seed|dim0", d.toLong).toInt
-    val mm = df.agg(
-      min(element_at(col("embedding"), dim0 + 1)).as("mn"),
-      max(element_at(col("embedding"), dim0 + 1)).as("mx")).head()
-    val (mn, mx) = (mm.getFloat(0).toDouble, mm.getFloat(1).toDouble)
+    val (mn, mx) = mmOpt.getOrElse {
+      val mm = df.agg(
+        min(element_at(col("embedding"), dim0 + 1)).as("mn"),
+        max(element_at(col("embedding"), dim0 + 1)).as("mx")).head()
+      (mm.getFloat(0).toDouble, mm.getFloat(1).toDouble)
+    }
     val newValue = (lit(mn) + (lit(mx) - lit(mn)) *
       GraftCols.keyedUnit(col("vec_id"), lit("modval"), lit(seed))).cast("float")
     val runStart =
@@ -212,5 +266,58 @@ object Attacks {
       .select((col("id") + lit(maxId + 1)).as("vec_id"))
       .withColumn("embedding", gen(col("vec_id")))
     df.select("vec_id", "embedding").unionByName(synthetic)
+  }
+
+  /** Every (attack, p) cell over ONE frame as a single tagged union whose
+    * per-cell work is a filter/flag over SHARED global rankings: one keyed
+    * ranking serves all deletion cutoffs, one serves all modify selections,
+    * one ai-score ranking serves both adaptive attacks — each computed once
+    * and eagerly checkpointed. The reference grids re-sort the corpus per
+    * cell (roubust/roubust.py:226–304); at 100 TB one ranking shuffle per
+    * ordering + map-side cutoff filters is the only shape that survives.
+    * Row selections are identical to the single-cell operators
+    * (property-tested in ExperimentsSpec). Output: (vec_id, embedding,
+    * attack, p).
+    */
+  def attackGrid(df: DataFrame, attacks: Seq[String], ps: Seq[Double], seed: String,
+                 d: Int, ai: Option[DataFrame]): DataFrame = {
+    val base = df.select(col("vec_id"), col("embedding"))
+    val n    = nRows(df)
+    lazy val rdel = keyedRanked(base,
+      GraftCols.keyedHash(col("vec_id"), lit("del"), lit(seed))).localCheckpoint()
+    lazy val rmod = keyedRanked(base.select(col("vec_id")),
+      GraftCols.keyedHash(col("vec_id"), lit("modrow"), lit(seed))).localCheckpoint()
+    lazy val rai = scoreRanked(
+      base.join(ai.get, "vec_id").select(col("vec_id"), col("ai")), "ai").localCheckpoint()
+    // both modify attacks share (seed, d) → one dim0 and one [min,max] scan
+    lazy val mmShared = {
+      val dim0 = graft.functions.Hashing.md5Mod(s"$seed|dim0", d.toLong).toInt
+      val r = base.agg(
+        min(element_at(col("embedding"), dim0 + 1)),
+        max(element_at(col("embedding"), dim0 + 1))).head()
+      (r.getFloat(0).toDouble, r.getFloat(1).toDouble)
+    }
+    def modifyVia(ranked: DataFrame, nMod: Long): DataFrame = {
+      val sel = ranked.filter(col("__grank") <= nMod)
+        .select(col("vec_id")).withColumn("__sel0", lit(true))
+      modifyRows(base.join(sel, Seq("vec_id"), "left"),
+        coalesce(col("__sel0"), lit(false)), d, runLength = 30, rerollDim = true,
+        seed, Some(mmShared)).drop("__sel0")
+    }
+    def cell(attack: String, p: Double): DataFrame = attack match {
+      case "none"          => base
+      case "random_delete" =>
+        rdel.filter(col("__grank") <= n - math.ceil(n * p).toLong).drop("__grank")
+      case "adaptive_delete" =>
+        val topSet = rai.filter(col("__grank") <= math.ceil(n * p).toLong).select("vec_id")
+        base.join(topSet, Seq("vec_id"), "left_anti")
+      case "random_modify"   => modifyVia(rmod, math.ceil(n * p).toLong)
+      case "adaptive_modify" => modifyVia(rai, math.ceil(n * p).toLong)
+      case "insert"          => insert(base, p, d, seed)
+    }
+    (for (a <- attacks; p <- ps) yield
+      cell(a, p).select(col("vec_id"), col("embedding"))
+        .withColumn("attack", lit(a)).withColumn("p", lit(p))
+    ).reduce(_ unionByName _)
   }
 }

@@ -166,12 +166,8 @@ object Experiments {
     import spark.implicits._
     val seed = repSeed(wmKey, rep)
     val l    = wm.length
-    val tagged = (for (attack <- attacks; p <- ps) yield
-      attackFor(wmDf, attack, p, seed, d, ai)
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("attack", lit(attack))
-        .withColumn("p", lit(p))
-    ).reduce(_ unionByName _)
+    // one ranking per ordering serves every cutoff — see Attacks.attackGrid
+    val tagged = Attacks.attackGrid(wmDf, attacks, ps, s"att-$seed", d, ai)
     val classified = scheme match {
       case SchemeScpw => Scpw.classify(tagged, l, scpwKey.copy(seed = seed))
       case _          => Tvp.classify(tagged, d, l, wmKey.copy(seed = seed))

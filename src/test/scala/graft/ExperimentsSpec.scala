@@ -66,8 +66,9 @@ class ExperimentsSpec extends AnyFunSuite {
   test("batched berGrid matches the per-cell extract path cell-for-cell") {
     import graft.attacks.Attacks
     val wm      = "10110"
-    val attacks = Seq("random_delete", "random_modify", "insert")
-    val ps      = Seq(0.0, 0.4)
+    val attacks = Seq("random_delete", "adaptive_delete", "random_modify",
+      "adaptive_modify", "insert")
+    val ps      = Seq(0.0, 0.4, 0.7)
     for (scheme <- Seq(Experiments.SchemeRs, Experiments.SchemeScpw)) {
       val wmDf = Experiments.embedFor(emb, scheme, rep = 1, wm, strength = 0.7,
         th = 0.5, d = 64, wmKey = wmKey, scpwKey = scpwKey, ai = Some(aiDf)).cache()

@@ -32,6 +32,9 @@ object SparkEntry {
   private val M         = 8 // HNSW parameter of the reference (watermarking.py:285)
   private val scpwKey   = ScpwKey(topK = 20, position = 30, stdE = 0.05, seed = "20")
   private val tmKey     = TmKey(nw = 100, p = 4.0, k = 40, position = 50)
+  // H1 strength_analysis sweep shape (roubust/roubust.py:226–263)
+  private val StrengthGridSts = Seq(0.55, 0.7, 0.9)
+  private val StrengthGridPs  = Seq(0.0, 0.1, 0.3, 0.5, 0.7, 0.8)
   private lazy val dims = key.dims(D)
   // fixed dim of K3 random modification (Attacks.modifyRows draws it once)
   private lazy val modDim0 = Hashing.md5Mod(s"$Seed|dim0", D.toLong).toInt
@@ -223,14 +226,71 @@ object SparkEntry {
     // curve is a single SQL replay — post-embed bits once, one keyed
     // ranking, four cutoffs.
     "h_rs_delete_grid" -> ((s, dir) => {
+      import s.implicits._
       val emb  = Tables.embeddings(s, dir)
       val wmDf = GraftCache.memo(s"$dir/wm-rs") { Tvp.embedRs(emb, WM, Strength, D, key) }
-      Seq(0.0, 0.3, 0.5, 0.7).map { p =>
-        Tvp.bitsDf(s, WM)
-          .join(Tvp.extract(Attacks.randomDelete(wmDf, p, Seed), WM.length, D, key), "bit_pos")
-          .select(lit(p).as("p"), col("bit_pos").cast("long"),
-            col("wm_bit").cast("long"), col("extracted_bit").cast("long"))
-      }.reduce(_ unionByName _).orderBy("p", "bit_pos")
+      // one shared keyed ranking serves all four cutoffs (the oracle's shape:
+      // one ranked CTE, four rn filters), one grouped vote for the whole grid
+      val ranked = GraftCache.memo(s"$dir/wm-rs-delranked") {
+        Attacks.keyedRanked(wmDf.select(col("vec_id"), col("embedding")),
+          GraftCols.keyedHash(col("vec_id"), lit("del"), lit(Seed))).localCheckpoint()
+      }
+      val n  = ranked.count()
+      val ps = Seq(0.0, 0.3, 0.5, 0.7)
+      val tagged = ps.map { p =>
+        ranked.filter(col("__grank") <= n - math.ceil(n * p).toLong)
+          .drop("__grank").withColumn("p", lit(p))
+      }.reduce(_ unionByName _)
+      val votes = Tvp.classify(tagged, D, WM.length, key)
+        .groupBy("p", "group_id")
+        .agg(sum("hidden_bit").as("n_one"), count(lit(1)).as("n"))
+        .select(col("p").as("vp"), col("group_id"),
+          when(col("n_one") * 2 > col("n"), 1).otherwise(0).as("vote_bit"))
+      ps.toDF("p").crossJoin(broadcast(Tvp.bitsDf(s, WM)))
+        .join(votes, col("p") === col("vp") && col("bit_pos") === col("group_id"), "left")
+        .select(col("p"), col("bit_pos").cast("long"), col("wm_bit").cast("long"),
+          coalesce(col("vote_bit"), lit(0)).cast("long").as("extracted_bit"))
+        .orderBy("p", "bit_pos")
+    }),
+
+    // H1 (the reference's published strength_analysis sweep,
+    // roubust/roubust.py:226–263): RS BER over strength × deletion-rate,
+    // oracle-exact. One embed per strength (checkpointed, with the shared
+    // keyed deletion rank joined on), every (strength, p) cell a map-side
+    // rank filter; one grouped vote for the whole grid. The oracle replays
+    // the codec with one shared classification prefix and a per-strength
+    // deficit/carrier tail (rsCarrierCtes).
+    "h_strength_grid" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val ranked = GraftCache.memo(s"$dir/strgrid-ranked") {
+        Attacks.keyedRanked(emb.select(col("vec_id")),
+          GraftCols.keyedHash(col("vec_id"), lit("del"), lit(Seed))).localCheckpoint()
+      }
+      val n = ranked.count()
+      val tagged = (for (st <- StrengthGridSts) yield {
+        val wmStR = GraftCache.memo(s"$dir/wm-rs-st$st") {
+          Tvp.embedRs(emb, WM, st, D, key).join(ranked, "vec_id").localCheckpoint()
+        }
+        (for (p <- StrengthGridPs) yield
+          wmStR.filter(col("__grank") <= n - math.ceil(n * p).toLong)
+            .drop("__grank").withColumn("strength", lit(st)).withColumn("p", lit(p))
+        ).reduce(_ unionByName _)
+      }).reduce(_ unionByName _)
+      val votes = Tvp.classify(tagged, D, WM.length, key)
+        .groupBy("strength", "p", "group_id")
+        .agg(sum("hidden_bit").as("n_one"), count(lit(1)).as("n"))
+        .select(col("strength").as("vs"), col("p").as("vp"), col("group_id"),
+          when(col("n_one") * 2 > col("n"), 1).otherwise(0).as("vote_bit"))
+      val cells = (for (st <- StrengthGridSts; p <- StrengthGridPs) yield (st, p))
+        .toDF("strength", "p")
+      cells.crossJoin(broadcast(Tvp.bitsDf(s, WM)))
+        .join(votes, col("strength") === col("vs") && col("p") === col("vp") &&
+          col("bit_pos") === col("group_id"), "left")
+        .select(col("strength"), col("p"), col("bit_pos").cast("long"),
+          col("wm_bit").cast("long"),
+          coalesce(col("vote_bit"), lit(0)).cast("long").as("extracted_bit"))
+        .orderBy("strength", "p", "bit_pos")
     }),
 
     // H3/SO1 — embedding impact on kNN results: per-carrier miss/false
@@ -802,7 +862,21 @@ object SparkEntry {
     * float32 value), wemb (the watermarked table). Mirrors classify →
     * groupNeeds → carriersRs → applyEmbed bit-for-bit.
     */
-  private def rsCodecCtes: String = {
+  private def rsCodecCtes: String =
+    s"""$rsCodecPrefix,
+       |${rsCarrierCtes(Strength, "")},
+       |wemb AS (SELECT e.vec_id,
+       |    CASE WHEN w.vec_id IS NULL THEN e.embedding
+       |      ELSE list_transform(range(1, ${D + 1}),
+       |             i -> CASE WHEN i = w.pos + 1 THEN w.newv ELSE e.embedding[i] END)
+       |    END AS embedding
+       |  FROM embeddings e LEFT JOIN wmvals w ON e.vec_id = w.vec_id)""".stripMargin
+
+  /** The strength-INdependent head of the codec replay: classification
+    * (keyed dim walk, bit position, old bit, group id) and per-group
+    * occupancy stats. Ends at `wgstat`; see rsCarrierCtes for the tail.
+    */
+  private def rsCodecPrefix: String = {
     val allDims  = dims.mkString(", ")
     val skipChain = (0 until 11).map { i =>
       s"wp${i + 1} AS (SELECT * REPLACE (CASE WHEN pos IN ($allDims) THEN (pos + 1) % $D ELSE pos END AS pos) FROM wp$i)"
@@ -828,31 +902,32 @@ object SparkEntry {
        |  FROM wgeo6),
        |wbits(bit_pos, wm_bit) AS (VALUES $bitsValuesSql),
        |wgstat AS (SELECT group_id, count(*) AS n_group, sum((oldbit + pos) % 2) AS n_one
-       |  FROM wcls GROUP BY 1),
-       |wneeds AS (SELECT g.group_id, b.wm_bit,
-       |    least(greatest(0, cast(ceil(g.n_group * $Strength) as bigint) -
+       |  FROM wcls GROUP BY 1)""".stripMargin
+  }
+
+  /** The strength-dependent tail of the codec replay — deficit, keyed carrier
+    * ranking, and the flipped float32 values — with `sfx`-suffixed CTE names
+    * so one shared `wcls`/`wgstat` prefix can serve a whole STRENGTH sweep
+    * (only these four CTEs vary with strength).
+    */
+  private def rsCarrierCtes(strength: Double, sfx: String): String =
+    s"""wneeds$sfx AS (SELECT g.group_id, b.wm_bit,
+       |    least(greatest(0, cast(ceil(g.n_group * $strength) as bigint) -
        |        (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END)),
        |      g.n_group - (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END)) AS need,
        |    g.n_group - (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END) AS n_cand
        |  FROM wgstat g JOIN wbits b ON g.group_id = b.bit_pos),
-       |wcand AS (SELECT c.*, n.wm_bit, n.need,
+       |wcand$sfx AS (SELECT c.*, n.wm_bit, n.need,
        |    row_number() OVER (PARTITION BY c.group_id
        |      ORDER BY md5(cast(c.vec_id as varchar) || '#rs#${key.seed}'), c.vec_id) AS rn
-       |  FROM wcls c JOIN wneeds n
+       |  FROM wcls c JOIN wneeds$sfx n
        |    ON c.group_id = n.group_id AND cast((c.oldbit + c.pos) % 2 as int) <> n.wm_bit),
-       |wcarriers AS (SELECT * FROM wcand WHERE rn <= need),
-       |wmvals AS (SELECT vec_id, pos, group_id, wm_bit,
+       |wcarriers$sfx AS (SELECT * FROM wcand$sfx WHERE rn <= need),
+       |wmvals$sfx AS (SELECT vec_id, pos, group_id, wm_bit,
        |    cast(v + ((wm_bit + pos) % 2 - oldbit) *
        |      (CASE WHEN bp < intlen THEN pow(2.0, intlen - 1 - bp)
        |            ELSE pow(2.0, -(bp - intlen)) END) as real) AS newv
-       |  FROM wcarriers),
-       |wemb AS (SELECT e.vec_id,
-       |    CASE WHEN w.vec_id IS NULL THEN e.embedding
-       |      ELSE list_transform(range(1, ${D + 1}),
-       |             i -> CASE WHEN i = w.pos + 1 THEN w.newv ELSE e.embedding[i] END)
-       |    END AS embedding
-       |  FROM embeddings e LEFT JOIN wmvals w ON e.vec_id = w.vec_id)""".stripMargin
-  }
+       |  FROM wcarriers$sfx)""".stripMargin
 
   /** The watermark message as a DuckDB VALUES list: (bit_pos, wm_bit). */
   private def bitsValuesSql: String =
@@ -1000,6 +1075,38 @@ object SparkEntry {
            |FROM pvals pv CROSS JOIN wbits b
            |LEFT JOIN votes v ON v.group_id = b.bit_pos AND v.p = pv.p
            |ORDER BY p, bit_pos""".stripMargin),
+
+    // H1 strength×deletion grid: ONE shared classification prefix, a
+    // per-strength deficit/carrier tail, one keyed ranking for all cutoffs.
+    "h_strength_grid" -> {
+      val sfxs = StrengthGridSts.zipWithIndex.map { case (st, i) => (st, s"_s$i") }
+      val tails = sfxs.map { case (st, x) => rsCarrierCtes(st, x) }.mkString(",\n")
+      val postbits = sfxs.map { case (st, x) =>
+        s"""SELECT $st AS strength, c.vec_id, c.group_id,
+           |    CASE WHEN w.vec_id IS NOT NULL THEN w.wm_bit
+           |         ELSE cast((c.oldbit + c.pos) % 2 as int) END AS hbit
+           |  FROM wcls c LEFT JOIN wmvals$x w ON c.vec_id = w.vec_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $rsCodecPrefix,\n$tails,\n" +
+        s"""postbits AS ($postbits),
+           |ranked AS (SELECT vec_id,
+           |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$Seed'), vec_id) AS rn,
+           |    count(*) OVER () AS n
+           |  FROM embeddings),
+           |pvals(p) AS (VALUES ${StrengthGridPs.map(p => s"($p)").mkString(", ")}),
+           |svals(strength) AS (VALUES ${StrengthGridSts.map(st => s"($st)").mkString(", ")}),
+           |votes AS (SELECT pb.strength, pv.p, pb.group_id, sum(pb.hbit) AS n_one, count(*) AS n
+           |  FROM pvals pv
+           |  JOIN ranked r ON r.rn <= r.n - ceil(r.n * pv.p)
+           |  JOIN postbits pb ON pb.vec_id = r.vec_id
+           |  GROUP BY 1, 2, 3)
+           |SELECT cast(sv.strength as double) AS strength, cast(pv.p as double) AS p,
+           |  cast(b.bit_pos as bigint) AS bit_pos, cast(b.wm_bit as bigint) AS wm_bit,
+           |  cast(CASE WHEN coalesce(v.n_one, 0) * 2 > coalesce(v.n, 0) THEN 1 ELSE 0 END as bigint) AS extracted_bit
+           |FROM svals sv CROSS JOIN pvals pv CROSS JOIN wbits b
+           |LEFT JOIN votes v ON v.group_id = b.bit_pos AND v.p = pv.p AND v.strength = sv.strength
+           |ORDER BY strength, p, bit_pos""".stripMargin
+    },
 
     // Full SQL replay of the impact metric: base kNN from the shared graph
     // CTEs, after-kNN over the codec-replayed watermarked table, per-carrier

@@ -32,9 +32,11 @@ object SparkEntry {
   private val M         = 8 // HNSW parameter of the reference (watermarking.py:285)
   private val scpwKey   = ScpwKey(topK = 20, position = 30, stdE = 0.05, seed = "20")
   private val tmKey     = TmKey(nw = 100, p = 4.0, k = 40, position = 50)
-  // H1 strength_analysis sweep shape (roubust/roubust.py:226–263)
-  private val StrengthGridSts = Seq(0.55, 0.7, 0.9)
-  private val StrengthGridPs  = Seq(0.0, 0.1, 0.3, 0.5, 0.7, 0.8)
+  // H1 strength_analysis sweep — the reference's FULL published grid shape
+  // (roubust/roubust.py:225–227: strl × pl = 6 × 13)
+  private val StrengthGridSts = Seq(0.55, 0.6, 0.7, 0.8, 0.9, 1.0)
+  private val StrengthGridPs  =
+    Seq(0.1, 0.2, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8)
   private lazy val dims = key.dims(D)
   // fixed dim of K3 random modification (Attacks.modifyRows draws it once)
   private lazy val modDim0 = Hashing.md5Mod(s"$Seed|dim0", D.toLong).toInt

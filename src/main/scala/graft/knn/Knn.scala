@@ -39,6 +39,17 @@ object Knn {
   private[knn] final case class FlatIndex(ids: Array[Long], flat: Array[Float],
                                           sqNorms: Array[Double])
 
+  private def sqNormsOf(flat: Array[Float], n: Int, d: Int): Array[Double] = {
+    val a = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      var s = 0.0; var t = 0
+      while (t < d) { val v = flat(j * d + t).toDouble; s += v * v; t += 1 }
+      a(j) = s; j += 1
+    }
+    a
+  }
+
   private def buildIndex(rows: Array[(Long, Array[Float])], needNorms: Boolean): FlatIndex = {
     val sorted = rows.sortBy(_._1)
     val n = sorted.length
@@ -48,17 +59,44 @@ object Knn {
     val flat = new Array[Float](n * d)
     var i = 0
     while (i < n) { System.arraycopy(sorted(i)._2, 0, flat, i * d, d); i += 1 }
-    val sqNorms = if (needNorms) {
-      val a = new Array[Double](n)
-      var j = 0
-      while (j < n) {
-        var s = 0.0; var t = 0
-        while (t < d) { val v = flat(j * d + t).toDouble; s += v * v; t += 1 }
-        a(j) = s; j += 1
-      }
-      a
-    } else null
-    FlatIndex(ids, flat, sqNorms)
+    FlatIndex(ids, flat, if (needNorms) sqNormsOf(flat, n, d) else null)
+  }
+
+  /** Index build that never holds the corpus as boxed driver rows: rows
+    * stream in (one partition at a time) into pre-sized primitive arrays,
+    * then are id-sorted via an index permutation. Peak driver memory is
+    * ~2× the flat index (vs collect()'s boxed row array — tuple + array
+    * headers per row — held ALONGSIDE the index). Costs one extra corpus
+    * scan for the pre-count; the corpus is broadcast-regime-sized by
+    * contract, so that scan is cheap.
+    */
+  private def buildIndexStreaming(it: Iterator[(Long, Array[Float])], n: Int,
+                                  needNorms: Boolean): FlatIndex = {
+    require(n > 0, "empty corpus")
+    val ids0 = new Array[Long](n)
+    var flat0: Array[Float] = null
+    var d = 0
+    var i = 0
+    while (it.hasNext) {
+      val (id, v) = it.next()
+      if (flat0 == null) { d = v.length; flat0 = new Array[Float](n * d) }
+      require(i < n, "corpus grew during index build")
+      ids0(i) = id
+      System.arraycopy(v, 0, flat0, i * d, d)
+      i += 1
+    }
+    require(i == n, s"corpus shrank during index build: expected $n rows, got $i")
+    val perm = Array.range(0, n).sortBy(ids0(_))
+    val ids  = new Array[Long](n)
+    val flat = new Array[Float](n * d)
+    var j = 0
+    while (j < n) {
+      val s = perm(j)
+      ids(j) = ids0(s)
+      System.arraycopy(flat0, s * d, flat, j * d, d)
+      j += 1
+    }
+    FlatIndex(ids, flat, if (needNorms) sqNormsOf(flat, n, d) else null)
   }
 
   /** One query against one FlatIndex: bounded worst-first heap, returns
@@ -169,8 +207,11 @@ object Knn {
     val maxim  = metric != "l2" // similarity metrics rank descending
     val fastL2 = metric == "l2" && kernel == "fast"
     val fold   = kernel == "fold"
-    val idx = buildIndex(
-      corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect(),
+    val corpusDs = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val nCorpus  = corpusDs.count()
+    require(nCorpus <= Int.MaxValue, s"broadcast-regime corpus too large: $nCorpus")
+    import scala.jdk.CollectionConverters._
+    val idx = buildIndexStreaming(corpusDs.toLocalIterator().asScala, nCorpus.toInt,
       needNorms = fastL2 || metric == "cosine")
     val bc    = spark.sparkContext.broadcast(idx)
     val parts = spark.sparkContext.defaultParallelism

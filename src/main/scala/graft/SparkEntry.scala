@@ -37,6 +37,8 @@ object SparkEntry {
   private val StrengthGridSts = Seq(0.55, 0.6, 0.7, 0.8, 0.9, 1.0)
   private val StrengthGridPs  =
     Seq(0.1, 0.2, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8)
+  // H1 th_analysis sweep — the published thl grid (roubust/roubust.py:265–267)
+  private val ThGridThs = Seq(0.2, 0.4, 0.6, 0.8, 1.0)
   private lazy val dims = key.dims(D)
   // fixed dim of K3 random modification (Attacks.modifyRows draws it once)
   private lazy val modDim0 = Hashing.md5Mod(s"$Seed|dim0", D.toLong).toInt
@@ -293,6 +295,49 @@ object SparkEntry {
           col("wm_bit").cast("long"),
           coalesce(col("vote_bit"), lit(0)).cast("long").as("extracted_bit"))
         .orderBy("strength", "p", "bit_pos")
+    }),
+
+    // H1 th_analysis (roubust/roubust.py:263–306): TVP BER over carrier
+    // threshold × deletion rate, oracle-exact. Carrier selection for EVERY
+    // th in one swept plan (carriersAiSwept), one embed branch per th joined
+    // with the shared deletion ranking, one grouped vote for the whole grid.
+    "h_th_grid" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val ranked = GraftCache.memo(s"$dir/strgrid-ranked") {
+        Attacks.keyedRanked(emb.select(col("vec_id")),
+          GraftCols.keyedHash(col("vec_id"), lit("del"), lit(Seed))).localCheckpoint()
+      }
+      val n  = ranked.count()
+      val cl = Tvp.classify(emb, D, WM.length, key)
+      val carriersAll = GraftCache.memo(s"$dir/tvp-carriers-swept") {
+        Tvp.carriersAiSwept(cl, Tvp.bitsDf(s, WM), Strength, ThGridThs, ai(s, dir))
+          .localCheckpoint()
+      }
+      val tagged = (for (th <- ThGridThs) yield {
+        val wmTh = GraftCache.memo(s"$dir/wm-tvp-th$th") {
+          Tvp.applyEmbed(emb, carriersAll.filter(col("th") === th).drop("th"), D, key)
+            .join(ranked, "vec_id").localCheckpoint()
+        }
+        (for (p <- StrengthGridPs) yield
+          wmTh.filter(col("__grank") <= n - math.ceil(n * p).toLong)
+            .drop("__grank").withColumn("th", lit(th)).withColumn("p", lit(p))
+        ).reduce(_ unionByName _)
+      }).reduce(_ unionByName _)
+      val votes = Tvp.classify(tagged, D, WM.length, key)
+        .groupBy("th", "p", "group_id")
+        .agg(sum("hidden_bit").as("n_one"), count(lit(1)).as("n"))
+        .select(col("th").as("vt"), col("p").as("vp"), col("group_id"),
+          when(col("n_one") * 2 > col("n"), 1).otherwise(0).as("vote_bit"))
+      val cells = (for (th <- ThGridThs; p <- StrengthGridPs) yield (th, p))
+        .toDF("th", "p")
+      cells.crossJoin(broadcast(Tvp.bitsDf(s, WM)))
+        .join(votes, col("th") === col("vt") && col("p") === col("vp") &&
+          col("bit_pos") === col("group_id"), "left")
+        .select(col("th"), col("p"), col("bit_pos").cast("long"),
+          col("wm_bit").cast("long"),
+          coalesce(col("vote_bit"), lit(0)).cast("long").as("extracted_bit"))
+        .orderBy("th", "p", "bit_pos")
     }),
 
     // H3/SO1 — embedding impact on kNN results: per-carrier miss/false
@@ -874,6 +919,38 @@ object SparkEntry {
        |    END AS embedding
        |  FROM embeddings e LEFT JOIN wmvals w ON e.vec_id = w.vec_id)""".stripMargin
 
+  /** TVP carrier candidates + their ai-descending rank — th-INdependent
+    * (mirrors Tvp.carriersAi's `cand`/`ranked`). Requires graphCtes' `ai`
+    * and the codec chain's `wcls`/`wneeds`.
+    */
+  private def tvpCandCtes: String =
+    s"""tcand AS (SELECT c.vec_id, c.group_id, c.pos, c.oldbit, c.v, c.bp, c.intlen, c.frac, c.ip,
+       |    n.wm_bit, n.need, n.n_cand, a.ai
+       |  FROM wcls c
+       |  JOIN wneeds n ON c.group_id = n.group_id
+       |    AND cast((c.oldbit + c.pos) % 2 as int) <> n.wm_bit
+       |  JOIN ai a ON a.vec_id = c.vec_id),
+       |tranked AS (SELECT *, row_number() OVER (PARTITION BY group_id ORDER BY ai DESC, vec_id) AS rn_ai
+       |  FROM tcand)""".stripMargin
+
+  /** The th-dependent tail of the TVP selection: rank-threshold row (absent →
+    * −inf, Tvp.carriersAi:92–96), qualification split, vec_id-order pick and
+    * ai-order backfill. `sfx`-suffixed so one shared `tranked` serves a whole
+    * THRESHOLD sweep.
+    */
+  private def tvpThCtes(th: Double, sfx: String): String =
+    s"""tthr$sfx AS (SELECT group_id AS tg, ai AS thr_ai FROM tranked
+       |  WHERE rn_ai = cast(trunc(n_cand * $th) as bigint)),
+       |twt$sfx AS (SELECT * FROM tranked LEFT JOIN tthr$sfx ON group_id = tg),
+       |tw2$sfx AS (SELECT *, (thr_ai IS NULL OR ai >= thr_ai) AS qual FROM twt$sfx),
+       |tnq$sfx AS (SELECT group_id AS ng, count(*) AS n_qual FROM tw2$sfx WHERE qual GROUP BY 1),
+       |tw3$sfx AS (SELECT *, coalesce(n_qual, 0) AS nq,
+       |    row_number() OVER (PARTITION BY group_id, qual ORDER BY vec_id) AS rn1,
+       |    row_number() OVER (PARTITION BY group_id, qual ORDER BY ai DESC, vec_id) AS rn2
+       |  FROM tw2$sfx LEFT JOIN tnq$sfx ON group_id = ng),
+       |tcarriers$sfx AS (SELECT * FROM tw3$sfx
+       |  WHERE (qual AND rn1 <= need) OR ((NOT qual) AND rn2 <= need - least(need, nq)))""".stripMargin
+
   /** The strength-INdependent head of the codec replay: classification
     * (keyed dim walk, bit position, old bit, group id) and per-group
     * occupancy stats. Ends at `wgstat`; see rsCarrierCtes for the tail.
@@ -1005,27 +1082,8 @@ object SparkEntry {
     // ai-ordered backfill — over the graph CTEs' bit-exact ai; embedded
     // values from the codec formulas.
     "wm_tvp_carriers" ->
-      (graphCtes + ",\n" + rsCodecCtes + ",\n" +
-        s"""tcand AS (SELECT c.vec_id, c.group_id, c.pos, c.oldbit, c.v, c.bp, c.intlen, c.frac, c.ip,
-           |    n.wm_bit, n.need, n.n_cand, a.ai
-           |  FROM wcls c
-           |  JOIN wneeds n ON c.group_id = n.group_id
-           |    AND cast((c.oldbit + c.pos) % 2 as int) <> n.wm_bit
-           |  JOIN ai a ON a.vec_id = c.vec_id),
-           |tranked AS (SELECT *, row_number() OVER (PARTITION BY group_id ORDER BY ai DESC, vec_id) AS rn_ai
-           |  FROM tcand),
-           |tthr AS (SELECT group_id AS tg, ai AS thr_ai FROM tranked
-           |  WHERE rn_ai = cast(trunc(n_cand * 0.5) as bigint)),
-           |twt AS (SELECT * FROM tranked LEFT JOIN tthr ON group_id = tg),
-           |tw2 AS (SELECT *, (thr_ai IS NULL OR ai >= thr_ai) AS qual FROM twt),
-           |tnq AS (SELECT group_id AS ng, count(*) AS n_qual FROM tw2 WHERE qual GROUP BY 1),
-           |tw3 AS (SELECT *, coalesce(n_qual, 0) AS nq,
-           |    row_number() OVER (PARTITION BY group_id, qual ORDER BY vec_id) AS rn1,
-           |    row_number() OVER (PARTITION BY group_id, qual ORDER BY ai DESC, vec_id) AS rn2
-           |  FROM tw2 LEFT JOIN tnq ON group_id = ng),
-           |tcarriers AS (SELECT * FROM tw3
-           |  WHERE (qual AND rn1 <= need) OR ((NOT qual) AND rn2 <= need - least(need, nq)))
-           |SELECT vec_id, cast(group_id as bigint) AS group_id,
+      (graphCtes + ",\n" + rsCodecCtes + ",\n" + tvpCandCtes + ",\n" + tvpThCtes(0.5, "") + "\n" +
+        s"""SELECT vec_id, cast(group_id as bigint) AS group_id,
            |  cast(wm_bit as bigint) AS wm_bit,
            |  cast(pos as bigint) AS carrier_dim,
            |  cast(cast(v + ((wm_bit + pos) % 2 - oldbit) *
@@ -1108,6 +1166,39 @@ object SparkEntry {
            |FROM svals sv CROSS JOIN pvals pv CROSS JOIN wbits b
            |LEFT JOIN votes v ON v.group_id = b.bit_pos AND v.p = pv.p AND v.strength = sv.strength
            |ORDER BY strength, p, bit_pos""".stripMargin
+    },
+
+    // H1 th×deletion grid: shared graph ai + codec prefix + one shared
+    // candidate ranking; per-th threshold/backfill tail; one keyed ranking
+    // for all cutoffs.
+    "h_th_grid" -> {
+      val sfxs = ThGridThs.zipWithIndex.map { case (th, i) => (th, s"_t$i") }
+      val tails = sfxs.map { case (th, x) => tvpThCtes(th, x) }.mkString(",\n")
+      val postbits = sfxs.map { case (th, x) =>
+        s"""SELECT $th AS th, c.vec_id, c.group_id,
+           |    CASE WHEN t.vec_id IS NOT NULL THEN t.wm_bit
+           |         ELSE cast((c.oldbit + c.pos) % 2 as int) END AS hbit
+           |  FROM wcls c LEFT JOIN tcarriers$x t ON c.vec_id = t.vec_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      graphCtes + ",\n" + rsCodecCtes + ",\n" + tvpCandCtes + ",\n" + tails + ",\n" +
+        s"""postbits AS ($postbits),
+           |ranked AS (SELECT vec_id,
+           |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$Seed'), vec_id) AS rn,
+           |    count(*) OVER () AS n
+           |  FROM embeddings),
+           |pvals(p) AS (VALUES ${StrengthGridPs.map(p => s"($p)").mkString(", ")}),
+           |tvals(th) AS (VALUES ${ThGridThs.map(th => s"($th)").mkString(", ")}),
+           |votes AS (SELECT pb.th, pv.p, pb.group_id, sum(pb.hbit) AS n_one, count(*) AS n
+           |  FROM pvals pv
+           |  JOIN ranked r ON r.rn <= r.n - ceil(r.n * pv.p)
+           |  JOIN postbits pb ON pb.vec_id = r.vec_id
+           |  GROUP BY 1, 2, 3)
+           |SELECT cast(tv.th as double) AS th, cast(pv.p as double) AS p,
+           |  cast(b.bit_pos as bigint) AS bit_pos, cast(b.wm_bit as bigint) AS wm_bit,
+           |  cast(CASE WHEN coalesce(v.n_one, 0) * 2 > coalesce(v.n, 0) THEN 1 ELSE 0 END as bigint) AS extracted_bit
+           |FROM tvals tv CROSS JOIN pvals pv CROSS JOIN wbits b
+           |LEFT JOIN votes v ON v.group_id = b.bit_pos AND v.p = pv.p AND v.th = tv.th
+           |ORDER BY th, p, bit_pos""".stripMargin
     },
 
     // Full SQL replay of the impact metric: base kNN from the shared graph

@@ -105,6 +105,7 @@ object SparkEntry {
     * identically everywhere. See EventOps.micros.
     */
   private def micros(c: org.apache.spark.sql.Column) = EventOps.micros(c)
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   /** 1e9-scale variant for sub-micro statistics (per-dim column stats). */
   private def nanos(c: org.apache.spark.sql.Column) =
     floor(c.cast("double") * lit(1.0e9) + lit(0.5))
@@ -464,6 +465,26 @@ object SparkEntry {
       EventOps.tumbling(Tables.events(s, dir), widthSec = 600)
         .select("bucket", "event_type", "n", "sum_value_micros", "bucket_start")
         .orderBy("bucket", "event_type")
+    }),
+
+    // Structured Streaming path under the SAME oracle as the batch operator:
+    // file-source replay of the events fixture → watermarked tumbling windows
+    // (complete mode, so a finite replay emits every window) → memory sink.
+    // Stream–batch parity becomes a driver-gated bit-exact check, not just a
+    // ScalaTest assertion.
+    "q_stream_tumbling" -> ((s, dir) => {
+      val agg = graft.streaming.StreamOps.eventsStream(s, dir)
+        .withWatermark("event_time", "30 minutes")
+        .groupBy(window(col("event_time"), "600 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(micros(col("value"))).as("sum_value_micros"))
+        .select((unix_timestamp(col("window.start")) / 600).cast("long").as("bucket"),
+          col("event_type"), col("n"), col("sum_value_micros"),
+          ((unix_timestamp(col("window.start")) / 600).cast("long") * 600).as("bucket_start"))
+      val sink = s"stream_tumbling_${streamSinkSeq.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      s.table(sink).orderBy("bucket", "event_type")
     }),
 
     "q_events_sessions" -> ((s, dir) => {
@@ -1392,6 +1413,14 @@ object SparkEntry {
         |SELECT doc_id, cast(simhash as bigint) AS simhash FROM fp ORDER BY doc_id""".stripMargin,
 
     "q_events_tumbling" ->
+      s"""SELECT cast(floor(epoch(ts) / 600) as bigint) AS bucket, event_type,
+         |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros,
+         |  cast(floor(epoch(ts) / 600) as bigint) * 600 AS bucket_start
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical oracle for the STREAMING path — stream/batch parity is part
+    // of the driver-gated contract
+    "q_stream_tumbling" ->
       s"""SELECT cast(floor(epoch(ts) / 600) as bigint) AS bucket, event_type,
          |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros,
          |  cast(floor(epoch(ts) / 600) as bigint) * 600 AS bucket_start

@@ -494,6 +494,22 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // The stateful streaming sessionizer (flatMapGroupsWithState) under a
+    // bit-exact oracle: a finite replay emits every CLOSED session (each
+    // user's last session stays open in state), which is SQL-predictable —
+    // the batch session grid minus each user's final session.
+    "q_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.streaming.StreamOps.eventsStream(s, dir)
+        .select(col("user_id"), EventOps.epochSecNs(col("ts_ns")).as("es"), col("value"))
+        .as[graft.streaming.StreamOps.Ev]
+      val sink = s"stream_sessions_${streamSinkSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamOps.sessionizeStream(ev, gapSec = 1800)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      s.table(sink).orderBy("user_id", "start_es")
+    }),
+
     "q3_shipping" -> ((s, dir) => {
       val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       // native NTZ comparisons (not epoch casts) so the predicate reaches the
@@ -1438,6 +1454,23 @@ object SparkEntry {
         |  max(es) AS end_es, __SUMV__ AS sum_value_micros,
         |  max(es) - min(es) AS duration_sec
         |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        .replace("__SUMV__", sumMicrosSql("value")),
+
+    // closed sessions only = the batch grid minus each user's last session
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, value, ts,
+        |             cast(floor(epoch(ts)) as bigint) AS es FROM events),
+        |s AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+        |                     THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (SELECT *, cast(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) as bigint) AS session_seq FROM s),
+        |g AS (SELECT user_id, session_seq, count(*) AS n_events, min(es) AS start_es,
+        |        max(es) AS end_es, __SUMV__ AS sum_value_micros
+        |      FROM s2 GROUP BY 1, 2)
+        |SELECT user_id, start_es, end_es, n_events, sum_value_micros
+        |FROM g WHERE session_seq < (SELECT max(session_seq) FROM g g2 WHERE g2.user_id = g.user_id)
+        |ORDER BY user_id, start_es""".stripMargin
         .replace("__SUMV__", sumMicrosSql("value")),
 
     "q3_shipping" ->

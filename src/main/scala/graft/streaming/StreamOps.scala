@@ -42,14 +42,17 @@ object StreamOps {
         col("event_type"), col("n"), col("sum_value"))
 
   final case class Ev(user_id: Long, es: Long, value: Double)
-  final case class SessState(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessState(start: Long, last: Long, n: Long, sumMicros: Long)
   final case class SessionOut(user_id: Long, start_es: Long, end_es: Long,
-                              n_events: Long, sum_value: Double)
+                              n_events: Long, sum_value_micros: Long)
 
   /** Custom stateful operator: gap-based sessionization via
     * flatMapGroupsWithState. A session closes when a later event arrives more
     * than `gapSec` after the last one (the still-open session stays in state;
     * event-time-timeout emission would close it on watermark advance).
+    * Values accumulate as exact integer micros — associative, and identical
+    * to the batch operator / DuckDB oracle bit-for-bit (a double running sum
+    * would be arrival-order-sensitive).
     */
   def sessionizeStream(events: Dataset[Ev], gapSec: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -61,12 +64,13 @@ object StreamOps {
           val out    = scala.collection.mutable.ArrayBuffer[SessionOut]()
           var st     = state.getOption.orNull
           sorted.foreach { e =>
-            if (st == null) st = SessState(e.es, e.es, 0, 0.0)
+            val m = math.floor(e.value * 1000000.0 + 0.5).toLong
+            if (st == null) st = SessState(e.es, e.es, 0, 0L)
             if (e.es - st.last > gapSec) {
-              out += SessionOut(user, st.start, st.last, st.n, st.sum)
-              st = SessState(e.es, e.es, 1, e.value)
+              out += SessionOut(user, st.start, st.last, st.n, st.sumMicros)
+              st = SessState(e.es, e.es, 1, m)
             } else {
-              st = SessState(st.start, e.es, st.n + 1, st.sum + e.value)
+              st = SessState(st.start, e.es, st.n + 1, st.sumMicros + m)
             }
           }
           if (st != null) state.update(st)

@@ -39,6 +39,8 @@ object SparkEntry {
     Seq(0.1, 0.2, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8)
   // H1 th_analysis sweep — the published thl grid (roubust/roubust.py:265–267)
   private val ThGridThs = Seq(0.2, 0.4, 0.6, 0.8, 1.0)
+  // TabularMark deletion curve — the published p grid (BASELINE.md)
+  private val TmGridPs = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
   private lazy val dims = key.dims(D)
   // fixed dim of K3 random modification (Attacks.modifyRows draws it once)
   private lazy val modDim0 = Hashing.md5Mod(s"$Seed|dim0", D.toLong).toInt
@@ -419,6 +421,40 @@ object SparkEntry {
       val wmDf = TabularMark.embed(emb, tmKey)
       TabularMark.detect(emb, wmDf, tmKey)
         .select(col("nw"), col("n_matched"), col("ng"), round(col("z"), 9).as("z"), col("detected"))
+    }),
+
+    // The FOURTH scheme's published robustness curve (BASELINE.md row:
+    // TabularMark match-loss under deletion p = 0.1…0.8; attack kernel
+    // tabularMark.py:192–219): per-row match + green category once
+    // (deletion-invariant), every rate a cutoff filter on the shared keyed
+    // ranking, one grouped aggregate. Oracle-exact.
+    "h_tm_delete_grid" -> ((s, dir) => {
+      import s.implicits._
+      val emb  = Tables.embeddings(s, dir)
+      val wmDf = TabularMark.embed(emb, tmKey)
+      val ranked = GraftCache.memo(s"$dir/strgrid-ranked") {
+        Attacks.keyedRanked(emb.select(col("vec_id")),
+          GraftCols.keyedHash(col("vec_id"), lit("del"), lit(Seed))).localCheckpoint()
+      }
+      val n  = ranked.count()
+      val nw = tmKey.nw.toDouble
+      val mc = TabularMark.matchedCats(emb, wmDf, tmKey)
+        .join(ranked.withColumnRenamed("vec_id", "wm_id"), "wm_id")
+        .localCheckpoint()
+      val pdf = TmGridPs.toDF("p")
+      val agg = mc.crossJoin(pdf)
+        .filter(col("__grank") <= lit(n) - ceil(lit(n) * col("p")))
+        .groupBy("p")
+        .agg(count(lit(1)).as("n_matched"),
+          sum(when(col("cat") === 0, 1).otherwise(0)).as("ng"))
+      pdf.join(agg, Seq("p"), "left")
+        .select(col("p"),
+          lit(tmKey.nw).cast("long").as("nw"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          coalesce(col("ng"), lit(0L)).as("ng"),
+          round(lit(2.0) * (coalesce(col("ng"), lit(0L)) - lit(0.5 * nw)) / lit(math.sqrt(nw)), 9).as("z"),
+          ((lit(nw) - coalesce(col("n_matched"), lit(0L))) / lit(nw)).as("match_loss"))
+        .orderBy("p")
     }),
 
     // ---- training-data-pipeline operators (north-star extensions) ----
@@ -1140,7 +1176,7 @@ object SparkEntry {
            |    SELECT vec_id,
            |      row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$Seed'), vec_id) AS rn,
            |      count(*) OVER () AS n
-           |    FROM embeddings) WHERE rn <= n - ceil(n * $DeleteP)),
+           |    FROM embeddings) WHERE rn <= n - ceil(n * cast($DeleteP as double))),
            |votes AS (SELECT p.group_id, sum(p.hbit) AS n_one, count(*) AS n
            |  FROM postbits p JOIN kept k ON p.vec_id = k.vec_id GROUP BY 1)
            |SELECT cast(b.bit_pos as bigint) AS bit_pos, cast(b.wm_bit as bigint) AS wm_bit,
@@ -1163,7 +1199,7 @@ object SparkEntry {
            |pvals(p) AS (VALUES (0.0), (0.3), (0.5), (0.7)),
            |votes AS (SELECT pv.p, pb.group_id, sum(pb.hbit) AS n_one, count(*) AS n
            |  FROM pvals pv
-           |  JOIN ranked r ON r.rn <= r.n - ceil(r.n * pv.p)
+           |  JOIN ranked r ON r.rn <= r.n - ceil(r.n * cast(pv.p as double))
            |  JOIN postbits pb ON pb.vec_id = r.vec_id
            |  GROUP BY 1, 2)
            |SELECT cast(pv.p as double) AS p, cast(b.bit_pos as bigint) AS bit_pos,
@@ -1194,7 +1230,7 @@ object SparkEntry {
            |svals(strength) AS (VALUES ${StrengthGridSts.map(st => s"($st)").mkString(", ")}),
            |votes AS (SELECT pb.strength, pv.p, pb.group_id, sum(pb.hbit) AS n_one, count(*) AS n
            |  FROM pvals pv
-           |  JOIN ranked r ON r.rn <= r.n - ceil(r.n * pv.p)
+           |  JOIN ranked r ON r.rn <= r.n - ceil(r.n * cast(pv.p as double))
            |  JOIN postbits pb ON pb.vec_id = r.vec_id
            |  GROUP BY 1, 2, 3)
            |SELECT cast(sv.strength as double) AS strength, cast(pv.p as double) AS p,
@@ -1227,7 +1263,7 @@ object SparkEntry {
            |tvals(th) AS (VALUES ${ThGridThs.map(th => s"($th)").mkString(", ")}),
            |votes AS (SELECT pb.th, pv.p, pb.group_id, sum(pb.hbit) AS n_one, count(*) AS n
            |  FROM pvals pv
-           |  JOIN ranked r ON r.rn <= r.n - ceil(r.n * pv.p)
+           |  JOIN ranked r ON r.rn <= r.n - ceil(r.n * cast(pv.p as double))
            |  JOIN postbits pb ON pb.vec_id = r.vec_id
            |  GROUP BY 1, 2, 3)
            |SELECT cast(tv.th as double) AS th, cast(pv.p as double) AS p,
@@ -1237,6 +1273,30 @@ object SparkEntry {
            |LEFT JOIN votes v ON v.group_id = b.bit_pos AND v.p = pv.p AND v.th = tv.th
            |ORDER BY th, p, bit_pos""".stripMargin
     },
+
+    // TabularMark deletion curve: matched set from the tm_detect premise
+    // (matched carriers are green by construction), survivors per cutoff.
+    "h_tm_delete_grid" ->
+      s"""WITH ids AS (SELECT vec_id, ${cidSql(0 until tmKey.k, tmKey.scale)} AS id FROM embeddings),
+         |pks AS (SELECT id, min(vec_id) AS orig_id FROM ids WHERE vec_id < ${tmKey.nw} GROUP BY id),
+         |m AS (SELECT ids.vec_id AS wm_id FROM ids JOIN pks ON ids.id = pks.id),
+         |ranked AS (SELECT vec_id,
+         |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$Seed'), vec_id) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM embeddings),
+         |pvals(p) AS (VALUES ${TmGridPs.map(p => s"($p)").mkString(", ")}),
+         |c AS (SELECT pv.p, count(*) AS n_matched,
+         |        coalesce(sum(CASE WHEN m.wm_id < ${tmKey.nw} THEN 1 ELSE 0 END), 0) AS ng
+         |      FROM pvals pv
+         |      JOIN ranked r ON r.rn <= r.n - ceil(r.n * cast(pv.p as double))
+         |      JOIN m ON m.wm_id = r.vec_id
+         |      GROUP BY 1)
+         |SELECT cast(pv.p as double) AS p, cast(${tmKey.nw} as bigint) AS nw,
+         |  coalesce(c.n_matched, 0) AS n_matched, cast(coalesce(c.ng, 0) as bigint) AS ng,
+         |  round(2.0 * (coalesce(c.ng, 0) - 0.5 * ${tmKey.nw}) / sqrt(cast(${tmKey.nw} as double)), 9) AS z,
+         |  (cast(${tmKey.nw} as double) - coalesce(c.n_matched, 0)) / cast(${tmKey.nw} as double) AS match_loss
+         |FROM pvals pv LEFT JOIN c ON c.p = pv.p
+         |ORDER BY p""".stripMargin,
 
     // Full SQL replay of the impact metric: base kNN from the shared graph
     // CTEs, after-kNN over the codec-replayed watermarked table, per-carrier
@@ -1344,7 +1404,7 @@ object SparkEntry {
          |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$Seed'), vec_id) AS rn,
          |    count(*) OVER () AS n
          |  FROM embeddings)
-         |SELECT vec_id FROM ranked WHERE rn <= n - ceil(n * $DeleteP) ORDER BY vec_id""".stripMargin,
+         |SELECT vec_id FROM ranked WHERE rn <= n - ceil(n * cast($DeleteP as double)) ORDER BY vec_id""".stripMargin,
 
     "knn_topk_sample" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
@@ -1576,7 +1636,7 @@ object SparkEntry {
         s"""SELECT vec_id FROM (
            |  SELECT vec_id, row_number() OVER (ORDER BY ai DESC, vec_id) AS rn,
            |    count(*) OVER () AS n FROM ai)
-           |WHERE rn > ceil(n * $DeleteP) ORDER BY vec_id""".stripMargin),
+           |WHERE rn > ceil(n * cast($DeleteP as double)) ORDER BY vec_id""".stripMargin),
 
     // SO4 — in this engine the query profile counts rank≤10 hits of the
     // deterministic kNN pass, which is invariant in the graph parameter M
@@ -1643,7 +1703,7 @@ object SparkEntry {
            |    SELECT vec_id, embedding,
            |      row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$Seed'), vec_id) AS rn,
            |      count(*) OVER () AS n
-           |    FROM embeddings) WHERE rn <= n - ceil(n * $DeleteP)),
+           |    FROM embeddings) WHERE rn <= n - ceil(n * cast($DeleteP as double))),
            |aknn AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
            |    sqrt(list_reduce(list_transform(range(1, ${D + 1}),
            |      i -> (cast(a.embedding[i] as double) - cast(b.embedding[i] as double))

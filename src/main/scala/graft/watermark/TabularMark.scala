@@ -111,7 +111,11 @@ object TabularMark {
     * ng = matched tuples whose perturbation lies green; z-test vs alpha.
     * Returns one row (nw, n_matched, ng, z, detected).
     */
-  def detect(orig: DataFrame, wm: DataFrame, key: TmKey): DataFrame = {
+  /** Per-matched-row green/red category — the detection ingredients BEFORE
+    * aggregation. Returns (wm_id, orig_id, cat); row-wise and attack-set
+    * independent, so deletion grids compute it once and filter.
+    */
+  def matchedCats(orig: DataFrame, wm: DataFrame, key: TmKey): DataFrame = {
     val p = key.p
     val greenUdf = udf((diff: Double, id: String) => {
       val (cat1, cat2) = divideInterval(p, id)
@@ -121,9 +125,14 @@ object TabularMark {
       element_at(col("embedding"), key.position + 1).as("orig_val"))
     val wv = wm.select(col("vec_id").as("wm_id"),
       element_at(col("embedding"), key.position + 1).as("wm_val"))
-    val matched = matchTuples(orig, wm, key)
+    matchTuples(orig, wm, key)
       .join(ov, "orig_id").join(wv, "wm_id")
       .withColumn("cat", greenUdf((col("wm_val") - col("orig_val")).cast("double"), col("id")))
+      .select("wm_id", "orig_id", "cat")
+  }
+
+  def detect(orig: DataFrame, wm: DataFrame, key: TmKey): DataFrame = {
+    val matched = matchedCats(orig, wm, key)
     matched.agg(
         lit(key.nw).cast("long").as("nw"),
         count(lit(1)).as("n_matched"),

@@ -243,15 +243,15 @@ object Attacks {
     * limits in whole-stage codegen (silent interpret fallback); the UDF
     * computes identical values (same md5→uniform→Box–Muller arithmetic).
     */
-  def insert(df: DataFrame, p: Double, d: Int, seed: String): DataFrame = {
-    val spark = df.sparkSession
-    val n     = nRows(df)
-    val nIns  = math.ceil(n * p).toLong
-    // p-independent ingredients — memoized per frame like nRows, so the
-    // insert column scan runs once per attacked table, not once per p cell
-    val (maxId, stats) = insertStats.computeIfAbsent(df, d => {
-      val mx = d.agg(max(col("vec_id"))).head().getLong(0)
-      val st = d.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+  /** p-independent insert ingredients: max id and the per-dim μ/σ generator
+    * UDF — memoized per frame like nRows, so the insert column scan runs
+    * once per attacked table, not once per p cell.
+    */
+  private def insertGen(df: DataFrame, d: Int, seed: String):
+      (Long, org.apache.spark.sql.expressions.UserDefinedFunction) = {
+    val (maxId, stats) = insertStats.computeIfAbsent(df, dd => {
+      val mx = dd.agg(max(col("vec_id"))).head().getLong(0)
+      val st = dd.select(posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("pos").agg(avg("v").as("mu"), stddev_pop("v").as("sigma"))
         .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
       (mx, st)
@@ -262,6 +262,14 @@ object Attacks {
       Array.tabulate(d) { j =>
         (mus(j) + sigmas(j) * graft.functions.Hashing.gauss(s"$id#ins$j#$seed")).toFloat
       })
+    (maxId, gen)
+  }
+
+  def insert(df: DataFrame, p: Double, d: Int, seed: String): DataFrame = {
+    val spark = df.sparkSession
+    val n     = nRows(df)
+    val nIns  = math.ceil(n * p).toLong
+    val (maxId, gen) = insertGen(df, d, seed)
     val synthetic = spark.range(nIns)
       .select((col("id") + lit(maxId + 1)).as("vec_id"))
       .withColumn("embedding", gen(col("vec_id")))
@@ -281,14 +289,24 @@ object Attacks {
     */
   def attackGrid(df: DataFrame, attacks: Seq[String], ps: Seq[Double], seed: String,
                  d: Int, ai: Option[DataFrame]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val base = df.select(col("vec_id"), col("embedding"))
     val n    = nRows(df)
+    val pdf  = ps.toDF("p")
+    // cutoffs as Column arithmetic: ceil(double·double), bit-identical to the
+    // single-cell operators' math.ceil(n * p)
+    def nCut  = ceil(lit(n.toDouble) * col("p")).cast("long")
     lazy val rdel = keyedRanked(base,
       GraftCols.keyedHash(col("vec_id"), lit("del"), lit(seed))).localCheckpoint()
-    lazy val rmod = keyedRanked(base.select(col("vec_id")),
-      GraftCols.keyedHash(col("vec_id"), lit("modrow"), lit(seed))).localCheckpoint()
-    lazy val rai = scoreRanked(
-      base.join(ai.get, "vec_id").select(col("vec_id"), col("ai")), "ai").localCheckpoint()
+    lazy val rmod = base.join(
+      keyedRanked(base.select(col("vec_id")),
+        GraftCols.keyedHash(col("vec_id"), lit("modrow"), lit(seed))),
+      "vec_id").localCheckpoint()
+    lazy val rai = base.join(
+      scoreRanked(base.join(ai.get, "vec_id").select(col("vec_id"), col("ai")), "ai")
+        .select(col("vec_id"), col("__grank")),
+      Seq("vec_id"), "left").localCheckpoint()
     // both modify attacks share (seed, d) → one dim0 and one [min,max] scan
     lazy val mmShared = {
       val dim0 = graft.functions.Hashing.md5Mod(s"$seed|dim0", d.toLong).toInt
@@ -297,27 +315,38 @@ object Attacks {
         max(element_at(col("embedding"), dim0 + 1))).head()
       (r.getFloat(0).toDouble, r.getFloat(1).toDouble)
     }
-    def modifyVia(ranked: DataFrame, nMod: Long): DataFrame = {
-      val sel = ranked.filter(col("__grank") <= nMod)
-        .select(col("vec_id")).withColumn("__sel0", lit(true))
-      modifyRows(base.join(sel, Seq("vec_id"), "left"),
-        coalesce(col("__sel0"), lit(false)), d, runLength = 30, rerollDim = true,
-        seed, Some(mmShared)).drop("__sel0")
-    }
-    def cell(attack: String, p: Double): DataFrame = attack match {
-      case "none"          => base
+    def modifyVia(ranked: DataFrame): DataFrame =
+      modifyRows(
+        ranked.crossJoin(pdf)
+          .withColumn("__sel0", coalesce(col("__grank") <= nCut, lit(false))),
+        col("__sel0"), d, runLength = 30, rerollDim = true, seed, Some(mmShared))
+        .drop("__sel0", "__grank")
+    // One frame per attack FAMILY: the p dimension rides a broadcast
+    // crossJoin against the shared ranking, so a 13-rate row costs one scan
+    // of the table, not thirteen plan branches.
+    def family(attack: String): DataFrame = attack match {
+      case "none"          => base.crossJoin(pdf)
       case "random_delete" =>
-        rdel.filter(col("__grank") <= n - math.ceil(n * p).toLong).drop("__grank")
+        rdel.crossJoin(pdf).filter(col("__grank") <= lit(n) - nCut).drop("__grank")
       case "adaptive_delete" =>
-        val topSet = rai.filter(col("__grank") <= math.ceil(n * p).toLong).select("vec_id")
-        base.join(topSet, Seq("vec_id"), "left_anti")
-      case "random_modify"   => modifyVia(rmod, math.ceil(n * p).toLong)
-      case "adaptive_modify" => modifyVia(rai, math.ceil(n * p).toLong)
-      case "insert"          => insert(base, p, d, seed)
+        // rows absent from `ai` have a null rank and are never dropped —
+        // same as the single-cell operator's anti-join against the top set
+        rai.crossJoin(pdf)
+          .filter(col("__grank").isNull || col("__grank") > nCut).drop("__grank")
+      case "random_modify"   => modifyVia(rmod)
+      case "adaptive_modify" => modifyVia(rai)
+      case "insert"          =>
+        val (maxId, gen) = insertGen(base, d, seed)
+        val maxIns = math.ceil(n * ps.max).toLong
+        val synth = spark.range(maxIns)
+          .select((col("id") + lit(maxId + 1)).as("vec_id"))
+          .withColumn("embedding", gen(col("vec_id")))
+          .crossJoin(pdf)
+          .filter(col("vec_id") - lit(maxId + 1) < nCut)
+        base.crossJoin(pdf).unionByName(synth)
     }
-    (for (a <- attacks; p <- ps) yield
-      cell(a, p).select(col("vec_id"), col("embedding"))
-        .withColumn("attack", lit(a)).withColumn("p", lit(p))
-    ).reduce(_ unionByName _)
+    attacks.map { a =>
+      family(a).select(col("vec_id"), col("embedding"), col("p")).withColumn("attack", lit(a))
+    }.reduce(_ unionByName _)
   }
 }

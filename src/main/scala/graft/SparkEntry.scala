@@ -589,30 +589,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ANN — IVF (coarse k-means + probed inverted lists), the scale path.
-    // Index built once per scale dir (it is a write-once batch artifact).
+    // ANN — IVF (coarse quantizer + probed inverted lists), the scale path.
+    // Deterministic variant: centroids are a keyed-md5 corpus sample, so the
+    // whole index+search replays in closed-form SQL (the spark.ml Lloyd's
+    // variant stays as Ann.ivfIndex/ivfSearch, invariant-tested). Index
+    // built once per scale dir (it is a write-once batch artifact).
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (centroids, assigned) = GraftCache.memoAny(s"$dir/ivf") {
-        val (c, a) = Ann.ivfIndex(emb, nlist = 16)
-        (c, a.persist())
+      val (centroids, assigned) = GraftCache.memoAny(s"$dir/ivfdet") {
+        val c = Ann.ivfDetCentroids(emb, nlist = 16)
+        (c, Ann.ivfDetAssign(emb, c).persist())
       }
-      Ann.ivfSearch(emb.filter(col("vec_id") < 100), assigned, centroids, k = 10, nprobe = 4)
+      Ann.ivfDetSearch(emb.filter(col("vec_id") < 100), assigned, centroids, k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
 
-    // ANN — approximate LSH join path (seeded spark.ml random projections).
-    // The fitted model + pre-hashed corpus are a write-once index memoized
-    // per scale dir, like the IVF assignment.
+    // ANN — approximate LSH join path. Deterministic variant: keyed md5
+    // Box–Muller hyperplanes (float32-quantized, the attack_insert
+    // technique) instead of spark.ml's seeded RNG — same bucket-join plan,
+    // every draw SQL-replayable. Pre-hashed corpus memoized per scale dir.
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val idx = GraftCache.memoAny(s"$dir/lsh") {
-        val (m, hashed) = Knn.lshFit(emb, bucketLength = 1.0, numHashTables = 5)
-        (m, hashed.persist())
+      val hashed = GraftCache.memoAny(s"$dir/lshdet") {
+        Knn.lshDetHash(emb, Knn.lshDetProjections(5, D, "lsh"), 1.0).persist()
       }
-      Knn.lsh(emb.filter(col("vec_id") < 100), emb, 5,
-          bucketLength = 1.0, numHashTables = 5, prebuilt = Some(idx))
+      Knn.lshDet(emb.filter(col("vec_id") < 100), emb, 5, D,
+          bucketLength = 1.0, numHashTables = 5, seed = "lsh", prehashed = Some(hashed))
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -910,6 +913,14 @@ object SparkEntry {
     s"cast(floor(($expr) * 1000000.0 + 0.5) as bigint)"
   private def sumNanosSql(expr: String): String =
     s"cast(sum(cast(floor(($expr) * 1000000000.0 + 0.5) as bigint)) as bigint)"
+
+  /** Sequential squared-L2 fold (matches VectorOps.l2Col² / Ann.sqDistFold:
+    * 0.0-seeded left-to-right accumulation, so argmin orderings replay).
+    */
+  private def l2sqSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}), " +
+      s"i -> (cast($a[i] as double) - cast($b[i] as double)) * (cast($a[i] as double) - cast($b[i] as double)))), " +
+      s"(acc, x) -> acc + x)"
 
   /** DuckDB Horner fold = full-128-bit int(md5hex,16) % m (Hashing.md5Mod). */
   private def md5ModSql(expr: String, m: Int): String =
@@ -1688,6 +1699,75 @@ object SparkEntry {
                   |  cast(row_number() OVER w as bigint) AS rank
                   |FROM pairs WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
                   |QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // Deterministic IVF replayed end-to-end: centroid sample (ORDER BY md5
+    // LIMIT nlist), fold-L2 argmin assignment and probe (ties to the lower
+    // cluster id), fold-cosine re-rank — each step the exact arithmetic the
+    // Spark UDF/Column path runs.
+    "ann_ivf_topk" ->
+      s"""WITH cent AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY md5('ivf|' || cast(vec_id as varchar)), vec_id) - 1 AS cluster,
+         |    embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY md5('ivf|' || cast(vec_id as varchar)), vec_id LIMIT 16)),
+         |nrm AS MATERIALIZED (SELECT vec_id, embedding,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+         |      i -> cast(embedding[i] as double) * cast(embedding[i] as double))), (acc, x) -> acc + x) AS sq
+         |  FROM embeddings),
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, embedding, sq, cluster FROM (
+         |    SELECT e.vec_id, e.embedding, e.sq, c.cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2sqSql("e.embedding", "c.embedding")}, c.cluster) AS rn
+         |    FROM nrm e, cent c) WHERE rn = 1),
+         |probe AS (
+         |  SELECT query_id, qe, qsq, cluster FROM (
+         |    SELECT e.vec_id AS query_id, e.embedding AS qe, e.sq AS qsq, c.cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2sqSql("e.embedding", "c.embedding")}, c.cluster) AS rn
+         |    FROM nrm e, cent c WHERE e.vec_id < 100) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    CASE WHEN sqrt(p.qsq) * sqrt(a.sq) = 0 THEN 0.0 ELSE
+         |      list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+         |        i -> cast(p.qe[i] as double) * cast(a.embedding[i] as double))), (acc, x) -> acc + x)
+         |      / (sqrt(p.qsq) * sqrt(a.sq)) END AS score
+         |  FROM probe p JOIN asg a ON p.cluster = a.cluster)
+         |SELECT query_id, neighbor_id, cast(rank as bigint) AS rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM cand) WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Deterministic LSH replayed end-to-end: the same float32-quantized md5
+    // Box–Muller hyperplanes, floor(dot/width) buckets, bucket equi-join,
+    // DISTINCT pair dedup, fold-L2 re-rank.
+    "ann_lsh_topk" ->
+      s"""WITH proj AS MATERIALIZED (
+         |  SELECT t, list(cast(cast(g as real) as double) ORDER BY j) AS r
+         |  FROM (SELECT ts.range AS t, js.range AS j,
+         |          ${gaussSql("'lsh|' || cast(ts.range as varchar) || '|' || cast(js.range as varchar)")} AS g
+         |        FROM range(0, 5) ts, range(0, ${D}) js)
+         |  GROUP BY t),
+         |hashed AS MATERIALIZED (
+         |  SELECT e.vec_id, p.t,
+         |    cast(floor(list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+         |      i -> cast(e.embedding[i] as double) * p.r[i])), (acc, x) -> acc + x) / 1.0) as bigint) AS bucket
+         |  FROM embeddings e, proj p),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM hashed q JOIN hashed c ON q.t = c.t AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 100),
+         |scored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    sqrt(${l2sqSql("qq.embedding", "cc.embedding")}) AS dist
+         |  FROM cand JOIN embeddings qq ON qq.vec_id = cand.query_id
+         |            JOIN embeddings cc ON cc.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, cast(rank as bigint) AS rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "ann_cosine_pairs" -> cosineSql(
       queryFilter = "true", k = 6,

@@ -81,6 +81,82 @@ object Ann {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  // ---- Deterministic IVF (oracle-replayable, zero spark.ml dependency) ----
+
+  /** Sequential left-to-right squared-L2 fold — bit-identical to the Column
+    * `aggregate(zip_with(...))` form and the DuckDB list_reduce lambda, so
+    * assignment/probe argmins replay exactly in the oracle.
+    */
+  private def sqDistFold(a: Seq[Float], c: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - c(i).toDouble
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  /** Coarse centroids as a keyed-md5 sample of the corpus itself: cluster c
+    * is the c-th corpus row in md5("seed|"+vec_id) order. Sampled data points
+    * are a standard coarse-quantizer choice (IVF recall comes from nprobe,
+    * not centroid optimality — see ivfIndex's note on Lloyd refinement), and
+    * the keyed order makes the whole index closed-form SQL: centroid choice
+    * is ORDER BY md5 LIMIT nlist, assignment and probe are fold-L2 argmins.
+    * One tiny driver collect (nlist rows); the index stays write-once.
+    */
+  def ivfDetCentroids(corpus: DataFrame, nlist: Int, seed: String = "ivf"): Array[Array[Float]] =
+    corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(concat(lit(s"$seed|"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(nlist)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  /** Assign each corpus row to its nearest sampled centroid (ties to the
+    * lower cluster id). Map-only over a broadcast of nlist vectors.
+    */
+  def ivfDetAssign(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf((e: Seq[Float]) => {
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val d2 = sqDistFold(e, cs(c))
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      best
+    })
+    corpus.withColumn("cluster", assignUdf(col("embedding")))
+  }
+
+  /** Probe the nprobe nearest lists per query (fold-L2 to the sampled
+    * centroids, ties to the lower id), exact fold-cosine re-rank within
+    * them. Same probed-inverted-list plan shape as ivfSearch.
+    */
+  def ivfDetSearch(queries: DataFrame, assignedCorpus: DataFrame,
+                   centroids: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
+    val probeUdf = udf((q: Seq[Float]) => {
+      val cs = bc.value
+      cs.indices.map(c => (sqDistFold(q, cs(c)), c))
+        .sorted.take(nprobe).map(_._2).toArray
+    })
+    val probed = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("cluster", explode(probeUdf(col("qe"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    probed.join(
+        assignedCorpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ce"), col("cluster")),
+        Seq("cluster"))
+      .withColumn("score", graft.functions.VectorOps.cosineCol(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Recall@k of an approximate result against the exact baseline. */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): Double = {
     val hits = approx.filter(col("rank") <= k)

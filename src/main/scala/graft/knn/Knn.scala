@@ -316,4 +316,60 @@ object Knn {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  // ---- Deterministic LSH (oracle-replayable, zero spark.ml dependency) ----
+
+  /** Keyed random-projection table: r(t)(j) ~ N(0,1) from md5 Box–Muller on
+    * "seed|t|j", float32-quantized so the JVM and libm transcendental paths
+    * collapse to the same value (the attack_insert technique), then widened
+    * back to double for the dot products.
+    */
+  def lshDetProjections(numHashTables: Int, d: Int, seed: String): Array[Array[Double]] =
+    Array.tabulate(numHashTables, d)((t, j) =>
+      graft.functions.Hashing.gauss(s"$seed|$t|$j").toFloat.toDouble)
+
+  /** (vec_id, t, bucket) per hash table: bucket = floor(dot(e, r_t)/width),
+    * the dot a sequential left-to-right double fold (bit-identical to the
+    * DuckDB list_reduce replay). Map-only; one row per (vector, table).
+    */
+  def lshDetHash(df: DataFrame, proj: Array[Array[Double]], bucketLength: Double): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(proj)
+    val bucketsUdf = udf((e: Seq[Float]) => {
+      val rs = bc.value
+      Array.tabulate(rs.length) { t =>
+        val r = rs(t)
+        var s = 0.0
+        var i = 0
+        while (i < r.length) { s += e(i).toDouble * r(i); i += 1 }
+        math.floor(s / bucketLength).toLong
+      }
+    })
+    df.select(col("vec_id"), posexplode(bucketsUdf(col("embedding"))).as(Seq("t", "bucket")))
+  }
+
+  /** Random-hyperplane bucket join with keyed (SQL-replayable) projections:
+    * hash both sides, equi-join on (table, bucket), dedup candidate pairs,
+    * exact fold-L2 re-rank. Same candidate-generation plan shape as `lsh`
+    * (spark.ml), but every draw is a keyed md5 so the oracle replays it.
+    */
+  def lshDet(queries: DataFrame, corpus: DataFrame, k: Int, d: Int,
+             bucketLength: Double = 1.0, numHashTables: Int = 5,
+             seed: String = "lsh",
+             prehashed: Option[DataFrame] = None): DataFrame = {
+    val proj = lshDetProjections(numHashTables, d, seed)
+    val ch = prehashed.getOrElse(lshDetHash(corpus, proj, bucketLength))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val qh = lshDetHash(queries, proj, bucketLength)
+      .withColumnRenamed("vec_id", "query_id")
+    val cand = qh.join(ch, Seq("t", "bucket"))
+      .select("query_id", "neighbor_id").distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    cand
+      .join(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id")
+      .withColumn("dist", VectorOps.l2Col(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist", "rank")
+  }
 }

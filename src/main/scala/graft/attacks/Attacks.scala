@@ -287,8 +287,31 @@ object Attacks {
     * (property-tested in ExperimentsSpec). Output: (vec_id, embedding,
     * attack, p).
     */
+  /** Scheme-independent grid rankings. The delete/modify keyed ranks and the
+    * ai-score rank order rows purely by (vec_id, seed) and the accessibility
+    * score — the embedding VALUES never enter the ordering — so ONE set
+    * serves every watermarked variant of the same corpus (robustnessGrid
+    * runs 3+ schemes against identical id sets; recomputing the rankings
+    * per scheme tripled the window+checkpoint jobs for identical output).
+    * Each frame is a narrow (vec_id, __grank) checkpoint.
+    */
+  case class GridRanks(del: DataFrame, mod: DataFrame, aiRank: Option[DataFrame])
+
+  def gridRanks(ids: DataFrame, seed: String, ai: Option[DataFrame]): GridRanks = {
+    val idOnly = ids.select(col("vec_id"))
+    val del = keyedRanked(idOnly, GraftCols.keyedHash(col("vec_id"), lit("del"), lit(seed)))
+      .select(col("vec_id"), col("__grank")).localCheckpoint()
+    val mod = keyedRanked(idOnly, GraftCols.keyedHash(col("vec_id"), lit("modrow"), lit(seed)))
+      .select(col("vec_id"), col("__grank")).localCheckpoint()
+    val aiR = ai.map(a =>
+      scoreRanked(idOnly.join(a, "vec_id").select(col("vec_id"), col("ai")), "ai")
+        .select(col("vec_id"), col("__grank")).localCheckpoint())
+    GridRanks(del, mod, aiR)
+  }
+
   def attackGrid(df: DataFrame, attacks: Seq[String], ps: Seq[Double], seed: String,
-                 d: Int, ai: Option[DataFrame]): DataFrame = {
+                 d: Int, ai: Option[DataFrame],
+                 shared: Option[GridRanks] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col("vec_id"), col("embedding"))
@@ -297,16 +320,22 @@ object Attacks {
     // cutoffs as Column arithmetic: ceil(double·double), bit-identical to the
     // single-cell operators' math.ceil(n * p)
     def nCut  = ceil(lit(n.toDouble) * col("p")).cast("long")
-    lazy val rdel = keyedRanked(base,
-      GraftCols.keyedHash(col("vec_id"), lit("del"), lit(seed))).localCheckpoint()
-    lazy val rmod = base.join(
-      keyedRanked(base.select(col("vec_id")),
-        GraftCols.keyedHash(col("vec_id"), lit("modrow"), lit(seed))),
-      "vec_id").localCheckpoint()
-    lazy val rai = base.join(
-      scoreRanked(base.join(ai.get, "vec_id").select(col("vec_id"), col("ai")), "ai")
-        .select(col("vec_id"), col("__grank")),
-      Seq("vec_id"), "left").localCheckpoint()
+    // with shared ranks the per-scheme frames are plain joins against the
+    // narrow checkpointed id ranks — no per-scheme window or checkpoint
+    lazy val rdel = shared.map(s => base.join(s.del, "vec_id")).getOrElse(
+      keyedRanked(base,
+        GraftCols.keyedHash(col("vec_id"), lit("del"), lit(seed))).localCheckpoint())
+    lazy val rmod = shared.map(s => base.join(s.mod, "vec_id")).getOrElse(
+      base.join(
+        keyedRanked(base.select(col("vec_id")),
+          GraftCols.keyedHash(col("vec_id"), lit("modrow"), lit(seed))),
+        "vec_id").localCheckpoint())
+    lazy val rai = shared.flatMap(_.aiRank)
+      .map(r => base.join(r, Seq("vec_id"), "left")).getOrElse(
+      base.join(
+        scoreRanked(base.join(ai.get, "vec_id").select(col("vec_id"), col("ai")), "ai")
+          .select(col("vec_id"), col("__grank")),
+        Seq("vec_id"), "left").localCheckpoint())
     // both modify attacks share (seed, d) → one dim0 and one [min,max] scan
     lazy val mmShared = {
       val dim0 = graft.functions.Hashing.md5Mod(s"$seed|dim0", d.toLong).toInt

@@ -112,7 +112,9 @@ object Experiments {
       Tvp.applyEmbed(emb, carriersAll.filter(col("th") === th).drop("th"), d, wmKey)
         .withColumn("th", lit(th))
     }.reduce(_ unionByName _).localCheckpoint()
-    val afterAll = Knn.exactGrouped(wmAll, wmAll, k, "th").persist()
+    // fold kernel: the rank-k cutoffs are bit-identical to the oracle's
+    // lambda-fold kNN over the SQL-replayed watermarked tables
+    val afterAll = Knn.exactGrouped(wmAll, wmAll, k, "th", kernel = "fold").persist()
     afterAll.count() // one materialization: hitsA and the traffic profile both scan it
 
     val cTag  = carriersAll.select(col("th"), col("vec_id"))
@@ -159,15 +161,16 @@ object Experiments {
     * while the driver pays scheduling once. Equivalence with the per-cell
     * path is property-tested (ExperimentsSpec).
     */
-  def berGrid(wmDf: DataFrame, scheme: Scheme, rep: Int, attacks: Seq[String],
-              ps: Seq[Double], wm: String, d: Int, wmKey: WmKey,
-              scpwKey: ScpwKey, ai: Option[DataFrame]): Seq[(String, Double, Double)] = {
+  def berGridPlan(wmDf: DataFrame, scheme: Scheme, rep: Int, attacks: Seq[String],
+                  ps: Seq[Double], wm: String, d: Int, wmKey: WmKey,
+                  scpwKey: ScpwKey, ai: Option[DataFrame],
+                  sharedRanks: Option[Attacks.GridRanks] = None): DataFrame = {
     val spark = wmDf.sparkSession
     import spark.implicits._
     val seed = repSeed(wmKey, rep)
     val l    = wm.length
     // one ranking per ordering serves every cutoff — see Attacks.attackGrid
-    val tagged = Attacks.attackGrid(wmDf, attacks, ps, s"att-$seed", d, ai)
+    val tagged = Attacks.attackGrid(wmDf, attacks, ps, s"att-$seed", d, ai, sharedRanks)
     val classified = scheme match {
       case SchemeScpw => Scpw.classify(tagged, l, scpwKey.copy(seed = seed))
       case _          => Tvp.classify(tagged, d, l, wmKey.copy(seed = seed))
@@ -183,8 +186,13 @@ object Experiments {
       .withColumn("extracted_bit", coalesce(col("vote_bit"), lit(0)))
       .groupBy("attack", "p")
       .agg(avg((col("wm_bit") =!= col("extracted_bit")).cast("int")).as("ber"))
-      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
   }
+
+  def berGrid(wmDf: DataFrame, scheme: Scheme, rep: Int, attacks: Seq[String],
+              ps: Seq[Double], wm: String, d: Int, wmKey: WmKey,
+              scpwKey: ScpwKey, ai: Option[DataFrame]): Seq[(String, Double, Double)] =
+    berGridPlan(wmDf, scheme, rep, attacks, ps, wm, d, wmKey, scpwKey, ai)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
 
   /** H1 — strength sweep (`strength_analysis`, roubust/roubust.py:226–263):
     * BER per embedding strength for a fixed attack grid.
@@ -201,17 +209,24 @@ object Experiments {
     val ai = if (needsAi)
       Some(KnnGraph.accessibility(emb, KnnGraph.edges(emb, m)).localCheckpoint())
     else None
-    // one embed per (strength, rep), its p cells extracted in one berGrid plan
-    val rows = for {
+    // one embed per (strength, rep); rankings depend only on rep, so one
+    // GridRanks serves the whole strength axis, and every (strength, rep)
+    // BER aggregate unions into ONE lazy plan (single extraction action)
+    val ranksByRep = (0 until reps).map(rep =>
+      rep -> Attacks.gridRanks(emb.select("vec_id"),
+        s"att-${repSeed(wmKey, rep)}", ai)).toMap
+    val plans = for {
       st  <- strengths
       rep <- 0 until reps
       wmDf  = embedFor(emb, scheme, rep, wm, st, th, d, wmKey, scpwKey, ai)
         .localCheckpoint()
-      cells = berGrid(wmDf, scheme, rep, Seq(attack), ps, wm, d, wmKey, scpwKey, ai)
-        .map { case (a, p, ber) => (scheme.toString, a, st, p, rep, ber) }
-      row <- cells
-    } yield row
-    rows.toDF("scheme", "attack", "strength", "p", "rep", "ber")
+    } yield berGridPlan(wmDf, scheme, rep, Seq(attack), ps, wm, d, wmKey, scpwKey, ai,
+        Some(ranksByRep(rep)))
+      .withColumn("scheme", lit(scheme.toString))
+      .withColumn("strength", lit(st))
+      .withColumn("rep", lit(rep))
+    plans.reduce(_ unionByName _)
+      .select("scheme", "attack", "strength", "p", "rep", "ber")
   }
 
   /** Robustness grid → (scheme, attack, p, rep, ber) result frame.
@@ -236,15 +251,22 @@ object Experiments {
       Some(sharedAi.getOrElse(KnnGraph.accessibility(emb, KnnGraph.edges(emb, m)))
         .localCheckpoint())
     else None
-    val rows = for {
+    // one GridRanks per rep serves every scheme (the orderings are
+    // embedding-value-independent), and the per-scheme BER aggregates are
+    // unioned into ONE lazy plan — a single action extracts the whole grid
+    // instead of |schemes·reps| collect jobs.
+    val ranksByRep = (0 until reps).map(rep =>
+      rep -> Attacks.gridRanks(emb.select("vec_id"),
+        s"att-${repSeed(wmKey, rep)}", ai)).toMap
+    val plans = for {
       scheme <- schemes
       rep    <- 0 until reps
       wmDf    = embedFor(emb, scheme, rep, wm, strength, th, d, wmKey, scpwKey, ai)
         .localCheckpoint()
-      cells   = berGrid(wmDf, scheme, rep, attacks, ps, wm, d, wmKey, scpwKey, ai)
-        .map { case (a, p, ber) => (scheme.toString, a, p, rep, ber) }
-      row <- cells
-    } yield row
-    rows.toDF("scheme", "attack", "p", "rep", "ber")
+    } yield berGridPlan(wmDf, scheme, rep, attacks, ps, wm, d, wmKey, scpwKey, ai,
+        Some(ranksByRep(rep)))
+      .withColumn("scheme", lit(scheme.toString))
+      .withColumn("rep", lit(rep))
+    plans.reduce(_ unionByName _).select("scheme", "attack", "p", "rep", "ber")
   }
 }

@@ -34,7 +34,7 @@ object GridProfileProbe {
     val ai = time("accessibility build") {
       KnnGraph.accessibility(emb, KnnGraph.edges(emb, 8)).localCheckpoint()
     }
-    for (scheme <- Seq(Experiments.SchemeScpw, Experiments.SchemeTvp, Experiments.SchemeRs)) {
+    for (scheme <- Seq(Experiments.SchemeRs, Experiments.SchemeTvp, Experiments.SchemeScpw)) {
       val wmDf = time(s"embed $scheme") {
         Experiments.embedFor(emb, scheme, 0, wm, 0.7, 0.5, 64, wmKey, scpwKey, Some(ai))
           .localCheckpoint()

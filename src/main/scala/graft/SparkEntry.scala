@@ -945,7 +945,7 @@ object SparkEntry {
        |    SELECT query_id AS src, neighbor_id AS dst, dist,
        |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS r2
        |    FROM raw17 WHERE neighbor_id <> query_id) WHERE r2 <= ${2 * M}),
-       |qc AS (SELECT e.vec_id, coalesce(c.cnt, 0) AS query_count FROM embeddings e
+       |qc AS MATERIALIZED (SELECT e.vec_id, coalesce(c.cnt, 0) AS query_count FROM embeddings e
        |  LEFT JOIN (SELECT neighbor_id, count(*) AS cnt FROM raw17
        |             WHERE rank <= 10 AND neighbor_id <> query_id GROUP BY 1) c
        |  ON e.vec_id = c.neighbor_id),
@@ -963,7 +963,7 @@ object SparkEntry {
        |    list_reduce(list_prepend(0.0, list(avg_edge_len ORDER BY vec_id)), (a, b) -> a + b) / count(*) AS mu_d,
        |    list_reduce(list_prepend(0.0, list(avg_edge_len * avg_edge_len ORDER BY vec_id)), (a, b) -> a + b) / count(*) AS msq_d
        |  FROM mets),
-       |ai AS (SELECT m.vec_id,
+       |ai AS MATERIALIZED (SELECT m.vec_id,
        |    0.5 * ((m.avg_edge_len - g.mu_d) / sqrt(greatest(g.msq_d - g.mu_d * g.mu_d, 0.0))) -
        |    0.5 * ((m.bidir_edges - g.mu_e) / sqrt(greatest(g.msq_e - g.mu_e * g.mu_e, 0.0))) AS ai
        |  FROM mets m, gstats g)
@@ -1014,7 +1014,7 @@ object SparkEntry {
        |  JOIN wneeds n ON c.group_id = n.group_id
        |    AND cast((c.oldbit + c.pos) % 2 as int) <> n.wm_bit
        |  JOIN ai a ON a.vec_id = c.vec_id),
-       |tranked AS (SELECT *, row_number() OVER (PARTITION BY group_id ORDER BY ai DESC, vec_id) AS rn_ai
+       |tranked AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY group_id ORDER BY ai DESC, vec_id) AS rn_ai
        |  FROM tcand)""".stripMargin
 
   /** The th-dependent tail of the TVP selection: rank-threshold row (absent →
@@ -1032,7 +1032,7 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY group_id, qual ORDER BY vec_id) AS rn1,
        |    row_number() OVER (PARTITION BY group_id, qual ORDER BY ai DESC, vec_id) AS rn2
        |  FROM tw2$sfx LEFT JOIN tnq$sfx ON group_id = ng),
-       |tcarriers$sfx AS (SELECT * FROM tw3$sfx
+       |tcarriers$sfx AS MATERIALIZED (SELECT * FROM tw3$sfx
        |  WHERE (qual AND rn1 <= need) OR ((NOT qual) AND rn2 <= need - least(need, nq)))""".stripMargin
 
   /** The strength-INdependent head of the codec replay: classification
@@ -1283,6 +1283,63 @@ object SparkEntry {
            |FROM tvals tv CROSS JOIN pvals pv CROSS JOIN wbits b
            |LEFT JOIN votes v ON v.group_id = b.bit_pos AND v.p = pv.p AND v.th = tv.th
            |ORDER BY th, p, bit_pos""".stripMargin
+    },
+
+    // Full SQL replay of the published impact sweep: one shared
+    // classification/candidate prefix, then per threshold the th-dependent
+    // TVP selection (tvpThCtes), the applyEmbed'd table, a fold-kNN pass of
+    // the watermarked table against itself, and the per-carrier miss/false +
+    // traffic accounting — exactly the chain impactSweep runs per tagged
+    // union branch. All averaged quantities are means of small integer
+    // counts (exact in double regardless of order), so round(,6) matches.
+    "h_impact_sweep" -> {
+      val sfxs = (1 to 10).map(i => (i / 10.0, s"_i$i"))
+      val dd = "(cast(a.embedding[i] as double) - cast(b.embedding[i] as double))"
+      val thTails = sfxs.map { case (th, x) =>
+        s"""${tvpThCtes(th, x)},
+           |twmvals$x AS (SELECT vec_id, pos,
+           |    cast(v + ((wm_bit + pos) % 2 - oldbit) *
+           |      (CASE WHEN bp < intlen THEN pow(2.0, intlen - 1 - bp)
+           |            ELSE pow(2.0, -(bp - intlen)) END) as real) AS newv
+           |  FROM tcarriers$x),
+           |twemb$x AS MATERIALIZED (SELECT e.vec_id,
+           |    CASE WHEN w.vec_id IS NULL THEN e.embedding
+           |      ELSE list_transform(range(1, ${D + 1}),
+           |             i -> CASE WHEN i = w.pos + 1 THEN w.newv ELSE e.embedding[i] END)
+           |    END AS embedding
+           |  FROM embeddings e LEFT JOIN twmvals$x w ON e.vec_id = w.vec_id),
+           |after$x AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+           |    FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |            sqrt(list_reduce(list_transform(range(1, ${D + 1}), i -> $dd * $dd),
+           |              (xx, yy) -> xx + yy)) AS dist
+           |          FROM twemb$x a, twemb$x b))
+           |  WHERE rank <= 10),
+           |hb$x AS (SELECT t.vec_id AS carrier, b.query_id AS query
+           |  FROM (SELECT query_id, neighbor_id FROM raw17 WHERE rank <= 10) b
+           |  JOIN tcarriers$x t ON b.neighbor_id = t.vec_id),
+           |ha$x AS (SELECT t.vec_id AS carrier, a.query_id AS query
+           |  FROM after$x a JOIN tcarriers$x t ON a.neighbor_id = t.vec_id),
+           |mf$x AS MATERIALIZED (SELECT carrier,
+           |    sum(CASE WHEN inb IS NOT NULL AND ina IS NULL THEN 1 ELSE 0 END) AS miss,
+           |    sum(CASE WHEN ina IS NOT NULL AND inb IS NULL THEN 1 ELSE 0 END) AS false_hits
+           |  FROM (SELECT 1 AS inb, carrier, query FROM hb$x) fb
+           |  FULL OUTER JOIN (SELECT 1 AS ina, carrier, query FROM ha$x) fa USING (carrier, query)
+           |  GROUP BY carrier),
+           |met$x AS (SELECT cast($th as double) AS th,
+           |    (SELECT count(*) FROM tcarriers$x) AS n_carriers,
+           |    (SELECT round(avg(miss), 6) FROM mf$x) AS avg_miss,
+           |    (SELECT round(avg(false_hits), 6) FROM mf$x) AS avg_false,
+           |    (SELECT round(avg(query_count), 6) FROM qc JOIN tcarriers$x t ON qc.vec_id = t.vec_id) AS traffic_before,
+           |    (SELECT round(avg(coalesce(ac.qcnt, 0)), 6)
+           |       FROM tcarriers$x t LEFT JOIN
+           |         (SELECT neighbor_id, count(*) AS qcnt FROM after$x
+           |          WHERE neighbor_id <> query_id GROUP BY 1) ac
+           |       ON ac.neighbor_id = t.vec_id) AS traffic_after)""".stripMargin
+      }.mkString(",\n")
+      val unions = sfxs.map { case (_, x) => s"SELECT * FROM met$x" }.mkString("\nUNION ALL\n")
+      graphCtes + ",\n" + rsCodecCtes + ",\n" + tvpCandCtes + ",\n" + thTails + "\n" +
+        unions + "\nORDER BY th"
     },
 
     // TabularMark deletion curve: matched set from the tm_detect premise

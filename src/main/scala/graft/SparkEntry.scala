@@ -37,6 +37,10 @@ object SparkEntry {
   private val StrengthGridSts = Seq(0.55, 0.6, 0.7, 0.8, 0.9, 1.0)
   private val StrengthGridPs  =
     Seq(0.1, 0.2, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8)
+  // the reference averages each cell over 10 re-seeded repetitions
+  // (roubust/roubust.py:228 `cnum`); 3 reps here exercise the axis with a
+  // bounded bench cost — the count is a parameter, not a structural limit
+  private val StrengthGridReps = 3
   // H1 th_analysis sweep — the published thl grid (roubust/roubust.py:265–267)
   private val ThGridThs = Seq(0.2, 0.4, 0.6, 0.8, 1.0)
   // TabularMark deletion curve — the published p grid (BASELINE.md)
@@ -270,34 +274,59 @@ object SparkEntry {
     "h_strength_grid" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val ranked = GraftCache.memo(s"$dir/strgrid-ranked") {
-        Attacks.keyedRanked(emb.select(col("vec_id")),
-          GraftCols.keyedHash(col("vec_id"), lit("del"), lit(Seed))).localCheckpoint()
+      // The WATERMARK KEY (content-id dims) stays fixed across reps — a rep
+      // re-rolls only the free randomness: the carrier pick inside each
+      // group and the deletion draw (the reference's per-rep np.random
+      // re-seed, roubust.py:228). Re-seeding WmKey itself would change the
+      // classification and make it a different watermark, not a repetition.
+      val cl = GraftCache.memo(s"$dir/strgrid-cl") {
+        Tvp.classify(emb, D, WM.length, key).localCheckpoint()
       }
-      val n = ranked.count()
-      val tagged = (for (st <- StrengthGridSts) yield {
-        val wmStR = GraftCache.memo(s"$dir/wm-rs-st$st") {
-          Tvp.embedRs(emb, WM, st, D, key).join(ranked, "vec_id").localCheckpoint()
-        }
-        (for (p <- StrengthGridPs) yield
-          wmStR.filter(col("__grank") <= n - math.ceil(n * p).toLong)
-            .drop("__grank").withColumn("strength", lit(st)).withColumn("p", lit(p))
-        ).reduce(_ unionByName _)
-      }).reduce(_ unionByName _)
-      val votes = Tvp.classify(tagged, D, WM.length, key)
-        .groupBy("strength", "p", "group_id")
+      // ONE swept carrier plan: per-rep keyed rankings shared across all six
+      // strengths, needs for every strength from one group-stat aggregate
+      val carriersAll = GraftCache.memo(s"$dir/strgrid-carriers") {
+        Tvp.carriersRsSwept(cl, Tvp.bitsDf(s, WM), StrengthGridSts,
+          (0 until StrengthGridReps).map(r => r -> s"${key.seed}-r$r"))
+          .localCheckpoint()
+      }
+      // the whole 6×3 embed grid as ONE tagged frame (emb × cells, left-join
+      // the swept carriers, one flip transform, one checkpoint), and the
+      // deletion-rate axis rides a broadcast crossJoin against the per-rep
+      // rankings — the entire 234-cell grid is a single vote plan
+      val cellsDf = (for (st <- StrengthGridSts; rep <- 0 until StrengthGridReps)
+        yield (st, rep)).toDF("st", "rep")
+      val rankedAll = GraftCache.memo(s"$dir/strgrid-rankedall") {
+        (0 until StrengthGridReps).map { rep =>
+          Attacks.keyedRanked(emb.select(col("vec_id")),
+              GraftCols.keyedHash(col("vec_id"), lit("del"), lit(s"$Seed-r$rep")))
+            .withColumn("rep", lit(rep))
+        }.reduce(_ unionByName _).localCheckpoint()
+      }
+      val n = GraftCache.memoAny(s"$dir/strgrid-n") { emb.count() }
+      val wmAll = GraftCache.memo(s"$dir/strgrid-wmall") {
+        Tvp.applyEmbedTagged(emb.select(col("vec_id"), col("embedding"))
+            .crossJoin(broadcast(cellsDf)), carriersAll, D, key, Seq("st", "rep"))
+          .localCheckpoint()
+      }
+      val pdf = StrengthGridPs.toDF("p")
+      val votes = Tvp.classify(wmAll.join(rankedAll, Seq("vec_id", "rep")), D, WM.length, key)
+        .crossJoin(broadcast(pdf))
+        .filter(col("__grank") <= lit(n) - ceil(lit(n.toDouble) * col("p")).cast("long"))
+        .groupBy(col("st").as("strength"), col("rep"), col("p"), col("group_id"))
         .agg(sum("hidden_bit").as("n_one"), count(lit(1)).as("n"))
-        .select(col("strength").as("vs"), col("p").as("vp"), col("group_id"),
+        .select(col("strength").as("vs"), col("rep").as("vr"), col("p").as("vp"),
+          col("group_id"),
           when(col("n_one") * 2 > col("n"), 1).otherwise(0).as("vote_bit"))
-      val cells = (for (st <- StrengthGridSts; p <- StrengthGridPs) yield (st, p))
-        .toDF("strength", "p")
+      val cells = (for (st <- StrengthGridSts; rep <- 0 until StrengthGridReps;
+                        p <- StrengthGridPs) yield (st, rep, p))
+        .toDF("strength", "rep", "p")
       cells.crossJoin(broadcast(Tvp.bitsDf(s, WM)))
-        .join(votes, col("strength") === col("vs") && col("p") === col("vp") &&
-          col("bit_pos") === col("group_id"), "left")
-        .select(col("strength"), col("p"), col("bit_pos").cast("long"),
-          col("wm_bit").cast("long"),
+        .join(votes, col("strength") === col("vs") && col("rep") === col("vr") &&
+          col("p") === col("vp") && col("bit_pos") === col("group_id"), "left")
+        .select(col("strength"), col("rep").cast("long"), col("p"),
+          col("bit_pos").cast("long"), col("wm_bit").cast("long"),
           coalesce(col("vote_bit"), lit(0)).cast("long").as("extracted_bit"))
-        .orderBy("strength", "p", "bit_pos")
+        .orderBy("strength", "rep", "p", "bit_pos")
     }),
 
     // H1 th_analysis (roubust/roubust.py:263–306): TVP BER over carrier
@@ -1073,7 +1102,8 @@ object SparkEntry {
     * so one shared `wcls`/`wgstat` prefix can serve a whole STRENGTH sweep
     * (only these four CTEs vary with strength).
     */
-  private def rsCarrierCtes(strength: Double, sfx: String): String =
+  private def rsCarrierCtes(strength: Double, sfx: String,
+                            seed: String = key.seed): String =
     s"""wneeds$sfx AS (SELECT g.group_id, b.wm_bit,
        |    least(greatest(0, cast(ceil(g.n_group * $strength) as bigint) -
        |        (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END)),
@@ -1082,7 +1112,7 @@ object SparkEntry {
        |  FROM wgstat g JOIN wbits b ON g.group_id = b.bit_pos),
        |wcand$sfx AS (SELECT c.*, n.wm_bit, n.need,
        |    row_number() OVER (PARTITION BY c.group_id
-       |      ORDER BY md5(cast(c.vec_id as varchar) || '#rs#${key.seed}'), c.vec_id) AS rn
+       |      ORDER BY md5(cast(c.vec_id as varchar) || '#rs#$seed'), c.vec_id) AS rn
        |  FROM wcls c JOIN wneeds$sfx n
        |    ON c.group_id = n.group_id AND cast((c.oldbit + c.pos) % 2 as int) <> n.wm_bit),
        |wcarriers$sfx AS (SELECT * FROM wcand$sfx WHERE rn <= need),
@@ -1223,33 +1253,42 @@ object SparkEntry {
     // H1 strength×deletion grid: ONE shared classification prefix, a
     // per-strength deficit/carrier tail, one keyed ranking for all cutoffs.
     "h_strength_grid" -> {
-      val sfxs = StrengthGridSts.zipWithIndex.map { case (st, i) => (st, s"_s$i") }
-      val tails = sfxs.map { case (st, x) => rsCarrierCtes(st, x) }.mkString(",\n")
-      val postbits = sfxs.map { case (st, x) =>
-        s"""SELECT $st AS strength, c.vec_id, c.group_id,
+      val cells = for (rep <- 0 until StrengthGridReps;
+                       (st, i) <- StrengthGridSts.zipWithIndex)
+        yield (rep, st, s"_s${i}_r$rep")
+      val tails = cells.map { case (rep, st, x) =>
+        rsCarrierCtes(st, x, s"${key.seed}-r$rep") }.mkString(",\n")
+      val postbits = cells.map { case (rep, st, x) =>
+        s"""SELECT $st AS strength, $rep AS rep, c.vec_id, c.group_id,
            |    CASE WHEN w.vec_id IS NOT NULL THEN w.wm_bit
            |         ELSE cast((c.oldbit + c.pos) % 2 as int) END AS hbit
            |  FROM wcls c LEFT JOIN wmvals$x w ON c.vec_id = w.vec_id""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"WITH $rsCodecPrefix,\n$tails,\n" +
-        s"""postbits AS ($postbits),
-           |ranked AS (SELECT vec_id,
-           |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$Seed'), vec_id) AS rn,
+      val rankedAll = (0 until StrengthGridReps).map(rep =>
+        s"""SELECT vec_id, $rep AS rep,
+           |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$Seed-r$rep'), vec_id) AS rn,
            |    count(*) OVER () AS n
-           |  FROM embeddings),
+           |  FROM embeddings""".stripMargin).mkString("\nUNION ALL\n")
+      s"WITH $rsCodecPrefix,\n$tails,\n" +
+        s"""postbits AS MATERIALIZED ($postbits),
+           |ranked AS MATERIALIZED ($rankedAll),
            |pvals(p) AS (VALUES ${StrengthGridPs.map(p => s"($p)").mkString(", ")}),
            |svals(strength) AS (VALUES ${StrengthGridSts.map(st => s"($st)").mkString(", ")}),
-           |votes AS (SELECT pb.strength, pv.p, pb.group_id, sum(pb.hbit) AS n_one, count(*) AS n
+           |rvals(rep) AS (VALUES ${(0 until StrengthGridReps).map(r => s"($r)").mkString(", ")}),
+           |votes AS (SELECT pb.strength, pb.rep, pv.p, pb.group_id,
+           |    sum(pb.hbit) AS n_one, count(*) AS n
            |  FROM pvals pv
            |  JOIN ranked r ON r.rn <= r.n - ceil(r.n * cast(pv.p as double))
-           |  JOIN postbits pb ON pb.vec_id = r.vec_id
-           |  GROUP BY 1, 2, 3)
-           |SELECT cast(sv.strength as double) AS strength, cast(pv.p as double) AS p,
+           |  JOIN postbits pb ON pb.vec_id = r.vec_id AND pb.rep = r.rep
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT cast(sv.strength as double) AS strength, cast(rv.rep as bigint) AS rep,
+           |  cast(pv.p as double) AS p,
            |  cast(b.bit_pos as bigint) AS bit_pos, cast(b.wm_bit as bigint) AS wm_bit,
            |  cast(CASE WHEN coalesce(v.n_one, 0) * 2 > coalesce(v.n, 0) THEN 1 ELSE 0 END as bigint) AS extracted_bit
-           |FROM svals sv CROSS JOIN pvals pv CROSS JOIN wbits b
-           |LEFT JOIN votes v ON v.group_id = b.bit_pos AND v.p = pv.p AND v.strength = sv.strength
-           |ORDER BY strength, p, bit_pos""".stripMargin
+           |FROM svals sv CROSS JOIN rvals rv CROSS JOIN pvals pv CROSS JOIN wbits b
+           |LEFT JOIN votes v ON v.group_id = b.bit_pos AND v.p = pv.p
+           |  AND v.strength = sv.strength AND v.rep = rv.rep
+           |ORDER BY strength, rep, p, bit_pos""".stripMargin
     },
 
     // H1 th×deletion grid: shared graph ai + codec prefix + one shared

@@ -78,6 +78,46 @@ object Tvp {
       .select("vec_id", "group_id", "wm_bit", "content_id")
   }
 
+  /** RS carrier pick for a whole strength × rep grid in one swept plan: the
+    * candidate set (hidden_bit ≠ wm_bit) and each rep's keyed ranking are
+    * strength-INdependent, so one window per rep serves every strength, and
+    * the per-strength needs all derive from ONE group-stat aggregate — each
+    * (strength, rep) cell is then a map-side `rn <= need` filter. Cell
+    * selections are identical to carriersRs(strength, seed) row-for-row.
+    * Returns (st, rep, vec_id, group_id, wm_bit, content_id).
+    */
+  def carriersRsSwept(classified: DataFrame, bits: DataFrame, sts: Seq[Double],
+                      seeds: Seq[(Int, String)]): DataFrame = {
+    val spark = classified.sparkSession
+    import spark.implicits._
+    val stats = classified.groupBy("group_id").agg(
+      count(lit(1)).as("n_group"), sum(col("hidden_bit")).as("n_one"))
+    val needsAll = stats.join(broadcast(bits), stats("group_id") === bits("bit_pos"))
+      .withColumn("n_target",
+        when(col("wm_bit") === 1, col("n_one")).otherwise(col("n_group") - col("n_one")))
+      .withColumn("n_cand", col("n_group") - col("n_target"))
+      .crossJoin(sts.toDF("st"))
+      .withColumn("need",
+        least(greatest(lit(0L), ceil(col("n_group") * col("st")).cast("long") - col("n_target")),
+          col("n_cand")))
+      .select(col("st"), col("group_id"), col("wm_bit").as("__wb"), col("need"))
+    val cand = classified.join(
+        broadcast(bits.select(col("bit_pos").as("group_id"), col("wm_bit"))), "group_id")
+      .filter(col("hidden_bit") =!= col("wm_bit"))
+    val rankedBySeed = seeds.map { case (rep, seed) =>
+      cand.withColumn("rn", row_number().over(
+          Window.partitionBy(col("group_id"))
+            .orderBy(GraftCols.keyedHash(col("vec_id"), lit("rs"), lit(seed)))))
+        .withColumn("rep", lit(rep))
+    }.reduce(_ unionByName _)
+    rankedBySeed.join(broadcast(needsAll),
+        rankedBySeed("group_id") === needsAll("group_id") &&
+        rankedBySeed("wm_bit") === needsAll("__wb"))
+      .filter(col("rn") <= col("need"))
+      .select(col("st"), col("rep"), col("vec_id"), rankedBySeed("group_id"),
+        rankedBySeed("wm_bit"), col("content_id"))
+  }
+
   /** TVP carrier pick (`select_by_ai`, watermarking.py:203–246). Two phases:
     * candidates whose accessibility index clears the rank-`th` threshold, in
     * vec_id order (the reference's scan order); then, if short, the rest in
@@ -153,10 +193,19 @@ object Tvp {
     * reference, where the carrier dim skips every key dim so the id is stable
     * under embedding). Returns the watermarked table (vec_id, embedding).
     */
-  def applyEmbed(df: DataFrame, carriers: DataFrame, d: Int, key: WmKey): DataFrame = {
+  def applyEmbed(df: DataFrame, carriers: DataFrame, d: Int, key: WmKey): DataFrame =
+    applyEmbedTagged(df, carriers, d, key, Nil)
+
+  /** applyEmbed over a TAGGED frame: joins on vec_id PLUS the given cell-tag
+    * columns, so one plan embeds every cell of a swept carrier grid (each
+    * tagged copy of a row flips only by its own cell's carriers).
+    */
+  def applyEmbedTagged(df: DataFrame, carriers: DataFrame, d: Int, key: WmKey,
+                       tags: Seq[String]): DataFrame = {
     val dims = key.dims(d).toSeq
-    val c = carriers.select(col("vec_id"), col("wm_bit"), col("content_id").as("carrier_cid"))
-    df.join(c, Seq("vec_id"), "left")
+    val c = carriers.select(col("vec_id") +: col("wm_bit") +:
+      col("content_id").as("carrier_cid") +: tags.map(col): _*)
+    df.join(c, Seq("vec_id") ++ tags, "left")
       .withColumn("embedding",
         when(col("wm_bit").isNotNull,
           GraftCols.embedLsb(col("embedding"), col("wm_bit"), dims, col("carrier_cid")))

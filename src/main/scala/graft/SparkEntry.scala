@@ -282,19 +282,20 @@ object SparkEntry {
       val cl = GraftCache.memo(s"$dir/strgrid-cl") {
         Tvp.classify(emb, D, WM.length, key).localCheckpoint()
       }
-      // ONE swept carrier plan: per-rep keyed rankings shared across all six
-      // strengths, needs for every strength from one group-stat aggregate
+      // Faithful rep semantics (roubust.py:236–238 + watermarking.py:276):
+      // every embed call re-seeds `random` with the SAME random_seed, so the
+      // key dims and the per-group carrier pick are IDENTICAL across reps —
+      // a repetition re-rolls only the attack (the advancing np.random
+      // stream). So carriers sweep over strengths only, and the rep axis
+      // lives purely in the per-rep deletion rankings, joined at vote time.
       val carriersAll = GraftCache.memo(s"$dir/strgrid-carriers") {
         Tvp.carriersRsSwept(cl, Tvp.bitsDf(s, WM), StrengthGridSts,
-          (0 until StrengthGridReps).map(r => r -> s"${key.seed}-r$r"))
-          .localCheckpoint()
+          Seq(0 -> key.seed)).drop("rep").localCheckpoint()
       }
-      // the whole 6×3 embed grid as ONE tagged frame (emb × cells, left-join
-      // the swept carriers, one flip transform, one checkpoint), and the
-      // deletion-rate axis rides a broadcast crossJoin against the per-rep
-      // rankings — the entire 234-cell grid is a single vote plan
-      val cellsDf = (for (st <- StrengthGridSts; rep <- 0 until StrengthGridReps)
-        yield (st, rep)).toDF("st", "rep")
+      // the 6-strength embed grid as ONE tagged frame (emb × strengths,
+      // left-join the swept carriers, one flip transform, one checkpoint);
+      // reps × deletion rates ride broadcast joins in the single vote plan
+      val stDf = StrengthGridSts.toDF("st")
       val rankedAll = GraftCache.memo(s"$dir/strgrid-rankedall") {
         (0 until StrengthGridReps).map { rep =>
           Attacks.keyedRanked(emb.select(col("vec_id")),
@@ -305,11 +306,11 @@ object SparkEntry {
       val n = GraftCache.memoAny(s"$dir/strgrid-n") { emb.count() }
       val wmAll = GraftCache.memo(s"$dir/strgrid-wmall") {
         Tvp.applyEmbedTagged(emb.select(col("vec_id"), col("embedding"))
-            .crossJoin(broadcast(cellsDf)), carriersAll, D, key, Seq("st", "rep"))
+            .crossJoin(broadcast(stDf)), carriersAll, D, key, Seq("st"))
           .localCheckpoint()
       }
       val pdf = StrengthGridPs.toDF("p")
-      val votes = Tvp.classify(wmAll.join(rankedAll, Seq("vec_id", "rep")), D, WM.length, key)
+      val votes = Tvp.classify(wmAll.join(rankedAll, Seq("vec_id")), D, WM.length, key)
         .crossJoin(broadcast(pdf))
         .filter(col("__grank") <= lit(n) - ceil(lit(n.toDouble) * col("p")).cast("long"))
         .groupBy(col("st").as("strength"), col("rep"), col("p"), col("group_id"))
@@ -1253,13 +1254,13 @@ object SparkEntry {
     // H1 strength×deletion grid: ONE shared classification prefix, a
     // per-strength deficit/carrier tail, one keyed ranking for all cutoffs.
     "h_strength_grid" -> {
-      val cells = for (rep <- 0 until StrengthGridReps;
-                       (st, i) <- StrengthGridSts.zipWithIndex)
-        yield (rep, st, s"_s${i}_r$rep")
-      val tails = cells.map { case (rep, st, x) =>
-        rsCarrierCtes(st, x, s"${key.seed}-r$rep") }.mkString(",\n")
-      val postbits = cells.map { case (rep, st, x) =>
-        s"""SELECT $st AS strength, $rep AS rep, c.vec_id, c.group_id,
+      // carriers are rep-INdependent (the reference re-seeds each embed call
+      // identically) — one carrier tail per strength; reps enter only as
+      // re-rolled deletion rankings
+      val sfxs = StrengthGridSts.zipWithIndex.map { case (st, i) => (st, s"_s$i") }
+      val tails = sfxs.map { case (st, x) => rsCarrierCtes(st, x) }.mkString(",\n")
+      val postbits = sfxs.map { case (st, x) =>
+        s"""SELECT $st AS strength, c.vec_id, c.group_id,
            |    CASE WHEN w.vec_id IS NOT NULL THEN w.wm_bit
            |         ELSE cast((c.oldbit + c.pos) % 2 as int) END AS hbit
            |  FROM wcls c LEFT JOIN wmvals$x w ON c.vec_id = w.vec_id""".stripMargin
@@ -1275,11 +1276,11 @@ object SparkEntry {
            |pvals(p) AS (VALUES ${StrengthGridPs.map(p => s"($p)").mkString(", ")}),
            |svals(strength) AS (VALUES ${StrengthGridSts.map(st => s"($st)").mkString(", ")}),
            |rvals(rep) AS (VALUES ${(0 until StrengthGridReps).map(r => s"($r)").mkString(", ")}),
-           |votes AS (SELECT pb.strength, pb.rep, pv.p, pb.group_id,
+           |votes AS (SELECT pb.strength, r.rep, pv.p, pb.group_id,
            |    sum(pb.hbit) AS n_one, count(*) AS n
            |  FROM pvals pv
            |  JOIN ranked r ON r.rn <= r.n - ceil(r.n * cast(pv.p as double))
-           |  JOIN postbits pb ON pb.vec_id = r.vec_id AND pb.rep = r.rep
+           |  JOIN postbits pb ON pb.vec_id = r.vec_id
            |  GROUP BY 1, 2, 3, 4)
            |SELECT cast(sv.strength as double) AS strength, cast(rv.rep as bigint) AS rep,
            |  cast(pv.p as double) AS p,

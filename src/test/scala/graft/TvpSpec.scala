@@ -61,4 +61,21 @@ class TvpSpec extends AnyFunSuite {
     val got  = ext.orderBy("bit_pos").collect().map(_.getInt(1)).mkString
     assert(got == wm, s"after 10% deletion: $got != $wm")
   }
+
+  test("carriersRsSwept matches carriersRs cell-for-cell") {
+    val wm   = "10101"
+    val bits = Tvp.bitsDf(spark, wm)
+    val cl   = Tvp.classify(emb, d, wm.length, key)
+    val sts   = Seq(0.6, 0.8, 1.0)
+    val seeds = Seq(0 -> "20-r0", 1 -> "20-r1")
+    val swept = Tvp.carriersRsSwept(cl, bits, sts, seeds).cache()
+    for (st <- sts; (rep, seed) <- seeds) {
+      val cell   = swept.filter(col("st") === st && col("rep") === rep)
+        .select("vec_id", "group_id", "wm_bit")
+      val single = Tvp.carriersRs(cl, bits, st, seed)
+        .select("vec_id", "group_id", "wm_bit")
+      assert(cell.exceptAll(single).count() == 0 && single.exceptAll(cell).count() == 0,
+        s"cell (st=$st, seed=$seed) differs from carriersRs")
+    }
+  }
 }

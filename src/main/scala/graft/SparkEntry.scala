@@ -331,46 +331,52 @@ object SparkEntry {
     }),
 
     // H1 th_analysis (roubust/roubust.py:263–306): TVP BER over carrier
-    // threshold × deletion rate, oracle-exact. Carrier selection for EVERY
-    // th in one swept plan (carriersAiSwept), one embed branch per th joined
-    // with the shared deletion ranking, one grouped vote for the whole grid.
+    // threshold × deletion rate × rep, oracle-exact. Carrier selection for
+    // EVERY th in one swept plan (carriersAiSwept); like the strength grid,
+    // a rep re-rolls only the attack draw (roubust.py times=50, fixed embed
+    // seed), so the rep axis is the shared per-rep deletion rankings and the
+    // whole grid is one vote plan over the tagged embed frame.
     "h_th_grid" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val ranked = GraftCache.memo(s"$dir/strgrid-ranked") {
-        Attacks.keyedRanked(emb.select(col("vec_id")),
-          GraftCols.keyedHash(col("vec_id"), lit("del"), lit(Seed))).localCheckpoint()
-      }
-      val n  = ranked.count()
       val cl = Tvp.classify(emb, D, WM.length, key)
       val carriersAll = GraftCache.memo(s"$dir/tvp-carriers-swept") {
         Tvp.carriersAiSwept(cl, Tvp.bitsDf(s, WM), Strength, ThGridThs, ai(s, dir))
           .localCheckpoint()
       }
-      val tagged = (for (th <- ThGridThs) yield {
-        val wmTh = GraftCache.memo(s"$dir/wm-tvp-th$th") {
-          Tvp.applyEmbed(emb, carriersAll.filter(col("th") === th).drop("th"), D, key)
-            .join(ranked, "vec_id").localCheckpoint()
-        }
-        (for (p <- StrengthGridPs) yield
-          wmTh.filter(col("__grank") <= n - math.ceil(n * p).toLong)
-            .drop("__grank").withColumn("th", lit(th)).withColumn("p", lit(p))
-        ).reduce(_ unionByName _)
-      }).reduce(_ unionByName _)
-      val votes = Tvp.classify(tagged, D, WM.length, key)
-        .groupBy("th", "p", "group_id")
+      val thDf = ThGridThs.toDF("th")
+      val rankedAll = GraftCache.memo(s"$dir/strgrid-rankedall") {
+        (0 until StrengthGridReps).map { rep =>
+          Attacks.keyedRanked(emb.select(col("vec_id")),
+              GraftCols.keyedHash(col("vec_id"), lit("del"), lit(s"$Seed-r$rep")))
+            .withColumn("rep", lit(rep))
+        }.reduce(_ unionByName _).localCheckpoint()
+      }
+      val n = GraftCache.memoAny(s"$dir/strgrid-n") { emb.count() }
+      val wmAll = GraftCache.memo(s"$dir/thgrid-wmall") {
+        Tvp.applyEmbedTagged(emb.select(col("vec_id"), col("embedding"))
+            .crossJoin(broadcast(thDf)), carriersAll, D, key, Seq("th"))
+          .localCheckpoint()
+      }
+      val pdf = StrengthGridPs.toDF("p")
+      val votes = Tvp.classify(wmAll.join(rankedAll, Seq("vec_id")), D, WM.length, key)
+        .crossJoin(broadcast(pdf))
+        .filter(col("__grank") <= lit(n) - ceil(lit(n.toDouble) * col("p")).cast("long"))
+        .groupBy(col("th"), col("rep"), col("p"), col("group_id"))
         .agg(sum("hidden_bit").as("n_one"), count(lit(1)).as("n"))
-        .select(col("th").as("vt"), col("p").as("vp"), col("group_id"),
+        .select(col("th").as("vt"), col("rep").as("vr"), col("p").as("vp"),
+          col("group_id"),
           when(col("n_one") * 2 > col("n"), 1).otherwise(0).as("vote_bit"))
-      val cells = (for (th <- ThGridThs; p <- StrengthGridPs) yield (th, p))
-        .toDF("th", "p")
+      val cells = (for (th <- ThGridThs; rep <- 0 until StrengthGridReps;
+                        p <- StrengthGridPs) yield (th, rep, p))
+        .toDF("th", "rep", "p")
       cells.crossJoin(broadcast(Tvp.bitsDf(s, WM)))
-        .join(votes, col("th") === col("vt") && col("p") === col("vp") &&
-          col("bit_pos") === col("group_id"), "left")
-        .select(col("th"), col("p"), col("bit_pos").cast("long"),
-          col("wm_bit").cast("long"),
+        .join(votes, col("th") === col("vt") && col("rep") === col("vr") &&
+          col("p") === col("vp") && col("bit_pos") === col("group_id"), "left")
+        .select(col("th"), col("rep").cast("long"), col("p"),
+          col("bit_pos").cast("long"), col("wm_bit").cast("long"),
           coalesce(col("vote_bit"), lit(0)).cast("long").as("extracted_bit"))
-        .orderBy("th", "p", "bit_pos")
+        .orderBy("th", "rep", "p", "bit_pos")
     }),
 
     // H3/SO1 — embedding impact on kNN results: per-carrier miss/false
@@ -1304,25 +1310,29 @@ object SparkEntry {
            |         ELSE cast((c.oldbit + c.pos) % 2 as int) END AS hbit
            |  FROM wcls c LEFT JOIN tcarriers$x t ON c.vec_id = t.vec_id""".stripMargin
       }.mkString("\nUNION ALL\n")
-      graphCtes + ",\n" + rsCodecCtes + ",\n" + tvpCandCtes + ",\n" + tails + ",\n" +
-        s"""postbits AS ($postbits),
-           |ranked AS (SELECT vec_id,
-           |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$Seed'), vec_id) AS rn,
+      val rankedAll = (0 until StrengthGridReps).map(rep =>
+        s"""SELECT vec_id, $rep AS rep,
+           |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$Seed-r$rep'), vec_id) AS rn,
            |    count(*) OVER () AS n
-           |  FROM embeddings),
+           |  FROM embeddings""".stripMargin).mkString("\nUNION ALL\n")
+      graphCtes + ",\n" + rsCodecCtes + ",\n" + tvpCandCtes + ",\n" + tails + ",\n" +
+        s"""postbits AS MATERIALIZED ($postbits),
+           |ranked AS MATERIALIZED ($rankedAll),
            |pvals(p) AS (VALUES ${StrengthGridPs.map(p => s"($p)").mkString(", ")}),
            |tvals(th) AS (VALUES ${ThGridThs.map(th => s"($th)").mkString(", ")}),
-           |votes AS (SELECT pb.th, pv.p, pb.group_id, sum(pb.hbit) AS n_one, count(*) AS n
+           |rvals(rep) AS (VALUES ${(0 until StrengthGridReps).map(r => s"($r)").mkString(", ")}),
+           |votes AS (SELECT pb.th, r.rep, pv.p, pb.group_id, sum(pb.hbit) AS n_one, count(*) AS n
            |  FROM pvals pv
            |  JOIN ranked r ON r.rn <= r.n - ceil(r.n * cast(pv.p as double))
            |  JOIN postbits pb ON pb.vec_id = r.vec_id
-           |  GROUP BY 1, 2, 3)
-           |SELECT cast(tv.th as double) AS th, cast(pv.p as double) AS p,
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT cast(tv.th as double) AS th, cast(rv.rep as bigint) AS rep,
+           |  cast(pv.p as double) AS p,
            |  cast(b.bit_pos as bigint) AS bit_pos, cast(b.wm_bit as bigint) AS wm_bit,
            |  cast(CASE WHEN coalesce(v.n_one, 0) * 2 > coalesce(v.n, 0) THEN 1 ELSE 0 END as bigint) AS extracted_bit
-           |FROM tvals tv CROSS JOIN pvals pv CROSS JOIN wbits b
-           |LEFT JOIN votes v ON v.group_id = b.bit_pos AND v.p = pv.p AND v.th = tv.th
-           |ORDER BY th, p, bit_pos""".stripMargin
+           |FROM tvals tv CROSS JOIN rvals rv CROSS JOIN pvals pv CROSS JOIN wbits b
+           |LEFT JOIN votes v ON v.group_id = b.bit_pos AND v.p = pv.p AND v.th = tv.th AND v.rep = rv.rep
+           |ORDER BY th, rep, p, bit_pos""".stripMargin
     },
 
     // Full SQL replay of the published impact sweep: one shared

@@ -45,6 +45,11 @@ object SparkEntry {
   private val ThGridThs = Seq(0.2, 0.4, 0.6, 0.8, 1.0)
   // TabularMark deletion curve — the published p grid (BASELINE.md)
   private val TmGridPs = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+  // TM modification-attack seed; its keyed dim0 (md5Mod("…|dim0", 64) = 37)
+  // must avoid the TM position dim (50) so the attack's [min,max] scan
+  // replays from the raw table (the embed only perturbs dim 50)
+  private val TmModSeed = s"tmmod-$Seed"
+  private lazy val modGridDim0 = Hashing.md5Mod(s"$TmModSeed|dim0", D.toLong).toInt
   private lazy val dims = key.dims(D)
   // fixed dim of K3 random modification (Attacks.modifyRows draws it once)
   private lazy val modDim0 = Hashing.md5Mod(s"$Seed|dim0", D.toLong).toInt
@@ -490,6 +495,39 @@ object SparkEntry {
           coalesce(col("ng"), lit(0L)).as("ng"),
           round(lit(2.0) * (coalesce(col("ng"), lit(0L)) - lit(0.5 * nw)) / lit(math.sqrt(nw)), 9).as("z"),
           ((lit(nw) - coalesce(col("n_matched"), lit(0L))) / lit(nw)).as("match_loss"))
+        .orderBy("p")
+    }),
+
+    // The fourth scheme under the MODIFICATION attack (compare/roubust.py
+    // modi_analysis × tabularMark.py:192–219): TM-embed, 30-run keyed
+    // overwrite per rate over one shared ranking (attackGrid), full re-match
+    // + green z-test per cell — completes the four-scheme ×
+    // {deletion, modification} comparison matrix. Oracle-exact: corrupted
+    // content ids, embed offsets, and the green category test all replay in
+    // SQL (the interval bipartition runs as a recursive CTE over scalar
+    // segment state).
+    "h_tm_modify_grid" -> ((s, dir) => {
+      import s.implicits._
+      val emb  = Tables.embeddings(s, dir)
+      val wmDf = TabularMark.embed(emb, tmKey)
+      val tagged = GraftCache.memo(s"$dir/tmmod-tagged") {
+        Attacks.attackGrid(wmDf, Seq("random_modify"), TmGridPs, TmModSeed, D, None)
+          .localCheckpoint()
+      }
+      val nw  = tmKey.nw.toDouble
+      val pdf = TmGridPs.toDF("p")
+      // every rate's re-match + category in ONE broadcast-join plan
+      val agg = TabularMark.matchedCatsTagged(emb, tagged, tmKey, Seq("p"))
+        .groupBy("p")
+        .agg(count(lit(1)).as("n_matched"),
+          sum(when(col("cat") === 0, 1).otherwise(0)).as("ng"))
+      pdf.join(agg, Seq("p"), "left")
+        .select(col("p"),
+          lit(tmKey.nw).cast("long").as("nw"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          coalesce(col("ng"), lit(0L)).as("ng"),
+          round(lit(2.0) * (coalesce(col("ng"), lit(0L)) - lit(0.5 * nw)) / lit(math.sqrt(nw)), 9).as("z"),
+          (lit(2.0) * (coalesce(col("ng"), lit(0L)) - lit(0.5 * nw)) / lit(math.sqrt(nw)) > lit(tmKey.alpha)).as("detected"))
         .orderBy("p")
     }),
 
@@ -1415,6 +1453,120 @@ object SparkEntry {
          |  (cast(${tmKey.nw} as double) - coalesce(c.n_matched, 0)) / cast(${tmKey.nw} as double) AS match_loss
          |FROM pvals pv LEFT JOIN c ON c.p = pv.p
          |ORDER BY p""".stripMargin,
+
+    // TM modification curve replayed END-TO-END: the interval bipartition
+    // (P12, a stateful loop in the engine) runs as a recursive CTE over
+    // scalar segment state — per iteration one (start, end, category) row
+    // plus running category lengths; the trim step re-sums prior segment
+    // lengths in generation order (exactly the engine's cat.init.map.sum
+    // float arithmetic). Embed offsets, the 30-run keyed overwrite, the
+    // corrupted 40-digit content ids, first-match join, and the float32
+    // diff all replay mechanically.
+    "h_tm_modify_grid" -> {
+      val (pp, nw, kk, pos, sc) =
+        (tmKey.p, tmKey.nw, tmKey.k, tmKey.position, tmKey.scale)
+      def unitSql(key: String) =
+        s"(cast('0x' || substr(md5($key), 1, 13) as bigint) / 4503599627370496.0)"
+      def digit(v: String) =
+        s"substr(cast(cast(trunc(abs($v) * $sc) as bigint) as varchar), 1, 1)"
+      def modval(dd: Int) = {
+        val base = if (dd != pos) s"cast(e.embedding[${dd + 1}] as double)"
+                   else "cast(w.wm50 as double)"
+        s"CASE WHEN r.sel AND ((($dd - r.runstart) % $D + $D) % $D) < 30 " +
+          s"THEN cast(r.newv as double) ELSE $base END"
+      }
+      val rawId = (0 until kk).map(j => digit(s"cast(embedding[${j + 1}] as double)")).mkString(" || ")
+      val modId = (0 until kk).map(modval).map(digit).mkString(" || ")
+      s"""WITH RECURSIVE
+         |tmids AS MATERIALIZED (SELECT vec_id, $rawId AS id, embedding FROM embeddings),
+         |pks AS MATERIALIZED (SELECT id, min(vec_id) AS orig_id FROM tmids WHERE vec_id < $nw GROUP BY id),
+         |carrids AS MATERIALIZED (SELECT DISTINCT id FROM tmids WHERE vec_id < $nw),
+         |segs(id, i, s, e, cat, len1, len2, fin) AS (
+         |  SELECT id, 0, -$pp, -$pp + seglen, 1, seglen, 0.0, seglen >= $pp
+         |  FROM (SELECT id, 1.0 + (least($pp - (-$pp), $pp) - 1.0) * ${unitSql("id || '|seg|0'")} AS seglen FROM carrids)
+         |  UNION ALL
+         |  SELECT id, i + 1, e, e + seglen,
+         |    CASE WHEN len1 <= len2 THEN 1 ELSE 2 END,
+         |    CASE WHEN len1 <= len2 THEN len1 + seglen ELSE len1 END,
+         |    CASE WHEN len1 <= len2 THEN len2 ELSE len2 + seglen END,
+         |    (CASE WHEN len1 <= len2 THEN len1 + seglen ELSE len1 END) >= $pp OR
+         |    (CASE WHEN len1 <= len2 THEN len2 ELSE len2 + seglen END) >= $pp
+         |  FROM (SELECT *, 1.0 + (least($pp - e, $pp) - 1.0) *
+         |          ${unitSql("id || '|seg|' || cast(i + 1 as varchar)")} AS seglen
+         |        FROM segs WHERE NOT fin AND e < $pp) t
+         |),
+         |initsums AS MATERIALIZED (
+         |  SELECT f.id, f.i,
+         |    list_reduce(list_prepend(0.0, coalesce(list(pr.e - pr.s ORDER BY pr.i), [])), (a, b) -> a + b) AS initsum
+         |  FROM (SELECT * FROM segs WHERE fin) f
+         |  LEFT JOIN segs pr ON pr.id = f.id AND pr.cat = f.cat AND pr.i < f.i
+         |  GROUP BY f.id, f.i),
+         |segfinal AS MATERIALIZED (
+         |  SELECT id, i AS ord, s, e, cat FROM segs WHERE NOT fin
+         |  UNION ALL
+         |  SELECT g.id, g.i, g.s, g.s + ($pp - n.initsum), g.cat
+         |  FROM segs g JOIN initsums n ON n.id = g.id AND n.i = g.i WHERE g.fin
+         |  UNION ALL
+         |  SELECT g.id, g.i + 1, g.s + ($pp - n.initsum), $pp,
+         |    CASE WHEN g.cat = 1 THEN 2 ELSE 1 END
+         |  FROM segs g JOIN initsums n ON n.id = g.id AND n.i = g.i WHERE g.fin),
+         |cat1segs AS MATERIALIZED (
+         |  SELECT id, s, e, row_number() OVER (PARTITION BY id ORDER BY ord) - 1 AS k,
+         |    count(*) OVER (PARTITION BY id) AS nseg
+         |  FROM segfinal WHERE cat = 1),
+         |offsets AS MATERIALIZED (
+         |  SELECT id, s + (e - s) * ${unitSql("id || '|emb|inseg'")} AS off
+         |  FROM cat1segs WHERE k = ${md5ModCol("id || '|emb|pickseg'", "nseg")}),
+         |wm AS MATERIALIZED (
+         |  SELECT t.vec_id,
+         |    CASE WHEN t.vec_id < $nw
+         |      THEN cast(cast(t.embedding[${pos + 1}] as double) + o.off as real)
+         |      ELSE t.embedding[${pos + 1}] END AS wm50
+         |  FROM tmids t LEFT JOIN offsets o ON o.id = t.id),
+         |st AS (SELECT cast(min(embedding[${modGridDim0 + 1}]) as double) AS mn,
+         |              cast(max(embedding[${modGridDim0 + 1}]) as double) AS mx,
+         |              count(*) AS n FROM embeddings),
+         |ranked AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#modrow#$TmModSeed'), vec_id) AS rn
+         |  FROM embeddings),
+         |pvals(p) AS (VALUES ${TmGridPs.map(p => s"($p)").mkString(", ")}),
+         |rowsx AS MATERIALIZED (
+         |  SELECT e.vec_id, pv.p, r.rn <= ceil(st.n * cast(pv.p as double)) AS sel,
+         |    ${md5ModCol(s"cast(e.vec_id as varchar) || '#moddim#$TmModSeed'", D.toString)} AS runstart,
+         |    cast(st.mn + (st.mx - st.mn) * ${unitSql(s"cast(e.vec_id as varchar) || '#modval#$TmModSeed'")} as real) AS newv
+         |  FROM embeddings e, ranked r, pvals pv, st
+         |  WHERE r.vec_id = e.vec_id),
+         |modrows AS MATERIALIZED (
+         |  SELECT r.vec_id, r.p, $modId AS mid,
+         |    cast(${modval(pos)} as real) AS mod50
+         |  FROM rowsx r
+         |  JOIN embeddings e ON e.vec_id = r.vec_id
+         |  JOIN wm w ON w.vec_id = r.vec_id),
+         |matched AS MATERIALIZED (
+         |  SELECT m.p, m.vec_id AS wm_id, pk.id, pk.orig_id,
+         |    cast(cast(cast(m.mod50 as double) - cast(o.embedding[${pos + 1}] as double) as real) as double) AS diff
+         |  FROM modrows m
+         |  JOIN pks pk ON pk.id = m.mid
+         |  JOIN embeddings o ON o.vec_id = pk.orig_id),
+         |cats AS (
+         |  SELECT p, wm_id,
+         |    CASE WHEN EXISTS (SELECT 1 FROM segfinal sg WHERE sg.id = matched.id AND sg.cat = 1
+         |                        AND sg.s <= matched.diff AND matched.diff <= sg.e) THEN 0
+         |         WHEN EXISTS (SELECT 1 FROM segfinal sg WHERE sg.id = matched.id AND sg.cat = 2
+         |                        AND sg.s <= matched.diff AND matched.diff <= sg.e) THEN 1
+         |         ELSE -1 END AS cat
+         |  FROM matched),
+         |agg AS (SELECT p, count(*) AS n_matched,
+         |    sum(CASE WHEN cat = 0 THEN 1 ELSE 0 END) AS ng
+         |  FROM cats GROUP BY p)
+         |SELECT cast(pv.p as double) AS p, cast($nw as bigint) AS nw,
+         |  coalesce(a.n_matched, 0) AS n_matched, cast(coalesce(a.ng, 0) as bigint) AS ng,
+         |  round(2.0 * (cast(coalesce(a.ng, 0) as double) - 0.5 * $nw) / sqrt(cast($nw as double)), 9) AS z,
+         |  (2.0 * (cast(coalesce(a.ng, 0) as double) - 0.5 * $nw) / sqrt(cast($nw as double))) > 1.96 AS detected
+         |FROM pvals pv LEFT JOIN agg a ON a.p = pv.p
+         |ORDER BY p""".stripMargin
+    },
 
     // Full SQL replay of the impact metric: base kNN from the shared graph
     // CTEs, after-kNN over the codec-replayed watermarked table, per-carrier

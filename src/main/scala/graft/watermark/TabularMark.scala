@@ -115,20 +115,31 @@ object TabularMark {
     * aggregation. Returns (wm_id, orig_id, cat); row-wise and attack-set
     * independent, so deletion grids compute it once and filter.
     */
-  def matchedCats(orig: DataFrame, wm: DataFrame, key: TmKey): DataFrame = {
+  def matchedCats(orig: DataFrame, wm: DataFrame, key: TmKey): DataFrame =
+    matchedCatsTagged(orig, wm, key, Nil)
+
+  /** matchedCats over a TAGGED frame: `wm` carries extra cell-tag columns
+    * (e.g. an attack-rate axis) and each tagged copy matches/categorizes
+    * independently — one broadcast-join plan for a whole attack grid.
+    */
+  def matchedCatsTagged(orig: DataFrame, wm: DataFrame, key: TmKey,
+                        tags: Seq[String]): DataFrame = {
     val p = key.p
     val greenUdf = udf((diff: Double, id: String) => {
       val (cat1, cat2) = divideInterval(p, id)
       findCategory(diff, cat1, cat2)
     })
+    val pks = orig.filter(col("vec_id") < key.nw)
+      .select(col("vec_id").as("orig_id"), cid(key).as("id"))
+      .groupBy("id").agg(min("orig_id").as("orig_id"))
     val ov = orig.select(col("vec_id").as("orig_id"),
       element_at(col("embedding"), key.position + 1).as("orig_val"))
-    val wv = wm.select(col("vec_id").as("wm_id"),
-      element_at(col("embedding"), key.position + 1).as("wm_val"))
-    matchTuples(orig, wm, key)
-      .join(ov, "orig_id").join(wv, "wm_id")
+    wm.select(tags.map(col) ++ Seq(col("vec_id").as("wm_id"), cid(key).as("id"),
+        element_at(col("embedding"), key.position + 1).as("wm_val")): _*)
+      .join(broadcast(pks), "id")
+      .join(broadcast(ov), "orig_id")
       .withColumn("cat", greenUdf((col("wm_val") - col("orig_val")).cast("double"), col("id")))
-      .select("wm_id", "orig_id", "cat")
+      .select(tags.map(col) ++ Seq(col("wm_id"), col("orig_id"), col("cat")): _*)
   }
 
   def detect(orig: DataFrame, wm: DataFrame, key: TmKey): DataFrame = {

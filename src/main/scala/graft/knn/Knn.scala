@@ -86,6 +86,14 @@ object Knn {
       i += 1
     }
     require(i == n, s"corpus shrank during index build: expected $n rows, got $i")
+    finishIndex(ids0, flat0, n, d, needNorms)
+  }
+
+  /** Shared tail of the streamed builds: id-sort via an index permutation
+    * (bit-identical ordering to buildIndex's rows.sortBy(_._1)) + norms.
+    */
+  private def finishIndex(ids0: Array[Long], flat0: Array[Float], n: Int, d: Int,
+                          needNorms: Boolean): FlatIndex = {
     val perm = Array.range(0, n).sortBy(ids0(_))
     val ids  = new Array[Long](n)
     val flat = new Array[Float](n * d)
@@ -242,11 +250,32 @@ object Knn {
     val fastL2 = metric == "l2" && kernel == "fast"
     val fold   = kernel == "fold"
     val needNorms = fastL2 || metric == "cosine"
-    val byGroup = corpus
-      .select(col(groupCol).cast("double"), col("vec_id"), col("embedding"))
-      .as[(Double, Long, Array[Float])].collect()
-      .groupBy(_._1)
-      .map { case (g, rs) => g -> buildIndex(rs.map(r => (r._2, r._3)), needNorms) }
+    // streamed per-group build (same discipline as exact()): pre-count each
+    // group, then stream rows into pre-sized primitive arrays — never holds
+    // the corpus as boxed driver rows alongside the indexes
+    val counts = corpus.groupBy(col(groupCol).cast("double").as("__g")).count()
+      .as[(Double, Long)].collect().toMap
+    val ds = corpus.select(col(groupCol).cast("double"), col("vec_id"), col("embedding"))
+      .as[(Double, Long, Array[Float])]
+    val fill = scala.collection.mutable.HashMap[Double, (Array[Long], Array[Float], Array[Int])]()
+    var dDim = -1
+    import scala.jdk.CollectionConverters._
+    ds.toLocalIterator().asScala.foreach { case (g, id, v) =>
+      if (dDim < 0) dDim = v.length
+      val (ids0, flat0, cur) = fill.getOrElseUpdate(g, {
+        val n = counts(g).toInt
+        (new Array[Long](n), new Array[Float](n * dDim), Array(0))
+      })
+      val i = cur(0)
+      require(i < ids0.length, s"group $g grew during index build")
+      ids0(i) = id
+      System.arraycopy(v, 0, flat0, i * dDim, dDim)
+      cur(0) = i + 1
+    }
+    val byGroup = fill.map { case (g, (ids0, flat0, cur)) =>
+      require(cur(0) == ids0.length, s"group $g shrank during index build")
+      g -> finishIndex(ids0, flat0, cur(0), dDim, needNorms)
+    }.toMap
     val bc    = spark.sparkContext.broadcast(byGroup)
     val parts = spark.sparkContext.defaultParallelism
 

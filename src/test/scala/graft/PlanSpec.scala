@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts for the shapes that matter at 100 TB: dimension
+  * joins must broadcast, filters/projections must reach the parquet scans,
+  * the kNN kernel must stay map-only, and no query may degrade to a
+  * cartesian product.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+
+  test("TPC-H dimension joins broadcast and nothing goes cartesian") {
+    for (q <- Seq("q3_shipping", "q5_region_revenue", "q10_returned")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast joins")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("filters and projections push down to the parquet scans") {
+    val p = plan("q3_shipping")
+    assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters on scans")
+    val scan = p.linesIterator.find(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scan.nonEmpty, "no lineitem scan in plan")
+    assert(!scan.get.contains("l_comment"), "lineitem scan reads unreferenced columns")
+  }
+
+  test("the exact kNN kernel is map-only — no join operator, no shuffle beyond the query repartition") {
+    val p = plan("knn_topk_sample")
+    for (op <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"))
+      assert(!p.contains(op), s"kNN kernel plan contains $op")
+  }
+
+  test("deterministic ANN paths join on bucket/cluster keys, never cartesian") {
+    for (q <- Seq("ann_ivf_topk", "ann_lsh_topk")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(p.contains("Join"), s"$q lost its candidate join")
+    }
+  }
+}

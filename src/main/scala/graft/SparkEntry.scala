@@ -604,6 +604,27 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // Streaming exact dedup under duplicate DELIVERY (the at-least-once
+    // scenario dropDuplicatesWithinWatermark exists for): the event stream
+    // unioned with itself re-delivers every event; watermarked keyed state
+    // drops the duplicates, so a finite replay lands on exactly the
+    // distinct batch table — the oracle.
+    "q_stream_dedup" -> ((s, dir) => {
+      val once  = graft.streaming.StreamOps.eventsStream(s, dir)
+      val twice = once.unionByName(graft.streaming.StreamOps.eventsStream(s, dir))
+      val dedup = twice
+        .withWatermark("event_time", "30 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          micros(col("value")).as("value_micros"),
+          EventOps.epochSecNs(col("ts_ns")).as("es"))
+      val sink = s"stream_dedup_${streamSinkSeq.incrementAndGet()}"
+      val q = dedup.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      s.table(sink).orderBy("event_id")
+    }),
+
     // The stateful streaming sessionizer (flatMapGroupsWithState) under a
     // bit-exact oracle: a finite replay emits every CLOSED session (each
     // user's last session stays open in state), which is SQL-predictable —
@@ -1802,6 +1823,14 @@ object SparkEntry {
         |FROM g WHERE session_seq < (SELECT max(session_seq) FROM g g2 WHERE g2.user_id = g.user_id)
         |ORDER BY user_id, start_es""".stripMargin
         .replace("__SUMV__", sumMicrosSql("value")),
+
+    // duplicate-delivery dedup: the watermarked keyed state must land a
+    // finite double-delivery replay on exactly the distinct batch table
+    "q_stream_dedup" ->
+      s"""SELECT event_id, user_id, event_type,
+         |  ${microsSql("value")} AS value_micros,
+         |  cast(floor(epoch(ts)) as bigint) AS es
+         |FROM events ORDER BY event_id""".stripMargin,
 
     "q3_shipping" ->
       s"""SELECT l_orderkey, cast(epoch(o_orderdate) as bigint) AS o_orderdate_es,

@@ -577,6 +577,13 @@ object SparkEntry {
         .orderBy("bucket", "event_type")
     }),
 
+    // Sliding windows (width 600 s, slide 300 s) through Spark's native
+    // window() expansion — each event lands in two overlapping windows.
+    "q_events_sliding" -> ((s, dir) => {
+      EventOps.sliding(Tables.events(s, dir), widthSec = 600, slideSec = 300)
+        .orderBy("slot", "event_type")
+    }),
+
     // Structured Streaming path under the SAME oracle as the batch operator:
     // file-source replay of the events fixture → watermarked tumbling windows
     // (complete mode, so a finite replay emits every window) → memory sink.
@@ -1823,6 +1830,18 @@ object SparkEntry {
         |FROM g WHERE session_seq < (SELECT max(session_seq) FROM g g2 WHERE g2.user_id = g.user_id)
         |ORDER BY user_id, start_es""".stripMargin
         .replace("__SUMV__", sumMicrosSql("value")),
+
+    // native sliding windows replayed by explicit 2-way expansion: slot
+    // boundaries are integer-aligned, so floor(epoch) assignment matches
+    // Spark's µs-precise window() placement
+    "q_events_sliding" ->
+      s"""WITH x AS (SELECT event_type, value,
+         |    cast(floor(floor(epoch(ts)) / 300) as bigint) - kk.k AS slot
+         |  FROM events, (SELECT unnest([0, 1]) AS k) kk)
+         |SELECT slot, event_type, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros,
+         |  slot * 300 AS window_start
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // duplicate-delivery dedup: the watermarked keyed state must land a
     // finite double-delivery replay on exactly the distinct batch table

@@ -50,6 +50,24 @@ object EventOps {
         sum(micros(col("value"))).as("sum_value_micros"))
       .withColumn("bucket_start", col("bucket") * widthSec)
 
+  /** Sliding event-time windows via Spark's NATIVE window() expansion (each
+    * event is replicated into width/slide overlapping windows by the
+    * optimizer's Expand node — the genuinely-sliding shape tumbling can't
+    * express). Output keyed by window-start slot; slot boundaries are
+    * integer-aligned so the µs-precise assignment agrees with the oracle's
+    * floor(epoch)-based replay.
+    */
+  def sliding(df: DataFrame, widthSec: Int, slideSec: Int): DataFrame =
+    df.withColumn("event_time",
+        timestamp_micros((col("ts_ns").cast("decimal(38,0)") / 1000).cast("long")))
+      .groupBy(window(col("event_time"), s"$widthSec seconds", s"$slideSec seconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(micros(col("value"))).as("sum_value_micros"))
+      .select(
+        (unix_timestamp(col("window.start")) / slideSec).cast("long").as("slot"),
+        col("event_type"), col("n"), col("sum_value_micros"),
+        unix_timestamp(col("window.start")).cast("long").as("window_start"))
+
   /** Gap-based sessionization: a session breaks after `gapSec` of user
     * inactivity. Adds (session_seq) per user via the classic
     * lag + running-sum-of-boundaries window pair.

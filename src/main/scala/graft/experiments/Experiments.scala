@@ -10,10 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * H1 (`strength_analysis`/`th_analysis`, roubust/roubust.py:226–304) and
   * H2 (`compare/roubust.py:158–306`): embed → attack → extract → BER grids.
-  * Each grid cell is one DataFrame lineage; the driver-side loop launches
-  * them and collects a small result frame (scheme, attack, p, rep, ber).
-  * Reps are meaningful through the keyed RNG: the rep index enters every
-  * random draw's key.
+  * Each grid cell is one DataFrame lineage; the grids collect a small
+  * result frame (scheme, attack, p, rep, ber). Repetitions re-roll ONLY the
+  * attack draws (rep-seeded keyed RNG) — the embed keys stay fixed, exactly
+  * the reference's fixed-random_seed rep loops.
   */
 object Experiments {
 
@@ -24,21 +24,24 @@ object Experiments {
 
   private def repSeed(wmKey: WmKey, rep: Int): String = s"${wmKey.seed}-r$rep"
 
-  /** Embed for one (scheme, rep) — the watermarked table is attack- and
-    * p-independent, so grids persist ONE of these per (scheme, rep) and fan
-    * the attack×p cells out over it (the reference re-embeds per cell,
+  /** Embed for one scheme — the watermarked table is attack-, p- AND
+    * rep-independent, so grids persist ONE of these per scheme/strength and
+    * fan every cell out over it (the reference re-embeds per cell,
     * roubust/roubust.py:279 — a re-computation we deliberately don't copy).
+    * Repetitions do NOT re-seed the keys: the
+    * reference re-seeds `random` identically at the top of every embed call
+    * (watermarking.py:276 with a fixed random_seed per grid), so the key
+    * dims and carrier picks are the same in every rep — a repetition
+    * re-rolls only the attack draw (see attackFor's rep-seeded stream).
     */
-  def embedFor(emb: DataFrame, scheme: Scheme, rep: Int, wm: String,
+  def embedFor(emb: DataFrame, scheme: Scheme, wm: String,
                strength: Double, th: Double, d: Int,
-               wmKey: WmKey, scpwKey: ScpwKey, ai: Option[DataFrame]): DataFrame = {
-    val seed = repSeed(wmKey, rep)
+               wmKey: WmKey, scpwKey: ScpwKey, ai: Option[DataFrame]): DataFrame =
     scheme match {
-      case SchemeRs   => Tvp.embedRs(emb, wm, strength, d, wmKey.copy(seed = seed))
-      case SchemeTvp  => Tvp.embedAi(emb, wm, strength, th, ai.get, d, wmKey.copy(seed = seed))
-      case SchemeScpw => Scpw.embed(emb, wm, strength, scpwKey.copy(seed = seed))
+      case SchemeRs   => Tvp.embedRs(emb, wm, strength, d, wmKey)
+      case SchemeTvp  => Tvp.embedAi(emb, wm, strength, th, ai.get, d, wmKey)
+      case SchemeScpw => Scpw.embed(emb, wm, strength, scpwKey)
     }
-  }
 
   def attackFor(wmDf: DataFrame, attack: String, p: Double, seed: String,
                 d: Int, ai: Option[DataFrame]): DataFrame = attack match {
@@ -51,15 +54,13 @@ object Experiments {
   }
 
   // NOTE on seeds: extraction must re-derive the SAME key dims as embedding,
-  // so the extract key carries the identical seed string.
-  def extractFor(attacked: DataFrame, scheme: Scheme, rep: Int, l: Int, d: Int,
-                 wmKey: WmKey, scpwKey: ScpwKey): DataFrame = {
-    val seed = repSeed(wmKey, rep)
+  // so it uses the identical (rep-independent) base keys.
+  def extractFor(attacked: DataFrame, scheme: Scheme, l: Int, d: Int,
+                 wmKey: WmKey, scpwKey: ScpwKey): DataFrame =
     scheme match {
-      case SchemeScpw => Scpw.extract(attacked, l, scpwKey.copy(seed = seed))
-      case _          => Tvp.extract(attacked, l, d, wmKey.copy(seed = seed))
+      case SchemeScpw => Scpw.extract(attacked, l, scpwKey)
+      case _          => Tvp.extract(attacked, l, d, wmKey)
     }
-  }
 
   /** One embed→attack→extract→BER cell. `ai` is required for TVP embedding
     * and the adaptive attacks.
@@ -68,10 +69,10 @@ object Experiments {
            wm: String, strength: Double, th: Double, d: Int,
            wmKey: WmKey, scpwKey: ScpwKey, ai: Option[DataFrame]): Double = {
     val spark = emb.sparkSession
-    val wmDf = embedFor(emb, scheme, rep, wm, strength, th, d, wmKey, scpwKey, ai)
+    val wmDf = embedFor(emb, scheme, wm, strength, th, d, wmKey, scpwKey, ai)
     val attacked = attackFor(wmDf, attack, p, repSeed(wmKey, rep), d, ai)
     Tvp.ber(Tvp.bitsDf(spark, wm),
-      extractFor(attacked, scheme, rep, wm.length, d, wmKey, scpwKey))
+      extractFor(attacked, scheme, wm.length, d, wmKey, scpwKey))
   }
 
   /** H3 — embedding impact sweep (`test_random`, impact/impact.py:130–171):
@@ -171,9 +172,10 @@ object Experiments {
     val l    = wm.length
     // one ranking per ordering serves every cutoff — see Attacks.attackGrid
     val tagged = Attacks.attackGrid(wmDf, attacks, ps, s"att-$seed", d, ai, sharedRanks)
+    // base keys: extraction re-derives the embed's (rep-independent) key dims
     val classified = scheme match {
-      case SchemeScpw => Scpw.classify(tagged, l, scpwKey.copy(seed = seed))
-      case _          => Tvp.classify(tagged, d, l, wmKey.copy(seed = seed))
+      case SchemeScpw => Scpw.classify(tagged, l, scpwKey)
+      case _          => Tvp.classify(tagged, d, l, wmKey)
     }
     val votes = classified.groupBy("attack", "p", "group_id")
       .agg(sum("hidden_bit").as("n_one"), count(lit(1)).as("n"))
@@ -209,17 +211,17 @@ object Experiments {
     val ai = if (needsAi)
       Some(KnnGraph.accessibility(emb, KnnGraph.edges(emb, m)).localCheckpoint())
     else None
-    // one embed per (strength, rep); rankings depend only on rep, so one
-    // GridRanks serves the whole strength axis, and every (strength, rep)
-    // BER aggregate unions into ONE lazy plan (single extraction action)
+    // one embed per STRENGTH (reps re-roll only the attack); rankings depend
+    // only on rep, so one GridRanks serves the whole strength axis, and
+    // every (strength, rep) BER aggregate unions into ONE lazy plan
     val ranksByRep = (0 until reps).map(rep =>
       rep -> Attacks.gridRanks(emb.select("vec_id"),
         s"att-${repSeed(wmKey, rep)}", ai)).toMap
     val plans = for {
       st  <- strengths
-      rep <- 0 until reps
-      wmDf  = embedFor(emb, scheme, rep, wm, st, th, d, wmKey, scpwKey, ai)
+      wmDf  = embedFor(emb, scheme, wm, st, th, d, wmKey, scpwKey, ai)
         .localCheckpoint()
+      rep <- 0 until reps
     } yield berGridPlan(wmDf, scheme, rep, Seq(attack), ps, wm, d, wmKey, scpwKey, ai,
         Some(ranksByRep(rep)))
       .withColumn("scheme", lit(scheme.toString))
@@ -230,10 +232,11 @@ object Experiments {
   }
 
   /** Robustness grid → (scheme, attack, p, rep, ber) result frame.
-    * The watermarked table is embedded ONCE per (scheme, rep) and persisted;
-    * the attack×p cells share it — at a 6×13-cell reference grid this cuts
-    * the dominant embed lineage (classification windows + SCPW rejection
-    * draws) from |cells| evaluations to |schemes·reps|.
+    * The watermarked table is embedded ONCE per scheme and persisted; every
+    * attack×p×rep cell shares it (reps re-roll only the attack draws) — at
+    * a reference-scale grid this cuts the dominant embed lineage
+    * (classification windows + SCPW rejection draws) from |cells|
+    * evaluations to |schemes|.
     */
   def robustnessGrid(emb: DataFrame, schemes: Seq[Scheme], attacks: Seq[String],
                      ps: Seq[Double], reps: Int, wm: String, strength: Double,
@@ -260,9 +263,9 @@ object Experiments {
         s"att-${repSeed(wmKey, rep)}", ai)).toMap
     val plans = for {
       scheme <- schemes
-      rep    <- 0 until reps
-      wmDf    = embedFor(emb, scheme, rep, wm, strength, th, d, wmKey, scpwKey, ai)
+      wmDf    = embedFor(emb, scheme, wm, strength, th, d, wmKey, scpwKey, ai)
         .localCheckpoint()
+      rep    <- 0 until reps
     } yield berGridPlan(wmDf, scheme, rep, attacks, ps, wm, d, wmKey, scpwKey, ai,
         Some(ranksByRep(rep)))
       .withColumn("scheme", lit(scheme.toString))

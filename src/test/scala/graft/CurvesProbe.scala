@@ -15,11 +15,12 @@ object CurvesProbe {
     val scpwKey = ScpwKey(topK = 20, position = 30, stdE = 0.05, seed = "20")
     for ((scheme, attack, strength, th) <- Seq(
         (Experiments.SchemeTvp, "adaptive_delete", 0.54, 1.0),
+        (Experiments.SchemeTvp, "random_delete", 0.54, 1.0),
         (Experiments.SchemeRs, "random_delete", 0.54, 1.0),
         (Experiments.SchemeScpw, "random_delete", 0.55, 1.0),
         (Experiments.SchemeTvp, "adaptive_modify", 0.55, 1.0))) {
       val grid = Experiments.robustnessGrid(emb, Seq(scheme), Seq(attack), ps,
-        reps = 3, wm, strength, th, 64, wmKey, scpwKey)
+        reps = 10, wm, strength, th, 64, wmKey, scpwKey)
       val avg = grid.groupBy("p").avg("ber").orderBy("p").collect()
         .map(r => f"${r.getDouble(1)}%.4f").mkString(", ")
       println(s"CURVE $scheme/$attack strength=$strength: $avg")

@@ -33,7 +33,8 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(grid.length == 4)
     val atZero = grid.filter(_.getDouble(2) == 0.0)
     assert(atZero.forall(_.getDouble(4) == 0.0), s"BER at p=0: ${atZero.mkString(",")}")
-    // reps with different keys may differ — both rows must still be valid BERs
+    // reps re-roll the attack draw, so the two rows may differ — both must
+    // still be valid BERs
     assert(grid.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
   }
 
@@ -70,7 +71,7 @@ class ExperimentsSpec extends AnyFunSuite {
       "adaptive_modify", "insert")
     val ps      = Seq(0.0, 0.4, 0.7)
     for (scheme <- Seq(Experiments.SchemeRs, Experiments.SchemeScpw)) {
-      val wmDf = Experiments.embedFor(emb, scheme, rep = 1, wm, strength = 0.7,
+      val wmDf = Experiments.embedFor(emb, scheme, wm, strength = 0.7,
         th = 0.5, d = 64, wmKey = wmKey, scpwKey = scpwKey, ai = Some(aiDf)).cache()
       val batched = Experiments.berGrid(wmDf, scheme, rep = 1, attacks, ps, wm,
         d = 64, wmKey = wmKey, scpwKey = scpwKey, ai = Some(aiDf))
@@ -78,7 +79,7 @@ class ExperimentsSpec extends AnyFunSuite {
       for (attack <- attacks; p <- ps) {
         val attacked = Experiments.attackFor(wmDf, attack, p, s"${wmKey.seed}-r1", 64, Some(aiDf))
         val single = Tvp.ber(Tvp.bitsDf(spark, wm),
-          Experiments.extractFor(attacked, scheme, rep = 1, wm.length, 64, wmKey, scpwKey))
+          Experiments.extractFor(attacked, scheme, wm.length, 64, wmKey, scpwKey))
         assert(batched((attack, p)) == single,
           s"$scheme/$attack/p=$p: batched ${batched((attack, p))} vs single $single")
       }

@@ -36,7 +36,7 @@ object GridProfileProbe {
     }
     for (scheme <- Seq(Experiments.SchemeRs, Experiments.SchemeTvp, Experiments.SchemeScpw)) {
       val wmDf = time(s"embed $scheme") {
-        Experiments.embedFor(emb, scheme, 0, wm, 0.7, 0.5, 64, wmKey, scpwKey, Some(ai))
+        Experiments.embedFor(emb, scheme, wm, 0.7, 0.5, 64, wmKey, scpwKey, Some(ai))
           .localCheckpoint()
       }
       time(s"berGrid $scheme (30 cells)") {

@@ -388,6 +388,38 @@ object SparkEntry {
     // averages. Fold kernel on the after-pass so the rank-10 cutoff is
     // bit-identical to the oracle's lambda-fold kNN over the SQL-replayed
     // watermarked table.
+    // H3/H2 — the published multi-scheme embed-impact comparison
+    // (compare/impact.py:175–235): per scheme, average missed/false kNN
+    // queries per carrier after embedding. RS/TVP/TM replay end-to-end in
+    // SQL; SCPW's hidden bit (md5 of Float.toString) is not
+    // SQL-expressible, so its impact rides the rows-only robustness
+    // machinery instead.
+    "h_impact_compare" -> ((s, dir) => {
+      val emb  = Tables.embeddings(s, dir)
+      val base = rawKnn(s, dir).filter(col("rank") <= 10)
+      val cl   = Tvp.classify(emb, D, WM.length, key)
+      val bits = Tvp.bitsDf(s, WM)
+      val rsC  = Tvp.carriersRs(cl, bits, Strength, key.seed)
+      val tvC  = Tvp.carriersAi(cl, bits, Strength, 0.1, ai(s, dir))
+      val cases = Seq(
+        ("rs",  Tvp.applyEmbed(emb, rsC, D, key), rsC.select("vec_id")),
+        ("tvp", Tvp.applyEmbed(emb, tvC, D, key), tvC.select("vec_id")),
+        ("tm",  TabularMark.embed(emb, tmKey),
+          emb.filter(col("vec_id") < tmKey.nw).select("vec_id")))
+      cases.map { case (name, wmDf, carriers) =>
+        val after = Knn.exact(emb, wmDf, 10, kernel = "fold")
+        Metrics.missFalse(
+            Metrics.carrierHits(base, carriers),
+            Metrics.carrierHits(after, carriers))
+          .agg(round(avg("miss"), 6).as("avg_miss"),
+            round(avg("false_hits"), 6).as("avg_false"),
+            count(lit(1)).as("n_carriers"))
+          .withColumn("scheme", lit(name))
+      }.reduce(_ unionByName _)
+        .select("scheme", "n_carriers", "avg_miss", "avg_false")
+        .orderBy("scheme")
+    }),
+
     "impact_embed_missfalse" -> ((s, dir) => {
       val emb  = Tables.embeddings(s, dir)
       val base = rawKnn(s, dir).filter(col("rank") <= 10)
@@ -1016,6 +1048,69 @@ object SparkEntry {
   private def sumNanosSql(expr: String): String =
     s"cast(sum(cast(floor(($expr) * 1000000000.0 + 0.5) as bigint)) as bigint)"
 
+
+  /** TabularMark embed replay: P12 interval bipartition as a recursive CTE
+    * over scalar segment state (one row per generated segment + the trim
+    * adjustment re-summing prior lengths in generation order), the keyed
+    * cat-1 offset draw, and the resulting watermarked dim-`position` value
+    * per row. Produces CTEs tmids/pks/carrids/segs/initsums/segfinal/
+    * cat1segs/offsets/tmwm. Callers must open with `WITH RECURSIVE`.
+    */
+  private def tmEmbedCtes: String = {
+    val (pp, nw, kk, pos, sc) =
+      (tmKey.p, tmKey.nw, tmKey.k, tmKey.position, tmKey.scale)
+    def unitSql(key: String) =
+      s"(cast('0x' || substr(md5($key), 1, 13) as bigint) / 4503599627370496.0)"
+    def digit(v: String) =
+      s"substr(cast(cast(trunc(abs($v) * $sc) as bigint) as varchar), 1, 1)"
+    val rawId = (0 until kk).map(j => digit(s"cast(embedding[${j + 1}] as double)")).mkString(" || ")
+    s"""tmids AS MATERIALIZED (SELECT vec_id, $rawId AS id, embedding FROM embeddings),
+       |pks AS MATERIALIZED (SELECT id, min(vec_id) AS orig_id FROM tmids WHERE vec_id < $nw GROUP BY id),
+       |carrids AS MATERIALIZED (SELECT DISTINCT id FROM tmids WHERE vec_id < $nw),
+       |segs(id, i, s, e, cat, len1, len2, fin) AS (
+       |  SELECT id, 0, -$pp, -$pp + seglen, 1, seglen, 0.0, seglen >= $pp
+       |  FROM (SELECT id, 1.0 + (least($pp - (-$pp), $pp) - 1.0) * ${unitSql("id || '|seg|0'")} AS seglen FROM carrids)
+       |  UNION ALL
+       |  SELECT id, i + 1, e, e + seglen,
+       |    CASE WHEN len1 <= len2 THEN 1 ELSE 2 END,
+       |    CASE WHEN len1 <= len2 THEN len1 + seglen ELSE len1 END,
+       |    CASE WHEN len1 <= len2 THEN len2 ELSE len2 + seglen END,
+       |    (CASE WHEN len1 <= len2 THEN len1 + seglen ELSE len1 END) >= $pp OR
+       |    (CASE WHEN len1 <= len2 THEN len2 ELSE len2 + seglen END) >= $pp
+       |  FROM (SELECT *, 1.0 + (least($pp - e, $pp) - 1.0) *
+       |          ${unitSql("id || '|seg|' || cast(i + 1 as varchar)")} AS seglen
+       |        FROM segs WHERE NOT fin AND e < $pp) t
+       |),
+       |initsums AS MATERIALIZED (
+       |  SELECT f.id, f.i,
+       |    list_reduce(list_prepend(0.0, coalesce(list(pr.e - pr.s ORDER BY pr.i), [])), (a, b) -> a + b) AS initsum
+       |  FROM (SELECT * FROM segs WHERE fin) f
+       |  LEFT JOIN segs pr ON pr.id = f.id AND pr.cat = f.cat AND pr.i < f.i
+       |  GROUP BY f.id, f.i),
+       |segfinal AS MATERIALIZED (
+       |  SELECT id, i AS ord, s, e, cat FROM segs WHERE NOT fin
+       |  UNION ALL
+       |  SELECT g.id, g.i, g.s, g.s + ($pp - n.initsum), g.cat
+       |  FROM segs g JOIN initsums n ON n.id = g.id AND n.i = g.i WHERE g.fin
+       |  UNION ALL
+       |  SELECT g.id, g.i + 1, g.s + ($pp - n.initsum), $pp,
+       |    CASE WHEN g.cat = 1 THEN 2 ELSE 1 END
+       |  FROM segs g JOIN initsums n ON n.id = g.id AND n.i = g.i WHERE g.fin),
+       |cat1segs AS MATERIALIZED (
+       |  SELECT id, s, e, row_number() OVER (PARTITION BY id ORDER BY ord) - 1 AS k,
+       |    count(*) OVER (PARTITION BY id) AS nseg
+       |  FROM segfinal WHERE cat = 1),
+       |offsets AS MATERIALIZED (
+       |  SELECT id, s + (e - s) * ${unitSql("id || '|emb|inseg'")} AS off
+       |  FROM cat1segs WHERE k = ${md5ModCol("id || '|emb|pickseg'", "nseg")}),
+       |tmwm AS MATERIALIZED (
+       |  SELECT t.vec_id,
+       |    CASE WHEN t.vec_id < $nw
+       |      THEN cast(cast(t.embedding[${pos + 1}] as double) + o.off as real)
+       |      ELSE t.embedding[${pos + 1}] END AS wm50
+       |  FROM tmids t LEFT JOIN offsets o ON o.id = t.id)""".stripMargin
+  }
+
   /** Sequential squared-L2 fold (matches VectorOps.l2Col² / Ann.sqDistFold:
     * 0.0-seeded left-to-right accumulation, so argmin orderings replay).
     */
@@ -1491,66 +1586,20 @@ object SparkEntry {
     // corrupted 40-digit content ids, first-match join, and the float32
     // diff all replay mechanically.
     "h_tm_modify_grid" -> {
-      val (pp, nw, kk, pos, sc) =
-        (tmKey.p, tmKey.nw, tmKey.k, tmKey.position, tmKey.scale)
+      val (nw, kk, pos) = (tmKey.nw, tmKey.k, tmKey.position)
       def unitSql(key: String) =
         s"(cast('0x' || substr(md5($key), 1, 13) as bigint) / 4503599627370496.0)"
       def digit(v: String) =
-        s"substr(cast(cast(trunc(abs($v) * $sc) as bigint) as varchar), 1, 1)"
+        s"substr(cast(cast(trunc(abs($v) * ${tmKey.scale}) as bigint) as varchar), 1, 1)"
       def modval(dd: Int) = {
         val base = if (dd != pos) s"cast(e.embedding[${dd + 1}] as double)"
                    else "cast(w.wm50 as double)"
         s"CASE WHEN r.sel AND ((($dd - r.runstart) % $D + $D) % $D) < 30 " +
           s"THEN cast(r.newv as double) ELSE $base END"
       }
-      val rawId = (0 until kk).map(j => digit(s"cast(embedding[${j + 1}] as double)")).mkString(" || ")
       val modId = (0 until kk).map(modval).map(digit).mkString(" || ")
       s"""WITH RECURSIVE
-         |tmids AS MATERIALIZED (SELECT vec_id, $rawId AS id, embedding FROM embeddings),
-         |pks AS MATERIALIZED (SELECT id, min(vec_id) AS orig_id FROM tmids WHERE vec_id < $nw GROUP BY id),
-         |carrids AS MATERIALIZED (SELECT DISTINCT id FROM tmids WHERE vec_id < $nw),
-         |segs(id, i, s, e, cat, len1, len2, fin) AS (
-         |  SELECT id, 0, -$pp, -$pp + seglen, 1, seglen, 0.0, seglen >= $pp
-         |  FROM (SELECT id, 1.0 + (least($pp - (-$pp), $pp) - 1.0) * ${unitSql("id || '|seg|0'")} AS seglen FROM carrids)
-         |  UNION ALL
-         |  SELECT id, i + 1, e, e + seglen,
-         |    CASE WHEN len1 <= len2 THEN 1 ELSE 2 END,
-         |    CASE WHEN len1 <= len2 THEN len1 + seglen ELSE len1 END,
-         |    CASE WHEN len1 <= len2 THEN len2 ELSE len2 + seglen END,
-         |    (CASE WHEN len1 <= len2 THEN len1 + seglen ELSE len1 END) >= $pp OR
-         |    (CASE WHEN len1 <= len2 THEN len2 ELSE len2 + seglen END) >= $pp
-         |  FROM (SELECT *, 1.0 + (least($pp - e, $pp) - 1.0) *
-         |          ${unitSql("id || '|seg|' || cast(i + 1 as varchar)")} AS seglen
-         |        FROM segs WHERE NOT fin AND e < $pp) t
-         |),
-         |initsums AS MATERIALIZED (
-         |  SELECT f.id, f.i,
-         |    list_reduce(list_prepend(0.0, coalesce(list(pr.e - pr.s ORDER BY pr.i), [])), (a, b) -> a + b) AS initsum
-         |  FROM (SELECT * FROM segs WHERE fin) f
-         |  LEFT JOIN segs pr ON pr.id = f.id AND pr.cat = f.cat AND pr.i < f.i
-         |  GROUP BY f.id, f.i),
-         |segfinal AS MATERIALIZED (
-         |  SELECT id, i AS ord, s, e, cat FROM segs WHERE NOT fin
-         |  UNION ALL
-         |  SELECT g.id, g.i, g.s, g.s + ($pp - n.initsum), g.cat
-         |  FROM segs g JOIN initsums n ON n.id = g.id AND n.i = g.i WHERE g.fin
-         |  UNION ALL
-         |  SELECT g.id, g.i + 1, g.s + ($pp - n.initsum), $pp,
-         |    CASE WHEN g.cat = 1 THEN 2 ELSE 1 END
-         |  FROM segs g JOIN initsums n ON n.id = g.id AND n.i = g.i WHERE g.fin),
-         |cat1segs AS MATERIALIZED (
-         |  SELECT id, s, e, row_number() OVER (PARTITION BY id ORDER BY ord) - 1 AS k,
-         |    count(*) OVER (PARTITION BY id) AS nseg
-         |  FROM segfinal WHERE cat = 1),
-         |offsets AS MATERIALIZED (
-         |  SELECT id, s + (e - s) * ${unitSql("id || '|emb|inseg'")} AS off
-         |  FROM cat1segs WHERE k = ${md5ModCol("id || '|emb|pickseg'", "nseg")}),
-         |wm AS MATERIALIZED (
-         |  SELECT t.vec_id,
-         |    CASE WHEN t.vec_id < $nw
-         |      THEN cast(cast(t.embedding[${pos + 1}] as double) + o.off as real)
-         |      ELSE t.embedding[${pos + 1}] END AS wm50
-         |  FROM tmids t LEFT JOIN offsets o ON o.id = t.id),
+         |$tmEmbedCtes,
          |st AS (SELECT cast(min(embedding[${modGridDim0 + 1}]) as double) AS mn,
          |              cast(max(embedding[${modGridDim0 + 1}]) as double) AS mx,
          |              count(*) AS n FROM embeddings),
@@ -1570,7 +1619,7 @@ object SparkEntry {
          |    cast(${modval(pos)} as real) AS mod50
          |  FROM rowsx r
          |  JOIN embeddings e ON e.vec_id = r.vec_id
-         |  JOIN wm w ON w.vec_id = r.vec_id),
+         |  JOIN tmwm w ON w.vec_id = r.vec_id),
          |matched AS MATERIALIZED (
          |  SELECT m.p, m.vec_id AS wm_id, pk.id, pk.orig_id,
          |    cast(cast(cast(m.mod50 as double) - cast(o.embedding[${pos + 1}] as double) as real) as double) AS diff
@@ -1594,6 +1643,60 @@ object SparkEntry {
          |  (2.0 * (cast(coalesce(a.ng, 0) as double) - 0.5 * $nw) / sqrt(cast($nw as double))) > 1.96 AS detected
          |FROM pvals pv LEFT JOIN agg a ON a.p = pv.p
          |ORDER BY p""".stripMargin
+    },
+
+    // Multi-scheme impact comparison replayed end-to-end: one shared graph +
+    // codec prefix, then per scheme its watermarked table (RS wemb, TVP
+    // th-tail applyEmbed, TM recursive-CTE offsets), a fold-kNN pass of raw
+    // queries against it, and the per-carrier miss/false accounting.
+    "h_impact_compare" -> {
+      val dd = "(cast(a.embedding[i] as double) - cast(b.embedding[i] as double))"
+      def impactBlock(sfx: String, corpus: String, carriers: String): String =
+        s"""after$sfx AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+           |    FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |            sqrt(list_reduce(list_transform(range(1, ${D + 1}), i -> $dd * $dd),
+           |              (xx, yy) -> xx + yy)) AS dist
+           |          FROM embeddings a, $corpus b))
+           |  WHERE rank <= 10),
+           |hb$sfx AS (SELECT c.vec_id AS carrier, b.query_id AS query
+           |  FROM (SELECT query_id, neighbor_id FROM raw17 WHERE rank <= 10) b
+           |  JOIN $carriers c ON b.neighbor_id = c.vec_id),
+           |ha$sfx AS (SELECT c.vec_id AS carrier, a.query_id AS query
+           |  FROM after$sfx a JOIN $carriers c ON a.neighbor_id = c.vec_id),
+           |mf$sfx AS MATERIALIZED (SELECT carrier,
+           |    sum(CASE WHEN inb IS NOT NULL AND ina IS NULL THEN 1 ELSE 0 END) AS miss,
+           |    sum(CASE WHEN ina IS NOT NULL AND inb IS NULL THEN 1 ELSE 0 END) AS false_hits
+           |  FROM (SELECT 1 AS inb, carrier, query FROM hb$sfx) fb
+           |  FULL OUTER JOIN (SELECT 1 AS ina, carrier, query FROM ha$sfx) fa USING (carrier, query)
+           |  GROUP BY carrier)""".stripMargin
+      def row(name: String, sfx: String): String =
+        s"""SELECT '$name' AS scheme, (SELECT count(*) FROM mf$sfx) AS n_carriers,
+           |  (SELECT round(avg(miss), 6) FROM mf$sfx) AS avg_miss,
+           |  (SELECT round(avg(false_hits), 6) FROM mf$sfx) AS avg_false""".stripMargin
+      "WITH RECURSIVE " + graphCtes.stripPrefix("WITH ") + ",\n" +
+        rsCodecCtes + ",\n" + tvpCandCtes + ",\n" + tvpThCtes(0.1, "_c0") + ",\n" +
+        s"""twmvals_c0 AS (SELECT vec_id, pos,
+           |    cast(v + ((wm_bit + pos) % 2 - oldbit) *
+           |      (CASE WHEN bp < intlen THEN pow(2.0, intlen - 1 - bp)
+           |            ELSE pow(2.0, -(bp - intlen)) END) as real) AS newv
+           |  FROM tcarriers_c0),
+           |twemb_c0 AS MATERIALIZED (SELECT e.vec_id,
+           |    CASE WHEN w.vec_id IS NULL THEN e.embedding
+           |      ELSE list_transform(range(1, ${D + 1}),
+           |             i -> CASE WHEN i = w.pos + 1 THEN w.newv ELSE e.embedding[i] END)
+           |    END AS embedding
+           |  FROM embeddings e LEFT JOIN twmvals_c0 w ON e.vec_id = w.vec_id),""".stripMargin + "\n" +
+        tmEmbedCtes + ",\n" +
+        s"""tmemb AS MATERIALIZED (SELECT e.vec_id,
+           |    list_transform(range(1, ${D + 1}),
+           |      i -> CASE WHEN i = ${tmKey.position + 1} THEN w.wm50 ELSE e.embedding[i] END) AS embedding
+           |  FROM embeddings e JOIN tmwm w ON w.vec_id = e.vec_id),""".stripMargin + "\n" +
+        impactBlock("_rs", "wemb", "wcarriers") + ",\n" +
+        impactBlock("_tv", "twemb_c0", "tcarriers_c0") + ",\n" +
+        impactBlock("_tm", "tmemb", s"(SELECT vec_id FROM tmids WHERE vec_id < ${tmKey.nw})") + "\n" +
+        row("rs", "_rs") + "\nUNION ALL\n" + row("tm", "_tm") + "\nUNION ALL\n" +
+        row("tvp", "_tv") + "\nORDER BY scheme"
     },
 
     // Full SQL replay of the impact metric: base kNN from the shared graph

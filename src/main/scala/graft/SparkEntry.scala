@@ -438,6 +438,34 @@ object SparkEntry {
 
     // H4/SO2 — attack impact on kNN accuracy after random deletion. Exact
     // integer counts (oracle-checkable); hit_rate = n_common/(n_queries·k).
+    // H4 — the published hit-rate-vs-deletion curve (data_attack.py:260:
+    // adaptive deletion p = 0.1…0.9 on unwatermarked data): hit rate =
+    // |base ∩ after| / (n·k). One grouped fold-kNN pass serves all nine
+    // cells (queries × p against the tagged union of nested keep-sets).
+    "h_hitrate_curve" -> ((s, dir) => {
+      import s.implicits._
+      val emb  = Tables.embeddings(s, dir)
+      val base = rawKnn(s, dir).filter(col("rank") <= 10)
+      val ps   = (1 to 9).map(_ / 10.0)
+      val aiDf = ai(s, dir)
+      val keptAll = ps.map(p => Attacks.adaptiveDelete(emb, aiDf, p)
+          .select(col("vec_id"), col("embedding")).withColumn("p", lit(p)))
+        .reduce(_ unionByName _).localCheckpoint()
+      val qAll = ps.map(p => emb.select(col("vec_id"), col("embedding"))
+          .withColumn("p", lit(p))).reduce(_ unionByName _)
+      val after = Knn.exactGrouped(qAll, keptAll, 10, "p", kernel = "fold")
+      val nq = GraftCache.memoAny(s"$dir/strgrid-n") { emb.count() }
+      val common = after.select(col("p"), col("query_id"), col("neighbor_id"))
+        .join(base.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("p").agg(count(lit(1)).as("n_common"))
+      ps.toDF("p").join(common, Seq("p"), "left")
+        .select(col("p"), coalesce(col("n_common"), lit(0L)).as("n_common"),
+          lit(nq).as("n_queries"), lit(10L).as("k"),
+          (coalesce(col("n_common"), lit(0L)).cast("double") / (lit(nq.toDouble) * 10.0)).as("hit_rate"))
+        .orderBy("p")
+    }),
+
     "attack_hit_rate" -> ((s, dir) => {
       import s.implicits._
       val emb   = Tables.embeddings(s, dir)
@@ -2051,6 +2079,34 @@ object SparkEntry {
 
     "wm_accessibility" ->
       (graphCtes + "SELECT vec_id, ai FROM ai ORDER BY vec_id"),
+
+    // the published hit-rate curve: every cell's after-kNN is a rank window
+    // over the SAME materialized all-pairs distances, restricted to that
+    // cell's adaptive keep-set
+    "h_hitrate_curve" -> {
+      val ps = (1 to 9).map(_ / 10.0)
+      val blocks = ps.zipWithIndex.map { case (p, i) =>
+        s"""aft_h$i AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT k.query_id, k.neighbor_id,
+           |      row_number() OVER (PARTITION BY k.query_id ORDER BY k.dist, k.neighbor_id) AS rank
+           |    FROM knn k JOIN air r ON r.vec_id = k.neighbor_id
+           |    WHERE r.rnk > ceil(r.n * cast($p as double)))
+           |  WHERE rank <= 10),
+           |cm_h$i AS (SELECT count(*) AS n_common FROM aft_h$i a
+           |  JOIN (SELECT query_id, neighbor_id FROM raw17 WHERE rank <= 10) b
+           |  USING (query_id, neighbor_id))""".stripMargin
+      }.mkString(",\n")
+      val rows = ps.zipWithIndex.map { case (p, i) =>
+        s"""SELECT cast($p as double) AS p, (SELECT n_common FROM cm_h$i) AS n_common,
+           |  (SELECT count(*) FROM embeddings) AS n_queries, cast(10 as bigint) AS k,
+           |  cast((SELECT n_common FROM cm_h$i) as double)
+           |    / (cast((SELECT count(*) FROM embeddings) as double) * 10.0) AS hit_rate""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      graphCtes + ",\n" +
+        s"""air AS MATERIALIZED (SELECT vec_id, row_number() OVER (ORDER BY ai DESC, vec_id) AS rnk,
+           |    count(*) OVER () AS n FROM ai),""".stripMargin + "\n" +
+        blocks + "\n" + rows + "\nORDER BY p"
+    },
 
     "attack_adaptive_delete" ->
       (graphCtes +

@@ -399,15 +399,34 @@ object SparkEntry {
       val base = rawKnn(s, dir).filter(col("rank") <= 10)
       val cl   = Tvp.classify(emb, D, WM.length, key)
       val bits = Tvp.bitsDf(s, WM)
-      val rsC  = Tvp.carriersRs(cl, bits, Strength, key.seed)
-      val tvC  = Tvp.carriersAi(cl, bits, Strength, 0.1, ai(s, dir))
+      // each carrier frame feeds both its embed branch and the hit
+      // accounting — checkpoint once instead of re-running the selection
+      // windows per reference
+      val rsC = GraftCache.memo(s"$dir/impcmp-rsc") {
+        Tvp.carriersRs(cl, bits, Strength, key.seed).localCheckpoint()
+      }
+      val tvC = GraftCache.memo(s"$dir/impcmp-tvc") {
+        Tvp.carriersAi(cl, bits, Strength, 0.1, ai(s, dir)).localCheckpoint()
+      }
       val cases = Seq(
         ("rs",  Tvp.applyEmbed(emb, rsC, D, key), rsC.select("vec_id")),
         ("tvp", Tvp.applyEmbed(emb, tvC, D, key), tvC.select("vec_id")),
         ("tm",  TabularMark.embed(emb, tmKey),
           emb.filter(col("vec_id") < tmKey.nw).select("vec_id")))
-      cases.map { case (name, wmDf, carriers) =>
-        val after = Knn.exact(emb, wmDf, 10, kernel = "fold")
+      // one grouped fold-kNN pass serves all three schemes' after-indexes
+      // (scheme tag = group key); each scheme's numeric tag must survive a
+      // double round-trip, so use small integers
+      val tagOf = cases.map(_._1).zipWithIndex.toMap
+      val corpusAll = cases.map { case (name, wmDf, _) =>
+        wmDf.select(col("vec_id"), col("embedding"))
+          .withColumn("sch", lit(tagOf(name)))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val qAll = cases.map { case (name, _, _) =>
+        emb.select(col("vec_id"), col("embedding")).withColumn("sch", lit(tagOf(name)))
+      }.reduce(_ unionByName _)
+      val afterAll = Knn.exactGrouped(qAll, corpusAll, 10, "sch", kernel = "fold")
+      cases.map { case (name, _, carriers) =>
+        val after = afterAll.filter(col("sch") === tagOf(name))
         Metrics.missFalse(
             Metrics.carrierHits(base, carriers),
             Metrics.carrierHits(after, carriers))
@@ -448,7 +467,17 @@ object SparkEntry {
       val base = rawKnn(s, dir).filter(col("rank") <= 10)
       val ps   = (1 to 9).map(_ / 10.0)
       val aiDf = ai(s, dir)
-      val keptAll = ps.map(p => Attacks.adaptiveDelete(emb, aiDf, p)
+      // ONE ai ranking serves every cutoff (identical keep-sets to
+      // Attacks.adaptiveDelete's per-cell two-pass selection: rank order is
+      // (ai desc, vec_id), kept = rank > ceil(n·p))
+      val ranked = GraftCache.memo(s"$dir/hitrate-airank") {
+        Attacks.scoreRanked(emb.join(aiDf, "vec_id").select(col("vec_id"), col("ai")), "ai")
+          .select(col("vec_id"), col("__grank")).localCheckpoint()
+      }
+      val n0 = GraftCache.memoAny(s"$dir/strgrid-n") { emb.count() }
+      val embR = emb.join(ranked, "vec_id")
+      val keptAll = ps.map(p => embR
+          .filter(col("__grank") > ceil(lit(n0.toDouble) * lit(p)).cast("long"))
           .select(col("vec_id"), col("embedding")).withColumn("p", lit(p)))
         .reduce(_ unionByName _).localCheckpoint()
       val qAll = ps.map(p => emb.select(col("vec_id"), col("embedding"))

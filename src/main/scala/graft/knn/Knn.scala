@@ -219,7 +219,10 @@ object Knn {
     val nCorpus  = corpusDs.count()
     require(nCorpus <= Int.MaxValue, s"broadcast-regime corpus too large: $nCorpus")
     import scala.jdk.CollectionConverters._
-    val idx = buildIndexStreaming(corpusDs.toLocalIterator().asScala, nCorpus.toInt,
+    // coalesce before streaming: toLocalIterator schedules one job per
+    // partition, so a 32-partition corpus pays 32 sequential driver
+    // round-trips; a handful of fat partitions stream the same bytes in ~4
+    val idx = buildIndexStreaming(corpusDs.coalesce(4).toLocalIterator().asScala, nCorpus.toInt,
       needNorms = fastL2 || metric == "cosine")
     val bc    = spark.sparkContext.broadcast(idx)
     val parts = spark.sparkContext.defaultParallelism
@@ -260,7 +263,7 @@ object Knn {
     val fill = scala.collection.mutable.HashMap[Double, (Array[Long], Array[Float], Array[Int])]()
     var dDim = -1
     import scala.jdk.CollectionConverters._
-    ds.toLocalIterator().asScala.foreach { case (g, id, v) =>
+    ds.coalesce(4).toLocalIterator().asScala.foreach { case (g, id, v) =>
       if (dDim < 0) dDim = v.length
       val (ids0, flat0, cur) = fill.getOrElseUpdate(g, {
         val n = counts(g).toInt

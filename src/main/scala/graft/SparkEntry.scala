@@ -1067,16 +1067,38 @@ object SparkEntry {
         .orderBy("th")
     }),
 
-    // H1/H2 — robustness grid (embed → attack → extract → BER). Two schemes
-    // × three attack families (incl. K4 adaptive modification, which rides
-    // the shared memoized accessibility frame) × four rates: one shared
-    // embed per scheme fans out over the 24 attack cells (roubust.py:265–304
+    // H1/H2 — robustness grid (embed → attack → extract → BER). RS + TVP
+    // × five attack families (incl. K4 adaptive modification, which rides
+    // the shared memoized accessibility frame) × six rates: one shared
+    // embed per scheme fans out over the 30 attack cells (roubust.py:265–304
     // re-embeds per cell; the shared frame is the win that makes a wider
-    // grid affordable).
+    // grid affordable). Oracle-exact: every cell's BER is replayed in SQL —
+    // post-embed bits from the codec replay, keyed/ai rankings for the
+    // deletions, the run-overwrite + full re-classification for the
+    // modifications, per-dim fold-stat gaussian synthesis + re-classification
+    // for the insertions.
     "h_robustness_grid" -> ((s, dir) => {
       Experiments.robustnessGrid(
         Tables.embeddings(s, dir),
-        schemes = Seq(Experiments.SchemeRs, Experiments.SchemeTvp, Experiments.SchemeScpw),
+        schemes = Seq(Experiments.SchemeRs, Experiments.SchemeTvp),
+        attacks = Seq("random_delete", "adaptive_delete", "random_modify",
+          "adaptive_modify", "insert"),
+        ps = Seq(0.0, 0.1, 0.3, 0.5, 0.7, 0.8), reps = 1,
+        wm = WM, strength = 0.7, th = 0.5, d = D, wmKey = key, scpwKey = scpwKey,
+        sharedAi = Some(ai(s, dir)))
+        .select(col("scheme"), col("attack"), col("p"), col("rep").cast("long"), col("ber"))
+        .orderBy("scheme", "attack", "p", "rep")
+    }),
+
+    // H2 — the SCPW column of the scheme comparison, same attack grid. Kept
+    // as its own (rows-only) query: SCPW's hidden bit hashes
+    // Float.toString(v) (SCPW.py:120–128), which no SQL engine can replay —
+    // correctness rides SchemesSpec's BER invariants + the scpw_roundtrip
+    // fixed-point oracle instead.
+    "h_scpw_grid" -> ((s, dir) => {
+      Experiments.robustnessGrid(
+        Tables.embeddings(s, dir),
+        schemes = Seq(Experiments.SchemeScpw),
         attacks = Seq("random_delete", "adaptive_delete", "random_modify",
           "adaptive_modify", "insert"),
         ps = Seq(0.0, 0.1, 0.3, 0.5, 0.7, 0.8), reps = 1,
@@ -1104,6 +1126,18 @@ object SparkEntry {
     s"cast(floor(($expr) * 1000000.0 + 0.5) as bigint)"
   private def sumNanosSql(expr: String): String =
     s"cast(sum(cast(floor(($expr) * 1000000000.0 + 0.5) as bigint)) as bigint)"
+
+  /** vec_id-ordered double fold aggregates — DuckDB mirror of the parity-mode
+    * μ/σ in Attacks.insertGen (and the orderedMean pattern of graphCtes):
+    * deterministic left-to-right double sums, bit-identical on both engines.
+    */
+  private def foldSumSql(expr: String): String =
+    s"list_reduce(list_prepend(0.0, list($expr ORDER BY vec_id)), (a, b) -> a + b)"
+  private def foldMeanSql(expr: String): String =
+    s"(${foldSumSql(expr)} / count(*))"
+  private def foldStdSql(expr: String): String =
+    s"sqrt(greatest(${foldSumSql(s"($expr) * ($expr)")} / count(*) - " +
+      s"${foldMeanSql(expr)} * ${foldMeanSql(expr)}, 0.0))"
 
 
   /** TabularMark embed replay: P12 interval bipartition as a recursive CTE
@@ -1289,38 +1323,49 @@ object SparkEntry {
        |tcarriers$sfx AS MATERIALIZED (SELECT * FROM tw3$sfx
        |  WHERE (qual AND rn1 <= need) OR ((NOT qual) AND rn2 <= need - least(need, nq)))""".stripMargin
 
-  /** The strength-INdependent head of the codec replay: classification
-    * (keyed dim walk, bit position, old bit, group id) and per-group
-    * occupancy stats. Ends at `wgstat`; see rsCarrierCtes for the tail.
+  /** Parameterized classification chain — content id, keyed dim walk,
+    * float-codec bit read, group id — over ANY (vec_id, embedding) relation
+    * `src`. CTE names are `${pfx}base`, `${pfx}p0..p11`, `${pfx}geo..geo6`,
+    * `${pfx}cls`; with pfx="w" and src="embeddings" it reproduces the
+    * historical codec-prefix names, and other prefixes let the robustness-
+    * grid oracle classify attack-modified/inserted embeddings with the same
+    * replayed arithmetic.
     */
-  private def rsCodecPrefix: String = {
+  private def classifyCtes(src: String, pfx: String): String = {
     val allDims  = dims.mkString(", ")
     val skipChain = (0 until 11).map { i =>
-      s"wp${i + 1} AS (SELECT * REPLACE (CASE WHEN pos IN ($allDims) THEN (pos + 1) % $D ELSE pos END AS pos) FROM wp$i)"
+      s"${pfx}p${i + 1} AS (SELECT * REPLACE (CASE WHEN pos IN ($allDims) THEN (pos + 1) % $D ELSE pos END AS pos) FROM ${pfx}p$i)"
     }.mkString(",\n")
-    s"""wbase AS (SELECT vec_id, embedding, ${cidSql(dims.init.toSeq, key.scale)} AS cid FROM embeddings),
-       |wp0 AS (SELECT *, cast(${md5ModCol("cid", D.toString)} as int) AS pos FROM wbase),
+    s"""${pfx}base AS (SELECT vec_id, embedding, ${cidSql(dims.init.toSeq, key.scale)} AS cid FROM $src),
+       |${pfx}p0 AS (SELECT *, cast(${md5ModCol("cid", D.toString)} as int) AS pos FROM ${pfx}base),
        |$skipChain,
-       |wgeo AS (SELECT *, abs(cast(embedding[pos + 1] as double)) AS v FROM wp11),
-       |wgeo2 AS (SELECT *, trunc(v) AS ip, v - trunc(v) AS frac, (v = trunc(v)) AS isint,
-       |    length(format('{:b}', cast(trunc(v) as bigint))) AS intlen FROM wgeo),
-       |wgeo3 AS (SELECT *, CASE WHEN isint THEN 1 ELSE
+       |${pfx}geo AS (SELECT *, abs(cast(embedding[pos + 1] as double)) AS v FROM ${pfx}p11),
+       |${pfx}geo2 AS (SELECT *, trunc(v) AS ip, v - trunc(v) AS frac, (v = trunc(v)) AS isint,
+       |    length(format('{:b}', cast(trunc(v) as bigint))) AS intlen FROM ${pfx}geo),
+       |${pfx}geo3 AS (SELECT *, CASE WHEN isint THEN 1 ELSE
        |      list_min(list_filter(range(1, 200), j -> frac * pow(2.0, j) = trunc(frac * pow(2.0, j)))) END AS e
-       |  FROM wgeo2),
-       |wgeo4 AS (SELECT *, intlen + e AS lenbin,
+       |  FROM ${pfx}geo2),
+       |${pfx}geo4 AS (SELECT *, intlen + e AS lenbin,
        |    cast(trunc((intlen + e) * 0.5) as bigint) AS minpos,
-       |    (intlen + e) - cast(trunc((intlen + e) * 0.5) as bigint) AS span FROM wgeo3),
-       |wgeo5 AS (SELECT *, ${md5ModCol("cid", "span")} + minpos AS bp0 FROM wgeo4),
-       |wgeo6 AS (SELECT *, CASE WHEN bp0 = intlen THEN bp0 - 1 ELSE bp0 END AS bp FROM wgeo5),
-       |wcls AS (SELECT *,
+       |    (intlen + e) - cast(trunc((intlen + e) * 0.5) as bigint) AS span FROM ${pfx}geo3),
+       |${pfx}geo5 AS (SELECT *, ${md5ModCol("cid", "span")} + minpos AS bp0 FROM ${pfx}geo4),
+       |${pfx}geo6 AS (SELECT *, CASE WHEN bp0 = intlen THEN bp0 - 1 ELSE bp0 END AS bp FROM ${pfx}geo5),
+       |${pfx}cls AS (SELECT *,
        |    CASE WHEN bp < intlen THEN cast(trunc(ip / pow(2.0, intlen - 1 - bp)) as bigint) % 2
        |         ELSE cast(trunc(frac * pow(2.0, bp - intlen)) as bigint) % 2 END AS oldbit,
        |    cast(${md5ModSql("cid", WM.length)} as int) AS group_id
-       |  FROM wgeo6),
+       |  FROM ${pfx}geo6)""".stripMargin
+  }
+
+  /** The strength-INdependent head of the codec replay: classification
+    * (classifyCtes over the raw table) and per-group occupancy stats. Ends
+    * at `wgstat`; see rsCarrierCtes for the tail.
+    */
+  private def rsCodecPrefix: String =
+    s"""${classifyCtes("embeddings", "w")},
        |wbits(bit_pos, wm_bit) AS (VALUES $bitsValuesSql),
        |wgstat AS (SELECT group_id, count(*) AS n_group, sum((oldbit + pos) % 2) AS n_one
        |  FROM wcls GROUP BY 1)""".stripMargin
-  }
 
   /** The strength-dependent tail of the codec replay — deficit, keyed carrier
     * ranking, and the flipped float32 values — with `sfx`-suffixed CTE names
@@ -1800,10 +1845,15 @@ object SparkEntry {
     // the identical md5 Box–Muller draw per (row, dim); float32-cast before
     // the 4-decimal round on both sides. μ/σ double sums may differ in final
     // ulps across engines, but the float32 quantization absorbs them.
+    // μ/σ as vec_id-ordered double folds — the exact arithmetic of
+    // Attacks.insertGen's parity mode (σ = sqrt(E[v²] − μ²) over the same
+    // fold sums), so the synthetic float32 values replay bit-for-bit.
     "attack_insert" ->
       s"""WITH st AS (SELECT
-         |    avg(cast(embedding[1] as double)) AS mu0, stddev_pop(cast(embedding[1] as double)) AS s0,
-         |    avg(cast(embedding[$D] as double)) AS mu63, stddev_pop(cast(embedding[$D] as double)) AS s63,
+         |    ${foldMeanSql("cast(embedding[1] as double)")} AS mu0,
+         |    ${foldStdSql("cast(embedding[1] as double)")} AS s0,
+         |    ${foldMeanSql(s"cast(embedding[$D] as double)")} AS mu63,
+         |    ${foldStdSql(s"cast(embedding[$D] as double)")} AS s63,
          |    count(*) AS n, max(vec_id) AS maxid
          |  FROM embeddings),
          |ins AS (SELECT maxid + 1 + unnest(range(0, cast(ceil(n * 0.2) as bigint))) AS vec_id,
@@ -2368,6 +2418,137 @@ object SparkEntry {
          |SELECT
          |  (SELECT count(*) FROM (SELECT embedding FROM embeddings INTERSECT SELECT m FROM modded)) AS n_intersect,
          |  (SELECT count(*) FROM (SELECT embedding FROM embeddings UNION SELECT m FROM modded)) AS n_union""".stripMargin,
+
+    // H1/H2 — the full RS+TVP robustness grid replayed cell-for-cell:
+    // post-embed hidden bits from the codec replay (strength 0.7 carriers;
+    // th=0.5 TVP selection over the graph ai), one keyed ranking per attack
+    // ordering (del / modrow / ai-desc) serving every cutoff, the 30-dim run
+    // overwrite RE-CLASSIFIED through the same codec chain for the modify
+    // cells (content ids can change when the run crosses a key dim), and
+    // per-dim fold-stat gaussian synthetics re-classified for the insert
+    // cells. Majority vote + BER per (scheme, attack, p); empty groups
+    // extract the pre-seeded 0 (watermarking.py:121). Attack draws use the
+    // rep-0 seed (Experiments.repSeed): reps re-roll attacks only.
+    "h_robustness_grid" -> {
+      val atkSeed = s"att-${key.seed}-r0"
+      val gdim0   = Hashing.md5Mod(s"$atkSeed|dim0", D.toLong).toInt
+      def unit(k: String) =
+        s"(cast('0x' || substr(md5($k), 1, 13) as bigint) / 4503599627370496.0)"
+      def pcut(expr: String) = s"ceil(nn.n * cast($expr as double))"
+      val schemeDefs = Seq(("SchemeRs", "wemb", "r"), ("SchemeTvp", "temb", "t"))
+      val perScheme = schemeDefs.map { case (_, wm, x) =>
+        s"""sdim$x AS (SELECT cast(min(embedding[${gdim0 + 1}]) as double) AS mn,
+           |    cast(max(embedding[${gdim0 + 1}]) as double) AS mx FROM $wm),
+           |memb$x AS (SELECT w.vec_id,
+           |    list_transform(range(1, ${D + 1}), i ->
+           |      CASE WHEN ((i - 1 - m.rst) % $D + $D) % $D < 30
+           |        THEN cast(sd.mn + (sd.mx - sd.mn) * ${unit(s"cast(w.vec_id as varchar) || '#modval#$atkSeed'")} as real)
+           |        ELSE w.embedding[i] END) AS embedding
+           |  FROM $wm w JOIN mrun m ON m.vec_id = w.vec_id, sdim$x sd),
+           |${classifyCtes(s"memb$x", s"x$x")},
+           |spd$x AS (SELECT dim, fsum / cnt AS mu,
+           |    sqrt(greatest(fsq / cnt - (fsum / cnt) * (fsum / cnt), 0.0)) AS sg
+           |  FROM (SELECT i.dim AS dim,
+           |      list_reduce(list_prepend(0.0, list(cast(w.embedding[i.dim] as double) ORDER BY w.vec_id)), (a, b) -> a + b) AS fsum,
+           |      list_reduce(list_prepend(0.0, list(cast(w.embedding[i.dim] as double) * cast(w.embedding[i.dim] as double) ORDER BY w.vec_id)), (a, b) -> a + b) AS fsq,
+           |      count(*) AS cnt
+           |    FROM $wm w CROSS JOIN (SELECT unnest(range(1, ${D + 1})) AS dim) i
+           |    GROUP BY i.dim)),
+           |sin$x AS (SELECT list(mu ORDER BY dim) AS mus, list(sg ORDER BY dim) AS sgs FROM spd$x),
+           |synv$x AS (SELECT y.vec_id,
+           |    list_transform(range(1, ${D + 1}), i ->
+           |      cast(s.mus[i] + s.sgs[i] * ${gaussSql(s"cast(y.vec_id as varchar) || '#ins' || cast(i - 1 as varchar) || '#$atkSeed'")} as real)) AS embedding
+           |  FROM syn y, sin$x s),
+           |${classifyCtes(s"synv$x", s"y$x")}""".stripMargin
+      }.mkString(",\n")
+      val pb = schemeDefs.map { case (nm, _, x) =>
+        val carriers = if (x == "r") "wmvals" else "tcarriers"
+        s"""SELECT '$nm' AS scheme, c.vec_id, c.group_id,
+           |    CASE WHEN w.vec_id IS NOT NULL THEN w.wm_bit
+           |         ELSE cast((c.oldbit + c.pos) % 2 as int) END AS hb
+           |  FROM wcls c LEFT JOIN $carriers w ON c.vec_id = w.vec_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      def reclass(pfx: String) = schemeDefs.map { case (nm, _, x) =>
+        s"SELECT '$nm' AS scheme, vec_id, group_id, cast((oldbit + pos) % 2 as int) AS hb FROM $pfx${x}cls"
+      }.mkString("\nUNION ALL\n")
+      graphCtes + ",\n" + rsCodecPrefix + ",\n" + rsCarrierCtes(0.7, "") + ",\n" +
+        s"""wemb AS (SELECT e.vec_id,
+           |    CASE WHEN w.vec_id IS NULL THEN e.embedding
+           |      ELSE list_transform(range(1, ${D + 1}),
+           |             i -> CASE WHEN i = w.pos + 1 THEN w.newv ELSE e.embedding[i] END)
+           |    END AS embedding
+           |  FROM embeddings e LEFT JOIN wmvals w ON e.vec_id = w.vec_id),""".stripMargin + "\n" +
+        tvpCandCtes + ",\n" + tvpThCtes(0.5, "") + ",\n" +
+        s"""temb AS (SELECT e.vec_id,
+           |    CASE WHEN t.vec_id IS NULL THEN e.embedding
+           |      ELSE list_transform(range(1, ${D + 1}),
+           |             i -> CASE WHEN i = t.pos + 1
+           |               THEN cast(t.v + ((t.wm_bit + t.pos) % 2 - t.oldbit) *
+           |                 (CASE WHEN t.bp < t.intlen THEN pow(2.0, t.intlen - 1 - t.bp)
+           |                       ELSE pow(2.0, -(t.bp - t.intlen)) END) as real)
+           |               ELSE e.embedding[i] END)
+           |    END AS embedding
+           |  FROM embeddings e LEFT JOIN tcarriers t ON e.vec_id = t.vec_id),
+           |nn AS (SELECT count(*) AS n, max(vec_id) AS maxid FROM embeddings),
+           |pvals(p) AS (VALUES (0.0), (0.1), (0.3), (0.5), (0.7), (0.8)),
+           |rkd AS (SELECT vec_id, row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$atkSeed'), vec_id) AS r FROM embeddings),
+           |rkm AS (SELECT vec_id, row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#modrow#$atkSeed'), vec_id) AS r FROM embeddings),
+           |rka AS (SELECT vec_id, row_number() OVER (ORDER BY ai DESC, vec_id) AS r FROM ai),
+           |mrun AS (SELECT vec_id, cast(${md5ModSql(s"cast(vec_id as varchar) || '#moddim#$atkSeed'", D)} as bigint) AS rst FROM embeddings),
+           |syn AS (SELECT nn.maxid + 1 + unnest(range(0, cast(${pcut("0.8")} as bigint))) AS vec_id FROM nn),
+           |$perScheme,
+           |pb AS MATERIALIZED (
+           |$pb),
+           |mb AS MATERIALIZED (
+           |${reclass("x")}),
+           |ib AS MATERIALIZED (
+           |${reclass("y")}),
+           |ab AS (
+           |  SELECT pb.scheme, 'random_delete' AS attack, pv.p, pb.group_id, pb.hb
+           |    FROM pvals pv, nn, pb JOIN rkd ON pb.vec_id = rkd.vec_id
+           |    WHERE rkd.r <= nn.n - ${pcut("pv.p")}
+           |  UNION ALL
+           |  SELECT pb.scheme, 'adaptive_delete' AS attack, pv.p, pb.group_id, pb.hb
+           |    FROM pvals pv, nn, pb JOIN rka ON pb.vec_id = rka.vec_id
+           |    WHERE rka.r > ${pcut("pv.p")}
+           |  UNION ALL
+           |  SELECT mb.scheme, 'random_modify' AS attack, pv.p, mb.group_id, mb.hb
+           |    FROM pvals pv, nn, mb JOIN rkm ON mb.vec_id = rkm.vec_id
+           |    WHERE rkm.r <= ${pcut("pv.p")}
+           |  UNION ALL
+           |  SELECT pb.scheme, 'random_modify' AS attack, pv.p, pb.group_id, pb.hb
+           |    FROM pvals pv, nn, pb JOIN rkm ON pb.vec_id = rkm.vec_id
+           |    WHERE rkm.r > ${pcut("pv.p")}
+           |  UNION ALL
+           |  SELECT mb.scheme, 'adaptive_modify' AS attack, pv.p, mb.group_id, mb.hb
+           |    FROM pvals pv, nn, mb JOIN rka ON mb.vec_id = rka.vec_id
+           |    WHERE rka.r <= ${pcut("pv.p")}
+           |  UNION ALL
+           |  SELECT pb.scheme, 'adaptive_modify' AS attack, pv.p, pb.group_id, pb.hb
+           |    FROM pvals pv, nn, pb JOIN rka ON pb.vec_id = rka.vec_id
+           |    WHERE rka.r > ${pcut("pv.p")}
+           |  UNION ALL
+           |  SELECT pb.scheme, 'insert' AS attack, pv.p, pb.group_id, pb.hb
+           |    FROM pvals pv, pb
+           |  UNION ALL
+           |  SELECT ib.scheme, 'insert' AS attack, pv.p, ib.group_id, ib.hb
+           |    FROM pvals pv, nn, ib WHERE ib.vec_id - (nn.maxid + 1) < ${pcut("pv.p")}),
+           |votes AS (SELECT scheme, attack, p, group_id, sum(hb) AS n1, count(*) AS nv
+           |  FROM ab GROUP BY 1, 2, 3, 4),
+           |cells AS (SELECT s.scheme, a.attack, pv.p
+           |  FROM (VALUES ('SchemeRs'), ('SchemeTvp')) s(scheme),
+           |       (VALUES ('random_delete'), ('adaptive_delete'), ('random_modify'),
+           |               ('adaptive_modify'), ('insert')) a(attack),
+           |       pvals pv)
+           |SELECT c.scheme, c.attack, cast(c.p as double) AS p, cast(0 as bigint) AS rep,
+           |  avg(CASE WHEN b.wm_bit <> coalesce(CASE WHEN v.n1 * 2 > v.nv THEN 1 ELSE 0 END, 0)
+           |      THEN 1 ELSE 0 END) AS ber
+           |FROM cells c CROSS JOIN wbits b
+           |LEFT JOIN votes v ON v.scheme = c.scheme AND v.attack = c.attack
+           |  AND v.p = c.p AND v.group_id = b.bit_pos
+           |GROUP BY c.scheme, c.attack, c.p
+           |ORDER BY 1, 2, 3""".stripMargin
+    },
   )
 
   /** DuckDB cosine top-k oracle with fold-exact dot products. */

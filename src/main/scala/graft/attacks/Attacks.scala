@@ -246,14 +246,42 @@ object Attacks {
   /** p-independent insert ingredients: max id and the per-dim μ/σ generator
     * UDF — memoized per frame like nRows, so the insert column scan runs
     * once per attacked table, not once per p cell.
+    *
+    * Two stat modes (same convention as KnnGraph.accessibility): parity
+    * (oracle runs) computes per-dim μ/σ as vec_id-ordered double folds —
+    * bit-replayable in DuckDB as `list(v ORDER BY vec_id)` folds, which the
+    * robustness-grid oracle needs because the synthetic values' float32
+    * quantization (and hence their content ids and hidden bits) is sensitive
+    * to stat ulps; scale mode (Bench) keeps the distributed avg/stddev_pop
+    * aggregates, which a 1000-executor cluster needs because an N-element
+    * collect_list per dim is a single-reducer bottleneck.
     */
+  private def parityStats: Boolean =
+    !sys.props.get("graft.scale.mode").exists(_.equalsIgnoreCase("true"))
+
   private def insertGen(df: DataFrame, d: Int, seed: String):
       (Long, org.apache.spark.sql.expressions.UserDefinedFunction) = {
     val (maxId, stats) = insertStats.computeIfAbsent(df, dd => {
       val mx = dd.agg(max(col("vec_id"))).head().getLong(0)
-      val st = dd.select(posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("pos").agg(avg("v").as("mu"), stddev_pop("v").as("sigma"))
-        .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val st =
+        if (parityStats)
+          dd.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+            .groupBy("pos")
+            .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
+            .collect().map { r =>
+              val vs    = r.getSeq[org.apache.spark.sql.Row](1)
+              val n     = vs.length.toDouble
+              val sum   = vs.foldLeft(0.0)((a, x) => a + x.getFloat(1).toDouble)
+              val sumsq = vs.foldLeft(0.0) { (a, x) =>
+                val v = x.getFloat(1).toDouble; a + v * v
+              }
+              val mu = sum / n
+              r.getInt(0) -> (mu, math.sqrt(math.max(sumsq / n - mu * mu, 0.0)))
+            }.toMap
+        else
+          dd.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+            .groupBy("pos").agg(avg("v").as("mu"), stddev_pop("v").as("sigma"))
+            .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
       (mx, st)
     })
     val mus    = Array.tabulate(d)(stats(_)._1)

@@ -643,6 +643,11 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "dedup_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.4)
+        .orderBy("a", "b")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       Dedup.withSimhash(Tables.documents(s, dir))
         .select("doc_id", "simhash").orderBy("doc_id")
@@ -1981,6 +1986,25 @@ object SparkEntry {
         |      JOIN sizes za ON za.doc_id = c.a JOIN sizes zb ON zb.doc_id = c.b)
         |SELECT a, b, cast(common as double) / (sza + szb - common) AS jaccard
         |FROM j WHERE cast(common as double) / (sza + szb - common) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
+    // Exact n-gram Jaccard join: the engine's prefix-filtered (PPJoin-style)
+    // plan must land on exactly the naive all-shared-shingle-pairs
+    // semantics — the oracle computes the UNoptimized form, so a lossy
+    // prefix would surface as missing rows.
+    "dedup_jaccard_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS s
+        |    FROM w WHERE len(ws) >= 3)),
+        |sz AS (SELECT doc_id, count(*) AS szn FROM sh GROUP BY 1),
+        |it AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT it.a, it.b, it.c AS n_common,
+        |  cast(it.c as double) / (sa.szn + sb.szn - it.c) AS jaccard
+        |FROM it JOIN sz sa ON sa.doc_id = it.a JOIN sz sb ON sb.doc_id = it.b
+        |WHERE cast(it.c as double) / (sa.szn + sb.szn - it.c) >= 0.4
         |ORDER BY a, b""".stripMargin,
 
     "dedup_simhash" ->

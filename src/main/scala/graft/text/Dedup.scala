@@ -99,6 +99,39 @@ object Dedup {
         col("common").cast("double") / (col("sza") + col("szb") - col("common")))
   }
 
+  /** EXACT all-pairs n-gram Jaccard ≥ τ via prefix filtering (the
+    * PPJoin-family shape): order every doc's shingle set by one global
+    * (doc-frequency asc, shingle) order; a pair with J(A,B) ≥ τ has
+    * |A∩B| ≥ ceil(τ·|A|), and the O-minimal shared shingle then sits within
+    * the first |A| − ceil(τ·|A|) + 1 shingles of A (and likewise of B), so
+    * joining PREFIXES only is lossless while shrinking the inverted-index
+    * join from hot-shingle quadratic to rare-shingle near-linear — the 100 TB
+    * shape of exact similarity self-join. Survivors get full intersection
+    * counts (Dedup.jaccard) — candidates only, never all pairs.
+    * The +1e-9 guard on the float prefix length can only LENGTHEN a prefix
+    * (extra candidates), never drop one (missed pairs).
+    */
+  def jaccardPairs(df: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh    = shingles(df.filter(size(split(col("text"), " ")) >= n), n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+      .join(sizes, "doc_id")
+    val pre = ranked
+      .filter(col("rk") <=
+        floor(lit(1.0 - threshold) * col("sz") + lit(1e-9)).cast("long") + lit(1L))
+      .select(col("doc_id"), col("shingle"))
+    val cand = pre.as("x").join(pre.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    jaccard(cand, sh)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("common").as("n_common"), col("jaccard"))
+  }
+
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification. The verify
     * joins only the (small) candidate set back to the texts and computes
     * set-Jaccard per pair in a map — the all-pairs shingle join is never

@@ -39,6 +39,27 @@ class TextDedupSpec extends AnyFunSuite {
       s"planted dup not found: ${pairs.mkString(",")}")
   }
 
+  test("prefix-filtered jaccard join is lossless vs the naive all-pairs form") {
+    import spark.implicits._
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().take(30)
+    val planted = (9000L, texts(0)._2.replaceFirst("\\w+", "zzz"))
+    val df = spark.createDataFrame(texts :+ planted).toDF("doc_id", "text")
+    // naive ground truth: every (a, b) pair scored via the exact shingle join
+    val sh  = Dedup.shingles(df.filter(size(split(col("text"), " ")) >= 3), 3)
+    val ids = df.select(col("doc_id")).as[Long].collect().sorted
+    val allPairs = ids.flatMap(a => ids.filter(_ > a).map(b => (a, b)))
+      .toSeq.toDF("a", "b")
+    val naive = Dedup.jaccard(allPairs, sh).filter(col("jaccard") >= 0.4)
+      .select("a", "b", "common").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fast = Dedup.jaccardPairs(df, threshold = 0.4)
+      .select("a", "b", "n_common").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast == naive, s"prefix filter diverged: missing=${naive -- fast} extra=${fast -- naive}")
+    assert(fast.exists { case (a, b, _) => a == texts(0)._1 && b == 9000L },
+      "planted near-dup not found by the prefix-filtered join")
+  }
+
   test("exact dedup drops nothing on the (dup-free) fixture, drops planted dups") {
     assert(Dedup.dropExactDups(docs).count() == docs.count())
     val doubled = docs.union(docs.limit(10).withColumn("doc_id", col("doc_id") + 100000))

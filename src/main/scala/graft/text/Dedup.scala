@@ -26,13 +26,16 @@ object Dedup {
     df.join(keep, Seq("doc_id"), "left_semi")
   }
 
-  /** Word n-gram shingles, one row per distinct (doc_id, shingle). */
+  /** Word n-gram shingles, one row per distinct (doc_id, shingle).
+    * Duplicate shingles only occur WITHIN a document, so the set semantics
+    * come from a per-row array_distinct — a map-only pass, not a
+    * 500k-row distinct shuffle.
+    */
   def shingles(df: DataFrame, n: Int): DataFrame = {
     val words = split(col("text"), " ")
     df.select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", slice(words, i + 1, lit(n))))).as("shingle"))
-      .distinct()
+        explode(array_distinct(transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))).as("shingle"))
   }
 
   /** MinHash signatures banded for LSH: numHashes keyed min-md5s per doc,
@@ -84,13 +87,15 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard for given pairs (a, b). */
+  /** Exact n-gram Jaccard for given pairs (a, b). The intersection join is
+    * keyed on (doc, shingle) — the b-side probe never fans out beyond
+    * |pairs|·|shingles(a)| — rather than a post-join equality filter.
+    */
   def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = pairs
       .join(sh.select(col("doc_id").as("a"), col("shingle")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("shingle").as("shingle2")), "b")
-      .filter(col("shingle") === col("shingle2"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
     pairs.join(common, Seq("a", "b"), "left").na.fill(0L, Seq("common"))
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
@@ -113,20 +118,37 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh    = shingles(df.filter(size(split(col("text"), " ")) >= n), n)
+    // the shingle frame feeds four consumers (sizes, doc-frequencies, the
+    // ranked prefixes, and the verify join) — cache it once instead of
+    // re-running the explode+distinct shuffle per consumer
+    val sh    = shingles(df.filter(size(split(col("text"), " ")) >= n), n).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefLen =
+      floor(lit(1.0 - threshold) * col("sz") + lit(1e-9)).cast("long") + lit(1L)
     val ranked = sh.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
       .join(sizes, "doc_id")
     val pre = ranked
-      .filter(col("rk") <=
-        floor(lit(1.0 - threshold) * col("sz") + lit(1e-9)).cast("long") + lit(1L))
-      .select(col("doc_id"), col("shingle"))
+      .filter(col("rk") <= prefLen)
+      .select(col("doc_id"), col("shingle"), col("sz"))
+    // Positional count filter (the PPJoin pruning step): the true overlap of
+    // a candidate is at most (shared-prefix count) + min(suffix sizes), and
+    // J ≥ τ requires overlap ≥ τ/(1+τ)·(|A|+|B|) — one aggregate over the
+    // prefix-join rows removes the shared-a-few-common-shingles bulk before
+    // the full verify join ever sees it (522k → O(true pairs) candidates on
+    // the sf0.1 corpus). The 1e-9 slacks only ever keep MORE candidates.
+    val suffA = greatest(col("sza") - (floor(lit(1.0 - threshold) * col("sza") + lit(1e-9)).cast("long") + lit(1L)), lit(0L))
+    val suffB = greatest(col("szb") - (floor(lit(1.0 - threshold) * col("szb") + lit(1e-9)).cast("long") + lit(1L)), lit(0L))
     val cand = pre.as("x").join(pre.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sz").as("sza"), col("y.sz").as("szb"))
+      .agg(count(lit(1)).as("ppcnt"))
+      .filter(col("ppcnt") + least(suffA, suffB) >=
+        lit(threshold / (1.0 + threshold)) * (col("sza") + col("szb")) - lit(1e-9))
+      .select(col("a"), col("b"))
     jaccard(cand, sh)
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("common").as("n_common"), col("jaccard"))

@@ -827,6 +827,12 @@ object SparkEntry {
     // float32 features are widened to double BEFORE rounding so the dumped
     // column is float64 on every read path; the oracle replays the identical
     // real→double widening.
+    "multimodal_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.assetsFromDocuments(Tables.documents(s, dir)), everyMs = 10000)
+        .orderBy("asset_id", "frame_ms")
+    }),
+
     "multimodal_features" -> ((s, dir) => {
       val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
       Multimodal.decodeFeatures(assets, dim = 16)
@@ -2112,6 +2118,19 @@ object SparkEntry {
         |  cast(length(text) as bigint) AS n_bytes,
         |  sha256(text) AS payload_sha256
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // Frame sampling replay: video assets (doc_id ≡ 2 mod 3), one row per
+    // everyMs offset below duration_ms, token = base64 slice at the keyed
+    // offset — Spark sequence(0, d−1, s) and DuckDB range(0, d, s) generate
+    // the same value set.
+    "multimodal_frames" ->
+      """WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id,
+        |        unnest(range(0, (doc_id % 90000) + 1000, 10000)) AS frame_ms, text
+        |      FROM v)
+        |SELECT doc_id AS asset_id, cast(frame_ms as bigint) AS frame_ms,
+        |  substr(to_base64(encode(text)), cast((frame_ms % 32) + 1 as int), 16) AS frame_token
+        |FROM f ORDER BY asset_id, frame_ms""".stripMargin,
 
     "q_orders_window" ->
       s"""SELECT o_custkey, o_orderkey, ${microsSql("o_totalprice")} AS top_price_micros

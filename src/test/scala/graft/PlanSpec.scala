@@ -34,6 +34,12 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains(op), s"kNN kernel plan contains $op")
   }
 
+  test("jaccard similarity join stays keyed — no cartesian, no all-pairs") {
+    val p = plan("dedup_jaccard_pairs")
+    assert(!p.contains("CartesianProduct"), "jaccard join degraded to a cartesian")
+    assert(p.contains("Join"), "jaccard lost its inverted-index join")
+  }
+
   test("deterministic ANN paths join on bucket/cluster keys, never cartesian") {
     for (q <- Seq("ann_ivf_topk", "ann_lsh_topk")) {
       val p = plan(q)

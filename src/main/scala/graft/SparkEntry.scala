@@ -801,6 +801,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN acceptance gauge: per-query recall@10 of the IVF path against the
+    // brute-force cosine ground truth — the metric that decides nprobe at
+    // scale. Both paths replay in SQL, so the recall itself is oracle-exact.
+    "ann_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, assigned) = GraftCache.memoAny(s"$dir/ivfdet") {
+        val c = Ann.ivfDetCentroids(emb, nlist = 16)
+        (c, Ann.ivfDetAssign(emb, c).persist())
+      }
+      val q   = emb.filter(col("vec_id") < 100)
+      val ivf = Ann.ivfDetSearch(q, assigned, centroids, k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      Ann.bruteCosine(q, emb, 10, kernel = "fold")
+        .select(col("query_id"), col("neighbor_id"))
+        .join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // ANN — approximate LSH join path. Deterministic variant: keyed md5
     // Box–Muller hyperplanes (float32-quantized, the attack_insert
     // technique) instead of spark.ml's seeded RNG — same bucket-join plan,
@@ -823,16 +845,17 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
-    // Multimodal — batched stub decode into fixed-width feature vectors.
-    // float32 features are widened to double BEFORE rounding so the dumped
-    // column is float64 on every read path; the oracle replays the identical
-    // real→double widening.
+    // Multimodal — video frame sampling (one row per everyMs offset).
     "multimodal_frames" -> ((s, dir) => {
       Multimodal.sampleFrames(
           Multimodal.assetsFromDocuments(Tables.documents(s, dir)), everyMs = 10000)
         .orderBy("asset_id", "frame_ms")
     }),
 
+    // Multimodal — batched stub decode into fixed-width feature vectors.
+    // float32 features are widened to double BEFORE rounding so the dumped
+    // column is float64 on every read path; the oracle replays the identical
+    // real→double widening.
     "multimodal_features" -> ((s, dir) => {
       val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
       Multimodal.decodeFeatures(assets, dim = 16)
@@ -2293,39 +2316,36 @@ object SparkEntry {
     // cluster id), fold-cosine re-rank — each step the exact arithmetic the
     // Spark UDF/Column path runs.
     "ann_ivf_topk" ->
-      s"""WITH cent AS MATERIALIZED (
-         |  SELECT row_number() OVER (ORDER BY md5('ivf|' || cast(vec_id as varchar)), vec_id) - 1 AS cluster,
-         |    embedding
-         |  FROM (SELECT vec_id, embedding FROM embeddings
-         |        ORDER BY md5('ivf|' || cast(vec_id as varchar)), vec_id LIMIT 16)),
-         |nrm AS MATERIALIZED (SELECT vec_id, embedding,
-         |    list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
-         |      i -> cast(embedding[i] as double) * cast(embedding[i] as double))), (acc, x) -> acc + x) AS sq
-         |  FROM embeddings),
-         |asg AS MATERIALIZED (
-         |  SELECT vec_id, embedding, sq, cluster FROM (
-         |    SELECT e.vec_id, e.embedding, e.sq, c.cluster,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${l2sqSql("e.embedding", "c.embedding")}, c.cluster) AS rn
-         |    FROM nrm e, cent c) WHERE rn = 1),
-         |probe AS (
-         |  SELECT query_id, qe, qsq, cluster FROM (
-         |    SELECT e.vec_id AS query_id, e.embedding AS qe, e.sq AS qsq, c.cluster,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${l2sqSql("e.embedding", "c.embedding")}, c.cluster) AS rn
-         |    FROM nrm e, cent c WHERE e.vec_id < 100) WHERE rn <= 4),
-         |cand AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    CASE WHEN sqrt(p.qsq) * sqrt(a.sq) = 0 THEN 0.0 ELSE
-         |      list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
-         |        i -> cast(p.qe[i] as double) * cast(a.embedding[i] as double))), (acc, x) -> acc + x)
-         |      / (sqrt(p.qsq) * sqrt(a.sq)) END AS score
-         |  FROM probe p JOIN asg a ON p.cluster = a.cluster)
-         |SELECT query_id, neighbor_id, cast(rank as bigint) AS rank FROM (
-         |  SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-         |  FROM cand) WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
+      (s"WITH $ivfDetCtes\n" +
+        """SELECT query_id, neighbor_id, cast(rank as bigint) AS rank FROM (
+          |  SELECT query_id, neighbor_id,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          |  FROM cand) WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin),
+
+    // IVF acceptance gauge: per-query recall@10 against the brute-force
+    // cosine ground truth, both sides replayed from the same nrm scan.
+    "ann_ivf_recall" ->
+      (s"WITH $ivfDetCtes,\n" +
+        s"""ivfk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |    FROM cand) WHERE rank <= 10),
+           |bpairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    CASE WHEN sqrt(q.sq) * sqrt(c.sq) = 0 THEN 0.0 ELSE
+           |      list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+           |        i -> cast(q.embedding[i] as double) * cast(c.embedding[i] as double))), (acc, x) -> acc + x)
+           |      / (sqrt(q.sq) * sqrt(c.sq)) END AS score
+           |  FROM nrm q, nrm c WHERE q.vec_id < 100),
+           |bk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |    FROM bpairs) WHERE rank <= 10)
+           |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
+           |  cast(count(i.neighbor_id) as double) / count(*) AS recall
+           |FROM bk b LEFT JOIN ivfk i
+           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+           |GROUP BY b.query_id ORDER BY 1""".stripMargin),
 
     // Deterministic LSH replayed end-to-end: the same float32-quantized md5
     // Box–Muller hyperplanes, floor(dot/width) buckets, bucket equi-join,
@@ -2595,6 +2615,40 @@ object SparkEntry {
   )
 
   /** DuckDB cosine top-k oracle with fold-exact dot products. */
+  /** The deterministic-IVF replay chain (sampled centroids, fold-L2
+    * assignment + probe, fold-cosine candidate scores) — shared by
+    * ann_ivf_topk and ann_ivf_recall. No leading WITH.
+    */
+  private def ivfDetCtes: String =
+    s"""cent AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5('ivf|' || cast(vec_id as varchar)), vec_id) - 1 AS cluster,
+       |    embedding
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY md5('ivf|' || cast(vec_id as varchar)), vec_id LIMIT 16)),
+       |nrm AS MATERIALIZED (SELECT vec_id, embedding,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+       |      i -> cast(embedding[i] as double) * cast(embedding[i] as double))), (acc, x) -> acc + x) AS sq
+       |  FROM embeddings),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, embedding, sq, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, e.sq, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2sqSql("e.embedding", "c.embedding")}, c.cluster) AS rn
+       |    FROM nrm e, cent c) WHERE rn = 1),
+       |probe AS (
+       |  SELECT query_id, qe, qsq, cluster FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS qe, e.sq AS qsq, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2sqSql("e.embedding", "c.embedding")}, c.cluster) AS rn
+       |    FROM nrm e, cent c WHERE e.vec_id < 100) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    CASE WHEN sqrt(p.qsq) * sqrt(a.sq) = 0 THEN 0.0 ELSE
+       |      list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+       |        i -> cast(p.qe[i] as double) * cast(a.embedding[i] as double))), (acc, x) -> acc + x)
+       |      / (sqrt(p.qsq) * sqrt(a.sq)) END AS score
+       |  FROM probe p JOIN asg a ON p.cluster = a.cluster)""".stripMargin
+
   private def cosineSql(queryFilter: String, k: Int, select: String): String =
     s"""WITH nrm AS MATERIALIZED (SELECT vec_id, embedding,
        |    list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),

@@ -38,9 +38,8 @@ object SparkEntry {
   private val StrengthGridPs  =
     Seq(0.1, 0.2, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8)
   // the reference averages each cell over 10 re-seeded repetitions
-  // (roubust/roubust.py:228 `cnum`); 3 reps here exercise the axis with a
-  // bounded bench cost — the count is a parameter, not a structural limit
-  private val StrengthGridReps = 3
+  // (roubust/roubust.py:228 `cnum`) — matched exactly: 6×13×10 = 780 cells
+  private val StrengthGridReps = 10
   // H1 th_analysis sweep — the published thl grid (roubust/roubust.py:265–267)
   private val ThGridThs = Seq(0.2, 0.4, 0.6, 0.8, 1.0)
   // TabularMark deletion curve — the published p grid (BASELINE.md)

@@ -51,7 +51,11 @@ object Attacks {
     }
     if (bCut == Int.MinValue) return withB.drop("__b") // k >= n: keep everything
     val below = withB.filter(col("__b") < bCut)
-    val w     = Window.orderBy(order: _*)
+    // every surviving row shares __b = bCut, so partitioning by it is a
+    // no-op semantically — it just makes the single-partition sort explicit
+    // to the planner (the partition holds only the ~n/65536-row cutoff
+    // bucket; that bound is the point of the two-pass scheme)
+    val w     = Window.partitionBy(col("__b")).orderBy(order: _*)
     val inCut = withB.filter(col("__b") === bCut)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= rIn)

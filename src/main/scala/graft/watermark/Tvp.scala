@@ -100,7 +100,10 @@ object Tvp {
       .withColumn("need",
         least(greatest(lit(0L), ceil(col("n_group") * col("st")).cast("long") - col("n_target")),
           col("n_cand")))
-      .select(col("st"), col("group_id"), col("wm_bit").as("__wb"), col("need"))
+    // the needs side renames its join keys (__gid/__wb) so the join against
+    // the same-lineage classified frame is unambiguous — no self-join
+    // attribute aliasing for Spark to second-guess
+      .select(col("st"), col("group_id").as("__gid"), col("wm_bit").as("__wb"), col("need"))
     val cand = classified.join(
         broadcast(bits.select(col("bit_pos").as("group_id"), col("wm_bit"))), "group_id")
       .filter(col("hidden_bit") =!= col("wm_bit"))
@@ -111,11 +114,10 @@ object Tvp {
         .withColumn("rep", lit(rep))
     }.reduce(_ unionByName _)
     rankedBySeed.join(broadcast(needsAll),
-        rankedBySeed("group_id") === needsAll("group_id") &&
-        rankedBySeed("wm_bit") === needsAll("__wb"))
+        col("group_id") === col("__gid") && col("wm_bit") === col("__wb"))
       .filter(col("rn") <= col("need"))
-      .select(col("st"), col("rep"), col("vec_id"), rankedBySeed("group_id"),
-        rankedBySeed("wm_bit"), col("content_id"))
+      .select(col("st"), col("rep"), col("vec_id"), col("group_id"),
+        col("wm_bit"), col("content_id"))
   }
 
   /** TVP carrier pick (`select_by_ai`, watermarking.py:203–246). Two phases:

@@ -59,6 +59,16 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered jaccard join is partition-invariant") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).cache()
+    def run(df: DataFrame) = graft.text.Dedup.jaccardPairs(df, 0.4)
+      .orderBy("a", "b").collect().map(_.toString)
+    val ref = run(docs)
+    Seq(docs.repartition(3), docs.repartition(13), docs.coalesce(1)).foreach { v =>
+      assert(run(v).sameElements(ref))
+    }
+  }
+
   test("insertion attack synthesizes identical rows under any partitioning") {
     val ref = collectSorted(Attacks.insert(emb.select("vec_id", "embedding"), 0.2, 64, "42"))
     variants.foreach { v =>

@@ -625,6 +625,7 @@ object SparkEntry {
       Tables.documents(s, dir).select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.regexTokenCount(col("text")).cast("long").as("n_tokens_regex"),
         length(col("text")).cast("long").as("n_chars_actual"),
         TextOps.qualityScore(col("text")).as("quality"),
         TextOps.langId(col("text")).as("pred_lang"),
@@ -1982,6 +1983,11 @@ object SparkEntry {
     "text_stats" ->
       s"""SELECT doc_id,
          |  cast(len(string_split(text, ' ')) as bigint) AS n_tokens,
+         |  -- the BPE-ish boundary split (word runs + single punctuation
+         |  -- marks) counts as |\\w+ matches| + |non-word non-space chars| —
+         |  -- the lookaround-free form RE2 can evaluate
+         |  cast(len(regexp_extract_all(text, '[0-9A-Za-z_]+')) +
+         |    length(regexp_replace(text, '[0-9A-Za-z_\\s]', '', 'g')) as bigint) AS n_tokens_regex,
          |  cast(length(text) as bigint) AS n_chars_actual,
          |  ${TextOps.qualityScoreSql("text")} AS quality,
          |  ${TextOps.langIdSql("text")} AS pred_lang,

@@ -838,6 +838,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // LSH acceptance gauge: per-query recall@5 of the deterministic LSH
+    // path against the brute-force L2 ground truth (the memoized rawKnn
+    // frame — its 17-deep ranks contain the top-5).
+    "ann_lsh_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val hashed = GraftCache.memoAny(s"$dir/lshdet") {
+        Knn.lshDetHash(emb, Knn.lshDetProjections(5, D, "lsh"), 1.0).persist()
+      }
+      val lsh = Knn.lshDet(emb.filter(col("vec_id") < 100), emb, 5, D,
+          bucketLength = 1.0, numHashTables = 5, seed = "lsh", prehashed = Some(hashed))
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // Multimodal — binary-column metadata extraction (payload hash, sizes).
     "multimodal_meta" -> ((s, dir) => {
       Multimodal.extractMeta(Multimodal.assetsFromDocuments(Tables.documents(s, dir)))
@@ -2356,31 +2377,33 @@ object SparkEntry {
     // Box–Muller hyperplanes, floor(dot/width) buckets, bucket equi-join,
     // DISTINCT pair dedup, fold-L2 re-rank.
     "ann_lsh_topk" ->
-      s"""WITH proj AS MATERIALIZED (
-         |  SELECT t, list(cast(cast(g as real) as double) ORDER BY j) AS r
-         |  FROM (SELECT ts.range AS t, js.range AS j,
-         |          ${gaussSql("'lsh|' || cast(ts.range as varchar) || '|' || cast(js.range as varchar)")} AS g
-         |        FROM range(0, 5) ts, range(0, ${D}) js)
-         |  GROUP BY t),
-         |hashed AS MATERIALIZED (
-         |  SELECT e.vec_id, p.t,
-         |    cast(floor(list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
-         |      i -> cast(e.embedding[i] as double) * p.r[i])), (acc, x) -> acc + x) / 1.0) as bigint) AS bucket
-         |  FROM embeddings e, proj p),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         |  FROM hashed q JOIN hashed c ON q.t = c.t AND q.bucket = c.bucket
-         |  WHERE q.vec_id < 100),
-         |scored AS (
-         |  SELECT cand.query_id, cand.neighbor_id,
-         |    sqrt(${l2sqSql("qq.embedding", "cc.embedding")}) AS dist
-         |  FROM cand JOIN embeddings qq ON qq.vec_id = cand.query_id
-         |            JOIN embeddings cc ON cc.vec_id = cand.neighbor_id)
-         |SELECT query_id, neighbor_id, cast(rank as bigint) AS rank FROM (
-         |  SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
-         |  FROM scored) WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+      (s"WITH $lshDetCtes\n" +
+        s"""SELECT query_id, neighbor_id, cast(rank as bigint) AS rank FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+           |  FROM scored) WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin),
+
+    // LSH acceptance gauge: per-query recall@5 against the brute-force
+    // fold-L2 ground truth (self included on both sides).
+    "ann_lsh_recall" ->
+      (s"WITH $lshDetCtes,\n" +
+        s"""lshk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+           |    FROM scored) WHERE rank <= 5),
+           |bknn AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    sqrt(${l2sqSql("a.embedding", "b.embedding")}) AS dist
+           |  FROM embeddings a, embeddings b WHERE a.vec_id < 100),
+           |bk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+           |    FROM bknn) WHERE rank <= 5)
+           |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
+           |  cast(count(i.neighbor_id) as double) / count(*) AS recall
+           |FROM bk b LEFT JOIN lshk i
+           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+           |GROUP BY b.query_id ORDER BY 1""".stripMargin),
 
     "ann_cosine_pairs" -> cosineSql(
       queryFilter = "true", k = 6,
@@ -2620,6 +2643,33 @@ object SparkEntry {
   )
 
   /** DuckDB cosine top-k oracle with fold-exact dot products. */
+  /** The deterministic-LSH replay chain (float32-quantized md5 Box–Muller
+    * hyperplanes, floor(dot/width) buckets, bucket equi-join, DISTINCT pair
+    * dedup, fold-L2 scores) — shared by ann_lsh_topk and ann_lsh_recall.
+    * No leading WITH.
+    */
+  private def lshDetCtes: String =
+    s"""proj AS MATERIALIZED (
+       |  SELECT t, list(cast(cast(g as real) as double) ORDER BY j) AS r
+       |  FROM (SELECT ts.range AS t, js.range AS j,
+       |          ${gaussSql("'lsh|' || cast(ts.range as varchar) || '|' || cast(js.range as varchar)")} AS g
+       |        FROM range(0, 5) ts, range(0, ${D}) js)
+       |  GROUP BY t),
+       |hashed AS MATERIALIZED (
+       |  SELECT e.vec_id, p.t,
+       |    cast(floor(list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+       |      i -> cast(e.embedding[i] as double) * p.r[i])), (acc, x) -> acc + x) / 1.0) as bigint) AS bucket
+       |  FROM embeddings e, proj p),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM hashed q JOIN hashed c ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 100),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    sqrt(${l2sqSql("qq.embedding", "cc.embedding")}) AS dist
+       |  FROM cand JOIN embeddings qq ON qq.vec_id = cand.query_id
+       |            JOIN embeddings cc ON cc.vec_id = cand.neighbor_id)""".stripMargin
+
   /** The deterministic-IVF replay chain (sampled centroids, fold-L2
     * assignment + probe, fold-cosine candidate scores) — shared by
     * ann_ivf_topk and ann_ivf_recall. No leading WITH.

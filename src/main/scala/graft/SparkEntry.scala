@@ -44,6 +44,10 @@ object SparkEntry {
   private val ThGridThs = Seq(0.2, 0.4, 0.6, 0.8, 1.0)
   // TabularMark deletion curve — the published p grid (BASELINE.md)
   private val TmGridPs = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+  // robustness-grid rate axis: the published 8-rate curve axis
+  // (compare/roubust.py:162–176) plus the p=0 control — shared between the
+  // engine queries and the grid oracle so the cells can never drift apart
+  private val RobGridPs = Seq(0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
   // TM modification-attack seed; its keyed dim0 (md5Mod("…|dim0", 64) = 37)
   // must avoid the TM position dim (50) so the attack's [min,max] scan
   // replays from the raw table (the embed only perturbs dim 50)
@@ -1124,8 +1128,9 @@ object SparkEntry {
 
     // H1/H2 — robustness grid (embed → attack → extract → BER). RS + TVP
     // × five attack families (incl. K4 adaptive modification, which rides
-    // the shared memoized accessibility frame) × six rates: one shared
-    // embed per scheme fans out over the 30 attack cells (roubust.py:265–304
+    // the shared memoized accessibility frame) × the published 8-rate axis
+    // plus the p=0 control: one shared
+    // embed per scheme fans out over the 45 attack cells (roubust.py:265–304
     // re-embeds per cell; the shared frame is the win that makes a wider
     // grid affordable). Oracle-exact: every cell's BER is replayed in SQL —
     // post-embed bits from the codec replay, keyed/ai rankings for the
@@ -1138,7 +1143,7 @@ object SparkEntry {
         schemes = Seq(Experiments.SchemeRs, Experiments.SchemeTvp),
         attacks = Seq("random_delete", "adaptive_delete", "random_modify",
           "adaptive_modify", "insert"),
-        ps = Seq(0.0, 0.1, 0.3, 0.5, 0.7, 0.8), reps = 1,
+        ps = RobGridPs, reps = 1,
         wm = WM, strength = 0.7, th = 0.5, d = D, wmKey = key, scpwKey = scpwKey,
         sharedAi = Some(ai(s, dir)))
         .select(col("scheme"), col("attack"), col("p"), col("rep").cast("long"), col("ber"))
@@ -1156,7 +1161,7 @@ object SparkEntry {
         schemes = Seq(Experiments.SchemeScpw),
         attacks = Seq("random_delete", "adaptive_delete", "random_modify",
           "adaptive_modify", "insert"),
-        ps = Seq(0.0, 0.1, 0.3, 0.5, 0.7, 0.8), reps = 1,
+        ps = RobGridPs, reps = 1,
         wm = WM, strength = 0.7, th = 0.5, d = D, wmKey = key, scpwKey = scpwKey,
         sharedAi = Some(ai(s, dir)))
         .select(col("scheme"), col("attack"), col("p"), col("rep").cast("long"), col("ber"))
@@ -2581,7 +2586,7 @@ object SparkEntry {
            |    END AS embedding
            |  FROM embeddings e LEFT JOIN tcarriers t ON e.vec_id = t.vec_id),
            |nn AS (SELECT count(*) AS n, max(vec_id) AS maxid FROM embeddings),
-           |pvals(p) AS (VALUES (0.0), (0.1), (0.3), (0.5), (0.7), (0.8)),
+           |pvals(p) AS (VALUES ${RobGridPs.map(p => s"($p)").mkString(", ")}),
            |rkd AS (SELECT vec_id, row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$atkSeed'), vec_id) AS r FROM embeddings),
            |rkm AS (SELECT vec_id, row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#modrow#$atkSeed'), vec_id) AS r FROM embeddings),
            |rka AS (SELECT vec_id, row_number() OVER (ORDER BY ai DESC, vec_id) AS r FROM ai),

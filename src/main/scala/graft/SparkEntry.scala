@@ -870,6 +870,15 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    // Multimodal — resize (stub transcode: target dims recorded in meta,
+    // payload passthrough), read back through the meta extractor.
+    "multimodal_resize" -> ((s, dir) => {
+      Multimodal.extractMeta(Multimodal.resize(
+          Multimodal.assetsFromDocuments(Tables.documents(s, dir)), 224, 224))
+        .select("asset_id", "kind", "n_bytes", "payload_sha256", "width", "height")
+        .orderBy("asset_id")
+    }),
+
     // Multimodal — video frame sampling (one row per everyMs offset).
     "multimodal_frames" -> ((s, dir) => {
       Multimodal.sampleFrames(
@@ -2171,6 +2180,14 @@ object SparkEntry {
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  cast(length(text) as bigint) AS n_bytes,
         |  sha256(text) AS payload_sha256
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "multimodal_resize" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  cast(length(text) as bigint) AS n_bytes,
+        |  sha256(text) AS payload_sha256,
+        |  cast(224 as int) AS width, cast(224 as int) AS height
         |FROM documents ORDER BY asset_id""".stripMargin,
 
     // Frame sampling replay: video assets (doc_id ≡ 2 mod 3), one row per

@@ -133,12 +133,20 @@ object Dedup {
     val pre = ranked
       .filter(col("rk") <= prefLen)
       .select(col("doc_id"), col("shingle"), col("sz"))
-    // Positional count filter (the PPJoin pruning step): the true overlap of
-    // a candidate is at most (shared-prefix count) + min(suffix sizes), and
-    // J ≥ τ requires overlap ≥ τ/(1+τ)·(|A|+|B|) — one aggregate over the
-    // prefix-join rows removes the shared-a-few-common-shingles bulk before
-    // the full verify join ever sees it (522k → O(true pairs) candidates on
-    // the sf0.1 corpus). The 1e-9 slacks only ever keep MORE candidates.
+    // Count filter (the PPJoin-family pruning step): a shared shingle that is
+    // not in BOTH prefixes sits in at least one doc's suffix — and because
+    // both docs sort their sets by the SAME global (df, shingle) order,
+    // prefix/suffix crossings can only go one direction per pair (if s1 is in
+    // A's prefix and B's suffix while s2 is in A's suffix and B's prefix,
+    // then s1 < s2 and s2 < s1 in the global order — impossible). So every
+    // non-both-prefix shared shingle lies in ONE doc's suffix, giving the
+    // valid bound overlap ≤ ppcnt + max(|suffA|, |suffB|). least() here would
+    // prune true containment-shaped pairs (short doc ⊂ long doc, the case the
+    // df-asc order makes common, since shared shingles have higher df and
+    // sort late). J ≥ τ requires overlap ≥ τ/(1+τ)·(|A|+|B|); one aggregate
+    // over the prefix-join rows removes the shared-a-few-common-shingles bulk
+    // before the full verify join ever sees it. The 1e-9 slacks only ever
+    // keep MORE candidates.
     val suffA = greatest(col("sza") - (floor(lit(1.0 - threshold) * col("sza") + lit(1e-9)).cast("long") + lit(1L)), lit(0L))
     val suffB = greatest(col("szb") - (floor(lit(1.0 - threshold) * col("szb") + lit(1e-9)).cast("long") + lit(1L)), lit(0L))
     val cand = pre.as("x").join(pre.as("y"),
@@ -146,7 +154,7 @@ object Dedup {
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.sz").as("sza"), col("y.sz").as("szb"))
       .agg(count(lit(1)).as("ppcnt"))
-      .filter(col("ppcnt") + least(suffA, suffB) >=
+      .filter(col("ppcnt") + greatest(suffA, suffB) >=
         lit(threshold / (1.0 + threshold)) * (col("sza") + col("szb")) - lit(1e-9))
       .select(col("a"), col("b"))
     jaccard(cand, sh)

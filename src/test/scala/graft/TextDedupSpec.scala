@@ -60,6 +60,28 @@ class TextDedupSpec extends AnyFunSuite {
       "planted near-dup not found by the prefix-filtered join")
   }
 
+  test("jaccard join keeps containment-shaped pairs (short doc ⊂ long doc)") {
+    import spark.implicits._
+    // B: 12 distinct words → 10 shingles; A: B's last 7 words → 5 shingles,
+    // ALL shared with B. Shared shingles have df=2 and sort LAST in the
+    // (df asc, shingle) prefix order — the regime where a least(suffA, suffB)
+    // count filter under-bounds the overlap (ppcnt=2 + min(1,3)=3 < 4.29
+    // required) and silently dropped the true J=0.5 ≥ τ=0.4 pair.
+    val bWords = (1 to 12).map(i => f"w$i%02d")
+    val long   = bWords.mkString(" ")
+    val short  = bWords.drop(5).mkString(" ")
+    val df = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val fast = Dedup.jaccardPairs(df, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(fast.exists { case (a, b, j) => a == 1L && b == 2L && math.abs(j - 0.5) < 1e-12 },
+      s"containment pair dropped by the count filter: ${fast.mkString(",")}")
+    // and it still agrees with the naive all-pairs ground truth
+    val sh    = Dedup.shingles(df, 3)
+    val naive = Dedup.jaccard(Seq((1L, 2L)).toDF("a", "b"), sh)
+      .filter(col("jaccard") >= 0.4).count()
+    assert(naive == fast.length)
+  }
+
   test("exact dedup drops nothing on the (dup-free) fixture, drops planted dups") {
     assert(Dedup.dropExactDups(docs).count() == docs.count())
     val doubled = docs.union(docs.limit(10).withColumn("doc_id", col("doc_id") + 100000))

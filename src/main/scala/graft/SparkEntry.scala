@@ -1159,11 +1159,10 @@ object SparkEntry {
         .orderBy("scheme", "attack", "p", "rep")
     }),
 
-    // H2 — the SCPW column of the scheme comparison, same attack grid. Kept
-    // as its own (rows-only) query: SCPW's hidden bit hashes
-    // Float.toString(v) (SCPW.py:120–128), which no SQL engine can replay —
-    // correctness rides SchemesSpec's BER invariants + the scpw_roundtrip
-    // fixed-point oracle instead.
+    // H2 — the SCPW column of the scheme comparison, same attack grid.
+    // Oracle-exact since the value hash moved to the micros rendering
+    // (Scpw.hiddenBit): classification, the rejection-resample embed, every
+    // attack cell, and the majority vote all replay in SQL (scpwGridSql).
     "h_scpw_grid" -> ((s, dir) => {
       Experiments.robustnessGrid(
         Tables.embeddings(s, dir),
@@ -1493,6 +1492,181 @@ object SparkEntry {
   private def gaussSql(keyExpr: String): String =
     s"(sqrt(-2.0 * ln(1.0 - (cast('0x' || substr(md5($keyExpr || '|u1'), 1, 13) as bigint) / 4503599627370496.0))) " +
       s"* cos(2.0 * pi() * (cast('0x' || substr(md5($keyExpr || '|u2'), 1, 13) as bigint) / 4503599627370496.0)))"
+
+  /** Scpw.microsRender(v) as varchar — the integer rendering the SCPW value
+    * hash keys on (Scpw.hiddenBit). Exact on both engines by construction.
+    */
+  private def scpwMicrosSql(v: String): String =
+    s"cast(cast(floor(cast($v as double) * 1000000.0 + 0.5) as bigint) as varchar)"
+
+  /** SCPW classification replay (Scpw.classify, SCPW.py:130–169) over ANY
+    * (vec_id, embedding) relation `src` — content id over the FIRST topK
+    * dims, md5 group, micros-rendered value-hash hidden bit. No codec chain
+    * needed (unlike classifyCtes): SCPW reads no binary expansion. Produces
+    * `${pfx}b` / `${pfx}g` / `${pfx}cls` (vec_id, embedding, cid, group_id,
+    * pos, hb).
+    */
+  private def scpwClassifySql(src: String, pfx: String): String =
+    s"""${pfx}b AS (SELECT vec_id, embedding,
+       |    ${cidSql(0 until scpwKey.topK, scpwKey.scale)} AS cid FROM $src),
+       |${pfx}g AS (SELECT *, cast(${md5ModSql("cid", WM.length)} as int) AS group_id,
+       |    ${md5ModSql("cid", D)} AS pos FROM ${pfx}b),
+       |${pfx}cls AS (SELECT *, cast((${md5ModSql(scpwMicrosSql(s"embedding[${scpwKey.position + 1}]"), 2)} + pos % 2) % 2 as int) AS hb
+       |  FROM ${pfx}g)""".stripMargin
+
+  /** H2's SCPW column of the robustness grid, replayed cell-for-cell like
+    * h_robustness_grid: raw classification (scpwClassifySql) → deficit +
+    * keyed carrier ranking (Scpw.embed) → the rejection-resample embed as a
+    * RECURSIVE CTE (each step re-adds one keyed correlated-noise draw
+    * e = kx·x + k1·u + k2 in float32 until the vector expresses its target
+    * bit, cap 64 — SCPW.py:216–223), noise constants from the exact
+    * integer-nanos stats (Scpw.noiseParams), the bounded keyed-stride pool —
+    * then the shared attack grid (keyed/ai rankings, 30-dim run overwrite
+    * re-classified, fold-stat gaussian synthetics re-classified), majority
+    * vote + BER per (attack, p). Empty groups extract the pre-seeded 0.
+    */
+  private def scpwGridSql: String = {
+    val atkSeed = s"att-${key.seed}-r0"
+    val gdim0   = Hashing.md5Mod(s"$atkSeed|dim0", D.toLong).toInt
+    val sseed   = scpwKey.seed
+    val stdE    = scpwKey.stdE
+    val vpos1   = scpwKey.position + 1
+    def unit(k: String) =
+      s"(cast('0x' || substr(md5($k), 1, 13) as bigint) / 4503599627370496.0)"
+    def pcut(expr: String) = s"ceil(nn.n * cast($expr as double))"
+    // one rejection step: v' = float32(v + (kx·pool[idx(t)] + k1·gauss(t) + k2))
+    def stepV(idExpr: String, vExpr: String, tKey: String) =
+      s"""cast(cast($vExpr as double) + (k.kx *
+         |        cast(p.pool[1 + ${md5ModCol(s"cast($idExpr as varchar) || '|scpw-pool|$sseed|' || $tKey", "len(p.pool)")}] as double) +
+         |        k.k1 * ${gaussSql(s"cast($idExpr as varchar) || '|scpw-g|$sseed|' || $tKey")} + k.k2) as real)""".stripMargin
+    val okExpr =
+      s"(${md5ModSql(scpwMicrosSql("v"), 2)} + posm2) % 2 = wm_bit"
+    graphCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      s"""wbits(bit_pos, wm_bit) AS (VALUES $bitsValuesSql),
+         |${scpwClassifySql("embeddings", "s")},
+         |sgstat AS (SELECT group_id, count(*) AS n_group, sum(hb) AS n_one
+         |  FROM scls GROUP BY 1),
+         |sneeds AS (SELECT g.group_id, b.wm_bit,
+         |    least(greatest(0, cast(ceil(g.n_group * 0.7) as bigint) -
+         |        (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END)),
+         |      g.n_group - (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END)) AS need
+         |  FROM sgstat g JOIN wbits b ON g.group_id = b.bit_pos),
+         |scarr AS (SELECT vec_id, cid, posm2, wm_bit, v0 FROM (
+         |    SELECT c.vec_id, c.cid, c.pos % 2 AS posm2, n.wm_bit,
+         |      c.embedding[$vpos1] AS v0, n.need,
+         |      row_number() OVER (PARTITION BY c.group_id
+         |        ORDER BY md5(cast(c.vec_id as varchar) || '#scpw#$sseed'), c.vec_id) AS rn
+         |    FROM scls c JOIN sneeds n
+         |      ON c.group_id = n.group_id AND c.hb <> n.wm_bit)
+         |  WHERE rn <= need),
+         |snn AS (SELECT count(*) AS n FROM embeddings),
+         |spool AS MATERIALIZED (SELECT list(v ORDER BY vec_id) AS pool FROM (
+         |    SELECT e.vec_id, e.embedding[$vpos1] AS v FROM embeddings e, snn
+         |    WHERE ${md5ModCol(s"cast(e.vec_id as varchar) || '#scpw-poolsel#$sseed'", "greatest(1, snn.n // 65536)")} = 0
+         |    ORDER BY e.vec_id LIMIT 65536)),
+         |sstat AS (SELECT
+         |    cast(sum(cast(floor(cast(embedding[$vpos1] as double) * 1000000000.0 + 0.5) as bigint)) as bigint) AS sv,
+         |    cast(sum(cast(floor(cast(embedding[$vpos1] as double) * cast(embedding[$vpos1] as double) * 1000000000.0 + 0.5) as bigint)) as bigint) AS sq,
+         |    count(*) AS n FROM embeddings),
+         |sprm AS (SELECT kx, sqrt($stdE * $stdE - kx * kx * varp) AS k1, -kx * mu AS k2 FROM (
+         |    SELECT mu, varp, -$stdE * $stdE / (2 * varp) AS kx FROM (
+         |      SELECT (cast(sv as double) / 1000000000.0 / n) AS mu,
+         |        greatest(cast(sq as double) / 1000000000.0 / n -
+         |          (cast(sv as double) / 1000000000.0 / n) * (cast(sv as double) / 1000000000.0 / n), 0.0) AS varp
+         |      FROM sstat))),
+         |srec AS (
+         |  SELECT vec_id, cid, posm2, wm_bit, v, t, $okExpr AS ok FROM (
+         |    SELECT s.vec_id, s.cid, s.posm2, s.wm_bit,
+         |      ${stepV("s.vec_id", "s.v0", "'0'")} AS v, 1 AS t
+         |    FROM scarr s, sprm k, spool p)
+         |  UNION ALL
+         |  SELECT vec_id, cid, posm2, wm_bit, v, t, $okExpr AS ok FROM (
+         |    SELECT r.vec_id, r.cid, r.posm2, r.wm_bit,
+         |      ${stepV("r.vec_id", "r.v", "cast(r.t as varchar)")} AS v, r.t + 1 AS t
+         |    FROM srec r, sprm k, spool p WHERE NOT r.ok AND r.t < 64)),
+         |sfinal AS (SELECT vec_id, v FROM srec WHERE ok OR t = 64),
+         |semb AS MATERIALIZED (SELECT e.vec_id,
+         |    CASE WHEN f.vec_id IS NULL THEN e.embedding
+         |      ELSE list_transform(range(1, ${D + 1}),
+         |             i -> CASE WHEN i = $vpos1 THEN f.v ELSE e.embedding[i] END)
+         |    END AS embedding
+         |  FROM embeddings e LEFT JOIN sfinal f ON e.vec_id = f.vec_id),
+         |${scpwClassifySql("semb", "sp")},
+         |nn AS (SELECT count(*) AS n, max(vec_id) AS maxid FROM embeddings),
+         |pvals(p) AS (VALUES ${RobGridPs.map(p => s"($p)").mkString(", ")}),
+         |rkd AS (SELECT vec_id, row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#$atkSeed'), vec_id) AS r FROM embeddings),
+         |rkm AS (SELECT vec_id, row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#modrow#$atkSeed'), vec_id) AS r FROM embeddings),
+         |rka AS (SELECT vec_id, row_number() OVER (ORDER BY ai DESC, vec_id) AS r FROM ai),
+         |mrun AS (SELECT vec_id, cast(${md5ModSql(s"cast(vec_id as varchar) || '#moddim#$atkSeed'", D)} as bigint) AS rst FROM embeddings),
+         |sdims AS (SELECT cast(min(embedding[${gdim0 + 1}]) as double) AS mn,
+         |    cast(max(embedding[${gdim0 + 1}]) as double) AS mx FROM semb),
+         |smemb AS (SELECT w.vec_id,
+         |    list_transform(range(1, ${D + 1}), i ->
+         |      CASE WHEN ((i - 1 - m.rst) % $D + $D) % $D < 30
+         |        THEN cast(sd.mn + (sd.mx - sd.mn) * ${unit(s"cast(w.vec_id as varchar) || '#modval#$atkSeed'")} as real)
+         |        ELSE w.embedding[i] END) AS embedding
+         |  FROM semb w JOIN mrun m ON m.vec_id = w.vec_id, sdims sd),
+         |${scpwClassifySql("smemb", "sm")},
+         |sspd AS (SELECT dim, fsum / cnt AS mu,
+         |    sqrt(greatest(fsq / cnt - (fsum / cnt) * (fsum / cnt), 0.0)) AS sg
+         |  FROM (SELECT i.dim AS dim,
+         |      list_reduce(list_prepend(0.0, list(cast(w.embedding[i.dim] as double) ORDER BY w.vec_id)), (a, b) -> a + b) AS fsum,
+         |      list_reduce(list_prepend(0.0, list(cast(w.embedding[i.dim] as double) * cast(w.embedding[i.dim] as double) ORDER BY w.vec_id)), (a, b) -> a + b) AS fsq,
+         |      count(*) AS cnt
+         |    FROM semb w CROSS JOIN (SELECT unnest(range(1, ${D + 1})) AS dim) i
+         |    GROUP BY i.dim)),
+         |ssin AS (SELECT list(mu ORDER BY dim) AS mus, list(sg ORDER BY dim) AS sgs FROM sspd),
+         |syn AS (SELECT nn.maxid + 1 + unnest(range(0, cast(${pcut(RobGridPs.max.toString)} as bigint))) AS vec_id FROM nn),
+         |ssynv AS (SELECT y.vec_id,
+         |    list_transform(range(1, ${D + 1}), i ->
+         |      cast(s.mus[i] + s.sgs[i] * ${gaussSql(s"cast(y.vec_id as varchar) || '#ins' || cast(i - 1 as varchar) || '#$atkSeed'")} as real)) AS embedding
+         |  FROM syn y, ssin s),
+         |${scpwClassifySql("ssynv", "sy")},
+         |ab AS (
+         |  SELECT 'random_delete' AS attack, pv.p, pb.group_id, pb.hb
+         |    FROM pvals pv, nn, spcls pb JOIN rkd ON pb.vec_id = rkd.vec_id
+         |    WHERE rkd.r <= nn.n - ${pcut("pv.p")}
+         |  UNION ALL
+         |  SELECT 'adaptive_delete' AS attack, pv.p, pb.group_id, pb.hb
+         |    FROM pvals pv, nn, spcls pb JOIN rka ON pb.vec_id = rka.vec_id
+         |    WHERE rka.r > ${pcut("pv.p")}
+         |  UNION ALL
+         |  SELECT 'random_modify' AS attack, pv.p, mb.group_id, mb.hb
+         |    FROM pvals pv, nn, smcls mb JOIN rkm ON mb.vec_id = rkm.vec_id
+         |    WHERE rkm.r <= ${pcut("pv.p")}
+         |  UNION ALL
+         |  SELECT 'random_modify' AS attack, pv.p, pb.group_id, pb.hb
+         |    FROM pvals pv, nn, spcls pb JOIN rkm ON pb.vec_id = rkm.vec_id
+         |    WHERE rkm.r > ${pcut("pv.p")}
+         |  UNION ALL
+         |  SELECT 'adaptive_modify' AS attack, pv.p, mb.group_id, mb.hb
+         |    FROM pvals pv, nn, smcls mb JOIN rka ON mb.vec_id = rka.vec_id
+         |    WHERE rka.r <= ${pcut("pv.p")}
+         |  UNION ALL
+         |  SELECT 'adaptive_modify' AS attack, pv.p, pb.group_id, pb.hb
+         |    FROM pvals pv, nn, spcls pb JOIN rka ON pb.vec_id = rka.vec_id
+         |    WHERE rka.r > ${pcut("pv.p")}
+         |  UNION ALL
+         |  SELECT 'insert' AS attack, pv.p, pb.group_id, pb.hb
+         |    FROM pvals pv, spcls pb
+         |  UNION ALL
+         |  SELECT 'insert' AS attack, pv.p, ib.group_id, ib.hb
+         |    FROM pvals pv, nn, sycls ib WHERE ib.vec_id - (nn.maxid + 1) < ${pcut("pv.p")}),
+         |votes AS (SELECT attack, p, group_id, sum(hb) AS n1, count(*) AS nv
+         |  FROM ab GROUP BY 1, 2, 3),
+         |cells AS (SELECT a.attack, pv.p
+         |  FROM (VALUES ('random_delete'), ('adaptive_delete'), ('random_modify'),
+         |               ('adaptive_modify'), ('insert')) a(attack),
+         |       pvals pv)
+         |SELECT 'SchemeScpw' AS scheme, c.attack, cast(c.p as double) AS p,
+         |  cast(0 as bigint) AS rep,
+         |  avg(CASE WHEN b.wm_bit <> coalesce(CASE WHEN v.n1 * 2 > v.nv THEN 1 ELSE 0 END, 0)
+         |      THEN 1 ELSE 0 END) AS ber
+         |FROM cells c CROSS JOIN wbits b
+         |LEFT JOIN votes v ON v.attack = c.attack AND v.p = c.p AND v.group_id = b.bit_pos
+         |GROUP BY c.attack, c.p
+         |ORDER BY 1, 2, 3""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "wm_rs_roundtrip"  -> roundtripSql(cidSql(dims.init.toSeq, key.scale)),
@@ -2608,7 +2782,7 @@ object SparkEntry {
            |rkm AS (SELECT vec_id, row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#modrow#$atkSeed'), vec_id) AS r FROM embeddings),
            |rka AS (SELECT vec_id, row_number() OVER (ORDER BY ai DESC, vec_id) AS r FROM ai),
            |mrun AS (SELECT vec_id, cast(${md5ModSql(s"cast(vec_id as varchar) || '#moddim#$atkSeed'", D)} as bigint) AS rst FROM embeddings),
-           |syn AS (SELECT nn.maxid + 1 + unnest(range(0, cast(${pcut("0.8")} as bigint))) AS vec_id FROM nn),
+           |syn AS (SELECT nn.maxid + 1 + unnest(range(0, cast(${pcut(RobGridPs.max.toString)} as bigint))) AS vec_id FROM nn),
            |$perScheme,
            |pb AS MATERIALIZED (
            |$pb),
@@ -2662,6 +2836,11 @@ object SparkEntry {
            |GROUP BY c.scheme, c.attack, c.p
            |ORDER BY 1, 2, 3""".stripMargin
     },
+
+    // H2 — the SCPW column of the scheme comparison, replayed end-to-end
+    // (the micros-rendered value hash made the classification — and with it
+    // the full embed→attack→extract chain — SQL-expressible; see Scpw).
+    "h_scpw_grid" -> scpwGridSql,
   )
 
   /** DuckDB cosine top-k oracle with fold-exact dot products. */

@@ -15,24 +15,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Deviations (documented, SURVEY §7 hard parts): Python's sequential PRNG →
   * keyed draws; the rejection loop is capped at 64 re-draws (geometric with
-  * p≈1/2 — the cap is unreachable in practice); `str(float32)` is rendered by
-  * Java's Float.toString, which agrees with numpy's shortest-repr for the
-  * typical magnitudes here but is not guaranteed identical — the scheme is
-  * self-consistent either way (embed re-checks with the same function the
-  * extractor uses).
+  * p≈1/2 — the cap is unreachable in practice); the value hash renders the
+  * float as an exact integer (floor(v·10⁶ + 0.5), the engine's micros
+  * convention) instead of `str(float32)`. The hash's only role in the scheme
+  * is to be a deterministic pseudorandom bit of the stored value — embed
+  * re-checks with the same function the extractor uses, so ANY rendering
+  * keeps the scheme self-consistent — and a decimal-repr rendering was
+  * already a deviation (Java's Float.toString ≠ numpy's shortest repr in
+  * corner cases); the integer rendering is the one choice BOTH engines (JVM
+  * and the DuckDB oracle) compute bit-identically, which is what lets the
+  * full embed→attack→extract grid be oracle-exact instead of rows-only.
   */
 final case class ScpwKey(topK: Int = 20, position: Int = 30, stdE: Double = 1.8,
                          seed: String = "20", scale: Double = 1000.0)
 
 object Scpw {
 
-  /** Hidden bit of one vector (SCPW.py:120–128). */
+  /** Hidden bit of one vector (SCPW.py:120–128). The value hash keys on the
+    * micros rendering (see the class doc's deviation note): an exact integer
+    * both the JVM and DuckDB derive identically from the same float32.
+    */
   def hiddenBit(vec: Array[Float], cid: String, position: Int): Int = {
     val pos          = Hashing.md5Mod(cid, vec.length.toLong).toInt
     val dimLowestBit = pos % 2
-    val valueBit     = Hashing.md5Mod(vec(position).toString, 2L).toInt
+    val valueBit     = Hashing.md5Mod(microsRender(vec(position)), 2L).toInt
     valueBit ^ dimLowestBit
   }
+
+  /** floor(v·10⁶ + 0.5) as a decimal integer string — the deterministic
+    * rendering fed to the value hash. Oracle mirror:
+    * `cast(cast(floor(cast(v as double) * 1000000.0 + 0.5) as bigint) as varchar)`.
+    */
+  def microsRender(v: Float): String =
+    math.floor(v.toDouble * 1000000.0 + 0.5).toLong.toString
 
   /** A1 (SCPW flavor, SCPW.py:130–169): content id over the FIRST topK dims
     * (no drop-last — SCPW.py:73–84), md5 grouping, value-hash hidden bit
@@ -45,12 +60,24 @@ object Scpw {
       .withColumn("hidden_bit",
         graft.functions.ScpwHiddenBitExpr(col("embedding"), col("content_id"), key.position))
 
-  /** P10 — noise constants from column stats (`found_e`, SCPW.py:31–62). */
+  /** P10 — noise constants from column stats (`found_e`, SCPW.py:31–62).
+    * μ/σ² derive from exact integer nano-sums (the scpw_column_stats
+    * convention), NOT from double avg/var_pop: a double sum's value depends
+    * on partition iteration order, and these constants feed the embedded
+    * float32 values — the nano-sum form is partition-count-invariant and
+    * bit-replayable in the DuckDB oracle. (Nano-sums of a bounded column
+    * overflow int64 only past ~10¹³ rows; at that scale SCPW runs on a
+    * sampled parameter estimate anyway.)
+    */
   def noiseParams(df: DataFrame, key: ScpwKey): (Double, Double, Double) = {
+    val vc = element_at(col("embedding"), key.position + 1).cast("double")
     val r = df.agg(
-      avg(element_at(col("embedding"), key.position + 1)).as("mu"),
-      var_pop(element_at(col("embedding"), key.position + 1)).as("v")).head()
-    val (mu, v) = (r.getDouble(0), r.getDouble(1))
+      sum(floor(vc * lit(1000000000.0) + lit(0.5)).cast("long")).as("sv"),
+      sum(floor(vc * vc * lit(1000000000.0) + lit(0.5)).cast("long")).as("sq"),
+      count(lit(1)).as("n")).head()
+    val n  = r.getLong(2).toDouble
+    val mu = r.getLong(0).toDouble / 1000000000.0 / n
+    val v  = math.max(r.getLong(1).toDouble / 1000000000.0 / n - mu * mu, 0.0)
     val kx = -key.stdE * key.stdE / (2 * v)
     val k1 = math.sqrt(key.stdE * key.stdE - kx * kx * v)
     val k2 = -kx * mu

@@ -392,11 +392,10 @@ object SparkEntry {
     // bit-identical to the oracle's lambda-fold kNN over the SQL-replayed
     // watermarked table.
     // H3/H2 — the published multi-scheme embed-impact comparison
-    // (compare/impact.py:175–235): per scheme, average missed/false kNN
-    // queries per carrier after embedding. RS/TVP/TM replay end-to-end in
-    // SQL; SCPW's hidden bit (md5 of Float.toString) is not
-    // SQL-expressible, so its impact rides the rows-only robustness
-    // machinery instead.
+    // (compare/impact.py:175–235), ALL FOUR schemes: per scheme, average
+    // missed/false kNN queries per carrier after embedding. Each replays
+    // end-to-end in SQL (SCPW since the micros-rendered value hash made its
+    // embed SQL-expressible — scpwEmbedCtes).
     "h_impact_compare" -> ((s, dir) => {
       val emb  = Tables.embeddings(s, dir)
       val base = rawKnn(s, dir).filter(col("rank") <= 10)
@@ -411,11 +410,16 @@ object SparkEntry {
       val tvC = GraftCache.memo(s"$dir/impcmp-tvc") {
         Tvp.carriersAi(cl, bits, Strength, 0.1, ai(s, dir)).localCheckpoint()
       }
+      val scC = GraftCache.memo(s"$dir/impcmp-scc") {
+        Scpw.carriers(emb, WM, Strength, scpwKey).localCheckpoint()
+      }
       val cases = Seq(
         ("rs",  Tvp.applyEmbed(emb, rsC, D, key), rsC.select("vec_id")),
         ("tvp", Tvp.applyEmbed(emb, tvC, D, key), tvC.select("vec_id")),
         ("tm",  TabularMark.embed(emb, tmKey),
-          emb.filter(col("vec_id") < tmKey.nw).select("vec_id")))
+          emb.filter(col("vec_id") < tmKey.nw).select("vec_id")),
+        ("scpw", Scpw.embed(emb, WM, Strength, scpwKey, Some(scC)),
+          scC.select("vec_id")))
       // one grouped fold-kNN pass serves all three schemes' after-indexes
       // (scheme tag = group key); each scheme's numeric tag must survive a
       // double round-trip, so use small integers
@@ -1514,26 +1518,20 @@ object SparkEntry {
        |${pfx}cls AS (SELECT *, cast((${md5ModSql(scpwMicrosSql(s"embedding[${scpwKey.position + 1}]"), 2)} + pos % 2) % 2 as int) AS hb
        |  FROM ${pfx}g)""".stripMargin
 
-  /** H2's SCPW column of the robustness grid, replayed cell-for-cell like
-    * h_robustness_grid: raw classification (scpwClassifySql) → deficit +
-    * keyed carrier ranking (Scpw.embed) → the rejection-resample embed as a
-    * RECURSIVE CTE (each step re-adds one keyed correlated-noise draw
-    * e = kx·x + k1·u + k2 in float32 until the vector expresses its target
-    * bit, cap 64 — SCPW.py:216–223), noise constants from the exact
-    * integer-nanos stats (Scpw.noiseParams), the bounded keyed-stride pool —
-    * then the shared attack grid (keyed/ai rankings, 30-dim run overwrite
-    * re-classified, fold-stat gaussian synthetics re-classified), majority
-    * vote + BER per (attack, p). Empty groups extract the pre-seeded 0.
+  /** The SCPW embed replayed in SQL (Scpw.embed): raw classification
+    * (scpwClassifySql) → deficit + keyed carrier ranking → the
+    * rejection-resample embed as a RECURSIVE CTE (each step re-adds one
+    * keyed correlated-noise draw e = kx·x + k1·u + k2 in float32 until the
+    * vector expresses its target bit, cap 64 — SCPW.py:216–223), noise
+    * constants from the exact integer-nanos stats (Scpw.noiseParams), the
+    * bounded keyed-stride pool. Produces scls (raw classification), scarr
+    * (carriers) and `semb` (the watermarked table); callers must open WITH
+    * RECURSIVE and define `wbits` first.
     */
-  private def scpwGridSql: String = {
-    val atkSeed = s"att-${key.seed}-r0"
-    val gdim0   = Hashing.md5Mod(s"$atkSeed|dim0", D.toLong).toInt
-    val sseed   = scpwKey.seed
-    val stdE    = scpwKey.stdE
-    val vpos1   = scpwKey.position + 1
-    def unit(k: String) =
-      s"(cast('0x' || substr(md5($k), 1, 13) as bigint) / 4503599627370496.0)"
-    def pcut(expr: String) = s"ceil(nn.n * cast($expr as double))"
+  private def scpwEmbedCtes(strength: Double): String = {
+    val sseed = scpwKey.seed
+    val stdE  = scpwKey.stdE
+    val vpos1 = scpwKey.position + 1
     // one rejection step: v' = float32(v + (kx·pool[idx(t)] + k1·gauss(t) + k2))
     def stepV(idExpr: String, vExpr: String, tKey: String) =
       s"""cast(cast($vExpr as double) + (k.kx *
@@ -1541,56 +1539,71 @@ object SparkEntry {
          |        k.k1 * ${gaussSql(s"cast($idExpr as varchar) || '|scpw-g|$sseed|' || $tKey")} + k.k2) as real)""".stripMargin
     val okExpr =
       s"(${md5ModSql(scpwMicrosSql("v"), 2)} + posm2) % 2 = wm_bit"
+    s"""${scpwClassifySql("embeddings", "s")},
+       |sgstat AS (SELECT group_id, count(*) AS n_group, sum(hb) AS n_one
+       |  FROM scls GROUP BY 1),
+       |sneeds AS (SELECT g.group_id, b.wm_bit,
+       |    least(greatest(0, cast(ceil(g.n_group * $strength) as bigint) -
+       |        (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END)),
+       |      g.n_group - (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END)) AS need
+       |  FROM sgstat g JOIN wbits b ON g.group_id = b.bit_pos),
+       |scarr AS (SELECT vec_id, cid, posm2, wm_bit, v0 FROM (
+       |    SELECT c.vec_id, c.cid, c.pos % 2 AS posm2, n.wm_bit,
+       |      c.embedding[$vpos1] AS v0, n.need,
+       |      row_number() OVER (PARTITION BY c.group_id
+       |        ORDER BY md5(cast(c.vec_id as varchar) || '#scpw#$sseed'), c.vec_id) AS rn
+       |    FROM scls c JOIN sneeds n
+       |      ON c.group_id = n.group_id AND c.hb <> n.wm_bit)
+       |  WHERE rn <= need),
+       |snn AS (SELECT count(*) AS n FROM embeddings),
+       |spool AS MATERIALIZED (SELECT list(v ORDER BY vec_id) AS pool FROM (
+       |    SELECT e.vec_id, e.embedding[$vpos1] AS v FROM embeddings e, snn
+       |    WHERE ${md5ModCol(s"cast(e.vec_id as varchar) || '#scpw-poolsel#$sseed'", "greatest(1, snn.n // 65536)")} = 0
+       |    ORDER BY e.vec_id LIMIT 65536)),
+       |sstat AS (SELECT
+       |    cast(sum(cast(floor(cast(embedding[$vpos1] as double) * 1000000000.0 + 0.5) as bigint)) as bigint) AS sv,
+       |    cast(sum(cast(floor(cast(embedding[$vpos1] as double) * cast(embedding[$vpos1] as double) * 1000000000.0 + 0.5) as bigint)) as bigint) AS sq,
+       |    count(*) AS n FROM embeddings),
+       |sprm AS (SELECT kx, sqrt($stdE * $stdE - kx * kx * varp) AS k1, -kx * mu AS k2 FROM (
+       |    SELECT mu, varp, -$stdE * $stdE / (2 * varp) AS kx FROM (
+       |      SELECT (cast(sv as double) / 1000000000.0 / n) AS mu,
+       |        greatest(cast(sq as double) / 1000000000.0 / n -
+       |          (cast(sv as double) / 1000000000.0 / n) * (cast(sv as double) / 1000000000.0 / n), 0.0) AS varp
+       |      FROM sstat))),
+       |srec AS (
+       |  SELECT vec_id, cid, posm2, wm_bit, v, t, $okExpr AS ok FROM (
+       |    SELECT s.vec_id, s.cid, s.posm2, s.wm_bit,
+       |      ${stepV("s.vec_id", "s.v0", "'0'")} AS v, 1 AS t
+       |    FROM scarr s, sprm k, spool p)
+       |  UNION ALL
+       |  SELECT vec_id, cid, posm2, wm_bit, v, t, $okExpr AS ok FROM (
+       |    SELECT r.vec_id, r.cid, r.posm2, r.wm_bit,
+       |      ${stepV("r.vec_id", "r.v", "cast(r.t as varchar)")} AS v, r.t + 1 AS t
+       |    FROM srec r, sprm k, spool p WHERE NOT r.ok AND r.t < 64)),
+       |sfinal AS (SELECT vec_id, v FROM srec WHERE ok OR t = 64),
+       |semb AS MATERIALIZED (SELECT e.vec_id,
+       |    CASE WHEN f.vec_id IS NULL THEN e.embedding
+       |      ELSE list_transform(range(1, ${D + 1}),
+       |             i -> CASE WHEN i = $vpos1 THEN f.v ELSE e.embedding[i] END)
+       |    END AS embedding
+       |  FROM embeddings e LEFT JOIN sfinal f ON e.vec_id = f.vec_id)""".stripMargin
+  }
+
+  /** H2's SCPW column of the robustness grid, replayed cell-for-cell like
+    * h_robustness_grid: the SQL embed replay (scpwEmbedCtes), then the
+    * shared attack grid (keyed/ai rankings, 30-dim run overwrite
+    * re-classified, fold-stat gaussian synthetics re-classified), majority
+    * vote + BER per (attack, p). Empty groups extract the pre-seeded 0.
+    */
+  private def scpwGridSql: String = {
+    val atkSeed = s"att-${key.seed}-r0"
+    val gdim0   = Hashing.md5Mod(s"$atkSeed|dim0", D.toLong).toInt
+    def unit(k: String) =
+      s"(cast('0x' || substr(md5($k), 1, 13) as bigint) / 4503599627370496.0)"
+    def pcut(expr: String) = s"ceil(nn.n * cast($expr as double))"
     graphCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
       s"""wbits(bit_pos, wm_bit) AS (VALUES $bitsValuesSql),
-         |${scpwClassifySql("embeddings", "s")},
-         |sgstat AS (SELECT group_id, count(*) AS n_group, sum(hb) AS n_one
-         |  FROM scls GROUP BY 1),
-         |sneeds AS (SELECT g.group_id, b.wm_bit,
-         |    least(greatest(0, cast(ceil(g.n_group * 0.7) as bigint) -
-         |        (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END)),
-         |      g.n_group - (CASE WHEN b.wm_bit = 1 THEN g.n_one ELSE g.n_group - g.n_one END)) AS need
-         |  FROM sgstat g JOIN wbits b ON g.group_id = b.bit_pos),
-         |scarr AS (SELECT vec_id, cid, posm2, wm_bit, v0 FROM (
-         |    SELECT c.vec_id, c.cid, c.pos % 2 AS posm2, n.wm_bit,
-         |      c.embedding[$vpos1] AS v0, n.need,
-         |      row_number() OVER (PARTITION BY c.group_id
-         |        ORDER BY md5(cast(c.vec_id as varchar) || '#scpw#$sseed'), c.vec_id) AS rn
-         |    FROM scls c JOIN sneeds n
-         |      ON c.group_id = n.group_id AND c.hb <> n.wm_bit)
-         |  WHERE rn <= need),
-         |snn AS (SELECT count(*) AS n FROM embeddings),
-         |spool AS MATERIALIZED (SELECT list(v ORDER BY vec_id) AS pool FROM (
-         |    SELECT e.vec_id, e.embedding[$vpos1] AS v FROM embeddings e, snn
-         |    WHERE ${md5ModCol(s"cast(e.vec_id as varchar) || '#scpw-poolsel#$sseed'", "greatest(1, snn.n // 65536)")} = 0
-         |    ORDER BY e.vec_id LIMIT 65536)),
-         |sstat AS (SELECT
-         |    cast(sum(cast(floor(cast(embedding[$vpos1] as double) * 1000000000.0 + 0.5) as bigint)) as bigint) AS sv,
-         |    cast(sum(cast(floor(cast(embedding[$vpos1] as double) * cast(embedding[$vpos1] as double) * 1000000000.0 + 0.5) as bigint)) as bigint) AS sq,
-         |    count(*) AS n FROM embeddings),
-         |sprm AS (SELECT kx, sqrt($stdE * $stdE - kx * kx * varp) AS k1, -kx * mu AS k2 FROM (
-         |    SELECT mu, varp, -$stdE * $stdE / (2 * varp) AS kx FROM (
-         |      SELECT (cast(sv as double) / 1000000000.0 / n) AS mu,
-         |        greatest(cast(sq as double) / 1000000000.0 / n -
-         |          (cast(sv as double) / 1000000000.0 / n) * (cast(sv as double) / 1000000000.0 / n), 0.0) AS varp
-         |      FROM sstat))),
-         |srec AS (
-         |  SELECT vec_id, cid, posm2, wm_bit, v, t, $okExpr AS ok FROM (
-         |    SELECT s.vec_id, s.cid, s.posm2, s.wm_bit,
-         |      ${stepV("s.vec_id", "s.v0", "'0'")} AS v, 1 AS t
-         |    FROM scarr s, sprm k, spool p)
-         |  UNION ALL
-         |  SELECT vec_id, cid, posm2, wm_bit, v, t, $okExpr AS ok FROM (
-         |    SELECT r.vec_id, r.cid, r.posm2, r.wm_bit,
-         |      ${stepV("r.vec_id", "r.v", "cast(r.t as varchar)")} AS v, r.t + 1 AS t
-         |    FROM srec r, sprm k, spool p WHERE NOT r.ok AND r.t < 64)),
-         |sfinal AS (SELECT vec_id, v FROM srec WHERE ok OR t = 64),
-         |semb AS MATERIALIZED (SELECT e.vec_id,
-         |    CASE WHEN f.vec_id IS NULL THEN e.embedding
-         |      ELSE list_transform(range(1, ${D + 1}),
-         |             i -> CASE WHEN i = $vpos1 THEN f.v ELSE e.embedding[i] END)
-         |    END AS embedding
-         |  FROM embeddings e LEFT JOIN sfinal f ON e.vec_id = f.vec_id),
+         |${scpwEmbedCtes(0.7)},
          |${scpwClassifySql("semb", "sp")},
          |nn AS (SELECT count(*) AS n, max(vec_id) AS maxid FROM embeddings),
          |pvals(p) AS (VALUES ${RobGridPs.map(p => s"($p)").mkString(", ")}),
@@ -2037,10 +2050,13 @@ object SparkEntry {
            |    list_transform(range(1, ${D + 1}),
            |      i -> CASE WHEN i = ${tmKey.position + 1} THEN w.wm50 ELSE e.embedding[i] END) AS embedding
            |  FROM embeddings e JOIN tmwm w ON w.vec_id = e.vec_id),""".stripMargin + "\n" +
+        scpwEmbedCtes(Strength) + ",\n" +
         impactBlock("_rs", "wemb", "wcarriers") + ",\n" +
         impactBlock("_tv", "twemb_c0", "tcarriers_c0") + ",\n" +
-        impactBlock("_tm", "tmemb", s"(SELECT vec_id FROM tmids WHERE vec_id < ${tmKey.nw})") + "\n" +
-        row("rs", "_rs") + "\nUNION ALL\n" + row("tm", "_tm") + "\nUNION ALL\n" +
+        impactBlock("_tm", "tmemb", s"(SELECT vec_id FROM tmids WHERE vec_id < ${tmKey.nw})") + ",\n" +
+        impactBlock("_sc", "semb", "scarr") + "\n" +
+        row("rs", "_rs") + "\nUNION ALL\n" + row("scpw", "_sc") + "\nUNION ALL\n" +
+        row("tm", "_tm") + "\nUNION ALL\n" +
         row("tvp", "_tv") + "\nORDER BY scheme"
     },
 

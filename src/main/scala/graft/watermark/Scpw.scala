@@ -90,20 +90,29 @@ object Scpw {
     * column value + keyed gaussian — same distribution, no pool shuffle.
     * Additions accumulate in float32 exactly as numpy's `+=` does.
     */
-  def embed(df: DataFrame, wm: String, strength: Double, key: ScpwKey): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val l          = wm.length
-    val classified = classify(df, l, key)
-    val bits       = Tvp.bitsDf(spark, wm)
+  /** Carrier pick (deficit + keyed per-group ranking over the non-expressing
+    * candidates) — exposed so harnesses (e.g. the impact comparison) can
+    * account hits against the same set the embed modifies.
+    * Returns (vec_id, wm_bit, content_id).
+    */
+  def carriers(df: DataFrame, wm: String, strength: Double, key: ScpwKey): DataFrame = {
+    val classified = classify(df, wm.length, key)
+    val bits       = Tvp.bitsDf(df.sparkSession, wm)
     val needs      = Tvp.groupNeeds(classified, bits, strength)
     val cand = classified.join(broadcast(needs), "group_id")
       .filter(col("hidden_bit") =!= col("wm_bit"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("group_id"))
       .orderBy(GraftCols.keyedHash(col("vec_id"), lit("scpw"), lit(key.seed)))
-    val carriers = cand.withColumn("rn", row_number().over(w))
+    cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("need"))
       .select(col("vec_id"), col("wm_bit"), col("content_id"))
+  }
+
+  def embed(df: DataFrame, wm: String, strength: Double, key: ScpwKey,
+            precomputedCarriers: Option[DataFrame] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val carrierDf = precomputedCarriers.getOrElse(carriers(df, wm, strength, key))
 
     // Noise ingredient pool: a BOUNDED keyed-stride sample of the carrier
     // column. The reference materializes one e per corpus row (SCPW.py noise
@@ -144,7 +153,7 @@ object Scpw {
       }
       out
     })
-    df.join(carriers, Seq("vec_id"), "left")
+    df.join(carrierDf, Seq("vec_id"), "left")
       .withColumn("embedding",
         when(col("wm_bit").isNotNull,
           embedUdf(col("embedding"), col("content_id"), col("wm_bit"), col("vec_id")))

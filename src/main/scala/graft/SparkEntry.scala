@@ -2223,15 +2223,25 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, count(*) AS n, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // MinHash family mirror: one md5 per shingle → h = 52-bit prefix mod p,
+    // lanes (a_s·h + b_s) mod p with the same md5-keyed a/b constants the
+    // engine derives (Dedup.minhashBands).
     "dedup_minhash_pairs" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
         |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
         |       FROM words),
-        |sigs AS (SELECT doc_id, seed, min(md5(cast(seed as varchar) || '#' || shingle)) AS sig
-        |         FROM sh, (SELECT unnest(range(0, 16)) AS seed) seeds GROUP BY 1, 2),
+        |shh AS (SELECT doc_id, shingle,
+        |          cast('0x' || substr(md5(shingle), 1, 13) as bigint) % ${Dedup.MinhashP} AS hh
+        |        FROM sh),
+        |seeds AS (SELECT seed,
+        |            ${md5ModCol("'minhash-a|' || cast(seed as varchar)", (Dedup.MinhashP - 1).toString)} + 1 AS a,
+        |            ${md5ModCol("'minhash-b|' || cast(seed as varchar)", Dedup.MinhashP.toString)} AS b
+        |          FROM (SELECT unnest(range(0, 16)) AS seed)),
+        |sigs AS (SELECT doc_id, seed, min((s.a * h.hh + s.b) % ${Dedup.MinhashP}) AS sig
+        |         FROM shh h, seeds s GROUP BY 1, 2),
         |bk AS (SELECT doc_id, cast(floor(seed / 4.0) as int) AS band,
-        |         md5(string_agg(sig, '|' ORDER BY seed)) AS band_key
+        |         md5(string_agg(cast(sig as varchar), '|' ORDER BY seed)) AS band_key
         |       FROM sigs GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
         |         ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),

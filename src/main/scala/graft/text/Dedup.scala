@@ -38,19 +38,37 @@ object Dedup {
           i => concat_ws(" ", slice(words, i + 1, lit(n)))))).as("shingle"))
   }
 
-  /** MinHash signatures banded for LSH: numHashes keyed min-md5s per doc,
-    * grouped into `bands` band keys. Returns (doc_id, band, band_key).
+  /** The minhash universal-hash modulus (the Mersenne prime 2³¹−1): small
+    * enough that lane products a·h stay far below int64 overflow on BOTH
+    * engines (DuckDB bigint multiplication errors on overflow rather than
+    * wrapping), large enough that per-lane min collisions are negligible.
+    */
+  val MinhashP = 2147483647L
+
+  /** MinHash signatures banded for LSH: numHashes lanes per doc, grouped
+    * into `bands` band keys. Returns (doc_id, band, band_key).
     *
     * Computed per-document in one map-only pass (shingle set → signatures →
     * band keys inside a single UDF): zero shuffle for signature generation —
     * the compositional explode/groupBy formulation moves |docs|·shingles·
     * numHashes rows through an exchange (43M rows at sf0.1) for the same
-    * result. Semantics identical to the SQL mirror in SparkEntry.oracleSql:
-    * sig(s) = min over DISTINCT shingles of md5("s#shingle") (lexicographic
-    * hex min), band_key = md5(sigs of the band joined by '|').
+    * result.
+    *
+    * Hash family: ONE md5 per distinct shingle, reduced to h = 52-bit prefix
+    * mod p (p = 2³¹−1), then the numHashes lanes are the universal hashes
+    * (a_s·h + b_s) mod p with md5-keyed constants a_s/b_s — the md5 was the
+    * per-shingle CPU cost, so deriving lanes arithmetically cuts signature
+    * work ~numHashes× versus hashing (seed, shingle) pairs, at identical
+    * distribution quality (the mod wraps the product thousands of times, so
+    * lanes are not co-monotone). Semantics identical to the SQL mirror in
+    * SparkEntry.oracleSql: sig(s) = min over DISTINCT shingles, band_key =
+    * md5(decimal sigs of the band joined by '|').
     */
   def minhashBands(df: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
+    val p  = MinhashP
+    val as = Array.tabulate(numHashes)(s => Hashing.md5Mod(s"minhash-a|$s", p - 1) + 1)
+    val bs = Array.tabulate(numHashes)(s => Hashing.md5Mod(s"minhash-b|$s", p))
     val bandsUdf = udf((text: String) => {
       val words = text.split(' ')
       val sh    = scala.collection.mutable.HashSet.empty[String]
@@ -62,13 +80,15 @@ object Dedup {
         sh += sb.toString
         i += 1
       }
-      val sigs = Array.tabulate(numHashes) { s =>
-        var mn: String = null
-        sh.foreach { g =>
-          val h = Hashing.md5Hex(s"$s#$g")
-          if (mn == null || h.compareTo(mn) < 0) mn = h
+      val sigs = Array.fill(numHashes)(Long.MaxValue)
+      sh.foreach { g =>
+        val h = java.lang.Long.parseLong(Hashing.md5Hex(g).substring(0, 13), 16) % p
+        var s = 0
+        while (s < numHashes) {
+          val v = (as(s) * h + bs(s)) % p
+          if (v < sigs(s)) sigs(s) = v
+          s += 1
         }
-        mn
       }
       (0 until bands).map(b =>
         Hashing.md5Hex(sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand).mkString("|")))

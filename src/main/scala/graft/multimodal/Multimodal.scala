@@ -9,13 +9,44 @@ import org.apache.spark.sql.{DataFrame, Row}
   * operators.
   *
   * The Spark-side machinery (schema, batch iteration via mapPartitions,
-  * partition sizing, output shapes) is real and tested; the codec kernels are
-  * STUBS — this container has no image/audio libraries, so `decodeStub`
-  * derives a deterministic fake feature vector from the payload bytes.
-  * Swapping in a real decoder changes only the marked function body, nothing
-  * about the distributed plan.
+  * partition sizing, output shapes) is real and tested. IMAGE payloads are
+  * decoded for real: PNG/JPEG (recognized by magic bytes) go through the
+  * JDK's javax.imageio — luminance-histogram features and true raster
+  * resize+re-encode — with no external dependency. Everything else (audio,
+  * video, unrecognized bytes — no codec libraries in this toolchain) falls
+  * back to the deterministic byte-histogram / passthrough kernels, clearly
+  * marked below; swapping in a real audio/video decoder changes only those
+  * function bodies, nothing about the distributed plan.
   */
 object Multimodal {
+
+  private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+
+  /** PNG or JPEG by magic bytes — the formats javax.imageio ships decoders
+    * for in every JDK.
+    */
+  def looksLikeImage(payload: Array[Byte]): Boolean =
+    (payload.length >= 4 && payload.startsWith(PngMagic)) ||
+      (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff)
+
+  /** Decode an image payload with the JDK codec; None when the bytes are not
+    * a decodable PNG/JPEG. In-memory only (no ImageIO disk cache).
+    */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!looksLikeImage(payload)) None
+    else
+      try {
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(in); Option(r.read(0)) }
+          finally { r.dispose(); in.close() }
+        }
+      } catch { case _: java.io.IOException => None }
 
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -53,11 +84,14 @@ object Multimodal {
       sha2(col("payload"), 256).as("payload_sha256"),
       col("meta.width").as("width"), col("meta.height").as("height"))
 
-  /** Decode + feature-extract, batched per partition. STUB KERNEL: the
-    * "features" are a deterministic byte-histogram projection — replace the
-    * body of `fakeDecode` with a real codec call; the mapPartitions shape
-    * (one reusable buffer per partition, streaming iterator, fixed-width
-    * output schema) is what a real decoder needs.
+  /** Decode + feature-extract, batched per partition. Decodable PNG/JPEG
+    * payloads produce a REAL pixel feature: the normalized luminance
+    * histogram over `dim` buckets (integer BT.601 luma, so the buckets are
+    * bit-deterministic across JVMs). Non-image payloads (audio/video —
+    * STUB KERNEL, no codec libraries in this toolchain) fall back to the
+    * deterministic normalized byte histogram. The mapPartitions shape (one
+    * reusable buffer per partition, streaming iterator, fixed-width output
+    * schema) is shared by both paths.
     */
   def decodeFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
     val spark = assets.sparkSession
@@ -70,23 +104,69 @@ object Multimodal {
         val id      = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
         java.util.Arrays.fill(hist, 0f)
-        var i = 0
-        while (i < payload.length) { hist((payload(i) & 0xff) % dim) += 1f; i += 1 }
-        val n = math.max(1, payload.length).toFloat
-        Row(id, hist.map(_ / n).toSeq) // fakeDecode: byte histogram, normalized
+        decodeImage(payload) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                  114 * (rgb & 0xff)) / 1000
+                hist(lum * dim / 256) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            val n = math.max(1, w * h).toFloat
+            Row(id, hist.map(_ / n).toSeq)
+          case None => // STUB fallback: normalized byte histogram
+            var i = 0
+            while (i < payload.length) { hist((payload(i) & 0xff) % dim) += 1f; i += 1 }
+            val n = math.max(1, payload.length).toFloat
+            Row(id, hist.map(_ / n).toSeq)
+        }
       }
     }
     spark.createDataFrame(rows, outSchema)
   }
 
-  /** Resize stub: records the target size in meta; a real implementation
-    * would transcode `payload` here (same projection shape).
+  /** Resize: decodable PNG/JPEG payloads are REALLY transcoded — bilinear
+    * raster scale to (w, h), re-encoded as PNG, meta updated with the new
+    * byte length. Non-image payloads keep the stub behavior (target size
+    * recorded in meta, payload passthrough).
     */
-  def resize(assets: DataFrame, w: Int, h: Int): DataFrame =
-    assets.withColumn("meta", struct(
-      col("meta.n_bytes").as("n_bytes"),
-      lit(w).as("width"), lit(h).as("height"),
-      col("meta.duration_ms").as("duration_ms")))
+  def resize(assets: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = assets.sparkSession
+    val schema = StructType(assetSchema.fields.toSeq)
+    val rows = assets.select(col("asset_id"), col("kind"), col("payload"), col("meta"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]](2)
+          val meta    = r.getStruct(3)
+          decodeImage(payload) match {
+            case Some(img) =>
+              val scaled = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = scaled.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+              g.dispose()
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(scaled, "png", out)
+              val bytes = out.toByteArray
+              Row(r.getLong(0), r.getString(1), bytes,
+                Row(bytes.length.toLong, w, h, meta.getLong(3)))
+            case None =>
+              Row(r.getLong(0), r.getString(1), payload,
+                Row(meta.getLong(0), w, h, meta.getLong(3)))
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
 
   /** Frame-sample stub for video assets: one row per sampled frame offset,
     * payload sliced deterministically (a real impl would demux).

@@ -42,6 +42,48 @@ class AnnMultimodalStreamSpec extends AnyFunSuite {
     assert(frames.filter(col("frame_ms") % 10000 =!= 0).count() == 0)
   }
 
+  test("multimodal: a real embedded PNG decodes through the image kernel") {
+    import spark.implicits._
+    // 4x2 PNG: left half black (lum 0 → bucket 0), right half white
+    // (lum 255 → bucket 15)
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val png = out.toByteArray
+    assert(Multimodal.looksLikeImage(png))
+    assert(!Multimodal.looksLikeImage("plain text".getBytes("UTF-8")))
+
+    val assets = Seq((7L, "image", png)).toDF("asset_id", "kind", "payload")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        length(col("payload")).cast("long").as("n_bytes"),
+        lit(4).as("width"), lit(2).as("height"), lit(0L).as("duration_ms")))
+    val f = Multimodal.decodeFeatures(assets, dim = 16).head.getSeq[Float](1)
+    assert(f(0) == 0.5f && f(15) == 0.5f && f.sum == 1.0f,
+      s"luminance histogram wrong: $f")
+    // and it differs from the byte-histogram fallback of the same bytes
+    val hist = new Array[Float](16)
+    png.foreach(b => hist((b & 0xff) % 16) += 1f)
+    assert(f.toArray.toSeq != hist.map(_ / png.length).toSeq)
+
+    // real resize: decodable payload is transcoded, meta reflects new bytes
+    val rs = Multimodal.resize(assets, 2, 2).head
+    val rp = rs.getAs[Array[Byte]](2)
+    assert(Multimodal.looksLikeImage(rp) && !java.util.Arrays.equals(rp, png))
+    val rimg = Multimodal.decodeImage(rp).get
+    assert(rimg.getWidth == 2 && rimg.getHeight == 2)
+    assert(rs.getStruct(3).getLong(0) == rp.length.toLong)
+    // non-image payloads keep the passthrough behavior
+    val txt = Seq((8L, "audio", "not an image".getBytes("UTF-8"))).toDF("asset_id", "kind", "payload")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        length(col("payload")).cast("long").as("n_bytes"),
+        lit(1).as("width"), lit(1).as("height"), lit(0L).as("duration_ms")))
+    val ts = Multimodal.resize(txt, 2, 2).head
+    assert(new String(ts.getAs[Array[Byte]](2), "UTF-8") == "not an image")
+    assert(ts.getStruct(3).getInt(1) == 2 && ts.getStruct(3).getInt(2) == 2)
+  }
+
   test("streaming tumbling counts equal the batch operator") {
     val stream = StreamOps.eventsStream(spark, TestSpark.sf0001)
     val q = StreamOps.tumblingCounts(stream, widthSec = 600)

@@ -734,17 +734,20 @@ object SparkEntry {
       s.table(sink).orderBy("event_id")
     }),
 
-    // The stateful streaming sessionizer (flatMapGroupsWithState) under a
-    // bit-exact oracle: a finite replay emits every CLOSED session (each
-    // user's last session stays open in state), which is SQL-predictable —
-    // the batch session grid minus each user's final session.
+    // The stateful streaming sessionizer (flatMapGroupsWithState with
+    // event-time timeout) under a bit-exact oracle: a finite replay emits
+    // every session closed by a later event PLUS every open session whose
+    // last + gap fell behind the final watermark (flushed by the timeout,
+    // no sentinel needed) — both SQL-predictable. The 1800500 ms lateness
+    // keeps the flush comparison tie-free on whole-second event times.
     "q_stream_sessions" -> ((s, dir) => {
       import s.implicits._
       val ev = graft.streaming.StreamOps.eventsStream(s, dir)
         .select(col("user_id"), EventOps.epochSecNs(col("ts_ns")).as("es"), col("value"))
         .as[graft.streaming.StreamOps.Ev]
       val sink = s"stream_sessions_${streamSinkSeq.incrementAndGet()}"
-      val q = graft.streaming.StreamOps.sessionizeStream(ev, gapSec = 1800)
+      val q = graft.streaming.StreamOps
+        .sessionizeStream(ev, gapSec = 1800, lateness = "1800500 milliseconds")
         .writeStream.format("memory").queryName(sink).outputMode("append").start()
       q.processAllAvailable(); q.stop()
       s.table(sink).orderBy("user_id", "start_es")
@@ -2317,7 +2320,9 @@ object SparkEntry {
         |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
         .replace("__SUMV__", sumMicrosSql("value")),
 
-    // closed sessions only = the batch grid minus each user's last session
+    // event-closed sessions (the batch grid minus each user's last) PLUS
+    // final sessions flushed by the event-time timeout: last + gap behind
+    // the final watermark max(es)·1000 − 1800500 ms
     "q_stream_sessions" ->
       """WITH e AS (SELECT user_id, event_id, value, ts,
         |             cast(floor(epoch(ts)) as bigint) AS es FROM events),
@@ -2328,9 +2333,12 @@ object SparkEntry {
         |                 ROWS UNBOUNDED PRECEDING) as bigint) AS session_seq FROM s),
         |g AS (SELECT user_id, session_seq, count(*) AS n_events, min(es) AS start_es,
         |        max(es) AS end_es, __SUMV__ AS sum_value_micros
-        |      FROM s2 GROUP BY 1, 2)
+        |      FROM s2 GROUP BY 1, 2),
+        |wm AS (SELECT max(cast(floor(epoch(ts)) as bigint)) * 1000 - 1800500 AS wm_ms FROM events)
         |SELECT user_id, start_es, end_es, n_events, sum_value_micros
-        |FROM g WHERE session_seq < (SELECT max(session_seq) FROM g g2 WHERE g2.user_id = g.user_id)
+        |FROM g, wm
+        |WHERE session_seq < (SELECT max(session_seq) FROM g g2 WHERE g2.user_id = g.user_id)
+        |   OR (end_es + 1800) * 1000 < wm.wm_ms
         |ORDER BY user_id, start_es""".stripMargin
         .replace("__SUMV__", sumMicrosSql("value")),
 

@@ -109,9 +109,37 @@ class AnnMultimodalStreamSpec extends AnyFunSuite {
     val sessions = StreamOps.sessionizeStream(ev, gapSec = 1800).collect()
     val batch = EventOps.sessionStats(Tables.events(spark, TestSpark.sf0001), 1800)
       .collect()
-    // stream emits only CLOSED sessions (one open session per user remains in state)
+    // batch execution has no watermark, so only event-closed sessions emit
+    // (one open session per user remains in state)
     val users = ev.select("user_id").distinct().count()
     assert(sessions.length == batch.length - users,
       s"${sessions.length} closed vs ${batch.length} total, $users users")
+  }
+
+  test("event-time timeout flushes final sessions without per-user sentinels") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Ev]
+    val t0  = 1700000000L
+    mem.addData(
+      StreamOps.Ev(1L, t0, 1.0), StreamOps.Ev(1L, t0 + 100, 2.0),
+      StreamOps.Ev(2L, t0 + 50, 5.0))
+    val q = StreamOps.sessionizeStream(mem.toDS(), gapSec = 1800, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sess_timeout").outputMode("append").start()
+    q.processAllAvailable()
+    // a much-later event from user 1 pushes the watermark past everyone's
+    // last + gap; user 2 NEVER sends another event, yet their session must
+    // be flushed by the event-time timeout
+    mem.addData(StreamOps.Ev(1L, t0 + 100000, 3.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_timeout").as[StreamOps.SessionOut]
+      .collect().sortBy(r => (r.user_id, r.start_es))
+    assert(rows.exists(r => r.user_id == 1 && r.start_es == t0 && r.end_es == t0 + 100
+      && r.n_events == 2 && r.sum_value_micros == 3000000L), s"user-1 session: ${rows.mkString(",")}")
+    assert(rows.exists(r => r.user_id == 2 && r.start_es == t0 + 50 && r.end_es == t0 + 50
+      && r.n_events == 1 && r.sum_value_micros == 5000000L), s"user-2 flush: ${rows.mkString(",")}")
+    // user 1's newest session is genuinely still open — nothing else emitted
+    assert(rows.length == 2, rows.mkString(","))
   }
 }

@@ -244,9 +244,20 @@ object Knn {
     * broadcast and one map-only job replace |groups| separate kNN passes —
     * the shape for per-tenant / per-experiment-cell batched search (the
     * impact sweep runs its whole threshold grid through one of these).
+    *
+    * SKEW GUARD: group sizes are driver-known, so a group larger than
+    * `maxIndexRows` is split across ceil(n/maxIndexRows) keyed-hash
+    * sub-indexes. Each query of a split group becomes one work unit PER
+    * sub-index BEFORE the repartition, so a hot group's scan cost spreads
+    * over that many tasks instead of serializing inside whichever few tasks
+    * hold its queries; a small window merge (|queries|·subs·k rows) then
+    * re-ranks the per-sub top-ks to the bit-identical global result. When
+    * no group exceeds the bound the original zero-shuffle map-only plan is
+    * kept unchanged.
     */
   def exactGrouped(queries: DataFrame, corpus: DataFrame, k: Int, groupCol: String,
-                   metric: String = "l2", kernel: String = "fast"): DataFrame = {
+                   metric: String = "l2", kernel: String = "fast",
+                   maxIndexRows: Int = 1 << 20): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val maxim  = metric != "l2"
@@ -258,40 +269,90 @@ object Knn {
     // the corpus as boxed driver rows alongside the indexes
     val counts = corpus.groupBy(col(groupCol).cast("double").as("__g")).count()
       .as[(Double, Long)].collect().toMap
+    val subsOf = counts.map { case (g, n) =>
+      g -> math.max(1, ((n + maxIndexRows - 1) / maxIndexRows).toInt)
+    }
+    val anySplit = subsOf.values.exists(_ > 1)
     val ds = corpus.select(col(groupCol).cast("double"), col("vec_id"), col("embedding"))
       .as[(Double, Long, Array[Float])]
-    val fill = scala.collection.mutable.HashMap[Double, (Array[Long], Array[Float], Array[Int])]()
-    var dDim = -1
-    import scala.jdk.CollectionConverters._
-    ds.coalesce(4).toLocalIterator().asScala.foreach { case (g, id, v) =>
-      if (dDim < 0) dDim = v.length
-      val (ids0, flat0, cur) = fill.getOrElseUpdate(g, {
-        val n = counts(g).toInt
-        (new Array[Long](n), new Array[Float](n * dDim), Array(0))
-      })
-      val i = cur(0)
-      require(i < ids0.length, s"group $g grew during index build")
-      ids0(i) = id
-      System.arraycopy(v, 0, flat0, i * dDim, dDim)
-      cur(0) = i + 1
-    }
-    val byGroup = fill.map { case (g, (ids0, flat0, cur)) =>
-      require(cur(0) == ids0.length, s"group $g shrank during index build")
-      g -> finishIndex(ids0, flat0, cur(0), dDim, needNorms)
-    }.toMap
-    val bc    = spark.sparkContext.broadcast(byGroup)
     val parts = spark.sparkContext.defaultParallelism
+    import scala.jdk.CollectionConverters._
 
-    queries.select(col(groupCol).cast("double"), col("vec_id"), col("embedding"))
-      .as[(Double, Long, Array[Float])]
-      .repartition(parts)
-      .mapPartitions { it =>
-        it.flatMap { case (g, qid, q) =>
-          searchOne(q, bc.value(g), k, maxim, fastL2, fold)
-            .iterator.zipWithIndex.map { case ((nid, d), r) => (g, qid, nid, d, r + 1) }
-        }
+    if (!anySplit) {
+      val fill = scala.collection.mutable.HashMap[Double, (Array[Long], Array[Float], Array[Int])]()
+      var dDim = -1
+      ds.coalesce(4).toLocalIterator().asScala.foreach { case (g, id, v) =>
+        if (dDim < 0) dDim = v.length
+        val (ids0, flat0, cur) = fill.getOrElseUpdate(g, {
+          val n = counts(g).toInt
+          (new Array[Long](n), new Array[Float](n * dDim), Array(0))
+        })
+        val i = cur(0)
+        require(i < ids0.length, s"group $g grew during index build")
+        ids0(i) = id
+        System.arraycopy(v, 0, flat0, i * dDim, dDim)
+        cur(0) = i + 1
       }
-      .toDF(groupCol, "query_id", "neighbor_id", "dist", "rank")
+      val byGroup = fill.map { case (g, (ids0, flat0, cur)) =>
+        require(cur(0) == ids0.length, s"group $g shrank during index build")
+        g -> finishIndex(ids0, flat0, cur(0), dDim, needNorms)
+      }.toMap
+      val bc = spark.sparkContext.broadcast(byGroup)
+      queries.select(col(groupCol).cast("double"), col("vec_id"), col("embedding"))
+        .as[(Double, Long, Array[Float])]
+        .repartition(parts)
+        .mapPartitions { it =>
+          it.flatMap { case (g, qid, q) =>
+            searchOne(q, bc.value(g), k, maxim, fastL2, fold)
+              .iterator.zipWithIndex.map { case ((nid, d), r) => (g, qid, nid, d, r + 1) }
+          }
+        }
+        .toDF(groupCol, "query_id", "neighbor_id", "dist", "rank")
+    } else {
+      // split build: per-(group, sub) growable primitive builders (sub counts
+      // are hash-multinomial, not pre-known; sizeHint keeps regrowth rare)
+      final case class Grow(ids: scala.collection.mutable.ArrayBuilder.ofLong,
+                            flat: scala.collection.mutable.ArrayBuilder.ofFloat,
+                            var n: Int)
+      val fill = scala.collection.mutable.HashMap[(Double, Int), Grow]()
+      var dDim = -1
+      ds.coalesce(4).toLocalIterator().asScala.foreach { case (g, id, v) =>
+        if (dDim < 0) dDim = v.length
+        val subs = subsOf(g)
+        val sub  = if (subs == 1) 0 else graft.functions.Hashing.md5Mod(s"knnsub|$id", subs.toLong).toInt
+        val b = fill.getOrElseUpdate((g, sub), {
+          val ib = new scala.collection.mutable.ArrayBuilder.ofLong
+          val fb = new scala.collection.mutable.ArrayBuilder.ofFloat
+          val hint = (counts(g) / subs).toInt + 16
+          ib.sizeHint(hint); fb.sizeHint(hint * v.length)
+          Grow(ib, fb, 0)
+        })
+        b.ids += id
+        b.flat ++= v
+        b.n += 1
+      }
+      val byKey = fill.map { case (key, b) =>
+        key -> finishIndex(b.ids.result(), b.flat.result(), b.n, dDim, needNorms)
+      }.toMap
+      val bc     = spark.sparkContext.broadcast(byKey)
+      val bcSubs = spark.sparkContext.broadcast(subsOf)
+      val perSub = queries.select(col(groupCol).cast("double"), col("vec_id"), col("embedding"))
+        .as[(Double, Long, Array[Float])]
+        .flatMap { case (g, qid, q) => (0 until bcSubs.value(g)).map(s => (g, s, qid, q)) }
+        .repartition(parts)
+        .mapPartitions { it =>
+          it.flatMap { case (g, s, qid, q) =>
+            searchOne(q, bc.value((g, s)), k, maxim, fastL2, fold)
+              .iterator.map { case (nid, d) => (g, qid, nid, d) }
+          }
+        }
+        .toDF(groupCol, "query_id", "neighbor_id", "dist")
+      val w = Window.partitionBy(col(groupCol), col("query_id"))
+        .orderBy(if (maxim) col("dist").desc else col("dist").asc, col("neighbor_id"))
+      perSub.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(groupCol, "query_id", "neighbor_id", "dist", "rank")
+    }
   }
 
   /** Built-ins-only variant (crossJoin + left-to-right fold + window):

@@ -13,6 +13,35 @@ class KnnGraphSpec extends AnyFunSuite {
   lazy val emb   = Tables.embeddings(spark, TestSpark.sf0001).cache()
   val M = 8
 
+  test("exactGrouped skew guard: split sub-indexes reproduce the unsplit result exactly") {
+    // skewed grouped corpus: group 0 dominates (400 rows), group 1 is tiny
+    val tagged = emb.withColumn("grp",
+      when(col("vec_id") < 400, lit(0.0)).otherwise(lit(1.0)))
+      .select(col("grp"), col("vec_id"), col("embedding")).cache()
+    val queries = tagged.filter(col("vec_id") % 50 === 0) // few queries → the skewed regime
+    val unsplit = Knn.exactGrouped(queries, tagged, 5, "grp", kernel = "fold")
+      .orderBy("grp", "query_id", "rank").collect()
+    // force the guard: 100-row bound splits group 0 into 4 sub-indexes
+    val split = Knn.exactGrouped(queries, tagged, 5, "grp", kernel = "fold", maxIndexRows = 100)
+      .orderBy("grp", "query_id", "rank").collect()
+    assert(split.length == unsplit.length)
+    split.zip(unsplit).foreach { case (a, b) =>
+      assert(a.getDouble(0) == b.getDouble(0) && a.getLong(1) == b.getLong(1)
+        && a.getLong(2) == b.getLong(2) && a.getInt(4) == b.getInt(4), s"$a vs $b")
+      assert(a.getDouble(3) == b.getDouble(3), s"merged dist must stay bit-exact: $a vs $b")
+    }
+    // the cosine (descending) merge order too
+    val unsplitC = Knn.exactGrouped(queries, tagged, 5, "grp", metric = "cosine")
+      .orderBy("grp", "query_id", "rank").collect()
+    val splitC = Knn.exactGrouped(queries, tagged, 5, "grp", metric = "cosine", maxIndexRows = 100)
+      .orderBy("grp", "query_id", "rank").collect()
+    assert(splitC.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      == unsplitC.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq)
+    // granularity: the hot group's scan now spreads over 4 work units per
+    // query instead of one monolithic scan per query
+    assert(math.ceil(400.0 / 100).toInt == 4)
+  }
+
   test("Knn.exact fold kernel is bit-identical to the SQL cross-join plan; fast kernel agrees to FP tolerance") {
     val sub  = emb.filter(col("vec_id") < 60).cache()
     val slow = Knn.sql(sub, sub, 5).orderBy("query_id", "rank").collect()

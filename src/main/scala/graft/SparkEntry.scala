@@ -1011,6 +1011,40 @@ object SparkEntry {
           col("sum_dist_nanos").cast("double") / lit(1.0e9) / col("n").cast("double"))
     }),
 
+    // P16 per scheme (test_erro.py:43–46): mean ‖embed(v) − v‖ for each of
+    // RS/TVP/SCPW — the embed-quality companion of the scheme comparison.
+    // Shares the memoized carrier frames with h_impact_compare; same exact
+    // nano-sum exchange as mean_distortion.
+    "mean_distortion_schemes" -> ((s, dir) => {
+      val emb  = Tables.embeddings(s, dir)
+      val cl   = Tvp.classify(emb, D, WM.length, key)
+      val bits = Tvp.bitsDf(s, WM)
+      val rsC = GraftCache.memo(s"$dir/impcmp-rsc") {
+        Tvp.carriersRs(cl, bits, Strength, key.seed).localCheckpoint()
+      }
+      val tvC = GraftCache.memo(s"$dir/impcmp-tvc") {
+        Tvp.carriersAi(cl, bits, Strength, 0.1, ai(s, dir)).localCheckpoint()
+      }
+      val scC = GraftCache.memo(s"$dir/impcmp-scc") {
+        Scpw.carriers(emb, WM, Strength, scpwKey).localCheckpoint()
+      }
+      val cases = Seq(
+        ("rs",   Tvp.applyEmbed(emb, rsC, D, key)),
+        ("scpw", Scpw.embed(emb, WM, Strength, scpwKey, Some(scC))),
+        ("tvp",  Tvp.applyEmbed(emb, tvC, D, key)))
+      cases.map { case (name, wmDf) =>
+        emb.select(col("vec_id"), col("embedding").as("a"))
+          .join(wmDf.select(col("vec_id"), col("embedding").as("b")), "vec_id")
+          .select(graft.functions.VectorOps.l2Col(col("a"), col("b")).as("dist"))
+          .agg(sum(nanos(col("dist"))).as("sum_dist_nanos"), count(lit(1)).as("n"))
+          .withColumn("mean_l2",
+            col("sum_dist_nanos").cast("double") / lit(1.0e9) / col("n").cast("double"))
+          .withColumn("scheme", lit(name))
+      }.reduce(_ unionByName _)
+        .select("scheme", "sum_dist_nanos", "n", "mean_l2")
+        .orderBy("scheme")
+    }),
+
     // A11 — Pearson correlation (t_vector/Z.py:106–108 shape).
     "analytics_corr" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1208,11 +1242,6 @@ object SparkEntry {
     */
   private def foldSumSql(expr: String): String =
     s"list_reduce(list_prepend(0.0, list($expr ORDER BY vec_id)), (a, b) -> a + b)"
-  private def foldMeanSql(expr: String): String =
-    s"(${foldSumSql(expr)} / count(*))"
-  private def foldStdSql(expr: String): String =
-    s"sqrt(greatest(${foldSumSql(s"($expr) * ($expr)")} / count(*) - " +
-      s"${foldMeanSql(expr)} * ${foldMeanSql(expr)}, 0.0))"
 
 
   /** TabularMark embed replay: P12 interval bipartition as a recursive CTE
@@ -2111,19 +2140,55 @@ object SparkEntry {
     // Attacks.insertGen's parity mode (σ = sqrt(E[v²] − μ²) over the same
     // fold sums), so the synthetic float32 values replay bit-for-bit.
     "attack_insert" ->
-      s"""WITH st AS (SELECT
-         |    ${foldMeanSql("cast(embedding[1] as double)")} AS mu0,
-         |    ${foldStdSql("cast(embedding[1] as double)")} AS s0,
-         |    ${foldMeanSql(s"cast(embedding[$D] as double)")} AS mu63,
-         |    ${foldStdSql(s"cast(embedding[$D] as double)")} AS s63,
+      s"""WITH base AS (SELECT
+         |    ${foldSumSql("cast(embedding[1] as double)")} AS fs0,
+         |    ${foldSumSql("(cast(embedding[1] as double)) * (cast(embedding[1] as double))")} AS fq0,
+         |    ${foldSumSql(s"cast(embedding[$D] as double)")} AS fs63,
+         |    ${foldSumSql(s"(cast(embedding[$D] as double)) * (cast(embedding[$D] as double))")} AS fq63,
          |    count(*) AS n, max(vec_id) AS maxid
          |  FROM embeddings),
+         |st AS (SELECT (fs0 / n) AS mu0,
+         |    sqrt(greatest(fq0 / n - (fs0 / n) * (fs0 / n), 0.0)) AS s0,
+         |    (fs63 / n) AS mu63,
+         |    sqrt(greatest(fq63 / n - (fs63 / n) * (fs63 / n), 0.0)) AS s63,
+         |    n, maxid
+         |  FROM base),
          |ins AS (SELECT maxid + 1 + unnest(range(0, cast(ceil(n * 0.2) as bigint))) AS vec_id,
          |          mu0, s0, mu63, s63 FROM st)
          |SELECT vec_id,
          |  round(cast(cast(mu0 + s0 * ${gaussSql(s"cast(vec_id as varchar) || '#ins0#$Seed'")} as real) as double), 4) + 0.0 AS f0,
          |  round(cast(cast(mu63 + s63 * ${gaussSql(s"cast(vec_id as varchar) || '#ins${D - 1}#$Seed'")} as real) as double), 4) + 0.0 AS f63
          |FROM ins ORDER BY vec_id""".stripMargin,
+
+    // P16 per scheme: the three replayed watermarked tables (RS codec flip,
+    // TVP th-tail flip, SCPW recursive rejection embed) each joined back to
+    // the raw table under the fold-L2; exact nano-sums + identical double
+    // mean ops.
+    "mean_distortion_schemes" -> {
+      def distRow(name: String, wm: String): String =
+        s"""SELECT '$name' AS scheme, ${sumNanosSql("dist")} AS sum_dist_nanos,
+           |  count(*) AS n,
+           |  cast(${sumNanosSql("dist")} as double) / 1.0e9 / cast(count(*) as double) AS mean_l2
+           |FROM (SELECT sqrt(${l2sqSql("e.embedding", "w.embedding")}) AS dist
+           |      FROM embeddings e JOIN $wm w ON e.vec_id = w.vec_id)""".stripMargin
+      "WITH RECURSIVE " + graphCtes.stripPrefix("WITH ") + ",\n" +
+        rsCodecCtes + ",\n" + tvpCandCtes + ",\n" + tvpThCtes(0.1, "_c0") + ",\n" +
+        s"""twmvals_c0 AS (SELECT vec_id, pos,
+           |    cast(v + ((wm_bit + pos) % 2 - oldbit) *
+           |      (CASE WHEN bp < intlen THEN pow(2.0, intlen - 1 - bp)
+           |            ELSE pow(2.0, -(bp - intlen)) END) as real) AS newv
+           |  FROM tcarriers_c0),
+           |twemb_c0 AS MATERIALIZED (SELECT e.vec_id,
+           |    CASE WHEN w.vec_id IS NULL THEN e.embedding
+           |      ELSE list_transform(range(1, ${D + 1}),
+           |             i -> CASE WHEN i = w.pos + 1 THEN w.newv ELSE e.embedding[i] END)
+           |    END AS embedding
+           |  FROM embeddings e LEFT JOIN twmvals_c0 w ON e.vec_id = w.vec_id),""".stripMargin + "\n" +
+        scpwEmbedCtes(Strength) + "\n" +
+        distRow("rs", "wemb") + "\nUNION ALL\n" +
+        distRow("scpw", "semb") + "\nUNION ALL\n" +
+        distRow("tvp", "twemb_c0") + "\nORDER BY scheme"
+    },
 
     // P16 — K3-perturbed rows differ only at the keyed dim, so the l2 fold
     // reduces to sqrt(dd²) exactly (zero terms add exactly); unmodified rows

@@ -152,30 +152,44 @@ object Dedup {
       .join(sizes, "doc_id")
     val pre = ranked
       .filter(col("rk") <= prefLen)
-      .select(col("doc_id"), col("shingle"), col("sz"))
-    // Count filter (the PPJoin-family pruning step): a shared shingle that is
-    // not in BOTH prefixes sits in at least one doc's suffix — and because
-    // both docs sort their sets by the SAME global (df, shingle) order,
-    // prefix/suffix crossings can only go one direction per pair (if s1 is in
-    // A's prefix and B's suffix while s2 is in A's suffix and B's prefix,
-    // then s1 < s2 and s2 < s1 in the global order — impossible). So every
-    // non-both-prefix shared shingle lies in ONE doc's suffix, giving the
-    // valid bound overlap ≤ ppcnt + max(|suffA|, |suffB|). least() here would
-    // prune true containment-shaped pairs (short doc ⊂ long doc, the case the
-    // df-asc order makes common, since shared shingles have higher df and
-    // sort late). J ≥ τ requires overlap ≥ τ/(1+τ)·(|A|+|B|); one aggregate
-    // over the prefix-join rows removes the shared-a-few-common-shingles bulk
-    // before the full verify join ever sees it. The 1e-9 slacks only ever
-    // keep MORE candidates.
+      .select(col("doc_id"), col("shingle"), col("sz"), col("rk"))
+    // TWO exact pruning bounds over the prefix-join rows; a candidate must
+    // satisfy both. Validity rests on both docs sorting their shingle sets
+    // by the SAME global (df, shingle) order.
+    //
+    // (1) Count bound: a shared shingle not in BOTH prefixes sits in at
+    // least one doc's suffix, and prefix/suffix crossings can only go one
+    // direction per pair (if s1 is in A's prefix and B's suffix while s2 is
+    // in A's suffix and B's prefix, then s1 < s2 and s2 < s1 in the global
+    // order — impossible). So overlap ≤ ppcnt + max(|suffA|, |suffB|).
+    // (least() instead of greatest() would prune true containment-shaped
+    // pairs — short doc ⊂ long doc — which the df-asc order makes common,
+    // since shared shingles have higher df and sort late.)
+    //
+    // (2) Positional bound (the real PPJoin filter): for a shared token t at
+    // ranks (rkA, rkB), shared tokens ≤ t occupy distinct ranks ≤ rkA in A
+    // and ≤ rkB in B (count ≤ min(rkA, rkB)), and shared tokens > t occupy
+    // ranks > rkA / > rkB (count ≤ min(szA−rkA, szB−rkB)) — so overlap ≤
+    // min(rkA,rkB) + min(szA−rkA, szB−rkB) for EVERY shared prefix token;
+    // take the min over the observed ones.
+    //
+    // Each bound alone is weak (measured at sf0.1, τ=0.4: 90k / 444k of
+    // 522k prefix pairs pass); together they prune shapes the other misses
+    // (12k pass) before the full verify join runs. J ≥ τ requires overlap ≥
+    // τ/(1+τ)·(|A|+|B|); the 1e-9 slacks only ever keep MORE candidates.
     val suffA = greatest(col("sza") - (floor(lit(1.0 - threshold) * col("sza") + lit(1e-9)).cast("long") + lit(1L)), lit(0L))
     val suffB = greatest(col("szb") - (floor(lit(1.0 - threshold) * col("szb") + lit(1e-9)).cast("long") + lit(1L)), lit(0L))
+    val required =
+      lit(threshold / (1.0 + threshold)) * (col("sza") + col("szb")) - lit(1e-9)
     val cand = pre.as("x").join(pre.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.sz").as("sza"), col("y.sz").as("szb"))
-      .agg(count(lit(1)).as("ppcnt"))
-      .filter(col("ppcnt") + greatest(suffA, suffB) >=
-        lit(threshold / (1.0 + threshold)) * (col("sza") + col("szb")) - lit(1e-9))
+      .agg(count(lit(1)).as("ppcnt"),
+        min(least(col("x.rk"), col("y.rk")) +
+          least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))).as("posb"))
+      .filter(col("ppcnt") + greatest(suffA, suffB) >= required &&
+        col("posb") >= required)
       .select(col("a"), col("b"))
     jaccard(cand, sh)
       .filter(col("jaccard") >= threshold)

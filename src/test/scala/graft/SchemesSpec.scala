@@ -11,6 +11,19 @@ class SchemesSpec extends AnyFunSuite {
 
   // ---- SCPW ----
 
+  test("SCPW value-hash goldens: micros rendering and hidden bit pinned") {
+    import graft.watermark.Scpw
+    // the rendering fed to the value hash (oracle mirror:
+    // cast(cast(floor(cast(v as double)*1e6 + 0.5) as bigint) as varchar))
+    assert(Scpw.microsRender(1.5f) == "1500000")
+    assert(Scpw.microsRender(-0.25f) == "-250000")
+    assert(Scpw.microsRender(0f) == "0")
+    assert(Scpw.microsRender(0.1234567f) == "123457")
+    // hand-computed goldens (python hashlib): md5("1234") % 4 = 1,
+    // md5("750000") % 2 = 1 → hidden = 1 XOR (1 % 2) = 0
+    assert(Scpw.hiddenBit(Array(0f, 0f, 0.75f, 0f), "1234", position = 2) == 0)
+  }
+
   test("SCPW embed then extract recovers the watermark (BER = 0)") {
     val key = ScpwKey(topK = 20, position = 30, stdE = 0.05, seed = "20")
     val wm  = "001010010101001010010"

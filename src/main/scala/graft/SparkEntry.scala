@@ -656,6 +656,16 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // Benchmark-contamination screen: every doc sharing any trigram with
+    // the held-out "benchmark" slice (doc_id ≡ 7 mod 100), with collision
+    // counts. Broadcast-probe shape — corpus shingles never shuffle.
+    "text_contamination" -> ((s, dir) => {
+      val docs  = Tables.documents(s, dir)
+      val bench = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+      Dedup.contamination(docs.filter(pmod(col("doc_id"), lit(100)) =!= 7), bench, 3)
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       Dedup.withSimhash(Tables.documents(s, dir))
         .select("doc_id", "simhash").orderBy("doc_id")
@@ -2324,6 +2334,19 @@ object SparkEntry {
         |SELECT a, b, cast(common as double) / (sza + szb - common) AS jaccard
         |FROM j WHERE cast(common as double) / (sza + szb - common) >= 0.5
         |ORDER BY a, b""".stripMargin,
+
+    // Contamination screen: naive shingle semi-join form.
+    "text_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS s
+        |    FROM w WHERE len(ws) >= 3)),
+        |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 7)
+        |SELECT doc_id, count(*) AS n_collisions
+        |FROM sh JOIN b USING (s)
+        |WHERE doc_id % 100 <> 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Exact n-gram Jaccard join: the engine's prefix-filtered (PPJoin-style)
     // plan must land on exactly the naive all-shared-shingle-pairs

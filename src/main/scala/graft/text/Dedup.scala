@@ -264,6 +264,21 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark-contamination screen — the n-gram collision rule used to
+    * decontaminate pretraining corpora against evaluation sets: flag every
+    * corpus doc sharing ANY word n-gram with a benchmark doc, with the
+    * collision count. The benchmark is small by nature, so its distinct
+    * shingle set rides a broadcast; the corpus side is a map-only probe —
+    * corpus shingles are never shuffled (the 100 TB shape), only the
+    * colliding (doc_id, shingle) rows reach the count exchange.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
+    val bs = shingles(benchmark, n).select(col("shingle")).distinct()
+    shingles(docs, n)
+      .join(broadcast(bs), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_collisions"))
+  }
+
   /** Embedding-cosine near-dup pairs over the vector table. */
   def embeddingNearDups(emb: DataFrame, simThreshold: Double, k: Int = 5,
                         kernel: String = "fast"): DataFrame =

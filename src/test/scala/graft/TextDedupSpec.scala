@@ -82,6 +82,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(naive == fast.length)
   }
 
+  test("contamination screen flags docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "xx yy alpha beta gamma zz"), // shares trigram "alpha beta gamma"
+      (2L, "totally different words here"),
+      (3L, "beta gamma delta and more tail")) // shares "beta gamma delta"
+      .toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, bench, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L), s"got $got")
+    // broadcast-probe shape: no shuffle of the corpus shingle side beyond
+    // the colliding-rows aggregate — the benchmark join must be broadcast
+    val plan = Dedup.contamination(corpus, bench, 3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("exact dedup drops nothing on the (dup-free) fixture, drops planted dups") {
     assert(Dedup.dropExactDups(docs).count() == docs.count())
     val doubled = docs.union(docs.limit(10).withColumn("doc_id", col("doc_id") + 100000))

@@ -666,6 +666,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The corpus-cleaning pipeline END-TO-END — the composition a
+    // training-data user actually runs: quality filter → exact dedup →
+    // minhash near-dup drop (keep the smaller doc_id) → benchmark
+    // decontamination (hold out the eval slice and everything colliding
+    // with it). One row per stage with the cumulative survivor count;
+    // every stage replays in SQL so the whole composition is oracle-exact.
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val q    = docs.filter(TextOps.qualityScore(col("text")) >= 0.8)
+      val e    = Dedup.dropExactDups(q)
+      val nd = e.join(
+        Dedup.nearDupPairs(e, 0.5).select(col("b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val bench = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+      val scan  = nd.filter(pmod(col("doc_id"), lit(100)) =!= 7)
+      val fin = scan.join(
+        Dedup.contamination(scan, bench, 4).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      Seq(
+        (0L, "input", docs.count()),
+        (1L, "quality", q.count()),
+        (2L, "exact_dedup", e.count()),
+        (3L, "near_dup", nd.count()),
+        (4L, "decontaminated", fin.count()))
+        .toDF("stage_id", "stage", "n_docs")
+        .orderBy("stage_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       Dedup.withSimhash(Tables.documents(s, dir))
         .select("doc_id", "simhash").orderBy("doc_id")
@@ -1539,6 +1568,52 @@ object SparkEntry {
     s"(sqrt(-2.0 * ln(1.0 - (cast('0x' || substr(md5($keyExpr || '|u1'), 1, 13) as bigint) / 4503599627370496.0))) " +
       s"* cos(2.0 * pi() * (cast('0x' || substr(md5($keyExpr || '|u2'), 1, 13) as bigint) / 4503599627370496.0)))"
 
+  /** Word n-gram expansion over a `ws` string array column — the DuckDB
+    * mirror of Dedup.shingles' per-row transform (consumers add their own
+    * DISTINCT / length guard).
+    */
+  private def ngramSql(n: Int): String = {
+    val words = (0 until n).map(j => if (j == 0) "ws[i]" else s"ws[i + $j]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len(ws) - ${n - 2}), i -> $words)"
+  }
+
+  /** MinHash banded-LSH near-dup pairs replayed over ANY (doc_id, text)
+    * relation `src` (Dedup.minhashBands/nearDupPairs): one md5 per distinct
+    * shingle reduced mod p, 16 universal-hash lanes with md5-keyed a/b
+    * constants, 4 band keys, candidate bucket join, exact set-Jaccard
+    * verification at `thr`. Produces CTEs `${p}words..${p}j` and the final
+    * `${p}pairs` (a, b, jaccard).
+    */
+  private def minhashPairsCtes(src: String, p: String, thr: Double): String =
+    s"""${p}words AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |${p}sh AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+       |       FROM ${p}words),
+       |${p}shh AS (SELECT doc_id, shingle,
+       |          cast('0x' || substr(md5(shingle), 1, 13) as bigint) % ${Dedup.MinhashP} AS hh
+       |        FROM ${p}sh),
+       |${p}seeds AS (SELECT seed,
+       |            ${md5ModCol("'minhash-a|' || cast(seed as varchar)", (Dedup.MinhashP - 1).toString)} + 1 AS a,
+       |            ${md5ModCol("'minhash-b|' || cast(seed as varchar)", Dedup.MinhashP.toString)} AS b
+       |          FROM (SELECT unnest(range(0, 16)) AS seed)),
+       |${p}sigs AS (SELECT doc_id, seed, min((s.a * h.hh + s.b) % ${Dedup.MinhashP}) AS sig
+       |         FROM ${p}shh h, ${p}seeds s GROUP BY 1, 2),
+       |${p}bk AS (SELECT doc_id, cast(floor(seed / 4.0) as int) AS band,
+       |         md5(string_agg(cast(sig as varchar), '|' ORDER BY seed)) AS band_key
+       |       FROM ${p}sigs GROUP BY 1, 2),
+       |${p}cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM ${p}bk x JOIN ${p}bk y
+       |         ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |${p}sizes AS (SELECT doc_id, count(*) AS sz FROM ${p}sh GROUP BY 1),
+       |${p}cm AS (SELECT c.a, c.b, count(*) AS common FROM ${p}cand c
+       |       JOIN ${p}sh sa ON sa.doc_id = c.a
+       |       JOIN ${p}sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+       |       GROUP BY 1, 2),
+       |${p}j AS (SELECT c.a, c.b, coalesce(cm.common, 0) AS common, za.sz AS sza, zb.sz AS szb
+       |      FROM ${p}cand c LEFT JOIN ${p}cm cm ON c.a = cm.a AND c.b = cm.b
+       |      JOIN ${p}sizes za ON za.doc_id = c.a JOIN ${p}sizes zb ON zb.doc_id = c.b),
+       |${p}pairs AS (SELECT a, b, cast(common as double) / (sza + szb - common) AS jaccard
+       |  FROM ${p}j WHERE cast(common as double) / (sza + szb - common) >= $thr)""".stripMargin
+
   /** Scpw.microsRender(v) as varchar — the integer rendering the SCPW value
     * hash keys on (Scpw.hiddenBit). Exact on both engines by construction.
     */
@@ -2305,35 +2380,40 @@ object SparkEntry {
     // lanes (a_s·h + b_s) mod p with the same md5-keyed a/b constants the
     // engine derives (Dedup.minhashBands).
     "dedup_minhash_pairs" ->
-      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |       FROM words),
-        |shh AS (SELECT doc_id, shingle,
-        |          cast('0x' || substr(md5(shingle), 1, 13) as bigint) % ${Dedup.MinhashP} AS hh
-        |        FROM sh),
-        |seeds AS (SELECT seed,
-        |            ${md5ModCol("'minhash-a|' || cast(seed as varchar)", (Dedup.MinhashP - 1).toString)} + 1 AS a,
-        |            ${md5ModCol("'minhash-b|' || cast(seed as varchar)", Dedup.MinhashP.toString)} AS b
-        |          FROM (SELECT unnest(range(0, 16)) AS seed)),
-        |sigs AS (SELECT doc_id, seed, min((s.a * h.hh + s.b) % ${Dedup.MinhashP}) AS sig
-        |         FROM shh h, seeds s GROUP BY 1, 2),
-        |bk AS (SELECT doc_id, cast(floor(seed / 4.0) as int) AS band,
-        |         md5(string_agg(cast(sig as varchar), '|' ORDER BY seed)) AS band_key
-        |       FROM sigs GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
-        |         ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |cm AS (SELECT c.a, c.b, count(*) AS common FROM cand c
-        |       JOIN sh sa ON sa.doc_id = c.a
-        |       JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
-        |       GROUP BY 1, 2),
-        |j AS (SELECT c.a, c.b, coalesce(cm.common, 0) AS common, za.sz AS sza, zb.sz AS szb
-        |      FROM cand c LEFT JOIN cm ON c.a = cm.a AND c.b = cm.b
-        |      JOIN sizes za ON za.doc_id = c.a JOIN sizes zb ON zb.doc_id = c.b)
-        |SELECT a, b, cast(common as double) / (sza + szb - common) AS jaccard
-        |FROM j WHERE cast(common as double) / (sza + szb - common) >= 0.5
-        |ORDER BY a, b""".stripMargin,
+      (s"WITH ${minhashPairsCtes("documents", "m", 0.5)}\n" +
+        "SELECT a, b, jaccard FROM mpairs ORDER BY a, b"),
+
+    // The full cleaning pipeline: every stage replayed (quality formula,
+    // min-per-md5 exact dedup, the parameterized minhash chain over the
+    // exact-dedup survivors, trigram decontamination vs the raw benchmark
+    // slice), counts per stage.
+    "pipeline_clean_corpus" ->
+      (s"""WITH qd AS (SELECT doc_id, text FROM documents
+         |  WHERE ${TextOps.qualityScoreSql("text")} >= 0.8),
+         |ed AS (SELECT d.doc_id, d.text FROM qd d
+         |  JOIN (SELECT min(doc_id) AS keep FROM qd GROUP BY md5(text)) k
+         |    ON d.doc_id = k.keep),
+         |${minhashPairsCtes("ed", "p", 0.5)},
+         |nd AS (SELECT e.doc_id, e.text FROM ed e
+         |  WHERE e.doc_id NOT IN (SELECT b FROM ppairs)),
+         |bsh AS (SELECT DISTINCT unnest(${ngramSql(4)}) AS s
+         |  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+         |        WHERE doc_id % 100 = 7) WHERE len(ws) >= 4),
+         |scan AS (SELECT doc_id, text FROM nd WHERE doc_id % 100 <> 7),
+         |csh AS (SELECT DISTINCT doc_id, unnest(${ngramSql(4)}) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM scan)
+         |  WHERE len(ws) >= 4),
+         |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (s)),
+         |fin AS (SELECT doc_id FROM scan
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+         |SELECT * FROM (
+         |  SELECT cast(0 as bigint) AS stage_id, 'input' AS stage,
+         |    (SELECT count(*) FROM documents) AS n_docs
+         |  UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM qd)
+         |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM ed)
+         |  UNION ALL SELECT 3, 'near_dup', (SELECT count(*) FROM nd)
+         |  UNION ALL SELECT 4, 'decontaminated', (SELECT count(*) FROM fin))
+         |ORDER BY stage_id""".stripMargin),
 
     // Contamination screen: naive shingle semi-join form.
     "text_contamination" ->

@@ -40,6 +40,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), "jaccard lost its inverted-index join")
   }
 
+  test("contamination screen: benchmark side broadcasts, text scan is pruned") {
+    val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin"), "benchmark shingle set must broadcast")
+    assert(!p.contains("CartesianProduct"), "contamination degraded to a cartesian")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet"))
+    assert(scan.nonEmpty && !scan.get.contains("n_chars"),
+      "documents scan reads unreferenced columns")
+  }
+
   test("deterministic ANN paths join on bucket/cluster keys, never cartesian") {
     for (q <- Seq("ann_ivf_topk", "ann_lsh_topk")) {
       val p = plan(q)

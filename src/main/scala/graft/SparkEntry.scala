@@ -675,11 +675,16 @@ object SparkEntry {
     "pipeline_clean_corpus" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val q    = docs.filter(TextOps.qualityScore(col("text")) >= 0.8)
-      val e    = Dedup.dropExactDups(q)
+      // each stage feeds the next AND its own count — eager localCheckpoints
+      // materialize every stage exactly once instead of recomputing the
+      // whole upstream lineage per count action
+      val q = docs.filter(TextOps.qualityScore(col("text")) >= 0.8)
+        .localCheckpoint()
+      val e = Dedup.dropExactDups(q).localCheckpoint()
       val nd = e.join(
         Dedup.nearDupPairs(e, 0.5).select(col("b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val bench = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
       val scan  = nd.filter(pmod(col("doc_id"), lit(100)) =!= 7)
       val fin = scan.join(

@@ -666,6 +666,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Near-dup clustering: transitive closure of the minhash pair graph,
+    // canonical (min) doc per cluster — the keep-one-per-cluster dedup rule.
+    "dedup_neardup_clusters" -> ((s, dir) => {
+      Dedup.nearDupClusters(Tables.documents(s, dir), threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // The corpus-cleaning pipeline END-TO-END — the composition a
     // training-data user actually runs: quality filter → exact dedup →
     // minhash near-dup drop (keep the smaller doc_id) → benchmark
@@ -2387,6 +2394,20 @@ object SparkEntry {
     "dedup_minhash_pairs" ->
       (s"WITH ${minhashPairsCtes("documents", "m", 0.5)}\n" +
         "SELECT a, b, jaccard FROM mpairs ORDER BY a, b"),
+
+    // Near-dup clusters: the minhash pair chain + a recursive min-label
+    // closure over the (undirected) pair graph — the engine's Pregel-style
+    // fixpoint must land on the same components.
+    "dedup_neardup_clusters" ->
+      (s"WITH RECURSIVE ${minhashPairsCtes("documents", "m", 0.5)},\n" +
+        """medges AS (SELECT a AS src, b AS dst FROM mpairs
+          |  UNION ALL SELECT b AS src, a AS dst FROM mpairs),
+          |reach(vec_id, comp) AS (
+          |  SELECT src, src FROM medges
+          |  UNION
+          |  SELECT e.dst, r.comp FROM reach r JOIN medges e ON e.src = r.vec_id)
+          |SELECT vec_id AS doc_id, min(comp) AS canonical_id
+          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // The full cleaning pipeline: every stage replayed (quality formula,
     // min-per-md5 exact dedup, the parameterized minhash chain over the

@@ -264,6 +264,25 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup CLUSTERS: connected components over the near-dup pair graph,
+    * each clustered doc mapped to its cluster's canonical (minimum) doc id —
+    * the transitive "keep one per cluster" semantics per-pair drops cannot
+    * express (a~b and b~c collapse into one cluster even when a and c are
+    * not directly similar). Docs in no pair are their own canonical and are
+    * omitted. Rides KnnGraph.components (min-label propagation, one keyed
+    * join + min-aggregate per round, rounds bounded by cluster diameter —
+    * the standard distributed connected-components shape).
+    */
+  def nearDupClusters(df: DataFrame, threshold: Double, n: Int = 3,
+                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val pairs = nearDupPairs(df, threshold, n, numHashes, bands)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = edges.select(col("src").as("vec_id"))
+    graft.graph.KnnGraph.components(edges, seeds)
+      .select(col("vec_id").as("doc_id"), col("comp").as("canonical_id"))
+  }
+
   /** Benchmark-contamination screen — the n-gram collision rule used to
     * decontaminate pretraining corpora against evaluation sets: flag every
     * corpus doc sharing ANY word n-gram with a benchmark doc, with the

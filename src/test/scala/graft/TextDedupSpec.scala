@@ -82,6 +82,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(naive == fast.length)
   }
 
+  test("near-dup clusters: a~b~c chains collapse to one canonical doc") {
+    import spark.implicits._
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().take(10)
+    val base  = texts(0)._2
+    // chain: 9001 ~ base (1 word changed), 9002 ~ 9001 (2 words changed) —
+    // 9002 is farther from base than from 9001, but all three must share a
+    // cluster with canonical = the original doc id
+    val m1 = base.replaceFirst("\\w+", "zza")
+    val m2 = m1.replaceAll("(\\w+)$", "zzb")
+    val df = spark.createDataFrame(texts ++ Seq((9001L, m1), (9002L, m2)))
+      .toDF("doc_id", "text")
+    val cl = Dedup.nearDupClusters(df, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val canon = texts(0)._1
+    assert(cl.get(9001L).contains(canon) && cl.get(9002L).contains(canon)
+      && cl.get(canon).contains(canon), s"chain not collapsed: $cl")
+    // unrelated docs are not clustered
+    assert(!cl.contains(texts(5)._1))
+  }
+
   test("contamination screen flags docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")

@@ -84,6 +84,36 @@ class AnnMultimodalStreamSpec extends AnyFunSuite {
     assert(ts.getStruct(3).getInt(1) == 2 && ts.getStruct(3).getInt(2) == 2)
   }
 
+  test("multimodal: real image files ingest via the binaryFile source") {
+    // the production ingestion path the asset fixture stands in for:
+    // spark.read.format("binaryFile") over a directory of real images,
+    // decoded by the same kernel
+    val dir = java.nio.file.Files.createTempDirectory("graft_png").toFile
+    try {
+      for (i <- 0 until 3) {
+        val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 4; x <- 0 until 4)
+          img.setRGB(x, y, if ((x + y + i) % 2 == 0) 0x000000 else 0xffffff)
+        javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, s"img$i.png"))
+      }
+      val assets = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(dir.getAbsolutePath)
+        .select(
+          abs(hash(col("path"))).cast("long").as("asset_id"),
+          col("content").as("payload"))
+      val feats = Multimodal.decodeFeatures(assets, dim = 16).collect()
+      assert(feats.length == 3)
+      feats.foreach { r =>
+        val f = r.getSeq[Float](1)
+        // checkerboards: half black (bucket 0), half white (bucket 15)
+        assert(f(0) == 0.5f && f(15) == 0.5f, s"real decode wrong: $f")
+      }
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("streaming tumbling counts equal the batch operator") {
     val stream = StreamOps.eventsStream(spark, TestSpark.sf0001)
     val q = StreamOps.tumblingCounts(stream, widthSec = 600)

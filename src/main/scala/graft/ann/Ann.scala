@@ -157,6 +157,32 @@ object Ann {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Persist a deterministic IVF index (centroids + inverted-list
+    * assignment) as parquet — the write-once artifact the 100 TB runbook
+    * prescribes: one corpus version → one index directory, reusable across
+    * query batches and sessions. Assignment is written bucketed-by-cluster
+    * friendly (repartitioned on `cluster`) so a reader's probe join starts
+    * co-located.
+    */
+  def ivfWrite(dir: String, centroids: Array[Array[Float]], assigned: DataFrame): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned.select("vec_id", "embedding", "cluster")
+      .repartition(col("cluster"))
+      .write.mode("overwrite").parquet(s"$dir/assigned")
+  }
+
+  /** Read a persisted IVF index back: (centroids, assignedCorpus). */
+  def ivfRead(spark: org.apache.spark.sql.SparkSession, dir: String): (Array[Array[Float]], DataFrame) = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cluster").collect()
+      .map(_.getSeq[Float](1).toArray)
+    (cents, spark.read.parquet(s"$dir/assigned"))
+  }
+
   /** Recall@k of an approximate result against the exact baseline. */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): Double = {
     val hits = approx.filter(col("rank") <= k)

@@ -26,6 +26,28 @@ class AnnMultimodalStreamSpec extends AnyFunSuite {
     assert(Ann.recallAtK(full, exact, 10) == 1.0)
   }
 
+  test("IVF index round-trips through parquet persistence") {
+    val emb  = Tables.embeddings(spark, TestSpark.sf0001)
+    val cents = Ann.ivfDetCentroids(emb, nlist = 8)
+    val assigned = Ann.ivfDetAssign(emb, cents)
+    val queries  = emb.filter(col("vec_id") < 20)
+    val fresh = Ann.ivfDetSearch(queries, assigned, cents, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toFile
+    try {
+      Ann.ivfWrite(dir.getAbsolutePath, cents, assigned)
+      val (rc, ra) = Ann.ivfRead(spark, dir.getAbsolutePath)
+      assert(rc.length == cents.length && rc.zip(cents).forall { case (a, b) => a.sameElements(b) })
+      val replayed = Ann.ivfDetSearch(queries, ra, rc, k = 5, nprobe = 3)
+        .orderBy("query_id", "rank").collect()
+      assert(replayed.length == fresh.length)
+      replayed.zip(fresh).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir).deleteRecursively()
+    }
+  }
+
   test("multimodal: meta extraction and stub decode shapes") {
     val docs   = Tables.documents(spark, TestSpark.sf0001)
     val assets = Multimodal.assetsFromDocuments(docs).cache()

@@ -176,6 +176,11 @@ object KnnGraph {
       cur = ns
       i += 1
     }
+    // silent unconverged labels would ship wrong canonical ids with no error
+    // signal — fail loudly instead (a chain diameter beyond maxIter means the
+    // caller must raise the cap, not trust the partial fixpoint)
+    require(done,
+      s"components() hit maxIter=$maxIter without reaching the fixpoint witness; raise maxIter")
     labels
   }
 

@@ -342,8 +342,13 @@ object Knn {
         .repartition(parts)
         .mapPartitions { it =>
           it.flatMap { case (g, s, qid, q) =>
-            searchOne(q, bc.value((g, s)), k, maxim, fastL2, fold)
-              .iterator.map { case (nid, d) => (g, qid, nid, d) }
+            // hash-multinomial sub assignment can leave a (group, sub) bucket
+            // empty for small groups under a small maxIndexRows — an absent
+            // sub contributes no neighbors, so the merged result is unchanged
+            bc.value.get((g, s)).iterator.flatMap { idx =>
+              searchOne(q, idx, k, maxim, fastL2, fold)
+                .iterator.map { case (nid, d) => (g, qid, nid, d) }
+            }
           }
         }
         .toDF(groupCol, "query_id", "neighbor_id", "dist")

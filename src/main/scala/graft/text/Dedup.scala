@@ -33,7 +33,11 @@ object Dedup {
     */
   def shingles(df: DataFrame, n: Int): DataFrame = {
     val words = split(col("text"), " ")
-    df.select(col("doc_id"),
+    // the <n-word guard lives HERE so every caller is safe: without it,
+    // sequence(0, negative) throws at runtime for short docs (which the
+    // DuckDB oracle silently skips via its len(ws) >= n predicate)
+    df.filter(size(words) >= n)
+      .select(col("doc_id"),
         explode(array_distinct(transform(sequence(lit(0), size(words) - n),
           i => concat_ws(" ", slice(words, i + 1, lit(n)))))).as("shingle"))
   }
@@ -197,31 +201,19 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification. The verify
-    * joins only the (small) candidate set back to the texts and computes
-    * set-Jaccard per pair in a map — the all-pairs shingle join is never
-    * materialized.
+    * rides the keyed (doc_id, shingle) frame through `jaccard` — each doc is
+    * tokenized ONCE regardless of how many candidate pairs it appears in (a
+    * hub doc in m pairs would otherwise be re-shingled m times), and the
+    * intersection join touches candidates only — the all-pairs shingle join
+    * is never materialized.
     */
   def nearDupPairs(df: DataFrame, threshold: Double, n: Int = 3,
-                   numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val jacUdf = udf((ta: String, tb: String) => {
-      def shingleSet(t: String): scala.collection.Set[String] = {
-        val words = t.split(' ')
-        val s     = scala.collection.mutable.HashSet.empty[String]
-        var i     = 0
-        while (i + n <= words.length) { s += words.slice(i, i + n).mkString(" "); i += 1 }
-        s
-      }
-      val sa     = shingleSet(ta); val sb = shingleSet(tb)
-      val common = sa.count(sb.contains)
-      common.toDouble / (sa.size + sb.size - common)
-    })
-    minhashCandidates(df, n, numHashes, bands)
-      .join(df.select(col("doc_id").as("a"), col("text").as("ta")), "a")
-      .join(df.select(col("doc_id").as("b"), col("text").as("tb")), "b")
-      .withColumn("jaccard", jacUdf(col("ta"), col("tb")))
+                   numHashes: Int = 16, bands: Int = 4): DataFrame =
+    // cached because jaccard() consumes the frame three times (sizes + both
+    // join sides) — same pattern as jaccardPairs
+    jaccard(minhashCandidates(df, n, numHashes, bands), shingles(df, n).cache())
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
-  }
 
   /** SimHash-64 of a token list: per-token 64-bit hash (first 16 md5 hex
     * chars), ±1 bit votes, sign-of-vote fingerprint.

@@ -5,9 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every registered query at the given scale
   * factor, one JSON line out. A session warmup (table footer reads + a
   * trivial action) runs before timing so per-query numbers measure the
-  * operators, not first-touch JVM/parquet initialization; the GraftCache
-  * sharing between graph-dependent queries is part of the engine design and
-  * is included in whichever timed query builds it first.
+  * operators, not first-touch JVM/parquet initialization.
+  *
+  * The surface runs SPARK_GRAFT_BENCH_PASSES times (default 3) and each
+  * query reports its MEDIAN across passes — single-pass numbers proved
+  * contention-noisy (individual queries 2–4× off between a loaded and a
+  * clean run of the same commit). Between passes both the GraftCache memo
+  * and Spark's CacheManager are cleared, so every pass pays the same
+  * cold-build costs (the kNN pass, carrier checkpoints) and the median is a
+  * like-for-like repeat, not a warm-cache rerun. The JSON line puts the
+  * per-query map FIRST and the headline total LAST so a tail-truncated
+  * capture of the line still contains the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,6 +25,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,15 +49,33 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def runPass(): Seq[(String, Double)] = {
+      GraftCache.clear()
+      spark.catalog.clearCache() // CacheManager matches analyzed plans — a
+      // prior pass's persisted frame would otherwise serve this pass warm
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    val all = (1 to passes).map(_ => runPass())
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val med = selected.map { case (name, _) =>
+      name -> median(all.map(_.toMap.apply(name)))
+    }
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val passTotals = all.map(_.map(_._2).sum)
+    val total = med.map(_._2).sum
+    println(s"""{"queries":$qs,"sf":"$sfDir","passes":$passes,""" +
+      s""""pass_totals":[${passTotals.mkString(",")}],""" +
+      s""""metric":"total_median","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

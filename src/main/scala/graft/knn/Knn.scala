@@ -360,6 +360,63 @@ object Knn {
     }
   }
 
+  /** Exact top-k against a corpus that differs from `corpus` only in the
+    * rows of `modified` (replacement (vec_id, embedding) versions of a SMALL
+    * id subset — watermark carriers, attacked rows). Instead of re-scanning
+    * the full corpus per query, the result is MERGED from the precomputed
+    * `base` pass (top-`depth` of the same queries over the original corpus,
+    * same kernel) and one tiny kNN pass against just the modified rows:
+    *
+    *   after-top-k(q) = top-k of (base(q) minus modified ids) ∪ kNN(q, modified)
+    *
+    * This is EXACT, not approximate, for every query that keeps ≥ k
+    * unmodified survivors in its top-`depth`: every unmodified row outside
+    * the base top-`depth` orders strictly after the k-th survivor under the
+    * (dist, id) sort, so it cannot enter the merged top-k. Queries that fall
+    * below k survivors (possible when modified rows crowd one query's
+    * top-depth — e.g. a small corpus with a fixed-size modified set) are
+    * detected by ONE aggregate over the (cached) base frame and re-searched
+    * in full against the patched corpus; the merge never approximates.
+    * Unmodified rows keep their base distances (same kernel ⇒
+    * bit-identical), so the result equals a full
+    * `exact(queries, patched, k, kernel)` recompute bit-for-bit at a cost of
+    * |Q|·|modified| instead of |Q|·|corpus| distance evaluations.
+    */
+  def topKAfterModify(queries: DataFrame, corpus: DataFrame, base: DataFrame,
+                      modified: DataFrame, k: Int,
+                      kernel: String = "fold"): DataFrame = {
+    val modIds = modified.select(col("vec_id"))
+    val surv = base
+      .join(broadcast(modIds), base("neighbor_id") === modIds("vec_id"), "left_anti")
+      .select("query_id", "neighbor_id", "dist")
+    val modTop = exact(queries, modified, k, kernel = kernel)
+      .select("query_id", "neighbor_id", "dist")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    val merged = surv.unionByName(modTop)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    // exactness guard: one flagged aggregate over the base frame finds
+    // queries left with < k unmodified survivors
+    val flagged = modified.select(col("vec_id").as("__mid"), lit(1).as("__m"))
+    val shortQ = base
+      .join(broadcast(flagged), base("neighbor_id") === col("__mid"), "left")
+      .groupBy("query_id")
+      .agg(sum(when(col("__m").isNull, 1).otherwise(0)).as("__surv"))
+      .filter(col("__surv") < k).select(col("query_id"))
+    if (shortQ.isEmpty) merged
+    else {
+      val patched = corpus.select(col("vec_id"), col("embedding"))
+        .join(broadcast(modIds), Seq("vec_id"), "left_anti")
+        .unionByName(modified.select(col("vec_id"), col("embedding")))
+      val fbQ = queries.join(broadcast(shortQ),
+        queries("vec_id") === shortQ("query_id"), "left_semi")
+      val fb = exact(fbQ, patched, k, kernel = kernel)
+        .select("query_id", "neighbor_id", "dist", "rank")
+      merged.join(broadcast(shortQ), Seq("query_id"), "left_anti")
+        .unionByName(fb)
+    }
+  }
+
   /** Built-ins-only variant (crossJoin + left-to-right fold + window):
     * same (dist, id) ordering as the "fold" kernel bit-for-bit.
     */

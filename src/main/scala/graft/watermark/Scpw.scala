@@ -108,21 +108,26 @@ object Scpw {
       .select(col("vec_id"), col("wm_bit"), col("content_id"))
   }
 
-  def embed(df: DataFrame, wm: String, strength: Double, key: ScpwKey,
-            precomputedCarriers: Option[DataFrame] = None): DataFrame = {
+  /** The driver-side embed artifacts — noise-ingredient pool + noise
+    * constants — computed once per (corpus, key) and reusable across embed
+    * calls (each costs a count + a TakeOrdered collect + one stats agg;
+    * harnesses that embed the same corpus repeatedly should memoize this).
+    */
+  final case class ScpwPrep(pool: Array[Float], kx: Double, k1: Double, k2: Double)
+
+  /** Noise ingredient pool + constants. The pool is a BOUNDED keyed-stride
+    * sample of the carrier column. The reference materializes one e per
+    * corpus row (SCPW.py noise pool), but the pool is only a source of x
+    * ingredients for e = kx·x + k1·u + k2 — a fixed-size sample of the same
+    * column distribution preserves the scheme while capping driver memory at
+    * 2^16 floats regardless of corpus size (a full-column collect would be
+    * O(N) driver memory + an O(N) broadcast per embed call). Selection is
+    * keyed (md5 of vec_id) so it is deterministic under any partitioning; the
+    * orderBy+limit compiles to a distributed TakeOrdered, not a global sort.
+    */
+  def prepare(df: DataFrame, key: ScpwKey): ScpwPrep = {
     val spark = df.sparkSession
     import spark.implicits._
-    val carrierDf = precomputedCarriers.getOrElse(carriers(df, wm, strength, key))
-
-    // Noise ingredient pool: a BOUNDED keyed-stride sample of the carrier
-    // column. The reference materializes one e per corpus row (SCPW.py noise
-    // pool), but the pool is only a source of x ingredients for e = kx·x +
-    // k1·u + k2 — a fixed-size sample of the same column distribution
-    // preserves the scheme while capping driver memory at 2^16 floats
-    // regardless of corpus size (the previous full-column collect was O(N)
-    // driver memory + an O(N) broadcast per embed call). Selection is keyed
-    // (md5 of vec_id) so it is deterministic under any partitioning; the
-    // orderBy+limit compiles to a distributed TakeOrdered, not a global sort.
     val poolCap = 1 << 16
     val stride  = math.max(1L, df.count() / poolCap)
     def sample(strideN: Long) = df
@@ -133,8 +138,18 @@ object Scpw {
       .as[(Long, Float)].collect()
     val picked  = sample(stride)
     val colVals = (if (picked.nonEmpty) picked else sample(1L)).sortBy(_._1).map(_._2)
-    val bcPool  = spark.sparkContext.broadcast(colVals)
     val (kx, k1, k2) = noiseParams(df, key)
+    ScpwPrep(colVals, kx, k1, k2)
+  }
+
+  def embed(df: DataFrame, wm: String, strength: Double, key: ScpwKey,
+            precomputedCarriers: Option[DataFrame] = None,
+            prep: Option[ScpwPrep] = None): DataFrame = {
+    val spark = df.sparkSession
+    val carrierDf = precomputedCarriers.getOrElse(carriers(df, wm, strength, key))
+    val p       = prep.getOrElse(prepare(df, key))
+    val bcPool  = spark.sparkContext.broadcast(p.pool)
+    val (kx, k1, k2) = (p.kx, p.k1, p.k2)
     val pos  = key.position
     val seed = key.seed
 

@@ -12,11 +12,14 @@ import org.apache.spark.sql.{DataFrame, Row}
   * partition sizing, output shapes) is real and tested. IMAGE payloads are
   * decoded for real: PNG/JPEG (recognized by magic bytes) go through the
   * JDK's javax.imageio — luminance-histogram features and true raster
-  * resize+re-encode — with no external dependency. Everything else (audio,
-  * video, unrecognized bytes — no codec libraries in this toolchain) falls
-  * back to the deterministic byte-histogram / passthrough kernels, clearly
-  * marked below; swapping in a real audio/video decoder changes only those
-  * function bodies, nothing about the distributed plan.
+  * resize+re-encode — with no external dependency. AUDIO payloads are
+  * decoded for real when they are RIFF/WAVE integer PCM: a pure-JVM RIFF
+  * chunk walk (decodeWav) yields the samples behind the amplitude-histogram
+  * feature. Everything else (video, compressed audio, unrecognized bytes —
+  * no codec libraries in this toolchain) falls back to the deterministic
+  * byte-histogram / passthrough kernels, clearly marked below; swapping in
+  * a real video decoder changes only those function bodies, nothing about
+  * the distributed plan.
   */
 object Multimodal {
 
@@ -47,6 +50,64 @@ object Multimodal {
           finally { r.dispose(); in.close() }
         }
       } catch { case _: java.io.IOException => None }
+
+  /** Decoded PCM audio: native-rate interleaved samples normalized to signed
+    * 16-bit regardless of source bit depth.
+    */
+  final case class PcmAudio(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                            samples: Array[Short])
+
+  /** RIFF/WAVE magic ("RIFF" …size… "WAVE"). */
+  def looksLikeWav(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E'
+
+  /** REAL audio decode, pure JVM (no codec library needed): RIFF chunk walk,
+    * PCM (format 1) at 8 or 16 bits. 8-bit WAV samples are unsigned per the
+    * spec and are rescaled to signed 16-bit so downstream features see one
+    * range. Returns None for any non-WAV / non-PCM / truncated payload —
+    * callers fall back to the stub kernel, never crash.
+    */
+  def decodeWav(payload: Array[Byte]): Option[PcmAudio] = {
+    if (!looksLikeWav(payload)) return None
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
+    var data: Option[(Int, Int)]     = None // (offset, length)
+    while (off + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+      val id   = new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(off + 4)
+      if (size < 0 || off + 8 + size > payload.length) return None // truncated
+      id match {
+        case "fmt " if size >= 16 =>
+          val audioFormat = le16(off + 8)
+          val bits        = le16(off + 8 + 14)
+          if (audioFormat != 1 || (bits != 8 && bits != 16)) return None // not integer PCM
+          fmt = Some((le16(off + 8 + 2), le32(off + 8 + 4), bits))
+        case "data" => data = Some((off + 8, size))
+        case _      => ()
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    for ((channels, rate, bits) <- fmt; (dOff, dLen) <- data) yield {
+      val samples =
+        if (bits == 16) {
+          val n   = dLen / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = le16(dOff + 2 * i).toShort; i += 1 }
+          out
+        } else {
+          val out = new Array[Short](dLen)
+          var i = 0
+          while (i < dLen) { out(i) = (((payload(dOff + i) & 0xff) - 128) << 8).toShort; i += 1 }
+          out
+        }
+      PcmAudio(rate, channels, bits, samples)
+    }
+  }
 
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -87,11 +148,13 @@ object Multimodal {
   /** Decode + feature-extract, batched per partition. Decodable PNG/JPEG
     * payloads produce a REAL pixel feature: the normalized luminance
     * histogram over `dim` buckets (integer BT.601 luma, so the buckets are
-    * bit-deterministic across JVMs). Non-image payloads (audio/video —
-    * STUB KERNEL, no codec libraries in this toolchain) fall back to the
-    * deterministic normalized byte histogram. The mapPartitions shape (one
-    * reusable buffer per partition, streaming iterator, fixed-width output
-    * schema) is shared by both paths.
+    * bit-deterministic across JVMs). Decodable WAV/PCM payloads produce a
+    * REAL audio feature: the normalized amplitude histogram of the decoded
+    * 16-bit samples (integer bucketing — bit-deterministic). Everything
+    * else (video, compressed audio — STUB KERNEL, no codec libraries in
+    * this toolchain) falls back to the deterministic normalized byte
+    * histogram. The mapPartitions shape (one reusable buffer per partition,
+    * streaming iterator, fixed-width output schema) is shared by all paths.
     */
   def decodeFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
     val spark = assets.sparkSession
@@ -121,11 +184,19 @@ object Multimodal {
             }
             val n = math.max(1, w * h).toFloat
             Row(id, hist.map(_ / n).toSeq)
-          case None => // STUB fallback: normalized byte histogram
-            var i = 0
-            while (i < payload.length) { hist((payload(i) & 0xff) % dim) += 1f; i += 1 }
-            val n = math.max(1, payload.length).toFloat
-            Row(id, hist.map(_ / n).toSeq)
+          case None => decodeWav(payload) match {
+            case Some(pcm) => // REAL audio kernel: amplitude histogram
+              val s = pcm.samples
+              var i = 0
+              while (i < s.length) { hist(((s(i) + 32768) * dim) >>> 16) += 1f; i += 1 }
+              val n = math.max(1, s.length).toFloat
+              Row(id, hist.map(_ / n).toSeq)
+            case None => // STUB fallback: normalized byte histogram
+              var i = 0
+              while (i < payload.length) { hist((payload(i) & 0xff) % dim) += 1f; i += 1 }
+              val n = math.max(1, payload.length).toFloat
+              Row(id, hist.map(_ / n).toSeq)
+          }
         }
       }
     }

@@ -106,6 +106,66 @@ class AnnMultimodalStreamSpec extends AnyFunSuite {
     assert(ts.getStruct(3).getInt(1) == 2 && ts.getStruct(3).getInt(2) == 2)
   }
 
+  test("multimodal: a generated WAV decodes through the real audio kernel") {
+    import spark.implicits._
+    // 16-bit mono PCM: half the samples at -32768 (bucket 0), half at
+    // +32767 (bucket 15) — a square wave whose amplitude histogram is known
+    val n    = 64
+    val rate = 8000
+    def le16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff)
+    }
+    def le32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      le16(b, v & 0xffff); le16(b, (v >>> 16) & 0xffff)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write("RIFF".getBytes("US-ASCII")); le32(buf, 36 + 2 * n)
+    buf.write("WAVE".getBytes("US-ASCII"))
+    buf.write("fmt ".getBytes("US-ASCII")); le32(buf, 16)
+    le16(buf, 1); le16(buf, 1) // PCM, mono
+    le32(buf, rate); le32(buf, rate * 2); le16(buf, 2); le16(buf, 16)
+    buf.write("data".getBytes("US-ASCII")); le32(buf, 2 * n)
+    for (i <- 0 until n) le16(buf, if (i % 2 == 0) 0x8000 else 0x7fff)
+    val wav = buf.toByteArray
+
+    assert(Multimodal.looksLikeWav(wav))
+    assert(!Multimodal.looksLikeWav("plain text longer than header".getBytes("UTF-8")))
+    val pcm = Multimodal.decodeWav(wav).get
+    assert(pcm.sampleRate == rate && pcm.channels == 1 && pcm.bitsPerSample == 16)
+    assert(pcm.samples.length == n)
+    assert(pcm.samples(0) == Short.MinValue && pcm.samples(1) == Short.MaxValue)
+
+    val assets = Seq((9L, "audio", wav)).toDF("asset_id", "kind", "payload")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        length(col("payload")).cast("long").as("n_bytes"),
+        lit(1).as("width"), lit(1).as("height"), lit(8L).as("duration_ms")))
+    val f = Multimodal.decodeFeatures(assets, dim = 16).head.getSeq[Float](1)
+    assert(f(0) == 0.5f && f(15) == 0.5f && f.sum == 1.0f,
+      s"amplitude histogram wrong: $f")
+    // and it differs from the byte-histogram fallback of the same bytes
+    val hist = new Array[Float](16)
+    wav.foreach(b => hist((b & 0xff) % 16) += 1f)
+    assert(f.toArray.toSeq != hist.map(_ / wav.length).toSeq)
+
+    // 8-bit WAV: unsigned samples rescale to signed 16-bit
+    val b8 = new java.io.ByteArrayOutputStream()
+    b8.write("RIFF".getBytes("US-ASCII")); le32(b8, 36 + 4)
+    b8.write("WAVE".getBytes("US-ASCII"))
+    b8.write("fmt ".getBytes("US-ASCII")); le32(b8, 16)
+    le16(b8, 1); le16(b8, 1)
+    le32(b8, rate); le32(b8, rate); le16(b8, 1); le16(b8, 8)
+    b8.write("data".getBytes("US-ASCII")); le32(b8, 4)
+    Seq(0, 128, 255, 64).foreach(b8.write)
+    val pcm8 = Multimodal.decodeWav(b8.toByteArray).get
+    assert(pcm8.bitsPerSample == 8 && pcm8.samples.toSeq ==
+      Seq[Short](-32768, 0, 32512, -16384))
+
+    // truncated / non-PCM payloads are rejected, not crashed on
+    assert(Multimodal.decodeWav(wav.take(30)).isEmpty)
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // audioFormat = IEEE float
+    assert(Multimodal.decodeWav(nonPcm).isEmpty)
+  }
+
   test("multimodal: real image files ingest via the binaryFile source") {
     // the production ingestion path the asset fixture stands in for:
     // spark.read.format("binaryFile") over a directory of real images,

@@ -120,6 +120,20 @@ object SparkEntry {
     */
   private def micros(c: org.apache.spark.sql.Column) = EventOps.micros(c)
   private val streamSinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run a finite stream replay with a reduced state-partition count: the
+    * state store creates one instance per shuffle partition PER MICRO-BATCH,
+    * so a 4-batch replay of a small fixture pays 32×4 state commits at the
+    * session default. 8 partitions cut that 4× with no result change (every
+    * stream query's math is partition-invariant); a real deployment sizes
+    * this to its key cardinality instead. The session conf is restored
+    * afterwards — the sink table is already materialized by then.
+    */
+  private def withStreamShufflePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
   /** 1e9-scale variant for sub-micro statistics (per-dim column stats). */
   private def nanos(c: org.apache.spark.sql.Column) =
     floor(c.cast("double") * lit(1.0e9) + lit(0.5))
@@ -828,12 +842,14 @@ object SparkEntry {
     }),
 
     // Structured Streaming path under the SAME oracle as the batch operator:
-    // file-source replay of the events fixture → watermarked tumbling windows
+    // MULTI-micro-batch file-source replay of the events fixture (4 files
+    // contiguous in event time, maxFilesPerTrigger=1, so the watermark
+    // advances across real batch boundaries) → watermarked tumbling windows
     // (complete mode, so a finite replay emits every window) → memory sink.
     // Stream–batch parity becomes a driver-gated bit-exact check, not just a
     // ScalaTest assertion.
     "q_stream_tumbling" -> ((s, dir) => {
-      val agg = graft.streaming.StreamOps.eventsStream(s, dir)
+      val agg = graft.streaming.StreamOps.eventsStreamBatched(s, dir)
         .withWatermark("event_time", "30 minutes")
         .groupBy(window(col("event_time"), "600 seconds"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(micros(col("value"))).as("sum_value_micros"))
@@ -841,9 +857,11 @@ object SparkEntry {
           col("event_type"), col("n"), col("sum_value_micros"),
           ((unix_timestamp(col("window.start")) / 600).cast("long") * 600).as("bucket_start"))
       val sink = s"stream_tumbling_${streamSinkSeq.incrementAndGet()}"
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      q.processAllAvailable(); q.stop()
+      withStreamShufflePartitions(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table(sink).orderBy("bucket", "event_type")
     }),
 
@@ -860,8 +878,8 @@ object SparkEntry {
     // drops the duplicates, so a finite replay lands on exactly the
     // distinct batch table — the oracle.
     "q_stream_dedup" -> ((s, dir) => {
-      val once  = graft.streaming.StreamOps.eventsStream(s, dir)
-      val twice = once.unionByName(graft.streaming.StreamOps.eventsStream(s, dir))
+      val once  = graft.streaming.StreamOps.eventsStreamBatched(s, dir)
+      val twice = once.unionByName(graft.streaming.StreamOps.eventsStreamBatched(s, dir))
       val dedup = twice
         .withWatermark("event_time", "30 minutes")
         .dropDuplicatesWithinWatermark("event_id")
@@ -869,28 +887,33 @@ object SparkEntry {
           micros(col("value")).as("value_micros"),
           EventOps.epochSecNs(col("ts_ns")).as("es"))
       val sink = s"stream_dedup_${streamSinkSeq.incrementAndGet()}"
-      val q = dedup.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      q.processAllAvailable(); q.stop()
+      withStreamShufflePartitions(s, 8) {
+        val q = dedup.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table(sink).orderBy("event_id")
     }),
 
     // The stateful streaming sessionizer (flatMapGroupsWithState with
-    // event-time timeout) under a bit-exact oracle: a finite replay emits
-    // every session closed by a later event PLUS every open session whose
-    // last + gap fell behind the final watermark (flushed by the timeout,
-    // no sentinel needed) — both SQL-predictable. The 1800500 ms lateness
-    // keeps the flush comparison tie-free on whole-second event times.
+    // event-time timeout) under a bit-exact oracle: the multi-batch replay
+    // emits every session closed by a later event PLUS every open session
+    // whose last + gap fell behind the advancing watermark (flushed by the
+    // timeout MID-STREAM, not only at end of replay; no sentinel needed) —
+    // both SQL-predictable. The 1800500 ms lateness keeps the flush
+    // comparison tie-free on whole-second event times.
     "q_stream_sessions" -> ((s, dir) => {
       import s.implicits._
-      val ev = graft.streaming.StreamOps.eventsStream(s, dir)
+      val ev = graft.streaming.StreamOps.eventsStreamBatched(s, dir)
         .select(col("user_id"), EventOps.epochSecNs(col("ts_ns")).as("es"), col("value"))
         .as[graft.streaming.StreamOps.Ev]
       val sink = s"stream_sessions_${streamSinkSeq.incrementAndGet()}"
-      val q = graft.streaming.StreamOps
-        .sessionizeStream(ev, gapSec = 1800, lateness = "1800500 milliseconds")
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      q.processAllAvailable(); q.stop()
+      withStreamShufflePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .sessionizeStream(ev, gapSec = 1800, lateness = "1800500 milliseconds")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table(sink).orderBy("user_id", "start_es")
     }),
 

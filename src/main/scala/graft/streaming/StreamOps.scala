@@ -24,11 +24,85 @@ object StreamOps {
   def eventsStream(spark: SparkSession, dir: String,
                    glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema)
+    decorate(spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", glob)
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("event_time", timestamp_micros((col("ts_ns").cast("decimal(38,0)") / 1000).cast("long")))
+      .parquet(dir))
+  }
+
+  private def decorate(df: DataFrame): DataFrame =
+    df.withColumnRenamed("ts", "ts_ns")
+      .withColumn("event_time",
+        timestamp_micros((col("ts_ns").cast("decimal(38,0)") / 1000).cast("long")))
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete()
+  }
+
+  /** A multi-micro-batch replay of the events fixture: the table split into
+    * `nFiles` parquet files CONTIGUOUS in event time with strictly
+    * increasing modification times, so a `maxFilesPerTrigger=1` file stream
+    * replays them as real consecutive micro-batches whose watermark
+    * ADVANCES between batches (the thing a one-file replay can never
+    * exercise: mid-stream EventTimeTimeout flushes, cross-batch state).
+    * Time-contiguous splits keep cross-batch event order monotone — no
+    * event is ever late relative to the watermark — so stream/batch parity
+    * stays bit-exact. Built once per (fixture, nFiles) under the JVM temp
+    * dir and reused across queries and runs (contents derive
+    * deterministically from the fixture).
+    */
+  def multiBatchDir(spark: SparkSession, dir: String, nFiles: Int = 4): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$nFiles".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_stream_replay_$key")
+    this.synchronized {
+      val parts = Option(out.listFiles((f: java.io.File) => f.getName.endsWith(".parquet")))
+        .map(_.length).getOrElse(0)
+      if (parts != nFiles) {
+        deleteRec(out)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val df = spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+        val n  = df.count()
+        // global (ts, event_id) rank → nFiles contiguous time ranges; the
+        // single-task window is fine for a fixture build (one-time, bounded)
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+        val staging = new java.io.File(out.getParentFile, out.getName + ".staging")
+        deleteRec(staging)
+        val ranked = df.withColumn("__rn", row_number().over(w))
+          .withColumn("__b", (((col("__rn") - 1) * nFiles) / lit(n)).cast("int"))
+        (0 until nFiles).foreach { b =>
+          ranked.filter(col("__b") === b).drop("__rn", "__b")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new java.io.File(staging, s"b$b").getAbsolutePath)
+        }
+        out.mkdirs()
+        val t0 = System.currentTimeMillis() - nFiles * 10000L
+        (0 until nFiles).foreach { b =>
+          val part = new java.io.File(staging, s"b$b")
+            .listFiles((f: java.io.File) =>
+              f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(out, f"batch_$b%03d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(t0 + b * 5000L) // source lists oldest-first
+        }
+        deleteRec(staging)
+      }
+    }
+    out.getAbsolutePath
+  }
+
+  /** File-stream over the multi-batch replay: one fixture slice per
+    * micro-batch (see multiBatchDir).
+    */
+  def eventsStreamBatched(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val replay = multiBatchDir(spark, dir, nFiles)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    decorate(spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(replay))
   }
 
   /** Watermarked tumbling-window counts; late data beyond `lateness` dropped. */
@@ -83,9 +157,10 @@ object StreamOps {
             state.remove()
             Iterator.single(SessionOut(user, st.start, st.last, st.n, st.sumMicros))
           } else {
-            val sorted = evs.toSeq.sortBy(e => (e.es, e.value))
-            val out    = scala.collection.mutable.ArrayBuffer[SessionOut]()
-            var st     = state.getOption.orNull
+            val sorted   = evs.toSeq.sortBy(e => (e.es, e.value))
+            val out      = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var st       = state.getOption.orNull
+            val prevLast = if (st == null) Long.MinValue else st.last
             sorted.foreach { e =>
               val m = math.floor(e.value * 1000000.0 + 0.5).toLong
               if (st == null) st = SessState(e.es, e.es, 0, 0L)
@@ -93,18 +168,27 @@ object StreamOps {
                 out += SessionOut(user, st.start, st.last, st.n, st.sumMicros)
                 st = SessState(e.es, e.es, 1, m)
               } else {
-                st = SessState(st.start, e.es, st.n + 1, st.sumMicros + m)
+                // max() keeps `last` monotone under cross-batch disorder
+                // inside the lateness window (a no-op for time-ordered
+                // replays and for single-batch execution)
+                st = SessState(st.start, math.max(st.last, e.es), st.n + 1, st.sumMicros + m)
               }
             }
             if (st != null) {
               state.update(st)
-              try {
-                // never set a timestamp at/below the current watermark —
-                // max(…, wm + 1) keeps the registration legal; such a
-                // session flushes on the next watermark advance
-                val wm = state.getCurrentWatermarkMs()
-                state.setTimeoutTimestamp(math.max((st.last + gapSec) * 1000L, wm + 1L))
-              } catch { case _: UnsupportedOperationException => () } // batch: no watermark
+              // a timeout registration survives state.update(), so re-arm
+              // only when `last` ADVANCED — unchanged-last batches (pure
+              // duplicate-second deliveries) keep the prior registration and
+              // save one state-store timestamp write per group per batch
+              if (st.last != prevLast) {
+                try {
+                  // never set a timestamp at/below the current watermark —
+                  // max(…, wm + 1) keeps the registration legal; such a
+                  // session flushes on the next watermark advance
+                  val wm = state.getCurrentWatermarkMs()
+                  state.setTimeoutTimestamp(math.max((st.last + gapSec) * 1000L, wm + 1L))
+                } catch { case _: UnsupportedOperationException => () } // batch: no watermark
+              }
             }
             out.iterator
           }

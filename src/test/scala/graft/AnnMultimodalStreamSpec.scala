@@ -196,6 +196,65 @@ class AnnMultimodalStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-batch replay crosses real micro-batch boundaries and keeps parity") {
+    import spark.implicits._
+    // tumbling counts over the 4-file replay: ≥ 4 micro-batches, same result
+    val stream = StreamOps.eventsStreamBatched(spark, TestSpark.sf0001, nFiles = 4)
+    val q = StreamOps.tumblingCounts(stream, widthSec = 600)
+      .writeStream.format("memory").queryName("stream_tumbling_mb")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val lastBatch = q.lastProgress.batchId
+    q.stop()
+    assert(lastBatch >= 3, s"expected ≥ 4 micro-batches, saw batchId $lastBatch")
+    val got = spark.table("stream_tumbling_mb")
+      .select(col("bucket"), col("event_type"), col("n"))
+      .orderBy("bucket", "event_type").collect()
+    val want = EventOps.tumbling(Tables.events(spark, TestSpark.sf0001), 600)
+      .select(col("bucket"), col("event_type"), col("n"))
+      .orderBy("bucket", "event_type").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+
+    // sessionizer over the same replay: parity with batch, and the
+    // EventTimeTimeout flush fires from WATERMARK ADVANCEMENT mid-stream —
+    // some session must be emitted before the final micro-batch
+    val ev = StreamOps.eventsStreamBatched(spark, TestSpark.sf0001, nFiles = 4)
+      .select(col("user_id"), EventOps.epochSecNs(col("ts_ns")).as("es"), col("value"))
+      .as[StreamOps.Ev]
+    val sq = StreamOps.sessionizeStream(ev, gapSec = 1800, lateness = "1800500 milliseconds")
+      .writeStream.format("memory").queryName("stream_sessions_mb")
+      .outputMode("append").start()
+    sq.processAllAvailable()
+    val sawEarlyRows = sq.recentProgress.exists(p =>
+      p.batchId < sq.lastProgress.batchId && p.sink.numOutputRows > 0)
+    sq.stop()
+    assert(sawEarlyRows, "no session was flushed before the final micro-batch")
+    val got2 = spark.table("stream_sessions_mb")
+      .select(col("user_id"), col("start_es"), col("end_es"), col("n_events"),
+        col("sum_value_micros"))
+      .orderBy("user_id", "start_es").collect()
+    // a finite replay emits every closed session plus open sessions whose
+    // last + gap fell behind the FINAL watermark — the same contract the
+    // registered oracle replays; a user's still-open tail session stays
+    // unflushed by design
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val wmFinalMs = events.agg(max(EventOps.epochSecNs(col("ts_ns")))).head.getLong(0) *
+      1000L - 1800500L
+    val sess = EventOps.sessionStats(events, gapSec = 1800)
+    val lastSeq = sess.groupBy("user_id")
+      .agg(max(col("session_seq")).as("last_seq"))
+    val want2 = sess.join(lastSeq, "user_id")
+      .filter(col("session_seq") < col("last_seq") ||
+        (col("end_es") + 1800L) * 1000L < wmFinalMs)
+      .select(col("user_id"), col("start_es"), col("end_es"), col("n_events"),
+        col("sum_value_micros"))
+      .orderBy("user_id", "start_es").collect()
+    assert(got2.length == want2.length,
+      s"stream ${got2.length} sessions vs batch-flushable ${want2.length}")
+    got2.zip(want2).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
   test("streaming tumbling counts equal the batch operator") {
     val stream = StreamOps.eventsStream(spark, TestSpark.sf0001)
     val q = StreamOps.tumblingCounts(stream, widthSec = 600)

@@ -182,6 +182,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // J1, split path — grouped kNN with maxIndexRows forced BELOW every
+    // group's size, so the skew-guard split-build + window-merge path
+    // (Knn.exactGrouped's anySplit branch: keyed sub-indexes, per-sub
+    // search, (dist, id) window re-rank, absent-sub skip) is hash-gated
+    // end-to-end against the naive per-group window oracle — not just
+    // probed. 16-row sub-indexes split every group at every fixture SF.
+    "knn_topk_grouped_split" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      def grouped(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), col("embedding"))
+          .withColumn("grp", pmod(col("vec_id"), lit(3)).cast("int"))
+      Knn.exactGrouped(grouped(emb.filter(col("vec_id") < 100)), grouped(emb),
+          5, "grp", kernel = "fold", maxIndexRows = 16)
+        .select(col("grp").cast("long"), col("query_id"), col("neighbor_id"),
+          col("dist"), col("rank").cast("long"))
+        .orderBy("grp", "query_id", "rank")
+    }),
+
     // A6 — query-traffic profile over the deterministic kNN graph.
     "wm_query_counts" -> ((s, dir) => {
       KnnGraph.queryCounts(Tables.embeddings(s, dir), rawKnn(s, dir), k = 10)
@@ -2451,6 +2469,20 @@ object SparkEntry {
          |    count(*) OVER () AS n
          |  FROM embeddings)
          |SELECT vec_id FROM ranked WHERE rn <= n - ceil(n * cast($DeleteP as double)) ORDER BY vec_id""".stripMargin,
+
+    "knn_topk_grouped_split" ->
+      s"""WITH g AS (SELECT vec_id, embedding, vec_id % 3 AS grp FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, grp FROM g WHERE vec_id < 100),
+         |pairs AS (
+         |  SELECT q.grp, q.query_id, c.vec_id AS neighbor_id,
+         |    sqrt(list_reduce(list_transform(range(1, ${D + 1}),
+         |      i -> (cast(qe[i] as double) - cast(c.embedding[i] as double))
+         |         * (cast(qe[i] as double) - cast(c.embedding[i] as double))),
+         |      (a, b) -> a + b)) AS dist
+         |  FROM q JOIN g c ON q.grp = c.grp)
+         |SELECT cast(grp as bigint) AS grp, query_id, neighbor_id, dist,
+         |  cast(row_number() OVER (PARTITION BY grp, query_id ORDER BY dist, neighbor_id) as bigint) AS rank
+         |FROM pairs QUALIFY rank <= 5 ORDER BY grp, query_id, rank""".stripMargin,
 
     "knn_topk_sample" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),

@@ -515,7 +515,9 @@ object SparkEntry {
       val shortSchemes = raw
         .join(broadcast(modFlag), col("neighbor_id") === col("__mid"))
         .groupBy(col("__msch"), col("query_id")).agg(count(lit(1)).as("nmod"))
-        .filter(col("nmod") > 17 - 10)
+        // base depth is rawKnn's 2*M+1 — derive, don't hardcode, so the
+        // guard tracks the depth if M ever changes
+        .filter(col("nmod") > lit(2 * M + 1 - 10))
         .select("__msch").distinct().collect().map(_.getInt(0)).toSet
       val merged = surv.unionByName(modTop)
         .withColumn("rank", row_number().over(w))
@@ -565,8 +567,15 @@ object SparkEntry {
     "impact_embed_missfalse" -> ((s, dir) => {
       val emb  = Tables.embeddings(s, dir)
       val base = rawKnn(s, dir).filter(col("rank") <= 10)
-      val cl   = Tvp.classify(emb, D, WM.length, key)
-      val carriers = Tvp.carriersRs(cl, Tvp.bitsDf(s, WM), Strength, key.seed)
+      // classify + RS carrier selection are bit-identical to
+      // h_impact_compare's — share its memo keys so whichever query runs
+      // first pays the window/checkpoint build and the other rides the cache
+      val cl   = GraftCache.memo(s"$dir/impcmp-cl") {
+        Tvp.classify(emb, D, WM.length, key).localCheckpoint()
+      }
+      val carriers = GraftCache.memo(s"$dir/impcmp-rsc") {
+        Tvp.carriersRs(cl, Tvp.bitsDf(s, WM), Strength, key.seed).localCheckpoint()
+      }
       val wmDf  = Tvp.applyEmbed(emb, carriers, D, key)
       // after-kNN merged from the shared base pass + a pass over just the
       // modified carrier rows (bit-identical to a full recompute — see
@@ -1347,6 +1356,29 @@ object SparkEntry {
     // TVP-embed and measure kNN miss/false averages and carrier traffic
     // before/after. Shares the memoized kNN pass + accessibility frame; the
     // per-th classification is computed once inside the sweep.
+    // G7 persistence — the kNN edge graph + accessibility index as
+    // write-once parquet artifacts (DESIGN §3b: at 100 TB the graph is a
+    // table, not a cache entry — the single most reused artifact). The
+    // query writes the graph once per scale dir, then reads the parquet
+    // back COLD (plain scans, no cache/memo on the read path) and serves
+    // per-node out-degree + AI from the persisted frames alone — the
+    // fresh-session path that skips the kNN pass entirely.
+    "graph_cold_read" -> ((s, dir) => {
+      val gdir = GraftCache.memoAny(s"$dir/graphdir") {
+        val k = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val out = s"${sys.props("java.io.tmpdir")}/graft_knngraph_$k"
+        KnnGraph.write(out, edges(s, dir), ai(s, dir))
+        out
+      }
+      val (edgesDf, aiDf) = KnnGraph.read(s, gdir)
+      val deg = edgesDf.groupBy(col("src")).agg(count(lit(1)).as("out_degree"))
+      aiDf.join(deg, aiDf("vec_id") === deg("src"), "left")
+        .select(col("vec_id"),
+          coalesce(col("out_degree"), lit(0L)).as("out_degree"), col("ai"))
+        .orderBy("vec_id")
+    }),
+
     "h_impact_sweep" -> ((s, dir) => {
       Experiments.impactSweep(Tables.embeddings(s, dir),
         ths = (1 to 10).map(_ / 10.0), WM, Strength, k = 10, d = D, wmKey = key,
@@ -1395,7 +1427,13 @@ object SparkEntry {
           "adaptive_modify", "insert"),
         ps = RobGridPs, reps = 1,
         wm = WM, strength = 0.7, th = 0.5, d = D, wmKey = key, scpwKey = scpwKey,
-        sharedAi = Some(ai(s, dir)))
+        sharedAi = Some(ai(s, dir)),
+        // the pool + noise constants are strength-independent — ride the
+        // memo the other SCPW queries share instead of re-collecting the
+        // pool and stats aggregate every bench pass
+        sharedScpwPrep = Some(GraftCache.memoAny(s"$dir/scpw-prep") {
+          Scpw.prepare(Tables.embeddings(s, dir), scpwKey)
+        }))
         .select(col("scheme"), col("attack"), col("p"), col("rep").cast("long"), col("ber"))
         .orderBy("scheme", "attack", "p", "rep")
     }),
@@ -2820,6 +2858,16 @@ object SparkEntry {
 
     "wm_accessibility" ->
       (graphCtes + "SELECT vec_id, ai FROM ai ORDER BY vec_id"),
+
+    // graph_cold_read serves out-degree + AI from the PERSISTED parquet
+    // graph; the oracle recomputes both from the raw embeddings — equality
+    // proves the parquet round-trip preserved the artifact bit-for-bit.
+    "graph_cold_read" ->
+      (graphCtes + """,
+        |deg AS (SELECT src, count(*) AS out_degree FROM edges GROUP BY 1)
+        |SELECT a.vec_id, cast(coalesce(d.out_degree, 0) as bigint) AS out_degree, a.ai
+        |FROM ai a LEFT JOIN deg d ON d.src = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin),
 
     // the published hit-rate curve: every cell's after-kNN is a rank window
     // over the SAME materialized all-pairs distances, restricted to that

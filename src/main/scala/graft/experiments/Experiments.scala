@@ -36,11 +36,12 @@ object Experiments {
     */
   def embedFor(emb: DataFrame, scheme: Scheme, wm: String,
                strength: Double, th: Double, d: Int,
-               wmKey: WmKey, scpwKey: ScpwKey, ai: Option[DataFrame]): DataFrame =
+               wmKey: WmKey, scpwKey: ScpwKey, ai: Option[DataFrame],
+               scpwPrep: Option[Scpw.ScpwPrep] = None): DataFrame =
     scheme match {
       case SchemeRs   => Tvp.embedRs(emb, wm, strength, d, wmKey)
       case SchemeTvp  => Tvp.embedAi(emb, wm, strength, th, ai.get, d, wmKey)
-      case SchemeScpw => Scpw.embed(emb, wm, strength, scpwKey)
+      case SchemeScpw => Scpw.embed(emb, wm, strength, scpwKey, prep = scpwPrep)
     }
 
   def attackFor(wmDf: DataFrame, attack: String, p: Double, seed: String,
@@ -241,7 +242,8 @@ object Experiments {
   def robustnessGrid(emb: DataFrame, schemes: Seq[Scheme], attacks: Seq[String],
                      ps: Seq[Double], reps: Int, wm: String, strength: Double,
                      th: Double, d: Int, wmKey: WmKey, scpwKey: ScpwKey,
-                     m: Int = 8, sharedAi: Option[DataFrame] = None): DataFrame = {
+                     m: Int = 8, sharedAi: Option[DataFrame] = None,
+                     sharedScpwPrep: Option[Scpw.ScpwPrep] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val needsAi = schemes.contains(SchemeTvp) || attacks.exists(_.startsWith("adaptive"))
@@ -263,7 +265,8 @@ object Experiments {
         s"att-${repSeed(wmKey, rep)}", ai)).toMap
     val plans = for {
       scheme <- schemes
-      wmDf    = embedFor(emb, scheme, wm, strength, th, d, wmKey, scpwKey, ai)
+      wmDf    = embedFor(emb, scheme, wm, strength, th, d, wmKey, scpwKey, ai,
+          sharedScpwPrep)
         .localCheckpoint()
       rep    <- 0 until reps
     } yield berGridPlan(wmDf, scheme, rep, attacks, ps, wm, d, wmKey, scpwKey, ai,

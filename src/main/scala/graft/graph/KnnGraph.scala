@@ -184,6 +184,28 @@ object KnnGraph {
     labels
   }
 
+  /** Persist the kNN edge graph + accessibility index as parquet — the
+    * write-once batch artifacts of one corpus version (DESIGN §3b: at 100 TB
+    * the graph is a table, not a cache entry; the reference rebuilds its
+    * HNSW index per call instead, watermarking.py:287). Edges are
+    * repartitioned on `src` so a reader's neighbor joins start co-located —
+    * the same layout discipline as Ann.ivfWrite. A fresh session reads this
+    * back and serves every graph metric without re-running the kNN pass.
+    */
+  def write(dir: String, edgesDf: DataFrame, aiDf: DataFrame): Unit = {
+    edgesDf.select(col("src"), col("dst"), col("dist"))
+      .repartition(col("src"))
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    aiDf.select(col("vec_id"), col("ai"))
+      .write.mode("overwrite").parquet(s"$dir/ai")
+  }
+
+  /** Read a persisted kNN graph back: (edges, accessibility). Plain parquet
+    * scans — no cache involvement, usable from a cold session.
+    */
+  def read(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/edges"), spark.read.parquet(s"$dir/ai"))
+
   def bfs(edgesDf: DataFrame, seeds: DataFrame, maxIter: Int = 50): DataFrame = {
     // Same lineage discipline as `components`: eager localCheckpoint per
     // round keeps the frontier/visited plans O(1)-sized across iterations

@@ -77,19 +77,25 @@ object Multimodal {
     var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
     var data: Option[(Int, Int)]     = None // (offset, length)
     while (off + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
-      val id   = new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = le32(off + 4)
-      if (size < 0 || off + 8 + size > payload.length) return None // truncated
+      val id = new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // RIFF chunk sizes are UNSIGNED 32-bit: read and bound-check in Long so
+      // a crafted size near 2^31 can't overflow the check negative and walk
+      // past the payload (huge allocation / out-of-bounds read)
+      val size = le32(off + 4).toLong & 0xffffffffL
+      if (off + 8 + size > payload.length) return None // truncated
       id match {
         case "fmt " if size >= 16 =>
           val audioFormat = le16(off + 8)
           val bits        = le16(off + 8 + 14)
           if (audioFormat != 1 || (bits != 8 && bits != 16)) return None // not integer PCM
           fmt = Some((le16(off + 8 + 2), le32(off + 8 + 4), bits))
-        case "data" => data = Some((off + 8, size))
+        case "data" => data = Some((off + 8, size.toInt)) // ≤ payload.length, fits Int
         case _      => ()
       }
-      off += 8 + size + (size & 1) // chunks are word-aligned
+      // word-aligned advance; size already proven ≤ payload.length so the
+      // Long sum fits Int (the +1 pad can at most step one past the end,
+      // which just ends the loop)
+      off = (off + 8 + size + (size & 1L)).toInt
     }
     for ((channels, rate, bits) <- fmt; (dOff, dLen) <- data) yield {
       val samples =

@@ -206,14 +206,27 @@ object Dedup {
     * hub doc in m pairs would otherwise be re-shingled m times), and the
     * intersection join touches candidates only — the all-pairs shingle join
     * is never materialized.
+    *
+    * The verify shingle frame covers ONLY docs that appear in a candidate
+    * pair: LSH candidates are a small fraction of the corpus by design, so
+    * exploding + shuffling shingles of every non-candidate doc (for sizes
+    * nobody reads) is pure waste — at 100 TB it is the difference between a
+    * corpus-sized exchange and a candidates-sized one. The member semi-join
+    * is left unhinted so AQE broadcasts it when small.
     */
   def nearDupPairs(df: DataFrame, threshold: Double, n: Int = 3,
-                   numHashes: Int = 16, bands: Int = 4): DataFrame =
+                   numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    // cached: consumed by the member-set derivation and as jaccard()'s pairs
+    val cand = minhashCandidates(df, n, numHashes, bands).cache()
+    val members = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
     // cached because jaccard() consumes the frame three times (sizes + both
     // join sides) — same pattern as jaccardPairs
-    jaccard(minhashCandidates(df, n, numHashes, bands), shingles(df, n).cache())
+    val sh = shingles(df.join(members, Seq("doc_id"), "left_semi"), n).cache()
+    jaccard(cand, sh)
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+  }
 
   /** SimHash-64 of a token list: per-token 64-bit hash (first 16 md5 hex
     * chars), ±1 bit votes, sign-of-vote fingerprint.

@@ -124,10 +124,13 @@ object SparkEntry {
   /** Run a finite stream replay with a reduced state-partition count: the
     * state store creates one instance per shuffle partition PER MICRO-BATCH,
     * so a 4-batch replay of a small fixture pays 32×4 state commits at the
-    * session default. 8 partitions cut that 4× with no result change (every
+    * session default. 4 partitions cut that 8× with no result change (every
     * stream query's math is partition-invariant); a real deployment sizes
-    * this to its key cardinality instead. The session conf is restored
-    * afterwards — the sink table is already materialized by then.
+    * this to its key cardinality instead. Measured at sf0.1: the remaining
+    * trio cost is per-micro-batch fixed overhead (planning + offset/commit
+    * logs), not state commits — 8 vs 4 partitions differs by <3%. The
+    * session conf is restored afterwards — the sink table is already
+    * materialized by then.
     */
   private def withStreamShufflePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -811,13 +814,14 @@ object SparkEntry {
     // with it). One row per stage with the cumulative survivor count;
     // every stage replays in SQL so the whole composition is oracle-exact.
     "pipeline_clean_corpus" -> ((s, dir) => {
-      import s.implicits._
       val docs = Tables.documents(s, dir)
-      // each stage feeds the next AND its own count — eager localCheckpoints
-      // materialize every stage exactly once instead of recomputing the
-      // whole upstream lineage per count action
+      // stages that feed MULTIPLE downstream consumers are localCheckpointed
+      // once (e: bands + verify shingles + anti-join left; nd: contamination
+      // probe + anti-join left); single-consumer stages stay lazy — and the
+      // five stage counts union into ONE aggregation job instead of five
+      // count actions (a fixture-scale composition pays mostly per-job
+      // overhead; at 100 TB the same fused plan just runs wider)
       val q = docs.filter(TextOps.qualityScore(col("text")) >= 0.8)
-        .localCheckpoint()
       val e = Dedup.dropExactDups(q).localCheckpoint()
       val nd = e.join(
         Dedup.nearDupPairs(e, 0.5).select(col("b").as("doc_id")).distinct(),
@@ -829,12 +833,16 @@ object SparkEntry {
         Dedup.contamination(scan, bench, 4).select("doc_id"),
         Seq("doc_id"), "left_anti")
       Seq(
-        (0L, "input", docs.count()),
-        (1L, "quality", q.count()),
-        (2L, "exact_dedup", e.count()),
-        (3L, "near_dup", nd.count()),
-        (4L, "decontaminated", fin.count()))
-        .toDF("stage_id", "stage", "n_docs")
+        (0L, "input", docs),
+        (1L, "quality", q),
+        (2L, "exact_dedup", e),
+        (3L, "near_dup", nd),
+        (4L, "decontaminated", fin))
+        .map { case (i, nm, df) =>
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(i).as("stage_id"), lit(nm).as("stage"), col("n_docs"))
+        }
+        .reduce(_ unionByName _)
         .orderBy("stage_id")
     }),
 
@@ -884,7 +892,7 @@ object SparkEntry {
           col("event_type"), col("n"), col("sum_value_micros"),
           ((unix_timestamp(col("window.start")) / 600).cast("long") * 600).as("bucket_start"))
       val sink = s"stream_tumbling_${streamSinkSeq.incrementAndGet()}"
-      withStreamShufflePartitions(s, 8) {
+      withStreamShufflePartitions(s, 4) {
         val q = agg.writeStream.format("memory").queryName(sink)
           .outputMode("complete").start()
         q.processAllAvailable(); q.stop()
@@ -914,7 +922,7 @@ object SparkEntry {
           micros(col("value")).as("value_micros"),
           EventOps.epochSecNs(col("ts_ns")).as("es"))
       val sink = s"stream_dedup_${streamSinkSeq.incrementAndGet()}"
-      withStreamShufflePartitions(s, 8) {
+      withStreamShufflePartitions(s, 4) {
         val q = dedup.writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
         q.processAllAvailable(); q.stop()
@@ -935,7 +943,7 @@ object SparkEntry {
         .select(col("user_id"), EventOps.epochSecNs(col("ts_ns")).as("es"), col("value"))
         .as[graft.streaming.StreamOps.Ev]
       val sink = s"stream_sessions_${streamSinkSeq.incrementAndGet()}"
-      withStreamShufflePartitions(s, 8) {
+      withStreamShufflePartitions(s, 4) {
         val q = graft.streaming.StreamOps
           .sessionizeStream(ev, gapSec = 1800, lateness = "1800500 milliseconds")
           .writeStream.format("memory").queryName(sink).outputMode("append").start()
@@ -1023,6 +1031,44 @@ object SparkEntry {
         .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
           (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
         .orderBy("query_id")
+    }),
+
+    // CROSS-MODAL composition — multimodal assets probed against the
+    // embedding corpus through the PERSISTED IVF index: the one end-to-end
+    // chain the LLM-pipeline surface otherwise never exercises (multimodal
+    // asset table → per-asset probe vector → Ann.ivfRead cold-start →
+    // cluster-pruned ANN lookup). The index rides ivfWrite/ivfRead parquet,
+    // so the search side never touches the in-session build. Probe vectors
+    // derive from the asset PAYLOAD by keyed md5 gaussians (the engine's
+    // only randomness), float32 like the corpus — a deterministic stand-in
+    // for a real cross-modal encoder (no model weights in this toolchain),
+    // with the whole chain SQL-replayable.
+    "crossmodal_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ivfDir = GraftCache.memoAny(s"$dir/ivfdir") {
+        val (c, a) = GraftCache.memoAny(s"$dir/ivfdet") {
+          val cc = Ann.ivfDetCentroids(emb, nlist = 16)
+          (cc, Ann.ivfDetAssign(emb, cc).persist())
+        }
+        val k = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val out = s"${sys.props("java.io.tmpdir")}/graft_ivf_$k"
+        Ann.ivfWrite(out, c, a)
+        out
+      }
+      val (centroids, assigned) = Ann.ivfRead(s, ivfDir)
+      val dCount = D
+      val probeUdf = udf((payload: Array[Byte]) => {
+        val key = Hashing.md5Hex(new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+        Array.tabulate(dCount)(i => Hashing.gauss(s"xm|$key|$i").toFloat)
+      })
+      val queries = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+        .filter(col("asset_id") < 100)
+        .select(col("asset_id").as("vec_id"), probeUdf(col("payload")).as("embedding"))
+      Ann.ivfDetSearch(queries, assigned, centroids, k = 5, nprobe = 4)
+        .select(col("query_id").as("asset_id"), col("neighbor_id"),
+          col("rank").cast("long"))
+        .orderBy("asset_id", "rank")
     }),
 
     // ANN — approximate LSH join path. Deterministic variant: keyed md5
@@ -2959,6 +3005,39 @@ object SparkEntry {
     // LIMIT nlist), fold-L2 argmin assignment and probe (ties to the lower
     // cluster id), fold-cosine re-rank — each step the exact arithmetic the
     // Spark UDF/Column path runs.
+    // Cross-modal probe replay: asset probe vectors from keyed md5 gaussians
+    // of md5(text) (assets carry the utf-8 payload of the document text, so
+    // DuckDB re-derives the identical key), float32-quantized per lane, then
+    // the same sampled-centroid probe + fold-cosine re-rank as the IVF chain.
+    // The Spark side answered this from the ivfRead PARQUET index — equality
+    // proves the persisted index round-trips.
+    "crossmodal_ann" ->
+      (s"WITH $ivfIndexCtes,\n" +
+        s"""qv AS MATERIALIZED (SELECT doc_id AS query_id,
+           |    list_transform(range(0, $D), i ->
+           |      cast(${gaussSql("'xm|' || md5(text) || '|' || cast(i as varchar)")} as real)) AS qe
+           |  FROM documents WHERE doc_id < 100),
+           |qn AS (SELECT query_id, qe,
+           |    list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+           |      i -> cast(qe[i] as double) * cast(qe[i] as double))), (acc, x) -> acc + x) AS qsq
+           |  FROM qv),
+           |xprobe AS (SELECT query_id, qe, qsq, cluster FROM (
+           |    SELECT q.query_id, q.qe, q.qsq, c.cluster,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${l2sqSql("q.qe", "c.embedding")}, c.cluster) AS rn
+           |    FROM qn q, cent c) WHERE rn <= 4),
+           |xcand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           |    CASE WHEN sqrt(p.qsq) * sqrt(a.sq) = 0 THEN 0.0 ELSE
+           |      list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+           |        i -> cast(p.qe[i] as double) * cast(a.embedding[i] as double))), (acc, x) -> acc + x)
+           |      / (sqrt(p.qsq) * sqrt(a.sq)) END AS score
+           |  FROM xprobe p JOIN asg a ON p.cluster = a.cluster)
+           |SELECT query_id AS asset_id, neighbor_id, cast(rank as bigint) AS rank FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |  FROM xcand) WHERE rank <= 5
+           |ORDER BY asset_id, rank""".stripMargin),
+
     "ann_ivf_topk" ->
       (s"WITH $ivfDetCtes\n" +
         """SELECT query_id, neighbor_id, cast(rank as bigint) AS rank FROM (
@@ -3293,11 +3372,12 @@ object SparkEntry {
        |  FROM cand JOIN embeddings qq ON qq.vec_id = cand.query_id
        |            JOIN embeddings cc ON cc.vec_id = cand.neighbor_id)""".stripMargin
 
-  /** The deterministic-IVF replay chain (sampled centroids, fold-L2
-    * assignment + probe, fold-cosine candidate scores) — shared by
-    * ann_ivf_topk and ann_ivf_recall. No leading WITH.
+  /** The write-once half of the deterministic-IVF replay (sampled
+    * centroids, per-row sq norms, fold-L2 assignment) — shared by the
+    * embedding-query chain (ivfDetCtes) and the cross-modal probe chain.
+    * No leading WITH.
     */
-  private def ivfDetCtes: String =
+  private def ivfIndexCtes: String =
     s"""cent AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY md5('ivf|' || cast(vec_id as varchar)), vec_id) - 1 AS cluster,
        |    embedding
@@ -3312,7 +3392,14 @@ object SparkEntry {
        |    SELECT e.vec_id, e.embedding, e.sq, c.cluster,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${l2sqSql("e.embedding", "c.embedding")}, c.cluster) AS rn
-       |    FROM nrm e, cent c) WHERE rn = 1),
+       |    FROM nrm e, cent c) WHERE rn = 1)""".stripMargin
+
+  /** The deterministic-IVF replay chain (sampled centroids, fold-L2
+    * assignment + probe, fold-cosine candidate scores) — shared by
+    * ann_ivf_topk and ann_ivf_recall. No leading WITH.
+    */
+  private def ivfDetCtes: String =
+    s"""$ivfIndexCtes,
        |probe AS (
        |  SELECT query_id, qe, qsq, cluster FROM (
        |    SELECT e.vec_id AS query_id, e.embedding AS qe, e.sq AS qsq, c.cluster,

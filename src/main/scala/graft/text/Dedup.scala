@@ -185,8 +185,16 @@ object Dedup {
     val suffB = greatest(col("szb") - (floor(lit(1.0 - threshold) * col("szb") + lit(1e-9)).cast("long") + lit(1L)), lit(0L))
     val required =
       lit(threshold / (1.0 + threshold)) * (col("sza") + col("szb")) - lit(1e-9)
+    // (0) Length filter, applied INSIDE the prefix join: overlap ≤ min(|A|,|B|)
+    // and J ≥ τ needs overlap ≥ τ/(1+τ)·(|A|+|B|), which together force
+    // min(|A|,|B|) ≥ τ·max(|A|,|B|). Size-mismatched pairs die before the
+    // candidate aggregate ever sees their rows — at τ=0.4 that is every pair
+    // whose docs differ in shingle count by more than 2.5×. The 1e-9 slack
+    // only ever KEEPS a borderline pair (extra candidate, never a lost one).
     val cand = pre.as("x").join(pre.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.sz"), col("y.sz")) >=
+            lit(threshold) * greatest(col("x.sz"), col("y.sz")) - lit(1e-9))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.sz").as("sza"), col("y.sz").as("szb"))
       .agg(count(lit(1)).as("ppcnt"),
@@ -218,8 +226,9 @@ object Dedup {
                    numHashes: Int = 16, bands: Int = 4): DataFrame = {
     // cached: consumed by the member-set derivation and as jaccard()'s pairs
     val cand = minhashCandidates(df, n, numHashes, bands).cache()
+    // no distinct: the left_semi join below dedups members for free
     val members = cand.select(col("a").as("doc_id"))
-      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+      .unionByName(cand.select(col("b").as("doc_id")))
     // cached because jaccard() consumes the frame three times (sizes + both
     // join sides) — same pattern as jaccardPairs
     val sh = shingles(df.join(members, Seq("doc_id"), "left_semi"), n).cache()

@@ -287,6 +287,62 @@ class AnnMultimodalStreamSpec extends AnyFunSuite {
       s"${sessions.length} closed vs ${batch.length} total, $users users")
   }
 
+  test("decodeWav rejects a crafted chunk size near 2^31 instead of crashing") {
+    def le16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff)
+    }
+    def le32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      le16(b, v & 0xffff); le16(b, (v >>> 16) & 0xffff)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write("RIFF".getBytes("US-ASCII")); le32(buf, 100)
+    buf.write("WAVE".getBytes("US-ASCII"))
+    buf.write("fmt ".getBytes("US-ASCII")); le32(buf, 16)
+    le16(buf, 1); le16(buf, 1); le32(buf, 8000); le32(buf, 16000); le16(buf, 2); le16(buf, 16)
+    // data chunk claiming ~2^31 bytes: int arithmetic would overflow the
+    // bound check negative and attempt a huge allocation / OOB read
+    buf.write("data".getBytes("US-ASCII")); le32(buf, 0x7ffffff8)
+    le16(buf, 42); le16(buf, 43) // 4 actual payload bytes
+    assert(Multimodal.decodeWav(buf.toByteArray).isEmpty)
+    // and an unsigned-range size (top bit set) is also a clean rejection
+    val b2 = new java.io.ByteArrayOutputStream()
+    b2.write("RIFF".getBytes("US-ASCII")); le32(b2, 100)
+    b2.write("WAVE".getBytes("US-ASCII"))
+    b2.write("data".getBytes("US-ASCII")); le32(b2, 0xfffffff0)
+    assert(Multimodal.decodeWav(b2.toByteArray).isEmpty)
+  }
+
+  test("sessionizer flushes after a batch of pure duplicate-second deliveries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Ev]
+    val t0  = 1700000000L
+    // batch 1: open sessions for users 1 and 2. Lateness must be > 0 so the
+    // duplicate-second delivery below is ACCEPTED (not dropped as late) —
+    // only an accepted event with es == stored last walks the
+    // update-without-advancing-last path the regression lived on.
+    mem.addData(StreamOps.Ev(1L, t0, 1.0), StreamOps.Ev(2L, t0 + 50, 5.0))
+    val q = StreamOps.sessionizeStream(mem.toDS(), gapSec = 1800, lateness = "10 seconds")
+      .writeStream.format("memory").queryName("sess_dup_rearm").outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: user 2 receives a DUPLICATE-second delivery (es == stored
+    // last, so `last` does not advance). Spark clears the stored timeout on
+    // every invocation — if the sessionizer skips re-arming here, user 2's
+    // open session can never flush.
+    mem.addData(StreamOps.Ev(2L, t0 + 50, 7.0))
+    q.processAllAvailable()
+    // batch 3: only user 1 speaks again; the watermark passes everyone's
+    // last + gap, so user 2's session MUST surface via the re-armed timeout
+    mem.addData(StreamOps.Ev(1L, t0 + 100000, 3.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_dup_rearm").as[StreamOps.SessionOut]
+      .collect().sortBy(r => (r.user_id, r.start_es))
+    assert(rows.exists(r => r.user_id == 2 && r.start_es == t0 + 50 && r.end_es == t0 + 50
+      && r.n_events == 2 && r.sum_value_micros == 12000000L),
+      s"user-2 duplicate-delivery session missing: ${rows.mkString(",")}")
+  }
+
   test("event-time timeout flushes final sessions without per-user sentinels") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

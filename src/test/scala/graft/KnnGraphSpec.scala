@@ -89,6 +89,32 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(ai.count() == emb.count())
   }
 
+  test("kNN graph round-trips through parquet persistence bit-for-bit") {
+    val e  = GraftCache.memo(s"test-edges") { KnnGraph.edges(emb, M) }
+    val ai = KnnGraph.accessibility(emb, e)
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph").toFile
+    try {
+      KnnGraph.write(dir.getAbsolutePath, e, ai)
+      val (re, rai) = KnnGraph.read(spark, dir.getAbsolutePath)
+      // edges: identical set (src, dst, dist), doubles bit-exact
+      val fresh = e.select("src", "dst", "dist").orderBy("src", "dst").collect()
+      val back  = re.select("src", "dst", "dist").orderBy("src", "dst").collect()
+      assert(back.length == fresh.length)
+      back.zip(fresh).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+      // accessibility: identical (vec_id, ai)
+      val fa = ai.orderBy("vec_id").collect()
+      val ba = rai.select("vec_id", "ai").orderBy("vec_id").collect()
+      assert(ba.length == fa.length)
+      ba.zip(fa).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+      // and the persisted graph serves metrics without the kNN pass
+      val bd = KnnGraph.bidirectionalEdges(emb, re)
+      assert(bd.filter(col("bidir_edges") < 0 || col("bidir_edges") > 2 * M).count() == 0)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir).deleteRecursively()
+    }
+  }
+
   test("queryCounts: total hits == nQueries * (k - selfHits)") {
     val raw = GraftCache.memo("test-raw") { KnnGraph.rawKnn(emb, 2 * M + 1) }
     val qc  = KnnGraph.queryCounts(emb, raw, k = 10)

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, StandardCopyOption}
+
+/** Write-once artifact directories with crash/concurrency-safe publication.
+  *
+  * Artifacts under a content-derived key (replay splits, the IVF index, the
+  * kNN graph) are built by whichever JVM first needs them and then shared —
+  * bench passes and test suites run concurrently against the same temp dir,
+  * so a plain `mode("overwrite")` write races: one JVM can delete/rewrite the
+  * directory while another is mid-read. The discipline here (originally
+  * StreamOps.multiBatchDir's, now shared):
+  *
+  *  1. A VALID artifact under the key is reused as-is — content derives
+  *     deterministically from the key, so whoever built it, it is the same.
+  *  2. Builds go to a process-unique staging dir next to the target.
+  *  3. Publication is ONE atomic rename. The loser of a race keeps the
+  *     winner's copy and discards its own staging — the target is never
+  *     deleted once published, so a concurrent reader can't observe a
+  *     half-built or vanishing directory.
+  *  4. Only a target that exists but FAILS validation (pre-atomic crash
+  *     leftovers) is replaced, and only behind the same atomic rename.
+  */
+object ArtifactIO {
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete()
+  }
+
+  /** Digest every regular file under `f` as a (relative path, size, mtime)
+    * tuple — a regenerated fixture changes the digest even when total bytes
+    * and coarse mtimes collide (two summed scalars can't see a same-size
+    * rewrite landing within filesystem mtime granularity).
+    */
+  def fingerprintInto(md: java.security.MessageDigest, base: java.nio.file.Path,
+                      f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids == null)
+      md.update(s"${base.relativize(f.toPath)}|${f.length()}|${f.lastModified()}\n"
+        .getBytes("UTF-8"))
+    else kids.sortBy(_.getName).foreach(fingerprintInto(md, base, _))
+  }
+
+  /** MD5 key of a seed string plus the fingerprint of a fixture path. */
+  def contentKey(seed: String, fixture: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"$seed|".getBytes("UTF-8"))
+    fingerprintInto(md, fixture.toPath.getParent, fixture)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Ensure `out` holds a valid artifact, building it if absent. `build`
+    * receives the staging directory (created empty) and must leave the
+    * complete artifact in it; `valid` decides whether an existing directory
+    * under this key is complete. Returns `out`'s absolute path.
+    */
+  def publishDir(out: java.io.File, valid: java.io.File => Boolean)
+                (build: java.io.File => Unit): String = this.synchronized {
+    if (!(out.isDirectory && valid(out))) {
+      val staging = new java.io.File(out.getParentFile,
+        out.getName + s".staging-${java.lang.ProcessHandle.current().pid()}")
+      deleteRec(staging)
+      staging.mkdirs()
+      build(staging)
+      try
+        Files.move(staging.toPath, out.toPath, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // another process published under this key first; its copy is
+        // interchangeable (content derives from the key) — UNLESS what sits
+        // there fails validation (a pre-atomic crash leftover): replace it,
+        // still behind an atomic rename.
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.FileSystemException =>
+          if (!(out.isDirectory && valid(out))) {
+            deleteRec(out)
+            try
+              Files.move(staging.toPath, out.toPath, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileSystemException =>
+                if (!(out.isDirectory && valid(out))) throw new IllegalStateException(
+                  s"artifact publish failed and $out is absent or invalid")
+            }
+          }
+      }
+      deleteRec(staging)
+    }
+    out.getAbsolutePath
+  }
+}

@@ -13,6 +13,7 @@ import scala.collection.concurrent.TrieMap
 object GraftCache {
   private val cache    = TrieMap[String, DataFrame]()
   private val anyCache = TrieMap[String, Any]()
+  private val tracked  = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   def memo(key: String)(f: => DataFrame): DataFrame =
     cache.getOrElseUpdate(key, f.persist())
@@ -21,9 +22,22 @@ object GraftCache {
   def memoAny[T](key: String)(f: => T): T =
     anyCache.getOrElseUpdate(key, f.asInstanceOf[Any]).asInstanceOf[T]
 
+  /** Persist an intra-operator shared frame (a Dedup shingle/candidate
+    * frame) and register it for release: unlike `memo` these aren't keyed
+    * reusable artifacts, but they still must not outlive a bench pass —
+    * `clear()` is their only release point, so un-routed `.cache()` calls
+    * would accumulate executor memory across passes.
+    */
+  def track(df: DataFrame): DataFrame = {
+    tracked.add(df.persist())
+    df
+  }
+
   def clear(): Unit = {
     cache.values.foreach(_.unpersist())
     cache.clear()
     anyCache.clear()
+    tracked.forEach(_.unpersist())
+    tracked.clear()
   }
 }

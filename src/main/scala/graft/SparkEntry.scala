@@ -1046,15 +1046,21 @@ object SparkEntry {
     "crossmodal_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val ivfDir = GraftCache.memoAny(s"$dir/ivfdir") {
-        val (c, a) = GraftCache.memoAny(s"$dir/ivfdet") {
-          val cc = Ann.ivfDetCentroids(emb, nlist = 16)
-          (cc, Ann.ivfDetAssign(emb, cc).persist())
+        // key on the fixture fingerprint and publish via staging + atomic
+        // rename: concurrent bench/test JVMs share one build of the index
+        // and can never interleave overwrites or read a half-written dir
+        val k = ArtifactIO.contentKey(s"$dir|nlist=16|v1",
+          new java.io.File(s"$dir/embeddings.parquet"))
+        val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_ivf_$k")
+        ArtifactIO.publishDir(out, valid = o =>
+          new java.io.File(o, "centroids/_SUCCESS").isFile &&
+            new java.io.File(o, "assigned/_SUCCESS").isFile) { staging =>
+          val (c, a) = GraftCache.memoAny(s"$dir/ivfdet") {
+            val cc = Ann.ivfDetCentroids(emb, nlist = 16)
+            (cc, Ann.ivfDetAssign(emb, cc).persist())
+          }
+          Ann.ivfWrite(staging.getAbsolutePath, c, a)
         }
-        val k = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val out = s"${sys.props("java.io.tmpdir")}/graft_ivf_$k"
-        Ann.ivfWrite(out, c, a)
-        out
       }
       val (centroids, assigned) = Ann.ivfRead(s, ivfDir)
       val dCount = D
@@ -1411,11 +1417,17 @@ object SparkEntry {
     // fresh-session path that skips the kNN pass entirely.
     "graph_cold_read" -> ((s, dir) => {
       val gdir = GraftCache.memoAny(s"$dir/graphdir") {
-        val k = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val out = s"${sys.props("java.io.tmpdir")}/graft_knngraph_$k"
-        KnnGraph.write(out, edges(s, dir), ai(s, dir))
-        out
+        // same publish discipline as the IVF index: fixture-fingerprint key,
+        // staging build, one atomic rename; an existing valid artifact is
+        // reused without rewriting (write-once across JVMs, not per session)
+        val k = ArtifactIO.contentKey(s"$dir|m=$M|v1",
+          new java.io.File(s"$dir/embeddings.parquet"))
+        val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_knngraph_$k")
+        ArtifactIO.publishDir(out, valid = o =>
+          new java.io.File(o, "edges/_SUCCESS").isFile &&
+            new java.io.File(o, "ai/_SUCCESS").isFile) { staging =>
+          KnnGraph.write(staging.getAbsolutePath, edges(s, dir), ai(s, dir))
+        }
       }
       val (edgesDf, aiDf) = KnnGraph.read(s, gdir)
       val deg = edgesDf.groupBy(col("src")).agg(count(lit(1)).as("out_degree"))

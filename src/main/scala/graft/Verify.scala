@@ -37,6 +37,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // release every memoized/tracked frame: a Verify run must not leave
+    // orphaned persisted RDDs behind (cache hygiene gate, VERDICT r6 §5)
+    GraftCache.clear()
     spark.stop()
   }
 }

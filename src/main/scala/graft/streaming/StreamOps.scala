@@ -52,75 +52,41 @@ object StreamOps {
     * dir and reused across queries and runs (contents derive
     * deterministically from the fixture).
     */
-  /** Fingerprint of a fixture file or parquet directory: total bytes plus
-    * newest modification time of every regular file under it — a regenerated
-    * fixture at the same path changes the fingerprint and invalidates the
-    * cached replay.
-    */
-  private def fingerprint(f: java.io.File): (Long, Long) = {
-    val kids = f.listFiles()
-    if (kids == null) (f.length(), f.lastModified())
-    else kids.foldLeft((0L, 0L)) { case ((len, mt), k) =>
-      val (l, m) = fingerprint(k); (len + l, math.max(mt, m))
-    }
-  }
-
   def multiBatchDir(spark: SparkSession, dir: String, nFiles: Int = 4): String = {
     val src = new java.io.File(s"$dir/events.parquet")
-    val (fpLen, fpMtime) = fingerprint(src)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$nFiles|$fpLen|$fpMtime".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    // per-file (path, size, mtime) fingerprint: a regenerated fixture always
+    // re-keys, and because the key embeds nFiles too, stale content can never
+    // sit under a valid key — so publication never deletes a live target
+    val key = graft.ArtifactIO.contentKey(s"$dir|$nFiles", src)
     val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_stream_replay_$key")
-    this.synchronized {
-      val parts = Option(out.listFiles((f: java.io.File) => f.getName.endsWith(".parquet")))
-        .map(_.length).getOrElse(0)
-      if (parts != nFiles) {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val df = spark.read.schema(eventsSchema).parquet(src.getAbsolutePath)
-        val n  = df.count()
-        // global (ts, event_id) rank → nFiles contiguous time ranges; the
-        // single-task window is fine for a fixture build (one-time, bounded)
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
-        // build the complete replay under a process-unique staging dir, then
-        // publish with one atomic rename — concurrent JVMs (bench + test)
-        // either win the rename or discard their staging copy; readers never
-        // observe a half-built dir
-        val staging = new java.io.File(out.getParentFile,
-          out.getName + s".staging-${java.lang.ProcessHandle.current().pid()}")
-        deleteRec(staging)
-        val ranked = df.withColumn("__rn", row_number().over(w))
-          .withColumn("__b", (((col("__rn") - 1) * nFiles) / lit(n)).cast("int"))
-        (0 until nFiles).foreach { b =>
-          ranked.filter(col("__b") === b).drop("__rn", "__b")
-            .coalesce(1).write.mode("overwrite")
-            .parquet(new java.io.File(staging, s"b$b").getAbsolutePath)
-        }
-        val publish = new java.io.File(staging, "publish")
-        publish.mkdirs()
-        val t0 = System.currentTimeMillis() - nFiles * 10000L
-        (0 until nFiles).foreach { b =>
-          val part = new java.io.File(staging, s"b$b")
-            .listFiles((f: java.io.File) =>
-              f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(publish, f"batch_$b%03d.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(t0 + b * 5000L) // source lists oldest-first
-        }
-        deleteRec(out) // stale content under this key (e.g. wrong nFiles count)
-        try
-          java.nio.file.Files.move(publish.toPath, out.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { // another process published first — its copy is identical
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.AccessDeniedException | _: java.nio.file.FileSystemException =>
-            if (!out.isDirectory) throw new IllegalStateException(
-              s"replay publish failed and $out is absent")
-        }
-        deleteRec(staging)
+    graft.ArtifactIO.publishDir(out, valid = o =>
+      Option(o.listFiles((f: java.io.File) => f.getName.endsWith(".parquet")))
+        .map(_.length).getOrElse(0) == nFiles) { staging =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.schema(eventsSchema).parquet(src.getAbsolutePath)
+      val n  = df.count()
+      // global (ts, event_id) rank → nFiles contiguous time ranges; the
+      // single-task window is fine for a fixture build (one-time, bounded)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+      val raw = new java.io.File(staging, "raw")
+      val ranked = df.withColumn("__rn", row_number().over(w))
+        .withColumn("__b", (((col("__rn") - 1) * nFiles) / lit(n)).cast("int"))
+      (0 until nFiles).foreach { b =>
+        ranked.filter(col("__b") === b).drop("__rn", "__b")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(raw, s"b$b").getAbsolutePath)
       }
+      val t0 = System.currentTimeMillis() - nFiles * 10000L
+      (0 until nFiles).foreach { b =>
+        val part = new java.io.File(raw, s"b$b")
+          .listFiles((f: java.io.File) =>
+            f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(staging, f"batch_$b%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + b * 5000L) // source lists oldest-first
+      }
+      deleteRec(raw)
     }
-    out.getAbsolutePath
   }
 
   /** File-stream over the multi-batch replay: one fixture slice per

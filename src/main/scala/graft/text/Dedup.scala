@@ -143,9 +143,12 @@ object Dedup {
   def jaccardPairs(df: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the shingle frame feeds four consumers (sizes, doc-frequencies, the
-    // ranked prefixes, and the verify join) — cache it once instead of
-    // re-running the explode+distinct shuffle per consumer
-    val sh    = shingles(df.filter(size(split(col("text"), " ")) >= n), n).cache()
+    // ranked prefixes, and the verify join) — persist it once instead of
+    // re-running the explode+distinct shuffle per consumer; routed through
+    // GraftCache so the bench's between-pass clear() releases it (a bare
+    // .cache() here would accumulate executor memory across passes)
+    val sh    = graft.GraftCache.track(
+      shingles(df.filter(size(split(col("text"), " ")) >= n), n))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val prefLen =
@@ -224,14 +227,17 @@ object Dedup {
     */
   def nearDupPairs(df: DataFrame, threshold: Double, n: Int = 3,
                    numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    // cached: consumed by the member-set derivation and as jaccard()'s pairs
-    val cand = minhashCandidates(df, n, numHashes, bands).cache()
+    // persisted: consumed by the member-set derivation and as jaccard()'s
+    // pairs; GraftCache-tracked so the bench's between-pass clear() releases
+    // it (ADVICE r6: bare .cache() frames accumulated across passes)
+    val cand = graft.GraftCache.track(minhashCandidates(df, n, numHashes, bands))
     // no distinct: the left_semi join below dedups members for free
     val members = cand.select(col("a").as("doc_id"))
       .unionByName(cand.select(col("b").as("doc_id")))
-    // cached because jaccard() consumes the frame three times (sizes + both
-    // join sides) — same pattern as jaccardPairs
-    val sh = shingles(df.join(members, Seq("doc_id"), "left_semi"), n).cache()
+    // persisted because jaccard() consumes the frame three times (sizes +
+    // both join sides) — same pattern as jaccardPairs
+    val sh = graft.GraftCache.track(
+      shingles(df.join(members, Seq("doc_id"), "left_semi"), n))
     jaccard(cand, sh)
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")

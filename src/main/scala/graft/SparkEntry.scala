@@ -75,6 +75,27 @@ object SparkEntry {
     GraftCache.memo(s"$dir/ai") {
       KnnGraph.accessibility(Tables.embeddings(s, dir), edges(s, dir), parity = parityMode)
     }
+  /** The persisted deterministic-IVF index dir for a scale dir — built once
+    * (fixture-fingerprint key, staging + atomic-rename publish; an existing
+    * valid artifact is reused without rewriting) and shared by every query
+    * that rides the parquet index (crossmodal_ann, ann_ivf_nprobe_sweep).
+    */
+  private def ivfArtifactDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/ivfdir") {
+      val emb = Tables.embeddings(s, dir)
+      val k = ArtifactIO.contentKey(s"$dir|nlist=16|v1",
+        new java.io.File(s"$dir/embeddings.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_ivf_$k")
+      ArtifactIO.publishDir(out, valid = o =>
+        new java.io.File(o, "centroids/_SUCCESS").isFile &&
+          new java.io.File(o, "assigned/_SUCCESS").isFile) { staging =>
+        val (c, a) = GraftCache.memoAny(s"$dir/ivfdet") {
+          val cc = Ann.ivfDetCentroids(emb, nlist = 16)
+          (cc, Ann.ivfDetAssign(emb, cc).persist())
+        }
+        Ann.ivfWrite(staging.getAbsolutePath, c, a)
+      }
+    }
 
   /** Per-carrier bit-level dump: (vec_id, group, message bit, keyed carrier
     * dim, embedded float32 value) — the oracle replays the codec in SQL.
@@ -1033,6 +1054,33 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // IVF accuracy/latency trade-off curve as DATA: recall@10 vs nprobe ∈
+    // {1,2,4,8,16} from the PERSISTED parquet index. One probe ranking of
+    // all 16 centroids per query serves every sweep point (probe sets are
+    // prefix-nested in nprobe), and because the scanned-subset re-rank can
+    // only promote candidates, an exact-top-10 neighbor is in the IVF
+    // top-10 iff its inverted list is probed — recall@10(nprobe) is the
+    // fraction of exact pairs whose neighbor-cluster probe rank ≤ nprobe,
+    // no per-nprobe search needed.
+    "ann_ivf_nprobe_sweep" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, assigned) = Ann.ivfRead(s, ivfArtifactDir(s, dir))
+      val q  = emb.filter(col("vec_id") < 100)
+      val pr = Ann.probeRanks(q, centroids)
+      val hit = Ann.bruteCosine(q, emb, 10, kernel = "fold")
+        .select(col("query_id"), col("neighbor_id"))
+        .join(assigned.select(col("vec_id").as("neighbor_id"), col("cluster")),
+          "neighbor_id")
+        .join(pr, Seq("query_id", "cluster"))
+      hit.select(col("pr"),
+          explode(array(Seq(1, 2, 4, 8, 16).map(lit): _*)).as("nprobe"))
+        .groupBy(col("nprobe").cast("long").as("nprobe"))
+        .agg(sum(when(col("pr") <= col("nprobe"), 1L).otherwise(0L)).as("n_hit"),
+          (sum(when(col("pr") <= col("nprobe"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("recall"))
+        .orderBy("nprobe")
+    }),
+
     // CROSS-MODAL composition — multimodal assets probed against the
     // embedding corpus through the PERSISTED IVF index: the one end-to-end
     // chain the LLM-pipeline surface otherwise never exercises (multimodal
@@ -1044,25 +1092,7 @@ object SparkEntry {
     // for a real cross-modal encoder (no model weights in this toolchain),
     // with the whole chain SQL-replayable.
     "crossmodal_ann" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val ivfDir = GraftCache.memoAny(s"$dir/ivfdir") {
-        // key on the fixture fingerprint and publish via staging + atomic
-        // rename: concurrent bench/test JVMs share one build of the index
-        // and can never interleave overwrites or read a half-written dir
-        val k = ArtifactIO.contentKey(s"$dir|nlist=16|v1",
-          new java.io.File(s"$dir/embeddings.parquet"))
-        val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_ivf_$k")
-        ArtifactIO.publishDir(out, valid = o =>
-          new java.io.File(o, "centroids/_SUCCESS").isFile &&
-            new java.io.File(o, "assigned/_SUCCESS").isFile) { staging =>
-          val (c, a) = GraftCache.memoAny(s"$dir/ivfdet") {
-            val cc = Ann.ivfDetCentroids(emb, nlist = 16)
-            (cc, Ann.ivfDetAssign(emb, cc).persist())
-          }
-          Ann.ivfWrite(staging.getAbsolutePath, c, a)
-        }
-      }
-      val (centroids, assigned) = Ann.ivfRead(s, ivfDir)
+      val (centroids, assigned) = Ann.ivfRead(s, ivfArtifactDir(s, dir))
       val dCount = D
       val probeUdf = udf((payload: Array[Byte]) => {
         val key = Hashing.md5Hex(new String(payload, java.nio.charset.StandardCharsets.UTF_8))
@@ -3081,6 +3111,35 @@ object SparkEntry {
            |FROM bk b LEFT JOIN ivfk i
            |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
            |GROUP BY b.query_id ORDER BY 1""".stripMargin),
+
+    // nprobe sweep replay: rank ALL centroids per query (no rn ≤ nprobe
+    // cut), and recall@10(nprobe) = fraction of brute-cosine top-10 pairs
+    // whose neighbor-cluster probe rank ≤ nprobe (probed exact-top-10 ⟺
+    // IVF-top-10 membership — the scanned-subset re-rank only promotes).
+    "ann_ivf_nprobe_sweep" ->
+      (s"WITH $ivfIndexCtes,\n" +
+        s"""prank AS (SELECT e.vec_id AS query_id, c.cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${l2sqSql("e.embedding", "c.embedding")}, c.cluster) AS pr
+           |  FROM nrm e, cent c WHERE e.vec_id < 100),
+           |bpairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    CASE WHEN sqrt(q.sq) * sqrt(c.sq) = 0 THEN 0.0 ELSE
+           |      list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+           |        i -> cast(q.embedding[i] as double) * cast(c.embedding[i] as double))), (acc, x) -> acc + x)
+           |      / (sqrt(q.sq) * sqrt(c.sq)) END AS score
+           |  FROM nrm q, nrm c WHERE q.vec_id < 100),
+           |bk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |    FROM bpairs) WHERE rank <= 10),
+           |hitpr AS (SELECT b.query_id, b.neighbor_id, p.pr
+           |  FROM bk b JOIN asg a ON b.neighbor_id = a.vec_id
+           |  JOIN prank p ON p.query_id = b.query_id AND p.cluster = a.cluster)
+           |SELECT cast(np as bigint) AS nprobe,
+           |  cast(sum(CASE WHEN pr <= np THEN 1 ELSE 0 END) as bigint) AS n_hit,
+           |  cast(sum(CASE WHEN pr <= np THEN 1 ELSE 0 END) as double) / count(*) AS recall
+           |FROM hitpr, (VALUES (1),(2),(4),(8),(16)) v(np)
+           |GROUP BY np ORDER BY nprobe""".stripMargin),
 
     // Deterministic LSH replayed end-to-end: the same float32-quantized md5
     // Box–Muller hyperplanes, floor(dot/width) buckets, bucket equi-join,

@@ -157,6 +157,24 @@ object Ann {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Rank EVERY centroid per query by fold-L2 (ties to the lower cluster
+    * id): (query_id, cluster, pr), pr = 1-based probe rank. Because
+    * ivfDetSearch's probe set for any nprobe is exactly { pr ≤ nprobe },
+    * one ranking serves a whole nprobe sweep — the accuracy/latency curve
+    * of the index costs one map-only pass, not one search per sweep point.
+    */
+  def probeRanks(queries: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
+    val ranksUdf = udf((q: Seq[Float]) => {
+      val cs = bc.value
+      cs.indices.map(c => (sqDistFold(q, cs(c)), c)).sorted
+        .zipWithIndex.map { case ((_, c), i) => (c, i + 1) }
+    })
+    queries.select(col("vec_id").as("query_id"),
+        explode(ranksUdf(col("embedding"))).as("pc"))
+      .select(col("query_id"), col("pc._1").as("cluster"), col("pc._2").as("pr"))
+  }
+
   /** Persist a deterministic IVF index (centroids + inverted-list
     * assignment) as parquet — the write-once artifact the 100 TB runbook
     * prescribes: one corpus version → one index directory, reusable across

@@ -8,7 +8,8 @@ object CurvesProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01").cache()
+    val emb = Tables.embeddings(spark,
+      args.headOption.getOrElse("/root/testdata/sf0.01")).cache()
     val wm  = "001010010101001010010" // len 21, as compare/roubust.py:162
     val ps  = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
     val wmKey = WmKey(seed = "20")

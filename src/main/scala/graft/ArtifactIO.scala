@@ -30,9 +30,12 @@ object ArtifactIO {
   }
 
   /** Digest every regular file under `f` as a (relative path, size, mtime)
-    * tuple — a regenerated fixture changes the digest even when total bytes
-    * and coarse mtimes collide (two summed scalars can't see a same-size
-    * rewrite landing within filesystem mtime granularity).
+    * tuple. Stronger than summed-scalar digests (per-file attribution means
+    * one file's same-size rewrite can't be masked by another's), but still
+    * metadata-only: a same-size rewrite of a single file landing within the
+    * filesystem's mtime granularity is invisible. Fine for the fixtures this
+    * keys (driver-generated parquet, rewritten wholesale); include content
+    * bytes if that edge ever matters.
     */
   def fingerprintInto(md: java.security.MessageDigest, base: java.nio.file.Path,
                       f: java.io.File): Unit = {
@@ -63,29 +66,33 @@ object ArtifactIO {
         out.getName + s".staging-${java.lang.ProcessHandle.current().pid()}")
       deleteRec(staging)
       staging.mkdirs()
-      build(staging)
-      try
-        Files.move(staging.toPath, out.toPath, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // another process published under this key first; its copy is
-        // interchangeable (content derives from the key) — UNLESS what sits
-        // there fails validation (a pre-atomic crash leftover): replace it,
-        // still behind an atomic rename.
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.AccessDeniedException |
-             _: java.nio.file.FileSystemException =>
-          if (!(out.isDirectory && valid(out))) {
-            deleteRec(out)
-            try
-              Files.move(staging.toPath, out.toPath, StandardCopyOption.ATOMIC_MOVE)
-            catch {
-              case _: java.nio.file.FileSystemException =>
-                if (!(out.isDirectory && valid(out))) throw new IllegalStateException(
-                  s"artifact publish failed and $out is absent or invalid")
+      // staging names embed the pid, so a later run (different pid) would
+      // never reclaim a leftover — clean up on EVERY exit path, including a
+      // throwing build.
+      try {
+        build(staging)
+        try
+          Files.move(staging.toPath, out.toPath, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // another process published under this key first; its copy is
+          // interchangeable (content derives from the key) — UNLESS what sits
+          // there fails validation (a pre-atomic crash leftover): replace it,
+          // still behind an atomic rename.
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException |
+               _: java.nio.file.FileSystemException =>
+            if (!(out.isDirectory && valid(out))) {
+              deleteRec(out)
+              try
+                Files.move(staging.toPath, out.toPath, StandardCopyOption.ATOMIC_MOVE)
+              catch {
+                case _: java.nio.file.FileSystemException =>
+                  if (!(out.isDirectory && valid(out))) throw new IllegalStateException(
+                    s"artifact publish failed and $out is absent or invalid")
+              }
             }
-          }
-      }
-      deleteRec(staging)
+        }
+      } finally deleteRec(staging)
     }
     out.getAbsolutePath
   }

@@ -73,8 +73,16 @@ object Bench {
       .mkString("{", ",", "}")
     val passTotals = all.map(_.map(_._2).sum)
     val total = med.map(_._2).sum
+    // Sum of per-query MINIMA across passes: far more robust to host
+    // contention than the median (a loaded pass inflates medians but rarely
+    // all three samples of a query), so round-over-round comparisons can
+    // check both before calling a regression.
+    val totalMin = selected.map { case (name, _) =>
+      all.map(_.toMap.apply(name)).min
+    }.sum
     println(s"""{"queries":$qs,"sf":"$sfDir","passes":$passes,""" +
       s""""pass_totals":[${passTotals.mkString(",")}],""" +
+      s""""value_min":$totalMin,""" +
       s""""metric":"total_median","value":$total,"unit":"sec"}""")
     spark.stop()
   }

@@ -71,7 +71,7 @@ object DocsGen {
     val benchLine = bench match {
       case Some((round, Some(total), sf, nq)) =>
         f"- Latest bench: `BENCH_r$round%02d.json` — **$total%.1f s** total median over " +
-          s"${nq.map(n => s"$n queries").getOrElse("the full registered query surface")} " +
+          s"${nq.map(n => s"$n queries").getOrElse("the queries registered at bench time")} " +
           s"at sf${sf.getOrElse("?")} (local[32], median of 3 cold-cache passes)."
       case _ => "- Latest bench: (no BENCH_r*.json found)."
     }

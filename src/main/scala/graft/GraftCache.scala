@@ -33,11 +33,23 @@ object GraftCache {
     df
   }
 
+  private val cleanups = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** Register a side-effect to run at `clear()` — e.g. dropping the memory
+    * sink temp views a memoized stream replay registered in the session
+    * catalog. Memoized values vanish from `anyCache` at clear; any session
+    * state they created must be torn down at the same point or it
+    * accumulates across bench passes.
+    */
+  def onClear(f: () => Unit): Unit = cleanups.add(f)
+
   def clear(): Unit = {
     cache.values.foreach(_.unpersist())
     cache.clear()
     anyCache.clear()
     tracked.forEach(_.unpersist())
     tracked.clear()
+    cleanups.forEach { f => try f() catch { case _: Throwable => () } }
+    cleanups.clear()
   }
 }

@@ -91,7 +91,7 @@ object SparkEntry {
           new java.io.File(o, "assigned/_SUCCESS").isFile) { staging =>
         val (c, a) = GraftCache.memoAny(s"$dir/ivfdet") {
           val cc = Ann.ivfDetCentroids(emb, nlist = 16)
-          (cc, Ann.ivfDetAssign(emb, cc).persist())
+          (cc, GraftCache.track(Ann.ivfDetAssign(emb, cc)))
         }
         Ann.ivfWrite(staging.getAbsolutePath, c, a)
       }
@@ -205,6 +205,12 @@ object SparkEntry {
         qs.foreach(_.processAllAvailable())
         qs.foreach(_.stop())
       }
+      // The memory sinks live in the session catalog and hold their rows on
+      // the driver; drop them when the memo is invalidated, or each bench
+      // pass leaks three tables ("stream_*_$n" names are pass-unique).
+      GraftCache.onClear(() =>
+        Seq(s"stream_tumbling_$n", s"stream_dedup_$n", s"stream_sessions_$n")
+          .foreach(s.catalog.dropTempView(_)))
       Map("tumbling" -> s.table(s"stream_tumbling_$n"),
         "dedup"    -> s.table(s"stream_dedup_$n"),
         "sessions" -> s.table(s"stream_sessions_$n"))
@@ -1032,7 +1038,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val (centroids, assigned) = GraftCache.memoAny(s"$dir/ivfdet") {
         val c = Ann.ivfDetCentroids(emb, nlist = 16)
-        (c, Ann.ivfDetAssign(emb, c).persist())
+        (c, GraftCache.track(Ann.ivfDetAssign(emb, c)))
       }
       Ann.ivfDetSearch(emb.filter(col("vec_id") < 100), assigned, centroids, k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
@@ -1046,7 +1052,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val (centroids, assigned) = GraftCache.memoAny(s"$dir/ivfdet") {
         val c = Ann.ivfDetCentroids(emb, nlist = 16)
-        (c, Ann.ivfDetAssign(emb, c).persist())
+        (c, GraftCache.track(Ann.ivfDetAssign(emb, c)))
       }
       val q   = emb.filter(col("vec_id") < 100)
       val ivf = Ann.ivfDetSearch(q, assigned, centroids, k = 10, nprobe = 4)
@@ -1121,7 +1127,7 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val hashed = GraftCache.memoAny(s"$dir/lshdet") {
-        Knn.lshDetHash(emb, Knn.lshDetProjections(5, D, "lsh"), 1.0).persist()
+        GraftCache.track(Knn.lshDetHash(emb, Knn.lshDetProjections(5, D, "lsh"), 1.0))
       }
       Knn.lshDet(emb.filter(col("vec_id") < 100), emb, 5, D,
           bucketLength = 1.0, numHashTables = 5, seed = "lsh", prehashed = Some(hashed))
@@ -1135,7 +1141,7 @@ object SparkEntry {
     "ann_lsh_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val hashed = GraftCache.memoAny(s"$dir/lshdet") {
-        Knn.lshDetHash(emb, Knn.lshDetProjections(5, D, "lsh"), 1.0).persist()
+        GraftCache.track(Knn.lshDetHash(emb, Knn.lshDetProjections(5, D, "lsh"), 1.0))
       }
       val lsh = Knn.lshDet(emb.filter(col("vec_id") < 100), emb, 5, D,
           bucketLength = 1.0, numHashTables = 5, seed = "lsh", prehashed = Some(hashed))
@@ -1386,6 +1392,7 @@ object SparkEntry {
       val other = hidden(12)
       val nb    = base.count()
       val ni    = base.intersect(other).count()
+      base.unpersist() // both consumers ran; a bare cache() outlives clear()
       Seq((nb, ni, ni.toDouble / nb)).toDF("n_base", "n_intersect", "overlap")
     }),
 
@@ -1409,7 +1416,9 @@ object SparkEntry {
             transform(array_sort(collect_list(struct(col("src"), col("dst"), col("dist")))),
               x => x.getField("dist")),
             lit(0.0), (a, x) => a + x) / count(lit(1)), lit(0.0))).head().getDouble(0)
-        Seq((nSeeds, reached.count(), avgLen)).toDF("n_seeds", "n_reached", "avg_internal_edge")
+        val nReached = reached.count()
+        reached.unpersist() // all consumers ran; a bare cache() outlives clear()
+        Seq((nSeeds, nReached, avgLen)).toDF("n_seeds", "n_reached", "avg_internal_edge")
       }
     }),
 

@@ -38,8 +38,26 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // release every memoized/tracked frame: a Verify run must not leave
-    // orphaned persisted RDDs behind (cache hygiene gate, VERDICT r6 §5)
+    // orphaned persisted RDDs behind (cache hygiene gate, VERDICT r6 §5).
+    // The assertion makes the gate self-checking: any future `.persist()`
+    // that bypasses GraftCache memo/track fails Verify loudly.
     GraftCache.clear()
+    // localCheckpoint frames persist RDDs GraftCache never sees; those are
+    // freed by the ContextCleaner once the RDD objects are unreachable (all
+    // query-local, so unreachable by now). Give GC + the async cleaner a
+    // bounded settle window, then require an empty registry: a leak through
+    // a bare `.persist()` held by a memo would survive this loop and fail.
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(500)
+    }
+    val orphans = spark.sparkContext.getPersistentRDDs
+    assert(orphans.isEmpty,
+      s"${orphans.size} orphaned persisted RDDs after GraftCache.clear(): " +
+        orphans.map { case (id, r) =>
+          s"[$id ${r.getStorageLevel.description} @ ${r.toString.take(120)}]"
+        }.mkString(" "))
     spark.stop()
   }
 }

@@ -148,7 +148,15 @@ object Experiments {
       .orderBy("th")
       .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    // rows are collected — release every frame this sweep cached. Shared
+    // frames stay caller-owned; only the fallbacks built here are released
+    // (a CacheManager entry holds its plan+RDD strongly until unpersist, so
+    // a leak here would survive GraftCache.clear() forever).
     afterAll.unpersist()
+    base.unpersist()
+    qc.unpersist()
+    if (sharedRaw.isEmpty) raw.unpersist()
+    if (sharedAi.isEmpty) aiDf.unpersist()
     rows.toDF("th", "n_carriers", "avg_miss", "avg_false", "traffic_before", "traffic_after")
   }
 

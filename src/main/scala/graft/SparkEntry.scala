@@ -75,24 +75,32 @@ object SparkEntry {
     GraftCache.memo(s"$dir/ai") {
       KnnGraph.accessibility(Tables.embeddings(s, dir), edges(s, dir), parity = parityMode)
     }
-  /** The persisted deterministic-IVF index dir for a scale dir — built once
-    * (fixture-fingerprint key, staging + atomic-rename publish; an existing
-    * valid artifact is reused without rewriting) and shared by every query
-    * that rides the parquet index (crossmodal_ann, ann_ivf_nprobe_sweep).
+  /** In-session deterministic-IVF index (sampled centroids + assignment) for
+    * a scale dir, memoized per (dir, nlist) — the nlist axis exists for the
+    * index-size sweep; every other consumer rides the default 16.
     */
-  private def ivfArtifactDir(s: SparkSession, dir: String): String =
-    GraftCache.memoAny(s"$dir/ivfdir") {
+  private def ivfDet(s: SparkSession, dir: String, nlist: Int = 16): (Array[Array[Float]], DataFrame) =
+    GraftCache.memoAny(s"$dir/ivfdet-$nlist") {
       val emb = Tables.embeddings(s, dir)
-      val k = ArtifactIO.contentKey(s"$dir|nlist=16|v1",
+      val c = Ann.ivfDetCentroids(emb, nlist = nlist)
+      (c, GraftCache.track(Ann.ivfDetAssign(emb, c)))
+    }
+
+  /** The persisted deterministic-IVF index dir for a scale dir — built once
+    * per (fixture-fingerprint, nlist) key (staging + atomic-rename publish;
+    * an existing valid artifact is reused without rewriting) and shared by
+    * every query that rides the parquet index (crossmodal_ann,
+    * ann_ivf_nprobe_sweep, ann_ivf_nlist_sweep).
+    */
+  private def ivfArtifactDir(s: SparkSession, dir: String, nlist: Int = 16): String =
+    GraftCache.memoAny(s"$dir/ivfdir-$nlist") {
+      val k = ArtifactIO.contentKey(s"$dir|nlist=$nlist|v1",
         new java.io.File(s"$dir/embeddings.parquet"))
       val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_ivf_$k")
       ArtifactIO.publishDir(out, valid = o =>
         new java.io.File(o, "centroids/_SUCCESS").isFile &&
           new java.io.File(o, "assigned/_SUCCESS").isFile) { staging =>
-        val (c, a) = GraftCache.memoAny(s"$dir/ivfdet") {
-          val cc = Ann.ivfDetCentroids(emb, nlist = 16)
-          (cc, GraftCache.track(Ann.ivfDetAssign(emb, cc)))
-        }
+        val (c, a) = ivfDet(s, dir, nlist)
         Ann.ivfWrite(staging.getAbsolutePath, c, a)
       }
     }
@@ -1036,10 +1044,7 @@ object SparkEntry {
     // built once per scale dir (it is a write-once batch artifact).
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (centroids, assigned) = GraftCache.memoAny(s"$dir/ivfdet") {
-        val c = Ann.ivfDetCentroids(emb, nlist = 16)
-        (c, GraftCache.track(Ann.ivfDetAssign(emb, c)))
-      }
+      val (centroids, assigned) = ivfDet(s, dir)
       Ann.ivfDetSearch(emb.filter(col("vec_id") < 100), assigned, centroids, k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
         .orderBy("query_id", "rank")
@@ -1050,10 +1055,7 @@ object SparkEntry {
     // scale. Both paths replay in SQL, so the recall itself is oracle-exact.
     "ann_ivf_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (centroids, assigned) = GraftCache.memoAny(s"$dir/ivfdet") {
-        val c = Ann.ivfDetCentroids(emb, nlist = 16)
-        (c, GraftCache.track(Ann.ivfDetAssign(emb, c)))
-      }
+      val (centroids, assigned) = ivfDet(s, dir)
       val q   = emb.filter(col("vec_id") < 100)
       val ivf = Ann.ivfDetSearch(q, assigned, centroids, k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
@@ -1092,6 +1094,39 @@ object SparkEntry {
           (sum(when(col("pr") <= col("nprobe"), 1L).otherwise(0L)).cast("double") /
             count(lit(1)).cast("double")).as("recall"))
         .orderBy("nprobe")
+    }),
+
+    // Full (nlist, nprobe) → recall@10 SURFACE from THREE persisted index
+    // artifacts (nlist ∈ {4,16,64}; sampled centroids are md5-prefix-nested
+    // across nlist, but assignment/probe re-rank per index). Same one-pass
+    // trick as the nprobe sweep — per index, one probe ranking serves every
+    // nprobe point; nprobe > nlist rows are dropped (a probe set can't
+    // exceed the list count). This is the data an operator reads to SIZE the
+    // index before a 100 TB build: recall lost to a coarser quantizer vs
+    // probes paid back at query time.
+    "ann_ivf_nlist_sweep" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q   = emb.filter(col("vec_id") < 100)
+      // exact pairs feed all three surfaces — truncate lineage once
+      val exact = Ann.bruteCosine(q, emb, 10, kernel = "fold")
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val hits = Seq(4, 16, 64).map { nlist =>
+        val (centroids, assigned) = Ann.ivfRead(s, ivfArtifactDir(s, dir, nlist))
+        exact
+          .join(assigned.select(col("vec_id").as("neighbor_id"), col("cluster")),
+            "neighbor_id")
+          .join(Ann.probeRanks(q, centroids), Seq("query_id", "cluster"))
+          .select(lit(nlist).as("nlist"), col("pr"))
+      }.reduce(_ unionByName _)
+      hits.select(col("nlist"), col("pr"),
+          explode(array(Seq(1, 2, 4, 8, 16, 64).map(lit): _*)).as("nprobe"))
+        .filter(col("nprobe") <= col("nlist"))
+        .groupBy(col("nlist").cast("long").as("nlist"),
+          col("nprobe").cast("long").as("nprobe"))
+        .agg(sum(when(col("pr") <= col("nprobe"), 1L).otherwise(0L)).as("n_hit"),
+          (sum(when(col("pr") <= col("nprobe"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("recall"))
+        .orderBy("nlist", "nprobe")
     }),
 
     // CROSS-MODAL composition — multimodal assets probed against the
@@ -3156,6 +3191,50 @@ object SparkEntry {
            |  cast(sum(CASE WHEN pr <= np THEN 1 ELSE 0 END) as double) / count(*) AS recall
            |FROM hitpr, (VALUES (1),(2),(4),(8),(16)) v(np)
            |GROUP BY np ORDER BY nprobe""".stripMargin),
+
+    // (nlist, nprobe) surface replay: the sampled centroid sets are md5-
+    // prefix-nested (cent for nlist n = first n of the 64-row md5 order),
+    // so ONE 64-row centroid CTE serves all three indexes; assignment and
+    // probe ranks re-derive per nlist, and recall@10(nlist, nprobe) counts
+    // exact-top-10 pairs whose neighbor-cluster probe rank ≤ nprobe.
+    "ann_ivf_nlist_sweep" ->
+      s"""WITH centall AS MATERIALIZED (
+         |  SELECT cast(row_number() OVER (ORDER BY md5('ivf|' || cast(vec_id as varchar)), vec_id) - 1 as int) AS cluster,
+         |    embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY md5('ivf|' || cast(vec_id as varchar)), vec_id LIMIT 64)),
+         |nrm AS MATERIALIZED (SELECT vec_id, embedding,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+         |      i -> cast(embedding[i] as double) * cast(embedding[i] as double))), (acc, x) -> acc + x) AS sq
+         |  FROM embeddings),
+         |nls AS (SELECT * FROM (VALUES (4),(16),(64)) t(nlist)),
+         |asgn AS MATERIALIZED (SELECT nlist, vec_id, cluster FROM (
+         |    SELECT n.nlist, e.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY n.nlist, e.vec_id
+         |        ORDER BY ${l2sqSql("e.embedding", "c.embedding")}, c.cluster) AS rn
+         |    FROM nrm e, nls n, centall c WHERE c.cluster < n.nlist) WHERE rn = 1),
+         |prank AS (SELECT n.nlist, e.vec_id AS query_id, c.cluster,
+         |    row_number() OVER (PARTITION BY n.nlist, e.vec_id
+         |      ORDER BY ${l2sqSql("e.embedding", "c.embedding")}, c.cluster) AS pr
+         |  FROM nrm e, nls n, centall c WHERE e.vec_id < 100 AND c.cluster < n.nlist),
+         |bpairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CASE WHEN sqrt(q.sq) * sqrt(c.sq) = 0 THEN 0.0 ELSE
+         |      list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+         |        i -> cast(q.embedding[i] as double) * cast(c.embedding[i] as double))), (acc, x) -> acc + x)
+         |      / (sqrt(q.sq) * sqrt(c.sq)) END AS score
+         |  FROM nrm q, nrm c WHERE q.vec_id < 100),
+         |bk AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |    FROM bpairs) WHERE rank <= 10),
+         |hitpr AS (SELECT a.nlist, b.query_id, b.neighbor_id, p.pr
+         |  FROM bk b JOIN asgn a ON b.neighbor_id = a.vec_id
+         |  JOIN prank p ON p.nlist = a.nlist AND p.query_id = b.query_id AND p.cluster = a.cluster)
+         |SELECT cast(h.nlist as bigint) AS nlist, cast(np as bigint) AS nprobe,
+         |  cast(sum(CASE WHEN pr <= np THEN 1 ELSE 0 END) as bigint) AS n_hit,
+         |  cast(sum(CASE WHEN pr <= np THEN 1 ELSE 0 END) as double) / count(*) AS recall
+         |FROM hitpr h JOIN (VALUES (1),(2),(4),(8),(16),(64)) v(np) ON v.np <= h.nlist
+         |GROUP BY h.nlist, np ORDER BY nlist, nprobe""".stripMargin,
 
     // Deterministic LSH replayed end-to-end: the same float32-quantized md5
     // Box–Muller hyperplanes, floor(dot/width) buckets, bucket equi-join,

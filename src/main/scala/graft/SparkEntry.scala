@@ -75,6 +75,17 @@ object SparkEntry {
     GraftCache.memo(s"$dir/ai") {
       KnnGraph.accessibility(Tables.embeddings(s, dir), edges(s, dir), parity = parityMode)
     }
+  /** Verified MinHash-LSH near-dup pairs of the documents table at τ=0.5 —
+    * a derived artifact of (corpus, τ) exactly like the kNN graph, memoized
+    * because both the pair query and the cluster query consume it (the LSH
+    * band + verify passes are the whole cost of both). localCheckpoint
+    * truncates the multi-join lineage so the cluster iteration replans from
+    * a flat scan.
+    */
+  private def nearDupPairsShared(s: SparkSession, dir: String): DataFrame =
+    GraftCache.memo(s"$dir/ndpairs") {
+      Dedup.nearDupPairs(Tables.documents(s, dir), threshold = 0.5).localCheckpoint()
+    }
   /** In-session deterministic-IVF index (sampled centroids + assignment) for
     * a scale dir, memoized per (dir, nlist) — the nlist axis exists for the
     * index-size sweep; every other consumer rides the default 16.
@@ -864,8 +875,7 @@ object SparkEntry {
     }),
 
     "dedup_minhash_pairs" -> ((s, dir) => {
-      Dedup.nearDupPairs(Tables.documents(s, dir), threshold = 0.5)
-        .orderBy("a", "b")
+      nearDupPairsShared(s, dir).orderBy("a", "b")
     }),
 
     "dedup_jaccard_pairs" -> ((s, dir) => {
@@ -885,8 +895,15 @@ object SparkEntry {
 
     // Near-dup clustering: transitive closure of the minhash pair graph,
     // canonical (min) doc per cluster — the keep-one-per-cluster dedup rule.
+    // Rides the SAME memoized pair frame as dedup_minhash_pairs: the LSH
+    // band + verify passes are the whole cost of both queries, and the pair
+    // graph is a derived artifact of (corpus, τ) exactly like the kNN graph.
     "dedup_neardup_clusters" -> ((s, dir) => {
-      Dedup.nearDupClusters(Tables.documents(s, dir), threshold = 0.5)
+      val pairs = nearDupPairsShared(s, dir)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      KnnGraph.components(edges, edges.select(col("src").as("vec_id")))
+        .select(col("vec_id").as("doc_id"), col("comp").as("canonical_id"))
         .orderBy("doc_id")
     }),
 

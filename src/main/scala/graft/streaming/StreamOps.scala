@@ -15,22 +15,27 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object StreamOps {
 
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType), // nanos
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** The events fixture's actual on-disk schema (its `ts` physical type has
+    * varied across driver regenerations — see Tables.events); a readStream
+    * needs an explicit schema, so take it from the parquet footer (one
+    * driver-side read of an already-listed file, not a data scan).
+    */
+  def eventsSchema(spark: SparkSession, path: String,
+                   glob: String = "*.parquet"): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.option("pathGlobFilter", glob).parquet(path).schema
+  }
 
   /** File-stream over the events fixture (one file = one micro-batch replay). */
   def eventsStream(spark: SparkSession, dir: String,
                    glob: String = "events.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    decorate(spark.readStream.schema(eventsSchema)
+    decorate(spark.readStream.schema(eventsSchema(spark, dir, glob))
       .option("pathGlobFilter", glob)
       .parquet(dir))
   }
 
   private def decorate(df: DataFrame): DataFrame =
-    df.withColumnRenamed("ts", "ts_ns")
+    graft.Tables.normalizeTs(df)
       .withColumn("event_time",
         timestamp_micros((col("ts_ns").cast("decimal(38,0)") / 1000).cast("long")))
 
@@ -63,7 +68,7 @@ object StreamOps {
       Option(o.listFiles((f: java.io.File) => f.getName.endsWith(".parquet")))
         .map(_.length).getOrElse(0) == nFiles) { staging =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.schema(eventsSchema).parquet(src.getAbsolutePath)
+      val df = spark.read.parquet(src.getAbsolutePath)
       val n  = df.count()
       // global (ts, event_id) rank → nFiles contiguous time ranges; the
       // single-task window is fine for a fixture build (one-time, bounded)
@@ -94,8 +99,7 @@ object StreamOps {
     */
   def eventsStreamBatched(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
     val replay = multiBatchDir(spark, dir, nFiles)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    decorate(spark.readStream.schema(eventsSchema)
+    decorate(spark.readStream.schema(eventsSchema(spark, replay))
       .option("maxFilesPerTrigger", "1")
       .option("latestFirst", "false")
       .option("pathGlobFilter", "*.parquet")

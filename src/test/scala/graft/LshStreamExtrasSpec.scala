@@ -76,9 +76,12 @@ class LshStreamExtrasSpec extends AnyFunSuite {
     import spark.implicits._
     // two batches: in-order events, then a very late straggler
     val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
-    val schema = StreamOps.eventsSchema
+    // long-nanos `ts` — the shape normalizeTs passes through unchanged (the
+    // fixture itself now ships micros timestamps, so this spec doubles as
+    // coverage for the legacy-nanos branch)
+    val names = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
     def write(rows: Seq[(Long, Long, Long, String, Double, String)], f: String): Unit =
-      rows.toDF(schema.fieldNames: _*).coalesce(1).write.mode("append").parquet(dir)
+      rows.toDF(names: _*).coalesce(1).write.mode("append").parquet(dir)
     val h = 3600L * 1000000000L // one hour in ns
     write(Seq((0L, 10 * h, 1L, "view", 1.0, "{}"), (1L, 11 * h, 1L, "view", 1.0, "{}")), "b1")
     val stream = StreamOps.eventsStream(spark, dir, glob = "*.parquet")

@@ -87,7 +87,7 @@ object Ann {
     * `aggregate(zip_with(...))` form and the DuckDB list_reduce lambda, so
     * assignment/probe argmins replay exactly in the oracle.
     */
-  private def sqDistFold(a: Seq[Float], c: Array[Float]): Double = {
+  private def sqDistFold(a: Array[Float], c: Array[Float]): Double = {
     var s = 0.0
     var i = 0
     while (i < a.length) {
@@ -119,10 +119,11 @@ object Ann {
     val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
     val assignUdf = udf((e: Seq[Float]) => {
       val cs = bc.value
+      val a  = e.toArray // one unboxing pass, not one per (centroid, dim) access
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < cs.length) {
-        val d2 = sqDistFold(e, cs(c))
+        val d2 = sqDistFold(a, cs(c))
         if (d2 < bestD) { bestD = d2; best = c }
         c += 1
       }
@@ -133,28 +134,44 @@ object Ann {
 
   /** Probe the nprobe nearest lists per query (fold-L2 to the sampled
     * centroids, ties to the lower id), exact fold-cosine re-rank within
-    * them. Same probed-inverted-list plan shape as ivfSearch.
+    * them — expressed as a GROUPED BROADCAST-KERNEL search, not a row join.
+    *
+    * The earlier probed-join shape (probed queries ⋈ corpus on cluster →
+    * cosine → global window) shuffled FULL embedding vectors of every
+    * (query, probed-member) pair — at a 200k-corpus / nprobe=16 probe that
+    * is ~25M joined rows × ~0.5 KB ≈ 13 GB of exchange, measured 15×
+    * SLOWER than brute force (IvfScaleProbe). The inverted-list scan is
+    * exactly Knn.exactGrouped's shape: per-cluster flat sub-indexes ride
+    * one broadcast, each probed (query, cluster) pair is a map-side heap
+    * scan, and only |Q|·nprobe·k (id, score) rows ever reach an exchange —
+    * the tiny global merge window below. Per-cluster top-k loses nothing:
+    * a row outside its own cluster's top-k has ≥ k better rows in that
+    * cluster alone, so it can never enter the global top-k; ordering
+    * (score desc, neighbor_id asc) matches searchOne's tie-break, keeping
+    * results bit-identical to the join shape and the DuckDB oracle.
+    * exactGrouped's skew guard also splits any oversized inverted list
+    * across tasks — the piece the join shape had no answer for.
     */
   def ivfDetSearch(queries: DataFrame, assignedCorpus: DataFrame,
                    centroids: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
     val bc = queries.sparkSession.sparkContext.broadcast(centroids)
     val probeUdf = udf((q: Seq[Float]) => {
       val cs = bc.value
-      cs.indices.map(c => (sqDistFold(q, cs(c)), c))
+      val a  = q.toArray
+      cs.indices.map(c => (sqDistFold(a, cs(c)), c))
         .sorted.take(nprobe).map(_._2).toArray
     })
     val probed = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .withColumn("cluster", explode(probeUdf(col("qe"))))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
-    probed.join(
-        assignedCorpus.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ce"), col("cluster")),
-        Seq("cluster"))
-      .withColumn("score", graft.functions.VectorOps.cosineCol(col("qe"), col("ce")))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cluster", explode(probeUdf(col("embedding"))))
+    val per = Knn.exactGrouped(probed,
+      assignedCorpus.select(col("vec_id"), col("embedding"), col("cluster")),
+      k, "cluster", metric = "cosine", kernel = "fold")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").desc, col("neighbor_id"))
+    per.select(col("query_id"), col("neighbor_id"), col("dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("dist").as("score"), col("rank"))
   }
 
   /** Rank EVERY centroid per query by fold-L2 (ties to the lower cluster
@@ -167,7 +184,8 @@ object Ann {
     val bc = queries.sparkSession.sparkContext.broadcast(centroids)
     val ranksUdf = udf((q: Seq[Float]) => {
       val cs = bc.value
-      cs.indices.map(c => (sqDistFold(q, cs(c)), c)).sorted
+      val a  = q.toArray
+      cs.indices.map(c => (sqDistFold(a, cs(c)), c)).sorted
         .zipWithIndex.map { case ((_, c), i) => (c, i + 1) }
     })
     queries.select(col("vec_id").as("query_id"),

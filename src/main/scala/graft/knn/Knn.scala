@@ -303,8 +303,13 @@ object Knn {
         .repartition(parts)
         .mapPartitions { it =>
           it.flatMap { case (g, qid, q) =>
-            searchOne(q, bc.value(g), k, maxim, fastL2, fold)
-              .iterator.zipWithIndex.map { case ((nid, d), r) => (g, qid, nid, d, r + 1) }
+            // a query group absent from the corpus contributes no neighbors
+            // (e.g. an IVF probe of a cluster emptied by assignment ties) —
+            // same convention as the split branch's absent (group, sub)
+            bc.value.get(g).iterator.flatMap { idx =>
+              searchOne(q, idx, k, maxim, fastL2, fold)
+                .iterator.zipWithIndex.map { case ((nid, d), r) => (g, qid, nid, d, r + 1) }
+            }
           }
         }
         .toDF(groupCol, "query_id", "neighbor_id", "dist", "rank")

@@ -54,11 +54,17 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
-  test("deterministic ANN paths join on bucket/cluster keys, never cartesian") {
-    for (q <- Seq("ann_ivf_topk", "ann_lsh_topk")) {
-      val p = plan(q)
-      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
-      assert(p.contains("Join"), s"$q lost its candidate join")
-    }
+  test("deterministic ANN paths never go cartesian; IVF search is join-free") {
+    // LSH keeps its bucket-key candidate join; IVF search is the grouped
+    // broadcast kernel — its inverted-list scan must appear as a map-only
+    // MapPartitions, never as a row join shuffling embedding vectors
+    val lsh = plan("ann_lsh_topk")
+    assert(!lsh.contains("CartesianProduct"), "ann_lsh_topk has a cartesian product")
+    assert(lsh.contains("Join"), "ann_lsh_topk lost its candidate join")
+    val ivf = plan("ann_ivf_topk")
+    assert(!ivf.contains("CartesianProduct"), "ann_ivf_topk has a cartesian product")
+    assert(!ivf.contains("Join"), "ann_ivf_topk regressed to the probed row join " +
+      "(shuffles |Q|·nprobe·listSize full vectors — see ivfDetSearch scaladoc)")
+    assert(ivf.contains("MapPartitions"), "ann_ivf_topk lost the grouped kernel scan")
   }
 }

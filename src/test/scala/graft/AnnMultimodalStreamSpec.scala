@@ -48,6 +48,37 @@ class AnnMultimodalStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF nlist/nprobe surface: nested centroid prefixes, monotone recall, full probe = exact") {
+    import graft.knn.Knn
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Ann.bruteCosine(queries, emb, 10, kernel = "fold").cache()
+    // centroid sets are md5-prefix-nested across nlist (the property
+    // ann_ivf_nlist_sweep's one-CTE oracle replay rests on)
+    val c16 = Ann.ivfDetCentroids(emb, nlist = 16)
+    val c4  = Ann.ivfDetCentroids(emb, nlist = 4)
+    assert(c4.zip(c16.take(4)).forall { case (a, b) => a.sameElements(b) },
+      "nlist=4 centroids must be the first 4 of the nlist=16 sample")
+    // recall@10 is monotone in nprobe at fixed nlist, and a full probe of
+    // every list is the exact result (the grouped kernel scans the whole
+    // corpus partitioned by cluster — nothing is pruned)
+    val assigned = Ann.ivfDetAssign(emb, c16).cache()
+    val recalls = Seq(2, 8, 16).map { np =>
+      Ann.recallAtK(Ann.ivfDetSearch(queries, assigned, c16, 10, np), exact, 10)
+    }
+    assert(recalls.sliding(2).forall { case Seq(a, b) => b >= a },
+      s"recall not monotone in nprobe: $recalls")
+    assert(recalls.last == 1.0, s"full probe must equal exact, got ${recalls.last}")
+    // a probed cluster with no corpus members contributes nothing (the
+    // grouped kernel's absent-group convention) instead of throwing
+    val gone = assigned.filter(col("cluster") =!= 3)
+    val res = Ann.ivfDetSearch(queries, gone, c16, 10, 16)
+    assert(res.count() > 0)
+    assert(res.filter(col("neighbor_id").isin(
+      assigned.filter(col("cluster") === 3).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq: _*)).count() == 0,
+      "members of the removed list must be unreachable")
+  }
+
   test("multimodal: meta extraction and stub decode shapes") {
     val docs   = Tables.documents(spark, TestSpark.sf0001)
     val assets = Multimodal.assetsFromDocuments(docs).cache()

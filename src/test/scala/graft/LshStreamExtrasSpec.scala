@@ -23,6 +23,24 @@ class LshStreamExtrasSpec extends AnyFunSuite {
     assert(recall > 0.5, s"LSH recall@5 = $recall")
   }
 
+  test("normalizeTs yields identical nanos for long-nanos and NTZ-micros encodings") {
+    import spark.implicits._
+    // the same three instants written the two ways the driver's fixture
+    // generator has produced them (TIMESTAMP(NANOS)→long via nanosAsLong,
+    // and micros TIMESTAMP_NTZ)
+    val micros = Seq(0L, 1234567890123456L, 882921600000000L)
+    val asLong = micros.map(_ * 1000L).toDF("ts")
+    val asNtz  = micros.toDF("us")
+      .select(expr("make_timestamp_ntz(1970, 1, 1, 0, 0, 0) + make_dt_interval(0, 0, 0, us / 1e6)").as("ts"))
+    assert(asNtz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val expected: Array[Long] = micros.map(_ * 1000L).sorted.toArray
+    val a = Tables.normalizeTs(asLong).select("ts_ns").as[Long].collect().sorted
+    val b = Tables.normalizeTs(asNtz).select("ts_ns").as[Long].collect().sorted
+    assert(a.toSeq == b.toSeq, s"${a.toSeq} != ${b.toSeq}")
+    assert(a.toSeq == expected.toSeq)
+  }
+
   test("graft_md5mod is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val got = spark.sql("SELECT graft_md5mod('abc', 21L) AS g, graft_md5mod('000000000', 5L) AS h")

@@ -68,13 +68,34 @@ object Tvp {
     * :152–165): a uniform `need`-sample per group — here the deterministic
     * keyed-hash order replaces the PRNG (see Hashing).
     * Returns (vec_id, group_id, wm_bit, content_id).
+    *
+    * Selection = "first `need(group)` candidates in md5 order", but NOT as
+    * `row_number() over (partition by group_id order by hash)`: that window
+    * has exactly L (=21) partitions regardless of N, so at 100 TB each
+    * partition is a ~N/21-row single-task sort — a skew wall the fixture
+    * never shows. Instead rank within (group, 4-hex-prefix bucket) — 65536×
+    * the parallelism — and add the bucket's cumulative offset from one tiny
+    * histogram aggregate. The bucket is a PREFIX of the ordering key, so
+    * (bucket asc, hash asc) is exactly hash order and the selection is
+    * row-identical to the L-partition window (hex digits sort the same
+    * lexicographically and numerically; md5 collisions would be the only
+    * divergence and cannot occur across distinct vec_ids in practice —
+    * vec_id remains as an explicit final tiebreak).
     */
   def carriersRs(classified: DataFrame, bits: DataFrame, strength: Double, seed: String): DataFrame = {
     val cand = candidates(classified, groupNeeds(classified, bits, strength))
-    val w = Window.partitionBy(col("group_id"))
-      .orderBy(GraftCols.keyedHash(col("vec_id"), lit("rs"), lit(seed)))
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("need"))
+      .withColumn("__key", GraftCols.keyedHash(col("vec_id"), lit("rs"), lit(seed)))
+      .withColumn("__b", conv(substring(col("__key"), 1, 4), 16, 10).cast("int"))
+    val offs = cand.groupBy("group_id", "__b").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.partitionBy(col("group_id")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("group_id", "__b", "__off")
+    cand.join(broadcast(offs), Seq("group_id", "__b"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("group_id"), col("__b"))
+          .orderBy(col("__key"), col("vec_id"))))
+      .filter(col("__rn") + col("__off") <= col("need"))
       .select("vec_id", "group_id", "wm_bit", "content_id")
   }
 

@@ -64,6 +64,52 @@ object Tvp {
     classified.join(broadcast(needs), "group_id")
       .filter(col("hidden_bit") =!= col("wm_bit"))
 
+  /** Global 1-based rank within `parts` in `order`, without a per-part
+    * global sort: rank within (parts, bucket) partitions and add the
+    * bucket's cumulative offset from one histogram aggregate. `bucket`
+    * must be ORDER-CONSISTENT — b(x) < b(y) implies x precedes y in
+    * `order` — so (bucket asc, order) is exactly `order` and the result is
+    * row-identical to `row_number() over (partition by parts order by
+    * order)`. The point: a carrier-selection window partitioned by
+    * group_id alone has exactly L (=21) partitions at ANY corpus size —
+    * each a single-task ~N/L-row sort at 100 TB; bucketing multiplies the
+    * parallelism by the bucket count (~65536) while the histogram side
+    * stays |parts|·|buckets| rows. Column names are suffixed with
+    * `rankName` so several ranks can stack in one plan.
+    */
+  private def groupedRank(df: DataFrame, parts: Seq[String], bucket: Column,
+                          order: Seq[Column], rankName: String): DataFrame = {
+    val b = s"__b_$rankName"; val off = s"__off_$rankName"; val c = s"__c_$rankName"
+    val withB = df.withColumn(b, bucket)
+    val offs = withB.groupBy((parts :+ b).map(col): _*).agg(count(lit(1)).as(c))
+      .withColumn(off, coalesce(sum(col(c)).over(
+        Window.partitionBy(parts.map(col): _*).orderBy(col(b))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((parts :+ b :+ off).map(col): _*)
+    withB.join(broadcast(offs), parts :+ b)
+      .withColumn(rankName, row_number().over(
+          Window.partitionBy((parts :+ b).map(col): _*).orderBy(order: _*))
+        .cast("long") + col(off))
+      .drop(b, off)
+  }
+
+  /** Order-consistent bucket for (`scoreCol` DESC, …) orders: 65536 range
+    * slices of [mn, mx] (driver-known bounds), highest score → bucket 0.
+    * Degenerate mn == mx → one bucket (plain per-part window).
+    */
+  private def descScoreBucket(scoreCol: Column, mn: Double, mx: Double): Column =
+    if (mx == mn) lit(0)
+    else least(greatest(
+      floor((lit(mx) - scoreCol.cast("double")) / (mx - mn) * 65535).cast("int"),
+      lit(0)), lit(65535))
+
+  /** Order-consistent bucket for (`idCol` ASC, …) orders over long ids. */
+  private def ascIdBucket(idCol: Column, mn: Long, mx: Long): Column =
+    if (mx == mn) lit(0)
+    else least(greatest(
+      floor((idCol.cast("double") - mn) / (mx - mn).toDouble * 65535).cast("int"),
+      lit(0)), lit(65535))
+
   /** RS carrier pick (watermarking.py:345–400 via random_select_vectors,
     * :152–165): a uniform `need`-sample per group — here the deterministic
     * keyed-hash order replaces the PRNG (see Hashing).
@@ -85,17 +131,10 @@ object Tvp {
   def carriersRs(classified: DataFrame, bits: DataFrame, strength: Double, seed: String): DataFrame = {
     val cand = candidates(classified, groupNeeds(classified, bits, strength))
       .withColumn("__key", GraftCols.keyedHash(col("vec_id"), lit("rs"), lit(seed)))
-      .withColumn("__b", conv(substring(col("__key"), 1, 4), 16, 10).cast("int"))
-    val offs = cand.groupBy("group_id", "__b").agg(count(lit(1)).as("__c"))
-      .withColumn("__off", coalesce(sum(col("__c")).over(
-        Window.partitionBy(col("group_id")).orderBy(col("__b"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("group_id", "__b", "__off")
-    cand.join(broadcast(offs), Seq("group_id", "__b"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("group_id"), col("__b"))
-          .orderBy(col("__key"), col("vec_id"))))
-      .filter(col("__rn") + col("__off") <= col("need"))
+    groupedRank(cand, Seq("group_id"),
+        conv(substring(col("__key"), 1, 4), 16, 10).cast("int"),
+        Seq(col("__key"), col("vec_id")), "__rn")
+      .filter(col("__rn") <= col("need"))
       .select("vec_id", "group_id", "wm_bit", "content_id")
   }
 
@@ -129,9 +168,12 @@ object Tvp {
         broadcast(bits.select(col("bit_pos").as("group_id"), col("wm_bit"))), "group_id")
       .filter(col("hidden_bit") =!= col("wm_bit"))
     val rankedBySeed = seeds.map { case (rep, seed) =>
-      cand.withColumn("rn", row_number().over(
-          Window.partitionBy(col("group_id"))
-            .orderBy(GraftCols.keyedHash(col("vec_id"), lit("rs"), lit(seed)))))
+      val withKey = cand.withColumn("__key",
+        GraftCols.keyedHash(col("vec_id"), lit("rs"), lit(seed)))
+      groupedRank(withKey, Seq("group_id"),
+          conv(substring(col("__key"), 1, 4), 16, 10).cast("int"),
+          Seq(col("__key"), col("vec_id")), "rn")
+        .drop("__key")
         .withColumn("rep", lit(rep))
     }.reduce(_ unionByName _)
     rankedBySeed.join(broadcast(needsAll),
@@ -148,27 +190,43 @@ object Tvp {
     */
   def carriersAi(classified: DataFrame, bits: DataFrame, strength: Double,
                  th: Double, ai: DataFrame): DataFrame = {
+    // order-consistent bucket bounds from the AI FRAME (a superset of the
+    // candidate set, usually already persisted by the caller's memo) — same
+    // driver-known-regime decision as Knn's broadcast-index bound, and no
+    // extra evaluation of the candidate lineage
+    val mm = ai.agg(min(col("ai")).cast("double"), max(col("ai")).cast("double"),
+      min(col("vec_id")), max(col("vec_id"))).head()
+    val aiB = descScoreBucket(col("ai"), mm.getDouble(0), mm.getDouble(1))
+    val idB = ascIdBucket(col("vec_id"), mm.getLong(2), mm.getLong(3))
     val cand = candidates(classified, groupNeeds(classified, bits, strength))
       .join(ai.select(col("vec_id"), col("ai")), "vec_id")
-    val wAi = Window.partitionBy(col("group_id")).orderBy(col("ai").desc, col("vec_id"))
-    val ranked = cand.withColumn("rn_ai", row_number().over(wAi))
+    // ONE ai-descending rank serves both phases (checkpointed: five
+    // downstream consumers would otherwise re-run the classify chain).
+    // Phase split: qual ⟺ ai ≥ thr_ai, and rn_ai orders by ai first, so
+    // every qual row strictly precedes every non-qual row — qual ⟺
+    // rn_ai ≤ n_qual, and the phase-2 ai-descending rank WITHIN the
+    // non-qual rows is just rn_ai − n_qual. Only the phase-1 scan-order
+    // (vec_id) rank needs a second ranking pass, over qual rows only.
+    val ranked = groupedRank(cand, Seq("group_id"), aiB,
+      Seq(col("ai").desc, col("vec_id")), "rn_ai").localCheckpoint()
     // threshold_ai = ai at (1-based) rank int(n_cand*th); rank 0 → -inf
     val thr = ranked.filter(col("rn_ai") === floor(col("n_cand") * lit(th)).cast("int"))
       .select(col("group_id"), col("ai").as("thr_ai"))
     val withThr = ranked.join(broadcast(thr), Seq("group_id"), "left")
       .withColumn("qual", col("thr_ai").isNull || col("ai") >= col("thr_ai"))
-    val w1 = Window.partitionBy(col("group_id"), col("qual")).orderBy(col("vec_id"))
-    val w2 = Window.partitionBy(col("group_id"), col("qual")).orderBy(col("ai").desc, col("vec_id"))
     val nQual = withThr.filter(col("qual")).groupBy("group_id")
       .agg(count(lit(1)).as("n_qual"))
-    withThr.join(broadcast(nQual), Seq("group_id"), "left")
+    val base = withThr.join(broadcast(nQual), Seq("group_id"), "left")
       .na.fill(0L, Seq("n_qual"))
-      .withColumn("rn1", row_number().over(w1))
-      .withColumn("rn2", row_number().over(w2))
-      .filter(
-        (col("qual") && col("rn1") <= col("need")) ||
-        (!col("qual") && col("rn2") <= col("need") - least(col("need"), col("n_qual"))))
+    val phase1 = groupedRank(base.filter(col("qual")), Seq("group_id"), idB,
+        Seq(col("vec_id")), "rn1")
+      .filter(col("rn1") <= col("need"))
       .select("vec_id", "group_id", "wm_bit", "content_id")
+    val phase2 = base.filter(!col("qual"))
+      .filter(col("rn_ai") - col("n_qual") <=
+        col("need") - least(col("need"), col("n_qual")))
+      .select("vec_id", "group_id", "wm_bit", "content_id")
+    phase1.unionByName(phase2)
   }
 
   /** carriersAi for a whole THRESHOLD GRID in one plan: the candidate set
@@ -187,6 +245,11 @@ object Tvp {
     import spark.implicits._
     val cand = candidates(classified, groupNeeds(classified, bits, strength))
       .join(ai.select(col("vec_id"), col("ai")), "vec_id")
+    // windows here keep the grid in ONE fused lazy plan (the sweep's whole
+    // point at fixture scale); at 100 TB a th-sweep would ride the
+    // checkpointed two-phase carriersAi per th instead (see carriersAi) —
+    // selections are property-tested identical, so the two shapes are
+    // interchangeable per regime
     val wAi = Window.partitionBy(col("group_id")).orderBy(col("ai").desc, col("vec_id"))
     val ranked = cand.withColumn("rn_ai", row_number().over(wAi))
       .crossJoin(broadcast(ths.toDF("th")))

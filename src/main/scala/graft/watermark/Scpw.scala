@@ -101,9 +101,12 @@ object Scpw {
     val needs      = Tvp.groupNeeds(classified, bits, strength)
     val cand = classified.join(broadcast(needs), "group_id")
       .filter(col("hidden_bit") =!= col("wm_bit"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("group_id"))
-      .orderBy(GraftCols.keyedHash(col("vec_id"), lit("scpw"), lit(key.seed)))
-    cand.withColumn("rn", row_number().over(w))
+      .withColumn("__key", GraftCols.keyedHash(col("vec_id"), lit("scpw"), lit(key.seed)))
+    // bucket-distributed rank (Tvp.groupedRank): row-identical to the
+    // group_id-partitioned window, without its L-partition sort wall
+    Tvp.groupedRank(cand, Seq("group_id"),
+        conv(substring(col("__key"), 1, 4), 16, 10).cast("int"),
+        Seq(col("__key"), col("vec_id")), "rn")
       .filter(col("rn") <= col("need"))
       .select(col("vec_id"), col("wm_bit"), col("content_id"))
   }

@@ -77,8 +77,8 @@ object Tvp {
     * stays |parts|·|buckets| rows. Column names are suffixed with
     * `rankName` so several ranks can stack in one plan.
     */
-  private def groupedRank(df: DataFrame, parts: Seq[String], bucket: Column,
-                          order: Seq[Column], rankName: String): DataFrame = {
+  private[watermark] def groupedRank(df: DataFrame, parts: Seq[String], bucket: Column,
+                                     order: Seq[Column], rankName: String): DataFrame = {
     val b = s"__b_$rankName"; val off = s"__off_$rankName"; val c = s"__c_$rankName"
     val withB = df.withColumn(b, bucket)
     val offs = withB.groupBy((parts :+ b).map(col): _*).agg(count(lit(1)).as(c))

@@ -49,6 +49,18 @@ object WatermarkScaleProbe {
     val ber0 = Tvp.ber(bits, ext0)
     println(f"[wmscale] BER at p=0: $ber0%.4f (must be 0)")
     require(ber0 == 0.0, s"exact inversion failed at N=$n")
+    // TVP two-phase selection at scale (synthetic keyed-uniform ai — the
+    // real graph build is ScaleProbe's subject; here the SELECTION shape is):
+    val aiDf = emb.select(col("vec_id"),
+      (conv(substring(md5(concat(lit("ai|"), col("vec_id"))), 1, 13), 16, 10)
+        .cast("double") / 4503599627370496.0).as("ai")).localCheckpoint()
+    val tvC = time("carriersAi (two-phase)") {
+      val c = Tvp.carriersAi(cl, bits, 0.54, 0.5, aiDf).localCheckpoint(); c.count(); c
+    }
+    val tvBer = Tvp.ber(bits, Tvp.extract(
+      Tvp.applyEmbed(emb, tvC, d, key), wm.length, d, key))
+    println(f"[wmscale] TVP BER at p=0: $tvBer%.4f (must be 0)")
+    require(tvBer == 0.0, s"TVP exact inversion failed at N=$n")
     val attacked = time("randomDelete p=0.3") {
       val a = Attacks.randomDelete(wmDf, 0.3, "42").localCheckpoint(); a.count(); a
     }

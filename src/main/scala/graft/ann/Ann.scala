@@ -47,7 +47,12 @@ object Ann {
   }
 
   /** IVF query: probe the `nprobe` nearest inverted lists per query, exact
-    * cosine re-rank within them.
+    * cosine re-rank within them. FIXTURE-REGIME ALTERNATE: this keeps the
+    * probed-join shape (shuffles candidate vectors), which IvfScaleProbe
+    * measured 15–50× slower than the grouped broadcast kernel at a 200k
+    * corpus — production search is `ivfDetSearch`, which scans inverted
+    * lists via Knn.exactGrouped instead. Kept as the spark.ml-quantizer
+    * variant for the invariant tests.
     */
   def ivfSearch(queries: DataFrame, assignedCorpus: DataFrame,
                 centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {

@@ -13,7 +13,21 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** Embedding vectors as `array<float>` — the element type every kernel,
+    * Encoder, and oracle fold is written against. The driver's fixture
+    * generator has changed physical types between rounds before (events.ts,
+    * r9); if `embedding` ever arrives as array<double>, cast at the read
+    * boundary instead of breaking every `as[(Long, Array[Float])]` downstream
+    * (a no-op — not even a plan node — while the fixture stays float).
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "embeddings")
+    df.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => df
+      case _ => df.withColumn("embedding",
+        org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
 
   /** The events fixture's `ts` physical type has varied across driver

@@ -893,6 +893,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // FUZZY decontamination: corpus docs whose n-gram Jaccard with ANY
+    // held-out benchmark doc clears τ — the near-dup rule that catches a
+    // lightly-edited benchmark leak text_contamination's exact-collision
+    // screen would report only as scattered shingle hits. LSH-banded on both
+    // sides, benchmark side broadcast, verification candidates-only.
+    "dedup_cross_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.crossNearDups(
+          docs.filter(pmod(col("doc_id"), lit(100)) =!= 7),
+          docs.filter(pmod(col("doc_id"), lit(100)) === 7), threshold = 0.5)
+        .orderBy("a", "b")
+    }),
+
     // Near-dup clustering: transitive closure of the minhash pair graph,
     // canonical (min) doc per cluster — the keep-one-per-cluster dedup rule.
     // Rides the SAME memoized pair frame as dedup_minhash_pairs: the LSH
@@ -1922,7 +1935,11 @@ object SparkEntry {
     * verification at `thr`. Produces CTEs `${p}words..${p}j` and the final
     * `${p}pairs` (a, b, jaccard).
     */
-  private def minhashPairsCtes(src: String, p: String, thr: Double): String =
+  /** One corpus side of the MinHash replay: shingles, hash family lanes,
+    * signatures, band keys — all prefixed `p` so two sides can share one
+    * WITH list (the cross-corpus decontamination oracle).
+    */
+  private def minhashSideCtes(src: String, p: String): String =
     s"""${p}words AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        |${p}sh AS (SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
@@ -1938,19 +1955,28 @@ object SparkEntry {
        |         FROM ${p}shh h, ${p}seeds s GROUP BY 1, 2),
        |${p}bk AS (SELECT doc_id, cast(floor(seed / 4.0) as int) AS band,
        |         md5(string_agg(cast(sig as varchar), '|' ORDER BY seed)) AS band_key
-       |       FROM ${p}sigs GROUP BY 1, 2),
-       |${p}cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM ${p}bk x JOIN ${p}bk y
-       |         ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-       |${p}sizes AS (SELECT doc_id, count(*) AS sz FROM ${p}sh GROUP BY 1),
+       |       FROM ${p}sigs GROUP BY 1, 2)""".stripMargin
+
+  /** Exact-Jaccard verification tail over a candidate CTE `${p}cand`
+    * (a, b) and a shingle CTE `shSrc` covering both id spaces.
+    */
+  private def minhashVerifyCtes(p: String, shSrc: String, thr: Double): String =
+    s"""${p}sizes AS (SELECT doc_id, count(*) AS sz FROM $shSrc GROUP BY 1),
        |${p}cm AS (SELECT c.a, c.b, count(*) AS common FROM ${p}cand c
-       |       JOIN ${p}sh sa ON sa.doc_id = c.a
-       |       JOIN ${p}sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+       |       JOIN $shSrc sa ON sa.doc_id = c.a
+       |       JOIN $shSrc sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
        |       GROUP BY 1, 2),
        |${p}j AS (SELECT c.a, c.b, coalesce(cm.common, 0) AS common, za.sz AS sza, zb.sz AS szb
        |      FROM ${p}cand c LEFT JOIN ${p}cm cm ON c.a = cm.a AND c.b = cm.b
        |      JOIN ${p}sizes za ON za.doc_id = c.a JOIN ${p}sizes zb ON zb.doc_id = c.b),
        |${p}pairs AS (SELECT a, b, cast(common as double) / (sza + szb - common) AS jaccard
        |  FROM ${p}j WHERE cast(common as double) / (sza + szb - common) >= $thr)""".stripMargin
+
+  private def minhashPairsCtes(src: String, p: String, thr: Double): String =
+    s"""${minhashSideCtes(src, p)},
+       |${p}cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM ${p}bk x JOIN ${p}bk y
+       |         ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |${minhashVerifyCtes(p, s"${p}sh", thr)}""".stripMargin
 
   /** Scpw.microsRender(v) as varchar — the integer rendering the SCPW value
     * hash keys on (Scpw.hiddenBit). Exact on both engines by construction.
@@ -2734,6 +2760,21 @@ object SparkEntry {
     "dedup_minhash_pairs" ->
       (s"WITH ${minhashPairsCtes("documents", "m", 0.5)}\n" +
         "SELECT a, b, jaccard FROM mpairs ORDER BY a, b"),
+
+    // Cross-corpus replay: both sides re-derive the SAME hash family (the
+    // seeds CTEs are per-side but md5-keyed identically), candidates are the
+    // cross band-key join (no a < b — id spaces are disjoint), and the
+    // verify tail runs over the union of both sides' shingle sets.
+    "dedup_cross_neardup" ->
+      (s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 != 7),
+          |benchd AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 7),
+          |${minhashSideCtes("corpus", "x")},
+          |${minhashSideCtes("benchd", "y")},
+          |xysh AS (SELECT * FROM xsh UNION ALL SELECT * FROM ysh),
+          |ccand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM xbk x JOIN ybk y
+          |       ON x.band = y.band AND x.band_key = y.band_key),
+          |${minhashVerifyCtes("c", "xysh", 0.5)}
+          |SELECT a, b, jaccard FROM cpairs ORDER BY a, b""".stripMargin),
 
     // Near-dup clusters: the minhash pair chain + a recursive min-label
     // closure over the (undirected) pair graph — the engine's Pregel-style

@@ -303,6 +303,34 @@ object Dedup {
       .select(col("vec_id").as("doc_id"), col("comp").as("canonical_id"))
   }
 
+  /** Cross-corpus MinHash near-dup matches — FUZZY decontamination: corpus
+    * docs whose n-gram Jaccard with ANY benchmark doc clears τ
+    * (`contamination` flags exact shingle collisions only; a benchmark item
+    * paraphrased or lightly edited into the training corpus needs the
+    * near-dup rule). Both sides band with the SAME hash family; candidates
+    * join on (band, band_key) with the benchmark side broadcast (a held-out
+    * eval set is small by nature), and exact-Jaccard verification rides the
+    * same candidates-only keyed intersection join as nearDupPairs. Doc-id
+    * spaces of the two sides must be disjoint (a held-out benchmark's are).
+    */
+  def crossNearDups(docs: DataFrame, bench: DataFrame, threshold: Double, n: Int = 3,
+                    numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val db = minhashBands(docs, n, numHashes, bands)
+    val bb = minhashBands(bench, n, numHashes, bands)
+    // persisted: feeds the member derivation and jaccard()'s pairs side
+    val cand = graft.GraftCache.track(
+      db.join(broadcast(bb.select(col("band"), col("band_key"), col("doc_id").as("b"))),
+          Seq("band", "band_key"))
+        .select(col("doc_id").as("a"), col("b")).distinct())
+    val members = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id")))
+    val sh = graft.GraftCache.track(
+      shingles(docs.unionByName(bench).join(members, Seq("doc_id"), "left_semi"), n))
+    jaccard(cand, sh)
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
   /** Benchmark-contamination screen — the n-gram collision rule used to
     * decontaminate pretraining corpora against evaluation sets: flag every
     * corpus doc sharing ANY word n-gram with a benchmark doc, with the

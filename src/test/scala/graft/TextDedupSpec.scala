@@ -119,6 +119,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("cross-corpus near-dup catches a lightly-edited benchmark leak") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, base.replace("w15", "edited")), // one-word edit: J ≈ 24/36 ≈ 0.67
+      (2L, "totally different words here today now"),
+      (3L, (40 to 70).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossNearDups(corpus, bench, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 100L)), s"got ${got.toSeq}")
+    // benchmark side banded frame must broadcast (held-out sets are small)
+    val plan = Dedup.crossNearDups(corpus, bench, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    GraftCache.clear()
+  }
+
   test("exact dedup drops nothing on the (dup-free) fixture, drops planted dups") {
     assert(Dedup.dropExactDups(docs).count() == docs.count())
     val doubled = docs.union(docs.limit(10).withColumn("doc_id", col("doc_id") + 100000))

@@ -43,16 +43,33 @@ object Tables {
     normalizeTs(load(spark, dir, "events"))
   }
 
-  /** `ts` → long `ts_ns`: nanos longs pass through; timestamp columns go
-    * through unix_micros under the UTC session (the same NTZ/LTZ-agnostic
-    * cast pattern as EventOps.epochSec — exact, micros carry no sub-µs).
+  /** `ts` → long `ts_ns`: nanos longs pass through; NTZ wall clocks are
+    * decomposed FIELD-WISE (date diff + hour/minute + fractional-second
+    * extract — all timezone-free on TIMESTAMP_NTZ) so the epoch is the wall
+    * clock read as UTC REGARDLESS of spark.sql.session.timeZone. The previous
+    * cast-to-LTZ shape was only correct under a UTC session — any other
+    * session tz silently shifted every event, non-uniformly across DST gaps.
+    * Instant-typed (LTZ) columns go straight through unix_micros, which is
+    * tz-free by construction.
     */
-  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
-    case org.apache.spark.sql.types.LongType => df.withColumnRenamed("ts", "ts_ns")
-    case _ => df.withColumn("ts_ns",
-        org.apache.spark.sql.functions.unix_micros(
-          df.col("ts").cast("timestamp")) * 1000L)
-      .drop("ts")
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df.withColumnRenamed("ts", "ts_ns")
+      case TimestampNTZType =>
+        val t = df.col("ts")
+        // whole seconds in long arithmetic; sub-second micros from the
+        // decimal(8,6) SECOND field (exact — micros precision, tiny decimal)
+        val wholeSecs = datediff(to_date(t), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") * 86400L +
+          hour(t).cast("long") * 3600L + minute(t).cast("long") * 60L
+        val fracUs = (date_part(lit("SECOND"), t) * lit(1000000)).cast("long")
+        df.withColumn("ts_ns", (wholeSecs * 1000000L + fracUs) * 1000L).drop("ts")
+      case TimestampType =>
+        df.withColumn("ts_ns", unix_micros(df.col("ts")) * 1000L).drop("ts")
+      case _ =>
+        df.withColumn("ts_ns", unix_micros(df.col("ts").cast("timestamp")) * 1000L).drop("ts")
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")

@@ -102,11 +102,13 @@ object Scpw {
     val cand = classified.join(broadcast(needs), "group_id")
       .filter(col("hidden_bit") =!= col("wm_bit"))
       .withColumn("__key", GraftCols.keyedHash(col("vec_id"), lit("scpw"), lit(key.seed)))
-    // bucket-distributed rank (Tvp.groupedRank): row-identical to the
-    // group_id-partitioned window, without its L-partition sort wall
+    // dual-regime rank (Tvp.groupedRank): plain group_id window at
+    // driver-known fixture scale, bucket-distributed above ~1e6 rows —
+    // row-identical either way, without the L-partition sort wall at scale
+    val big = Tvp.nRows(df) > Tvp.smallRankMax(df.sparkSession)
     Tvp.groupedRank(cand, Seq("group_id"),
         conv(substring(col("__key"), 1, 4), 16, 10).cast("int"),
-        Seq(col("__key"), col("vec_id")), "rn")
+        Seq(col("__key"), col("vec_id")), "rn", distributed = big)
       .filter(col("rn") <= col("need"))
       .select(col("vec_id"), col("wm_bit"), col("content_id"))
   }

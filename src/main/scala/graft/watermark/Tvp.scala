@@ -64,6 +64,26 @@ object Tvp {
     classified.join(broadcast(needs), "group_id")
       .filter(col("hidden_bit") =!= col("wm_bit"))
 
+  // Carrier selection is dual-regime (see groupedRank): the regime check is a
+  // driver-known row count of the classified frame (an upper bound on the
+  // candidate set). Memoized per DataFrame identity so grids that reuse one
+  // classified frame pay one count job; the count itself prunes every
+  // classify projection (no column is needed), so it is near metadata-only.
+  private val rowCounts =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, java.lang.Long]())
+  private[watermark] def nRows(df: DataFrame): Long =
+    rowCounts.computeIfAbsent(df, d => d.count()).longValue()
+
+  /** Below this many input rows the plain L-partition window is both
+    * row-identical and cheaper than the bucket-distributed rank (no histogram
+    * aggregate, no offset join); above it the bucketed rank is the only
+    * skew-safe shape — a group_id window has exactly L partitions at ANY
+    * corpus size. Config knob exists for tests to force either path.
+    */
+  private[watermark] def smallRankMax(spark: SparkSession): Long =
+    spark.conf.get("graft.rank.smallMaxRows", "1000000").toLong
+
   /** Global 1-based rank within `parts` in `order`, without a per-part
     * global sort: rank within (parts, bucket) partitions and add the
     * bucket's cumulative offset from one histogram aggregate. `bucket`
@@ -76,9 +96,19 @@ object Tvp {
     * parallelism by the bucket count (~65536) while the histogram side
     * stays |parts|·|buckets| rows. Column names are suffixed with
     * `rankName` so several ranks can stack in one plan.
+    *
+    * DUAL-REGIME: with `distributed = false` (the caller's driver-known row
+    * count is under smallRankMax) this IS the plain per-part window — at
+    * fixture scale the bucket machinery costs more than the single-task sort
+    * it avoids (measured r8→r9: wm_tvp_roundtrip 0.65→1.43 s). The two paths
+    * are row-identical (GroupedRankSpec gates parity under ties/skew).
     */
   private[watermark] def groupedRank(df: DataFrame, parts: Seq[String], bucket: Column,
-                                     order: Seq[Column], rankName: String): DataFrame = {
+                                     order: Seq[Column], rankName: String,
+                                     distributed: Boolean = true): DataFrame = {
+    if (!distributed)
+      return df.withColumn(rankName, row_number().over(
+        Window.partitionBy(parts.map(col): _*).orderBy(order: _*)).cast("long"))
     val b = s"__b_$rankName"; val off = s"__off_$rankName"; val c = s"__c_$rankName"
     val withB = df.withColumn(b, bucket)
     val offs = withB.groupBy((parts :+ b).map(col): _*).agg(count(lit(1)).as(c))
@@ -129,11 +159,12 @@ object Tvp {
     * vec_id remains as an explicit final tiebreak).
     */
   def carriersRs(classified: DataFrame, bits: DataFrame, strength: Double, seed: String): DataFrame = {
+    val big = nRows(classified) > smallRankMax(classified.sparkSession)
     val cand = candidates(classified, groupNeeds(classified, bits, strength))
       .withColumn("__key", GraftCols.keyedHash(col("vec_id"), lit("rs"), lit(seed)))
     groupedRank(cand, Seq("group_id"),
         conv(substring(col("__key"), 1, 4), 16, 10).cast("int"),
-        Seq(col("__key"), col("vec_id")), "__rn")
+        Seq(col("__key"), col("vec_id")), "__rn", distributed = big)
       .filter(col("__rn") <= col("need"))
       .select("vec_id", "group_id", "wm_bit", "content_id")
   }
@@ -167,12 +198,13 @@ object Tvp {
     val cand = classified.join(
         broadcast(bits.select(col("bit_pos").as("group_id"), col("wm_bit"))), "group_id")
       .filter(col("hidden_bit") =!= col("wm_bit"))
+    val big = nRows(classified) > smallRankMax(spark)
     val rankedBySeed = seeds.map { case (rep, seed) =>
       val withKey = cand.withColumn("__key",
         GraftCols.keyedHash(col("vec_id"), lit("rs"), lit(seed)))
       groupedRank(withKey, Seq("group_id"),
           conv(substring(col("__key"), 1, 4), 16, 10).cast("int"),
-          Seq(col("__key"), col("vec_id")), "rn")
+          Seq(col("__key"), col("vec_id")), "rn", distributed = big)
         .drop("__key")
         .withColumn("rep", lit(rep))
     }.reduce(_ unionByName _)
@@ -190,27 +222,35 @@ object Tvp {
     */
   def carriersAi(classified: DataFrame, bits: DataFrame, strength: Double,
                  th: Double, ai: DataFrame): DataFrame = {
+    val big = nRows(classified) > smallRankMax(classified.sparkSession)
     // order-consistent bucket bounds from the AI FRAME (a superset of the
     // candidate set, usually already persisted by the caller's memo) — same
     // driver-known-regime decision as Knn's broadcast-index bound, and no
-    // extra evaluation of the candidate lineage
-    val mm = ai.agg(min(col("ai")).cast("double"), max(col("ai")).cast("double"),
-      min(col("vec_id")), max(col("vec_id"))).head()
-    val aiB = descScoreBucket(col("ai"), mm.getDouble(0), mm.getDouble(1))
-    val idB = ascIdBucket(col("vec_id"), mm.getLong(2), mm.getLong(3))
+    // extra evaluation of the candidate lineage. Small regime skips the
+    // bounds job entirely (the plain window needs no buckets).
+    val (aiB, idB) = if (!big) (lit(0), lit(0)) else {
+      val mm = ai.agg(min(col("ai")).cast("double"), max(col("ai")).cast("double"),
+        min(col("vec_id")), max(col("vec_id"))).head()
+      (descScoreBucket(col("ai"), mm.getDouble(0), mm.getDouble(1)),
+        ascIdBucket(col("vec_id"), mm.getLong(2), mm.getLong(3)))
+    }
     val cand = candidates(classified, groupNeeds(classified, bits, strength))
       .join(ai.select(col("vec_id"), col("ai")), "vec_id")
-    // ONE ai-descending rank serves both phases (checkpointed: five
-    // downstream consumers would otherwise re-run the classify chain).
+    // ONE ai-descending rank serves both phases (checkpointed in the big
+    // regime: five downstream consumers would otherwise re-run the classify
+    // chain; at fixture scale the recompute is cheaper than materializing).
     // Phase split: qual ⟺ ai ≥ thr_ai, and rn_ai orders by ai first, so
     // every qual row strictly precedes every non-qual row — qual ⟺
     // rn_ai ≤ n_qual, and the phase-2 ai-descending rank WITHIN the
     // non-qual rows is just rn_ai − n_qual. Only the phase-1 scan-order
     // (vec_id) rank needs a second ranking pass, over qual rows only.
-    val ranked = groupedRank(cand, Seq("group_id"), aiB,
-      Seq(col("ai").desc, col("vec_id")), "rn_ai").localCheckpoint()
-    // threshold_ai = ai at (1-based) rank int(n_cand*th); rank 0 → -inf
-    val thr = ranked.filter(col("rn_ai") === floor(col("n_cand") * lit(th)).cast("int"))
+    val ranked0 = groupedRank(cand, Seq("group_id"), aiB,
+      Seq(col("ai").desc, col("vec_id")), "rn_ai", distributed = big)
+    val ranked = if (big) ranked0.localCheckpoint() else ranked0
+    // threshold_ai = ai at (1-based) rank floor(n_cand*th); rank 0 → -inf.
+    // The rank compare stays long — an int cast would wrap past 2^31
+    // candidate rows per group and silently pick the wrong threshold.
+    val thr = ranked.filter(col("rn_ai") === floor(col("n_cand") * lit(th)).cast("long"))
       .select(col("group_id"), col("ai").as("thr_ai"))
     val withThr = ranked.join(broadcast(thr), Seq("group_id"), "left")
       .withColumn("qual", col("thr_ai").isNull || col("ai") >= col("thr_ai"))
@@ -219,7 +259,7 @@ object Tvp {
     val base = withThr.join(broadcast(nQual), Seq("group_id"), "left")
       .na.fill(0L, Seq("n_qual"))
     val phase1 = groupedRank(base.filter(col("qual")), Seq("group_id"), idB,
-        Seq(col("vec_id")), "rn1")
+        Seq(col("vec_id")), "rn1", distributed = big)
       .filter(col("rn1") <= col("need"))
       .select("vec_id", "group_id", "wm_bit", "content_id")
     val phase2 = base.filter(!col("qual"))
@@ -253,7 +293,7 @@ object Tvp {
     val wAi = Window.partitionBy(col("group_id")).orderBy(col("ai").desc, col("vec_id"))
     val ranked = cand.withColumn("rn_ai", row_number().over(wAi))
       .crossJoin(broadcast(ths.toDF("th")))
-    val thr = ranked.filter(col("rn_ai") === floor(col("n_cand") * col("th")).cast("int"))
+    val thr = ranked.filter(col("rn_ai") === floor(col("n_cand") * col("th")).cast("long"))
       .select(col("th").as("t_th"), col("group_id").as("t_gid"), col("ai").as("thr_ai"))
     val withThr = ranked.join(broadcast(thr),
         col("th") === col("t_th") && col("group_id") === col("t_gid"), "left")

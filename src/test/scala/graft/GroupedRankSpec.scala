@@ -46,4 +46,42 @@ class GroupedRankSpec extends AnyFunSuite {
     val joined = referenceRank(df).join(got, Seq("g", "id"))
     assert(joined.filter(col("rn") =!= col("ref_rn")).count() == 0)
   }
+
+  test("small regime (distributed=false) matches the bucketed rank row-for-row") {
+    import spark.implicits._
+    val rows = (0 until 2000).map { i =>
+      (i % 5, i.toLong, (graft.functions.Hashing.md5Mod(s"t|$i", 8L) * 0.125))
+    }
+    val df = rows.toDF("g", "id", "score")
+    val bucket = least(greatest(
+      floor((lit(0.875) - col("score")) / 0.875 * 65535).cast("int"), lit(0)), lit(65535))
+    val big = Tvp.groupedRank(df, Seq("g"), bucket,
+      Seq(col("score").desc, col("id")), "rn", distributed = true)
+      .select(col("g"), col("id"), col("rn"))
+    val small = Tvp.groupedRank(df, Seq("g"), bucket,
+      Seq(col("score").desc, col("id")), "rn", distributed = false)
+      .select(col("g"), col("id"), col("rn").as("rn_s"))
+    assert(small.schema("rn_s").dataType == org.apache.spark.sql.types.LongType)
+    val joined = big.join(small, Seq("g", "id"))
+    assert(joined.filter(col("rn") =!= col("rn_s")).count() == 0)
+  }
+
+  test("carrier selection is regime-invariant: forced-big equals default-small") {
+    import spark.implicits._
+    val key = WmKey()
+    val d = 16
+    val emb = (0L until 600L).map { i =>
+      (i, Array.tabulate(d)(j => (graft.functions.Hashing.md5Mod(s"e|$i|$j", 997L) / 499.0 - 1.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cl = Tvp.classify(emb, d, 5, key)
+    val bits = Tvp.bitsDf(spark, "10101")
+    def rsSet() = Tvp.carriersRs(cl, bits, 0.6, key.seed)
+      .collect().map(_.getLong(0)).toSet
+    val smallSel = rsSet()
+    spark.conf.set("graft.rank.smallMaxRows", "0")
+    try {
+      val bigSel = rsSet()
+      assert(bigSel == smallSel && smallSel.nonEmpty)
+    } finally spark.conf.unset("graft.rank.smallMaxRows")
+  }
 }

@@ -39,6 +39,14 @@ class LshStreamExtrasSpec extends AnyFunSuite {
     val b = Tables.normalizeTs(asNtz).select("ts_ns").as[Long].collect().sorted
     assert(a.toSeq == b.toSeq, s"${a.toSeq} != ${b.toSeq}")
     assert(a.toSeq == expected.toSeq)
+    // tz-independence: the NTZ wall clock must read as UTC epoch no matter
+    // what the session timezone is (incl. a DST-observing zone)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val c = Tables.normalizeTs(asNtz).select("ts_ns").as[Long].collect().sorted
+      assert(c.toSeq == expected.toSeq, s"session-tz-dependent: ${c.toSeq}")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("graft_md5mod is callable from SQL after extension registration") {

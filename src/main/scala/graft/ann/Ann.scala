@@ -156,10 +156,23 @@ object Ann {
     * results bit-identical to the join shape and the DuckDB oracle.
     * exactGrouped's skew guard also splits any oversized inverted list
     * across tasks — the piece the join shape had no answer for.
+    *
+    * REGIME GUARD: exactGrouped streams the WHOLE assigned corpus into
+    * driver-side flat arrays and ships it as one broadcast — the same
+    * driver-memory wall as Knn.exact, just grouped. Above
+    * `graft.ann.broadcastMaxRows` (default 10^7 — Knn.exact's documented
+    * broadcast regime) the search falls back to the probed equi-join on
+    * cluster id: slower per IvfScaleProbe where both shapes fit, but the
+    * only shape with no driver/broadcast bound. The join fallback takes a
+    * per-(query, cluster) top-k BEFORE the global merge, so the final
+    * window sees |Q|·nprobe·k rows, not whole inverted lists; scores and
+    * tie-breaks are bit-identical to the kernel path (sequential fold
+    * cosine both ways — AnnMultimodalStreamSpec gates parity).
     */
   def ivfDetSearch(queries: DataFrame, assignedCorpus: DataFrame,
                    centroids: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
-    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
     val probeUdf = udf((q: Seq[Float]) => {
       val cs = bc.value
       val a  = q.toArray
@@ -169,11 +182,29 @@ object Ann {
     val probed = queries
       .select(col("vec_id"), col("embedding"))
       .withColumn("cluster", explode(probeUdf(col("embedding"))))
-    val per = Knn.exactGrouped(probed,
-      assignedCorpus.select(col("vec_id"), col("embedding"), col("cluster")),
-      k, "cluster", metric = "cosine", kernel = "fold")
+    val broadcastMax = spark.conf.get("graft.ann.broadcastMaxRows", "10000000").toLong
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist").desc, col("neighbor_id"))
-    per.select(col("query_id"), col("neighbor_id"), col("dist"))
+    val per =
+      if (assignedCorpus.count() <= broadcastMax)
+        Knn.exactGrouped(probed,
+          assignedCorpus.select(col("vec_id"), col("embedding"), col("cluster")),
+          k, "cluster", metric = "cosine", kernel = "fold")
+          .select(col("query_id"), col("neighbor_id"), col("dist"))
+      else {
+        val dot = graft.functions.VectorOps.dotCol(col("qe"), col("ce"))
+        val den = graft.functions.VectorOps.normCol(col("qe")) *
+          graft.functions.VectorOps.normCol(col("ce"))
+        val wc = Window.partitionBy(col("query_id"), col("cluster"))
+          .orderBy(col("dist").desc, col("neighbor_id"))
+        probed.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cluster"))
+          .join(assignedCorpus.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("ce"), col("cluster")), Seq("cluster"))
+          .withColumn("dist", when(den === 0.0, lit(0.0)).otherwise(dot / den))
+          .withColumn("__rc", row_number().over(wc))
+          .filter(col("__rc") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("dist"))
+      }
+    per
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("dist").as("score"), col("rank"))

@@ -79,6 +79,21 @@ class AnnMultimodalStreamSpec extends AnyFunSuite {
       "members of the removed list must be unreachable")
   }
 
+  test("IVF beyond-broadcast join fallback is bit-identical to the kernel path") {
+    val queries = emb.filter(col("vec_id") < 30)
+    val cents = Ann.ivfDetCentroids(emb, nlist = 8)
+    val assigned = Ann.ivfDetAssign(emb, cents).cache()
+    val kernel = Ann.ivfDetSearch(queries, assigned, cents, k = 7, nprobe = 3)
+      .orderBy("query_id", "rank").collect()
+    spark.conf.set("graft.ann.broadcastMaxRows", "0")
+    try {
+      val joined = Ann.ivfDetSearch(queries, assigned, cents, k = 7, nprobe = 3)
+        .orderBy("query_id", "rank").collect()
+      assert(joined.length == kernel.length && kernel.nonEmpty)
+      joined.zip(kernel).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    } finally spark.conf.unset("graft.ann.broadcastMaxRows")
+  }
+
   test("multimodal: meta extraction and stub decode shapes") {
     val docs   = Tables.documents(spark, TestSpark.sf0001)
     val assets = Multimodal.assetsFromDocuments(docs).cache()

@@ -194,6 +194,19 @@ object SparkEntry {
     GraftCache.memoAny(s"$dir/streamtrio") {
       import s.implicits._
       val n = streamSinkSeq.incrementAndGet()
+      // checkpoint (offset/commit logs + state store files) on a RAM-backed
+      // path when one exists: a finite replay's checkpoint is throwaway by
+      // construction (the memory sink holds the result; the memo re-runs the
+      // replay on invalidation), so per-micro-batch log+state fsyncs buy
+      // nothing here. A real deployment points this at durable storage.
+      val ckptBase = {
+        val shm = new java.io.File("/dev/shm")
+        val base = if (shm.isDirectory && shm.canWrite) shm
+          else new java.io.File(sys.props("java.io.tmpdir"))
+        val d = new java.io.File(base, s"graft_ckpt_${sys.props("user.name")}_$n")
+        d.mkdirs(); d
+      }
+      def ckpt(leg: String) = new java.io.File(ckptBase, leg).getAbsolutePath
       withStreamShufflePartitions(s, 4) {
         val tumbling = graft.streaming.StreamOps.eventsStreamBatched(s, dir)
           .withWatermark("event_time", "30 minutes")
@@ -203,15 +216,22 @@ object SparkEntry {
             col("event_type"), col("n"), col("sum_value_micros"),
             ((unix_timestamp(col("window.start")) / 600).cast("long") * 600).as("bucket_start"))
           .writeStream.format("memory").queryName(s"stream_tumbling_$n")
+          .option("checkpointLocation", ckpt("tumbling"))
           .outputMode("complete").start()
-        val once  = graft.streaming.StreamOps.eventsStreamBatched(s, dir)
-        val dedup = once.unionByName(graft.streaming.StreamOps.eventsStreamBatched(s, dir))
+        // duplicate delivery simulated IN-STREAM (each row exploded into two
+        // copies of the same micro-batch): the previous two-source union
+        // delivered both copies in the same trigger anyway (lockstep file
+        // sources), but planned, listed, and scanned the replay twice per
+        // batch — one source halves that fixed cost with identical semantics
+        val dedup = graft.streaming.StreamOps.eventsStreamBatched(s, dir)
+          .withColumn("__dup", explode(array(lit(0), lit(1)))).drop("__dup")
           .withWatermark("event_time", "30 minutes")
           .dropDuplicatesWithinWatermark("event_id")
           .select(col("event_id"), col("user_id"), col("event_type"),
             micros(col("value")).as("value_micros"),
             EventOps.epochSecNs(col("ts_ns")).as("es"))
           .writeStream.format("memory").queryName(s"stream_dedup_$n")
+          .option("checkpointLocation", ckpt("dedup"))
           .outputMode("append").start()
         val ev = graft.streaming.StreamOps.eventsStreamBatched(s, dir)
           .select(col("user_id"), EventOps.epochSecNs(col("ts_ns")).as("es"), col("value"))
@@ -219,6 +239,7 @@ object SparkEntry {
         val sessions = graft.streaming.StreamOps
           .sessionizeStream(ev, gapSec = 1800, lateness = "1800500 milliseconds")
           .writeStream.format("memory").queryName(s"stream_sessions_$n")
+          .option("checkpointLocation", ckpt("sessions"))
           .outputMode("append").start()
         val qs = Seq(tumbling, dedup, sessions)
         qs.foreach(_.processAllAvailable())
@@ -227,9 +248,14 @@ object SparkEntry {
       // The memory sinks live in the session catalog and hold their rows on
       // the driver; drop them when the memo is invalidated, or each bench
       // pass leaks three tables ("stream_*_$n" names are pass-unique).
-      GraftCache.onClear(() =>
+      GraftCache.onClear { () =>
         Seq(s"stream_tumbling_$n", s"stream_dedup_$n", s"stream_sessions_$n")
-          .foreach(s.catalog.dropTempView(_)))
+          .foreach(s.catalog.dropTempView(_))
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+        }
+        rm(ckptBase) // throwaway replay checkpoints — RAM-backed, pass-unique
+      }
       Map("tumbling" -> s.table(s"stream_tumbling_$n"),
         "dedup"    -> s.table(s"stream_dedup_$n"),
         "sessions" -> s.table(s"stream_sessions_$n"))
@@ -911,14 +937,9 @@ object SparkEntry {
     // Rides the SAME memoized pair frame as dedup_minhash_pairs: the LSH
     // band + verify passes are the whole cost of both queries, and the pair
     // graph is a derived artifact of (corpus, τ) exactly like the kNN graph.
-    "dedup_neardup_clusters" -> ((s, dir) => {
-      val pairs = nearDupPairsShared(s, dir)
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      KnnGraph.components(edges, edges.select(col("src").as("vec_id")))
-        .select(col("vec_id").as("doc_id"), col("comp").as("canonical_id"))
-        .orderBy("doc_id")
-    }),
+    "dedup_neardup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClustersFromPairs(nearDupPairsShared(s, dir))
+        .orderBy("doc_id")),
 
     // The corpus-cleaning pipeline END-TO-END — the composition a
     // training-data user actually runs: quality filter → exact dedup →

@@ -294,8 +294,15 @@ object Dedup {
     * the standard distributed connected-components shape).
     */
   def nearDupClusters(df: DataFrame, threshold: Double, n: Int = 3,
-                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val pairs = nearDupPairs(df, threshold, n, numHashes, bands)
+                      numHashes: Int = 16, bands: Int = 4): DataFrame =
+    nearDupClustersFromPairs(nearDupPairs(df, threshold, n, numHashes, bands))
+
+  /** The clustering half of nearDupClusters, factored over an existing
+    * (a, b) pair frame so callers that memoize pairs (the pair frame is a
+    * derived artifact of (corpus, τ), shared with the pair query) reuse ONE
+    * clustering definition instead of re-deriving the edge mirroring.
+    */
+  def nearDupClustersFromPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     val seeds = edges.select(col("src").as("vec_id"))
@@ -312,15 +319,24 @@ object Dedup {
     * eval set is small by nature), and exact-Jaccard verification rides the
     * same candidates-only keyed intersection join as nearDupPairs. Doc-id
     * spaces of the two sides must be disjoint (a held-out benchmark's are).
+    *
+    * `broadcastBench = false` is the GENERAL cross-corpus mode: when the
+    * right side is another full corpus rather than an eval set (e.g.
+    * cross-snapshot dedup), no side fits a broadcast — the candidate join
+    * becomes an explicit shuffle hash join on the band keys, both sides
+    * exchanged once, co-partitioned by (band, band_key). PlanSpec asserts
+    * one shape per mode.
     */
   def crossNearDups(docs: DataFrame, bench: DataFrame, threshold: Double, n: Int = 3,
-                    numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                    numHashes: Int = 16, bands: Int = 4,
+                    broadcastBench: Boolean = true): DataFrame = {
     val db = minhashBands(docs, n, numHashes, bands)
     val bb = minhashBands(bench, n, numHashes, bands)
+      .select(col("band"), col("band_key"), col("doc_id").as("b"))
     // persisted: feeds the member derivation and jaccard()'s pairs side
     val cand = graft.GraftCache.track(
-      db.join(broadcast(bb.select(col("band"), col("band_key"), col("doc_id").as("b"))),
-          Seq("band", "band_key"))
+      (if (broadcastBench) db.join(broadcast(bb), Seq("band", "band_key"))
+       else db.join(bb.hint("shuffle_hash"), Seq("band", "band_key")))
         .select(col("doc_id").as("a"), col("b")).distinct())
     val members = cand.select(col("a").as("doc_id"))
       .unionByName(cand.select(col("b").as("doc_id")))

@@ -54,6 +54,21 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("crossNearDups: benchmark side broadcasts by default, exchanges in large mode") {
+    import org.apache.spark.sql.functions._
+    val docs  = Tables.documents(spark, TestSpark.sf0001)
+    val corp  = docs.filter(pmod(col("doc_id"), lit(100)) =!= 7)
+    val bench = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+    val small = graft.text.Dedup.crossNearDups(corp, bench, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(small.contains("BroadcastHashJoin"), "default mode must broadcast the benchmark bands")
+    val large = graft.text.Dedup.crossNearDups(corp, bench, 0.5, broadcastBench = false)
+      .queryExecution.executedPlan.toString
+    assert(large.contains("ShuffledHashJoin"),
+      "large mode must shuffle-hash-join the band keys (no broadcast bound)")
+    assert(!large.contains("CartesianProduct") && !small.contains("CartesianProduct"))
+  }
+
   test("deterministic ANN paths never go cartesian; IVF search is join-free") {
     // LSH keeps its bucket-key candidate join; IVF search is the grouped
     // broadcast kernel — its inverted-list scan must appear as a map-only

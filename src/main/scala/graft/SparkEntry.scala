@@ -1258,10 +1258,21 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
-    // Multimodal — video frame sampling (one row per everyMs offset).
+    // Multimodal — video frame sampling, dual-path. EVEN video asset_ids
+    // carry a deterministic synthetic MP4 (Multimodal.syntheticMp4): Spark
+    // walks the ACTUAL ISO-BMFF boxes to the sample tables and emits true
+    // per-frame offsets/sizes/keyflags; the oracle replays the generator's
+    // closed-form layout arithmetically — the parse is oracle-gated without
+    // DuckDB needing a byte parser. ODD video asset_ids keep text payloads
+    // and exercise the documented non-BMFF fallback (slice token).
     "multimodal_frames" -> ((s, dir) => {
-      Multimodal.sampleFrames(
-          Multimodal.assetsFromDocuments(Tables.documents(s, dir)), everyMs = 10000)
+      val mp4Udf = udf((id: Long) => Multimodal.syntheticMp4(id))
+      val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+        .withColumn("payload",
+          when(col("kind") === "video" && pmod(col("asset_id"), lit(2)) === 0,
+            mp4Udf(col("asset_id")))
+          .otherwise(col("payload")))
+      Multimodal.sampleFrames(assets, everyMs = 10000)
         .orderBy("asset_id", "frame_ms")
     }),
 
@@ -2994,18 +3005,48 @@ object SparkEntry {
         |  cast(224 as int) AS width, cast(224 as int) AS height
         |FROM documents ORDER BY asset_id""".stripMargin,
 
-    // Frame sampling replay: video assets (doc_id ≡ 2 mod 3), one row per
-    // everyMs offset below duration_ms, token = base64 slice at the keyed
-    // offset — Spark sequence(0, d−1, s) and DuckDB range(0, d, s) generate
-    // the same value set.
+    // Frame sampling replay, dual-path. EVEN video assets: replay the
+    // synthetic MP4's closed-form layout (n = 5 + id%7 samples, delta =
+    // (2000 + (id%5)·1000) ms, sizes 16 + (id+k)%9, one chunk at byte 32,
+    // keyframes every 3rd sample) and take the earliest frame per 10 s
+    // bucket — arithmetic replay of the box walk Spark performs on actual
+    // bytes. ODD video assets: the non-BMFF fallback (one row per everyMs
+    // offset below duration_ms, token = base64 slice at the keyed offset).
     "multimodal_frames" ->
       """WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
-        |f AS (SELECT doc_id,
-        |        unnest(range(0, (doc_id % 90000) + 1000, 10000)) AS frame_ms, text
-        |      FROM v)
-        |SELECT doc_id AS asset_id, cast(frame_ms as bigint) AS frame_ms,
-        |  substr(to_base64(encode(text)), cast((frame_ms % 32) + 1 as int), 16) AS frame_token
-        |FROM f ORDER BY asset_id, frame_ms""".stripMargin,
+        |mp4 AS (SELECT doc_id, 5 + (doc_id % 7) AS n,
+        |               2000 + (doc_id % 5) * 1000 AS delta
+        |        FROM v WHERE doc_id % 2 = 0),
+        |samp AS (SELECT doc_id, unnest(range(0, n)) AS k, delta FROM mp4),
+        |sized AS (SELECT doc_id, k, k * delta AS ms,
+        |                 16 + ((doc_id + k) % 9) AS sz,
+        |                 (k % 3 = 0) AS is_key
+        |          FROM samp),
+        |offs AS (SELECT doc_id, k, ms, sz, is_key,
+        |                32 + coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY k
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |         FROM sized),
+        |pick AS (SELECT doc_id, ms, off, sz, is_key,
+        |                row_number() OVER (PARTITION BY doc_id, ms // 10000
+        |                  ORDER BY ms, off) AS rn
+        |         FROM offs),
+        |structural AS (
+        |  SELECT doc_id AS asset_id, cast(ms as bigint) AS frame_ms,
+        |         cast(off as bigint) AS frame_offset, cast(sz as bigint) AS frame_size,
+        |         cast(CASE WHEN is_key THEN 1 ELSE 0 END as int) AS is_key,
+        |         '' AS frame_token
+        |  FROM pick WHERE rn = 1),
+        |fb AS (SELECT doc_id,
+        |         unnest(range(0, (doc_id % 90000) + 1000, 10000)) AS frame_ms, text
+        |       FROM v WHERE doc_id % 2 = 1),
+        |fallback AS (
+        |  SELECT doc_id AS asset_id, cast(frame_ms as bigint) AS frame_ms,
+        |         cast(-1 as bigint) AS frame_offset, cast(-1 as bigint) AS frame_size,
+        |         cast(-1 as int) AS is_key,
+        |         substr(to_base64(encode(text)), cast((frame_ms % 32) + 1 as int), 16) AS frame_token
+        |  FROM fb)
+        |SELECT * FROM (SELECT * FROM structural UNION ALL SELECT * FROM fallback)
+        |ORDER BY asset_id, frame_ms""".stripMargin,
 
     "q_orders_window" ->
       s"""SELECT o_custkey, o_orderkey, ${microsSql("o_totalprice")} AS top_price_micros

@@ -94,6 +94,76 @@ class AnnMultimodalStreamSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.ann.broadcastMaxRows")
   }
 
+  test("mp4 box walk: synthetic file parses to the exact generated sample table") {
+    val id = 46L // n = 5 + 46%7 = 8 samples, delta = 2000 + 46%5*1000 = 3000 ms
+    val bytes = Multimodal.syntheticMp4(id)
+    assert(Multimodal.looksLikeMp4(bytes))
+    val frames = Multimodal.parseMp4Frames(bytes).getOrElse(fail("no frames parsed"))
+    val n = (5 + id % 7).toInt
+    val delta = 2000 + (id % 5) * 1000
+    val sizes = Array.tabulate(n)(k => 16L + (id + k) % 9)
+    assert(frames.length == n)
+    frames.zipWithIndex.foreach { case (f, k) =>
+      assert(f.ms == k * delta, s"ts of sample $k")
+      assert(f.size == sizes(k), s"size of sample $k")
+      assert(f.offset == 32L + sizes.take(k).sum, s"offset of sample $k")
+      assert(f.key == (k % 3 == 0), s"keyflag of sample $k")
+      // the frame extent lies inside the payload — a decoder could slice it
+      assert(f.offset + f.size <= bytes.length)
+    }
+  }
+
+  test("mp4 box walk: malformed and non-BMFF payloads fall back, never throw") {
+    val good = Multimodal.syntheticMp4(10L)
+    assert(Multimodal.parseMp4Frames("not a video".getBytes).isEmpty)
+    assert(Multimodal.parseMp4Frames(good.take(40).toArray).isEmpty) // truncated mid-box
+    // corrupt the moov size field to overflow the payload
+    val corrupt = good.clone()
+    val moovOff = {
+      def u32(o: Int) = ((corrupt(o) & 0xff) << 24) | ((corrupt(o + 1) & 0xff) << 16) |
+        ((corrupt(o + 2) & 0xff) << 8) | (corrupt(o + 3) & 0xff)
+      Iterator.iterate(0)(o => o + u32(o)).find(o =>
+        new String(corrupt, o + 4, 4) == "moov").get
+    }
+    corrupt(moovOff) = 0x7f.toByte // size ≈ 2^31: past the payload end
+    assert(Multimodal.parseMp4Frames(corrupt).isEmpty)
+    // an audio-handler track is not a video track
+    val audioOnly = good.clone()
+    val videIdx = {
+      val pat = "vide".getBytes
+      (0 until audioOnly.length - 4).find(i => pat.indices.forall(j => audioOnly(i + j) == pat(j))).get
+    }
+    "soun".getBytes.zipWithIndex.foreach { case (b, j) => audioOnly(videIdx + j) = b }
+    assert(Multimodal.parseMp4Frames(audioOnly).isEmpty)
+  }
+
+  test("sampleFrames: structural path for BMFF payloads, stub path for the rest") {
+    import spark.implicits._
+    val mp4 = Multimodal.syntheticMp4(4L) // n=9, delta=6000ms → 54s of frames
+    val assets = Seq(
+      (4L, "video", mp4, (54000L, 100L)),
+      (5L, "video", "just some text bytes".getBytes, (25000L, 100L)),
+      (6L, "audio", mp4, (54000L, 100L))).toDF("asset_id", "kind", "payload", "m")
+      .select(col("asset_id"), col("kind"), col("payload"),
+        struct(length(col("payload")).cast("long").as("n_bytes"),
+          lit(8).as("width"), lit(8).as("height"),
+          col("m._1").as("duration_ms")).as("meta"))
+    val got = Multimodal.sampleFrames(assets, everyMs = 10000)
+      .orderBy("asset_id", "frame_ms").collect()
+    val (structural, fallback) = got.partition(_.getLong(0) == 4L)
+    // delta=6000, frames at 0..48000: buckets 0..4 → earliest per bucket
+    assert(structural.map(_.getLong(1)).toSeq == Seq(0L, 12000L, 24000L, 30000L, 42000L))
+    assert(structural.forall(r => r.getLong(2) >= 32L && r.getLong(3) > 0L &&
+      r.getInt(4) >= 0 && r.getString(5).isEmpty))
+    // keyframes are k%3==0 ⇒ k∈{0,3,6}; the sampled ks are 0,2,4,5,7 ⇒ only k=0
+    assert(structural.map(r => r.getInt(4)).toSeq == Seq(1, 0, 0, 0, 0))
+    // audio asset contributes nothing; text video takes the stub rows
+    assert(fallback.forall(_.getLong(0) == 5L))
+    assert(fallback.map(_.getLong(1)).toSeq == Seq(0L, 10000L, 20000L))
+    assert(fallback.forall(r => r.getLong(2) == -1L && r.getLong(3) == -1L &&
+      r.getInt(4) == -1 && r.getString(5).nonEmpty))
+  }
+
   test("multimodal: meta extraction and stub decode shapes") {
     val docs   = Tables.documents(spark, TestSpark.sf0001)
     val assets = Multimodal.assetsFromDocuments(docs).cache()

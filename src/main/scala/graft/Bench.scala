@@ -61,6 +61,14 @@ object Bench {
       }
     }
 
+    // One full DISCARDED pass before the measured ones: the range-sum above
+    // warms codegen but not the operators' own JIT/shuffle/codegen paths, so
+    // pass 1 historically straddled cold-JIT + ambient contention (r9:
+    // 123 s vs 86/100 s). The warmup clears caches afterwards exactly like a
+    // measured pass, so pass 1 still pays every cold-build cost by design —
+    // just not the JVM's.
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+    (1 to warmups).foreach(_ => runPass())
     val all = (1 to passes).map(_ => runPass())
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

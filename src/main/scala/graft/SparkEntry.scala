@@ -48,6 +48,10 @@ object SparkEntry {
   // (compare/roubust.py:162–176) plus the p=0 control — shared between the
   // engine queries and the grid oracle so the cells can never drift apart
   private val RobGridPs = Seq(0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+  // RESULTS.md quality-curve parameters — the reference's exact published
+  // configuration (compare/roubust.py:162–176): 21-bit message, p = 0.1…0.8
+  private val CurveWm = "001010010101001010010"
+  private val CurvePs = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
   // TM modification-attack seed; its keyed dim0 (md5Mod("…|dim0", 64) = 37)
   // must avoid the TM position dim (50) so the attack's [min,max] scan
   // replays from the raw table (the embed only perturbs dim 50)
@@ -1638,6 +1642,26 @@ object SparkEntry {
         .select(col("scheme"), col("attack"), col("p"), col("rep").cast("long"), col("ber"))
         .orderBy("scheme", "attack", "p", "rep")
     }),
+
+    // The RESULTS.md quality curve, driver-gated: TVP + adaptive deletion
+    // with the reference's OWN parameters (compare/roubust.py:162–176 —
+    // 21-bit message, strength 0.54, th = 1.0, p = 0.1…0.8; the adaptive
+    // attack is a seedless ai-argsort, so the single realization IS the
+    // published curve). Same embed→attack→extract chain as
+    // h_robustness_grid, replayed cell-for-cell in SQL at the curve's
+    // parameters — RESULTS.md's table is reproduced by an oracle-checked
+    // query instead of a probe report.
+    "h_quality_curve" -> ((s, dir) => {
+      Experiments.robustnessGrid(
+        Tables.embeddings(s, dir),
+        schemes = Seq(Experiments.SchemeTvp),
+        attacks = Seq("adaptive_delete"),
+        ps = CurvePs, reps = 1,
+        wm = CurveWm, strength = 0.54, th = 1.0, d = D, wmKey = key,
+        scpwKey = scpwKey, sharedAi = Some(ai(s, dir)))
+        .select(col("p"), col("ber"))
+        .orderBy("p")
+    }),
   )
 
   /** DuckDB-side content-id expression mirroring GraftCols.contentIdCol
@@ -1857,7 +1881,7 @@ object SparkEntry {
     * grid oracle classify attack-modified/inserted embeddings with the same
     * replayed arithmetic.
     */
-  private def classifyCtes(src: String, pfx: String): String = {
+  private def classifyCtes(src: String, pfx: String, wm: String = WM): String = {
     val allDims  = dims.mkString(", ")
     val skipChain = (0 until 11).map { i =>
       s"${pfx}p${i + 1} AS (SELECT * REPLACE (CASE WHEN pos IN ($allDims) THEN (pos + 1) % $D ELSE pos END AS pos) FROM ${pfx}p$i)"
@@ -1879,7 +1903,7 @@ object SparkEntry {
        |${pfx}cls AS (SELECT *,
        |    CASE WHEN bp < intlen THEN cast(trunc(ip / pow(2.0, intlen - 1 - bp)) as bigint) % 2
        |         ELSE cast(trunc(frac * pow(2.0, bp - intlen)) as bigint) % 2 END AS oldbit,
-       |    cast(${md5ModSql("cid", WM.length)} as int) AS group_id
+       |    cast(${md5ModSql("cid", wm.length)} as int) AS group_id
        |  FROM ${pfx}geo6)""".stripMargin
   }
 
@@ -1919,8 +1943,9 @@ object SparkEntry {
        |  FROM wcarriers$sfx)""".stripMargin
 
   /** The watermark message as a DuckDB VALUES list: (bit_pos, wm_bit). */
-  private def bitsValuesSql: String =
-    WM.zipWithIndex.map { case (c, i) => s"($i, ${c.asDigit})" }.mkString(", ")
+  private def bitsValuesSql: String = bitsValuesSqlFor(WM)
+  private def bitsValuesSqlFor(wm: String): String =
+    wm.zipWithIndex.map { case (c, i) => s"($i, ${c.asDigit})" }.mkString(", ")
 
   /** Blind-extraction oracle for an embed→extract round-trip.
     *
@@ -3628,6 +3653,39 @@ object SparkEntry {
     // (the micros-rendered value hash made the classification — and with it
     // the full embed→attack→extract chain — SQL-expressible; see Scpw).
     "h_scpw_grid" -> scpwGridSql,
+
+    // The RESULTS.md quality curve replayed at the reference's published
+    // parameters: classification under the 21-BIT message, deficit at
+    // strength 0.54, the th=1.0 TVP selection, post-embed bits, the
+    // ai-argsort adaptive deletion at each p, and the majority-vote BER —
+    // all the same CTE machinery as h_robustness_grid, re-parameterized.
+    "h_quality_curve" -> {
+      def pcut(expr: String) = s"ceil(nn.n * cast($expr as double))"
+      graphCtes + ",\n" +
+        classifyCtes("embeddings", "w", CurveWm) + ",\n" +
+        s"wbits(bit_pos, wm_bit) AS (VALUES ${bitsValuesSqlFor(CurveWm)}),\n" +
+        s"""wgstat AS (SELECT group_id, count(*) AS n_group, sum((oldbit + pos) % 2) AS n_one
+           |  FROM wcls GROUP BY 1),""".stripMargin + "\n" +
+        rsCarrierCtes(0.54, "") + ",\n" + // for its wneeds; the RS tail CTEs are unused and pruned
+        tvpCandCtes + ",\n" + tvpThCtes(1.0, "") + ",\n" +
+        s"""nn AS (SELECT count(*) AS n FROM embeddings),
+           |pvals(p) AS (VALUES ${CurvePs.map(p => s"($p)").mkString(", ")}),
+           |rka AS (SELECT vec_id, row_number() OVER (ORDER BY ai DESC, vec_id) AS r FROM ai),
+           |pb AS MATERIALIZED (SELECT c.vec_id, c.group_id,
+           |    CASE WHEN t.vec_id IS NOT NULL THEN t.wm_bit
+           |         ELSE cast((c.oldbit + c.pos) % 2 as int) END AS hb
+           |  FROM wcls c LEFT JOIN tcarriers t ON c.vec_id = t.vec_id),
+           |ab AS (SELECT pv.p, pb.group_id, pb.hb
+           |  FROM pvals pv, nn, pb JOIN rka ON pb.vec_id = rka.vec_id
+           |  WHERE rka.r > ${pcut("pv.p")}),
+           |votes AS (SELECT p, group_id, sum(hb) AS n1, count(*) AS nv FROM ab GROUP BY 1, 2)
+           |SELECT cast(pv.p as double) AS p,
+           |  avg(CASE WHEN b.wm_bit <> coalesce(CASE WHEN v.n1 * 2 > v.nv THEN 1 ELSE 0 END, 0)
+           |      THEN 1 ELSE 0 END) AS ber
+           |FROM pvals pv CROSS JOIN wbits b
+           |LEFT JOIN votes v ON v.p = pv.p AND v.group_id = b.bit_pos
+           |GROUP BY pv.p ORDER BY p""".stripMargin
+    },
   )
 
   /** DuckDB cosine top-k oracle with fold-exact dot products. */

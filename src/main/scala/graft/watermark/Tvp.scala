@@ -236,17 +236,19 @@ object Tvp {
     }
     val cand = candidates(classified, groupNeeds(classified, bits, strength))
       .join(ai.select(col("vec_id"), col("ai")), "vec_id")
-    // ONE ai-descending rank serves both phases (checkpointed in the big
-    // regime: five downstream consumers would otherwise re-run the classify
-    // chain; at fixture scale the recompute is cheaper than materializing).
+    // ONE ai-descending rank serves both phases, checkpointed in BOTH
+    // regimes: thr/n_qual/phase1/phase2 are four consumers of this frame,
+    // and without the checkpoint each re-runs the classify+join+rank chain
+    // (measured r10: wm_tvp_carriers 1.8 → 3.7 s when the small regime
+    // briefly dropped it; the one materialization costs far less).
     // Phase split: qual ⟺ ai ≥ thr_ai, and rn_ai orders by ai first, so
     // every qual row strictly precedes every non-qual row — qual ⟺
     // rn_ai ≤ n_qual, and the phase-2 ai-descending rank WITHIN the
     // non-qual rows is just rn_ai − n_qual. Only the phase-1 scan-order
     // (vec_id) rank needs a second ranking pass, over qual rows only.
-    val ranked0 = groupedRank(cand, Seq("group_id"), aiB,
+    val ranked = groupedRank(cand, Seq("group_id"), aiB,
       Seq(col("ai").desc, col("vec_id")), "rn_ai", distributed = big)
-    val ranked = if (big) ranked0.localCheckpoint() else ranked0
+      .localCheckpoint()
     // threshold_ai = ai at (1-based) rank floor(n_cand*th); rank 0 → -inf.
     // The rank compare stays long — an int cast would wrap past 2^31
     // candidate rows per group and silently pick the wrong threshold.

@@ -142,21 +142,29 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the shingle frame feeds four consumers (sizes, doc-frequencies, the
-    // ranked prefixes, and the verify join) — persist it once instead of
-    // re-running the explode+distinct shuffle per consumer; routed through
-    // GraftCache so the bench's between-pass clear() releases it (a bare
-    // .cache() here would accumulate executor memory across passes)
-    val sh    = graft.GraftCache.track(
-      shingles(df.filter(size(split(col("text"), " ")) >= n), n))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // the shingle frame feeds three consumers (doc-frequencies, the ranked
+    // prefixes, and the verify join) — persist it once instead of re-running
+    // the explode+distinct shuffle per consumer; routed through GraftCache
+    // so the bench's between-pass clear() releases it (a bare .cache() here
+    // would accumulate executor memory across passes). `sz` (the doc's
+    // shingle-set size) is computed INLINE from the per-row set before the
+    // explode — a groupBy-count over the exploded rows would re-derive in a
+    // corpus-wide shuffle what the row already knows, and every downstream
+    // stage (prefix length, both pruning bounds) needs sz on every row
+    // anyway (r10: kills the sizes aggregate + two joins).
+    val words = split(col("text"), " ")
+    val sh = graft.GraftCache.track(
+      df.filter(size(words) >= n)
+        .withColumn("__shset", array_distinct(transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n))))))
+        .select(col("doc_id"), size(col("__shset")).cast("long").as("sz"),
+          explode(col("__shset")).as("shingle")))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val prefLen =
       floor(lit(1.0 - threshold) * col("sz") + lit(1e-9)).cast("long") + lit(1L)
     val ranked = sh.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
-      .join(sizes, "doc_id")
     val pre = ranked
       .filter(col("rk") <= prefLen)
       .select(col("doc_id"), col("shingle"), col("sz"), col("rk"))

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage attribution for dedup_jaccard_pairs at FIXTURE scale (sf0.1): the
+  * 1M-doc JaccardScaleProbe answers the 100× question; this answers where
+  * the 4.8 s bench seconds go at 5k docs (scratch probe).
+  */
+object JaccardFixtureProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"STAGE $tag%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+    }
+    (1 to 2).foreach { pass =>
+      println(s"--- pass $pass")
+      GraftCache.clear(); spark.catalog.clearCache()
+      val docs = Tables.documents(spark, dir)
+      val n = 3; val threshold = 0.4
+      import org.apache.spark.sql.expressions.Window
+      val sh = time("shingles+persist") {
+        val s = graft.GraftCache.track(graft.text.Dedup.shingles(
+          docs.filter(size(split(col("text"), " ")) >= n), n))
+        s.count(); s
+      }
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val dfreq = time("dfreq")(sh.groupBy("shingle").agg(count(lit(1)).as("df")))
+      val ranked = sh.join(dfreq, "shingle")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+        .join(sizes, "doc_id")
+      val prefLen = floor(lit(1.0 - threshold) * col("sz") + lit(1e-9)).cast("long") + lit(1L)
+      val pre = time("ranked-prefixes") {
+        val p = ranked.filter(col("rk") <= prefLen)
+          .select(col("doc_id"), col("shingle"), col("sz"), col("rk")).localCheckpoint()
+        p.count(); p
+      }
+      val suffA = greatest(col("sza") - (floor(lit(1.0 - threshold) * col("sza") + lit(1e-9)).cast("long") + lit(1L)), lit(0L))
+      val suffB = greatest(col("szb") - (floor(lit(1.0 - threshold) * col("szb") + lit(1e-9)).cast("long") + lit(1L)), lit(0L))
+      val required = lit(threshold / (1.0 + threshold)) * (col("sza") + col("szb")) - lit(1e-9)
+      val cand = time("prefix-join+bounds") {
+        val c = pre.as("x").join(pre.as("y"),
+            col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
+              least(col("x.sz"), col("y.sz")) >=
+                lit(threshold) * greatest(col("x.sz"), col("y.sz")) - lit(1e-9))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            col("x.sz").as("sza"), col("y.sz").as("szb"))
+          .agg(count(lit(1)).as("ppcnt"),
+            min(least(col("x.rk"), col("y.rk")) +
+              least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))).as("posb"))
+          .filter(col("ppcnt") + greatest(suffA, suffB) >= required && col("posb") >= required)
+          .select(col("a"), col("b")).localCheckpoint()
+        println(s"  candidates: ${c.count()}")
+        c
+      }
+      time("verify-join") {
+        graft.text.Dedup.jaccard(cand, sh).filter(col("jaccard") >= threshold).count()
+      }
+      time("whole-query") {
+        SparkEntry.queries("dedup_jaccard_pairs")(spark, dir).count()
+      }
+    }
+    spark.stop()
+  }
+}

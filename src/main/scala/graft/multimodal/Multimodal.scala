@@ -337,7 +337,10 @@ object Multimodal {
             // stsz: uniform size or per-sample table
             val uniform = u32(stszB + 4)
             val nSamples = u32(stszB + 8).toInt
-            val stszOk = nSamples >= 0 &&
+            // with a uniform size the count is not bounded by the stsz box
+            // length — cap it by the payload (≥1 byte per sample) so a
+            // corrupted count near 2^31 can't drive gigabyte allocations
+            val stszOk = nSamples >= 0 && nSamples <= len &&
               (uniform > 0 || stszB + 12 + 4L * nSamples <= stszE)
             // stts: (count, delta) runs summing to nSamples
             val nStts = u32(sttsB + 4).toInt

@@ -137,6 +137,66 @@ class AnnMultimodalStreamSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4Frames(audioOnly).isEmpty)
   }
 
+  test("mp4 box walk: deterministic byte fuzzing never throws or over-allocates") {
+    val base = Multimodal.syntheticMp4(8L)
+    val rnd = new scala.util.Random(42) // deterministic
+    (0 until 1000).foreach { _ =>
+      val b = base.clone()
+      (0 to rnd.nextInt(8)).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+      Multimodal.parseMp4Frames(b) // Some or None — must not throw / hang / OOM
+    }
+    (0 until base.length by 3).foreach(l => Multimodal.parseMp4Frames(base.take(l).toArray))
+    // a uniform-stsz count near 2^31 must be rejected, not allocated
+    val huge = base.clone()
+    val stszOff = {
+      val pat = "stsz".getBytes
+      (0 until huge.length - 4).find(i => pat.indices.forall(j => huge(i + j) == pat(j))).get
+    }
+    // body: ver/flags(4) sample_size(4) count(4) — set uniform=20, count=2^30
+    val body = stszOff + 4
+    Seq(0, 0, 0, 20).zipWithIndex.foreach { case (v, j) => huge(body + 4 + j) = v.toByte }
+    huge(body + 8) = 0x40.toByte; huge(body + 9) = 0; huge(body + 10) = 0; huge(body + 11) = 0
+    assert(Multimodal.parseMp4Frames(huge).isEmpty)
+  }
+
+  test("mp4 box walk: 64-bit largesize boxes and co64 offsets parse") {
+    // hand-build a variant of the synthetic layout using a largesize mdat
+    // and a co64 chunk-offset table — the 64-bit paths the generator's
+    // compact form never exercises
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def box(t: String, body: Array[Byte]*): Array[Byte] = {
+      val size = 8 + body.map(_.length).sum
+      be32(size) ++ t.getBytes("US-ASCII") ++ body.flatten
+    }
+    def largeBox(t: String, body: Array[Byte]*): Array[Byte] = {
+      val size = 16 + body.map(_.length).sum
+      be32(1) ++ t.getBytes("US-ASCII") ++ be64(size) ++ body.flatten
+    }
+    val n = 3; val delta = 500; val sizes = Seq(10, 11, 12)
+    val ftyp = box("ftyp", "isom".getBytes, be32(0x200), "isom".getBytes, "mp41".getBytes)
+    val mdatData = Array.tabulate(sizes.sum)(i => (i % 256).toByte)
+    val mdat = largeBox("mdat", mdatData)
+    val dataStart = ftyp.length + 16L // largesize header is 16 bytes
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(1000), be32(n * delta),
+      Array[Byte](0x55, (0xc4 - 256).toByte, 0, 0))
+    val hdlr = box("hdlr", be32(0), be32(0), "vide".getBytes, be32(0), be32(0), be32(0), Array[Byte](0))
+    val stts = box("stts", be32(0), be32(1), be32(n), be32(delta))
+    val stsz = box("stsz", be32(0), be32(0), be32(n), sizes.toArray.flatMap(s => be32(s)))
+    val stsc = box("stsc", be32(0), be32(1), be32(1), be32(n), be32(1))
+    val co64 = box("co64", be32(0), be32(1), be64(dataStart))
+    val stbl = box("stbl", stts, stsz, stsc, co64)
+    val bytes = ftyp ++ mdat ++
+      box("moov", box("trak", box("mdia", mdhd, hdlr, box("minf", stbl))))
+    val frames = Multimodal.parseMp4Frames(bytes).getOrElse(fail("64-bit variant did not parse"))
+    assert(frames.length == n)
+    assert(frames.map(_.ms).toSeq == Seq(0L, 500L, 1000L))
+    assert(frames.map(_.offset).toSeq == Seq(dataStart, dataStart + 10, dataStart + 21))
+    assert(frames.map(_.size).toSeq == Seq(10L, 11L, 12L))
+    assert(frames.forall(_.key)) // no stss ⇒ every sample is a sync sample
+  }
+
   test("sampleFrames: structural path for BMFF payloads, stub path for the rest") {
     import spark.implicits._
     val mp4 = Multimodal.syntheticMp4(4L) // n=9, delta=6000ms → 54s of frames

@@ -203,11 +203,26 @@ object SparkEntry {
       // construction (the memory sink holds the result; the memo re-runs the
       // replay on invalidation), so per-micro-batch log+state fsyncs buy
       // nothing here. A real deployment points this at durable storage.
+      // The path embeds the JVM pid: memory-sink queries cannot RESUME a
+      // checkpoint, so colliding with a leftover dir from a previous process
+      // (whose per-JVM counter restarts at 1) fails the whole trio build.
+      // Stale same-user dirs from dead JVMs are purged best-effort here —
+      // within-process cleanup happens in the memo's onClear.
       val ckptBase = {
         val shm = new java.io.File("/dev/shm")
         val base = if (shm.isDirectory && shm.canWrite) shm
           else new java.io.File(sys.props("java.io.tmpdir"))
-        val d = new java.io.File(base, s"graft_ckpt_${sys.props("user.name")}_$n")
+        val prefix = s"graft_ckpt_${sys.props("user.name")}_"
+        val pid = ProcessHandle.current().pid()
+        val stale = base.listFiles((f: java.io.File) =>
+          f.getName.startsWith(prefix) && !f.getName.startsWith(s"$prefix${pid}_"))
+        if (stale != null) stale.foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+          }
+          rm(d)
+        }
+        val d = new java.io.File(base, s"$prefix${pid}_$n")
         d.mkdirs(); d
       }
       def ckpt(leg: String) = new java.io.File(ckptBase, leg).getAbsolutePath

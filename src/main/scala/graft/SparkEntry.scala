@@ -165,6 +165,33 @@ object SparkEntry {
   private def micros(c: org.apache.spark.sql.Column) = EventOps.micros(c)
   private val streamSinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Checkpoint base (offset/commit logs + state store files) for a finite
+    * stream replay, on a RAM-backed path when one exists: a replay's
+    * checkpoint is throwaway by construction (the memory sink holds the
+    * result; the memo re-runs the replay on invalidation), so per-micro-
+    * batch log+state fsyncs buy nothing. A real deployment points this at
+    * durable storage. The path embeds the JVM pid: memory-sink queries
+    * cannot RESUME a checkpoint, so colliding with a leftover dir from a
+    * previous process (whose per-JVM counter restarts at 1) fails the whole
+    * build. Stale same-user dirs from dead JVMs are purged best-effort
+    * here — within-process cleanup happens in each memo's onClear.
+    */
+  private def replayCkptBase(n: Int): java.io.File = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) shm
+      else new java.io.File(sys.props("java.io.tmpdir"))
+    val prefix = s"graft_ckpt_${sys.props("user.name")}_"
+    val pid = ProcessHandle.current().pid()
+    val stale = base.listFiles((f: java.io.File) =>
+      f.getName.startsWith(prefix) && !f.getName.startsWith(s"$prefix${pid}_"))
+    if (stale != null) stale.foreach(rmTree)
+    val d = new java.io.File(base, s"$prefix${pid}_$n")
+    d.mkdirs(); d
+  }
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree); f.delete()
+  }
+
   /** Run a finite stream replay with a reduced state-partition count: the
     * state store creates one instance per shuffle partition PER MICRO-BATCH,
     * so a 4-batch replay of a small fixture pays 32×4 state commits at the
@@ -198,33 +225,7 @@ object SparkEntry {
     GraftCache.memoAny(s"$dir/streamtrio") {
       import s.implicits._
       val n = streamSinkSeq.incrementAndGet()
-      // checkpoint (offset/commit logs + state store files) on a RAM-backed
-      // path when one exists: a finite replay's checkpoint is throwaway by
-      // construction (the memory sink holds the result; the memo re-runs the
-      // replay on invalidation), so per-micro-batch log+state fsyncs buy
-      // nothing here. A real deployment points this at durable storage.
-      // The path embeds the JVM pid: memory-sink queries cannot RESUME a
-      // checkpoint, so colliding with a leftover dir from a previous process
-      // (whose per-JVM counter restarts at 1) fails the whole trio build.
-      // Stale same-user dirs from dead JVMs are purged best-effort here —
-      // within-process cleanup happens in the memo's onClear.
-      val ckptBase = {
-        val shm = new java.io.File("/dev/shm")
-        val base = if (shm.isDirectory && shm.canWrite) shm
-          else new java.io.File(sys.props("java.io.tmpdir"))
-        val prefix = s"graft_ckpt_${sys.props("user.name")}_"
-        val pid = ProcessHandle.current().pid()
-        val stale = base.listFiles((f: java.io.File) =>
-          f.getName.startsWith(prefix) && !f.getName.startsWith(s"$prefix${pid}_"))
-        if (stale != null) stale.foreach { d =>
-          def rm(f: java.io.File): Unit = {
-            val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
-          }
-          rm(d)
-        }
-        val d = new java.io.File(base, s"$prefix${pid}_$n")
-        d.mkdirs(); d
-      }
+      val ckptBase = replayCkptBase(n)
       def ckpt(leg: String) = new java.io.File(ckptBase, leg).getAbsolutePath
       withStreamShufflePartitions(s, 4) {
         val tumbling = graft.streaming.StreamOps.eventsStreamBatched(s, dir)
@@ -270,14 +271,42 @@ object SparkEntry {
       GraftCache.onClear { () =>
         Seq(s"stream_tumbling_$n", s"stream_dedup_$n", s"stream_sessions_$n")
           .foreach(s.catalog.dropTempView(_))
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
-        }
-        rm(ckptBase) // throwaway replay checkpoints — RAM-backed, pass-unique
+        rmTree(ckptBase) // throwaway replay checkpoints — RAM-backed, pass-unique
       }
       Map("tumbling" -> s.table(s"stream_tumbling_$n"),
         "dedup"    -> s.table(s"stream_dedup_$n"),
         "sessions" -> s.table(s"stream_sessions_$n"))
+    }
+
+  /** Streaming LSH near-dup over the doc_id-ordered documents replay: band
+    * every arriving doc with the SAME md5-keyed minhash family as the batch
+    * operators (Dedup.minhashBands — stateless, stream-safe), route the
+    * observations through the per-bucket first-owner state
+    * (StreamOps.bandOwnerStream), and land per-(doc, band) verdicts in a
+    * memory sink. Memoized per scale dir like streamTrio.
+    */
+  private def streamNearDup(s: SparkSession, dir: String): DataFrame =
+    GraftCache.memoAny(s"$dir/streamneardup") {
+      import s.implicits._
+      val n = streamSinkSeq.incrementAndGet()
+      val ckptBase = replayCkptBase(n)
+      withStreamShufflePartitions(s, 4) {
+        val bands = Dedup.minhashBands(
+            graft.streaming.StreamOps.docsStreamBatched(s, dir))
+          .select(col("band"), col("band_key"), col("doc_id"))
+          .as[graft.streaming.StreamOps.BandObs]
+        val q = graft.streaming.StreamOps.bandOwnerStream(bands)
+          .writeStream.format("memory").queryName(s"stream_neardup_$n")
+          .option("checkpointLocation",
+            new java.io.File(ckptBase, "neardup").getAbsolutePath)
+          .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
+      GraftCache.onClear { () =>
+        s.catalog.dropTempView(s"stream_neardup_$n")
+        rmTree(ckptBase)
+      }
+      s.table(s"stream_neardup_$n")
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1063,6 +1092,21 @@ object SparkEntry {
     // comparison tie-free on whole-second event times.
     "q_stream_sessions" -> ((s, dir) =>
       streamTrio(s, dir)("sessions").orderBy("user_id", "start_es")),
+
+    // Streaming corpus decontamination: LSH near-dup under continuous
+    // ingestion. Docs arrive in doc_id order; each band bucket's state is
+    // its first owner, a doc is a near-dup the moment ANY of its buckets
+    // was already claimed. The batch tail aggregates the sink's per-band
+    // verdicts to one row per doc — identical to the batch rule
+    // min(doc_id) over bucket < doc_id (oracle replays the band keys and
+    // the min-owner rule in SQL).
+    "q_stream_neardup" -> ((s, dir) =>
+      streamNearDup(s, dir)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bands"),
+          sum(col("collided").cast("long")).as("n_collided"))
+        .withColumn("kept", (col("n_collided") === 0).cast("int"))
+        .orderBy("doc_id")),
 
     "q3_shipping" -> ((s, dir) => {
       val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -2832,6 +2876,22 @@ object SparkEntry {
     "dedup_minhash_pairs" ->
       (s"WITH ${minhashPairsCtes("documents", "m", 0.5)}\n" +
         "SELECT a, b, jaccard FROM mpairs ORDER BY a, b"),
+
+    // Streaming near-dup replay: the same md5-keyed band derivation, then
+    // the first-owner rule — a doc's band verdict is `collided` iff the
+    // bucket's min doc_id is smaller (doc_id order = arrival order in the
+    // replay). One row per banded doc with its collision count.
+    "q_stream_neardup" ->
+      (s"WITH ${minhashSideCtes("documents", "m")},\n" +
+        """owners AS (SELECT band, band_key, min(doc_id) AS owner
+          |  FROM mbk GROUP BY 1, 2)
+          |SELECT b.doc_id,
+          |  cast(count(*) as bigint) AS n_bands,
+          |  cast(sum(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) as bigint) AS n_collided,
+          |  cast(CASE WHEN sum(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) = 0
+          |       THEN 1 ELSE 0 END as int) AS kept
+          |FROM mbk b JOIN owners o ON b.band = o.band AND b.band_key = o.band_key
+          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
 
     // Cross-corpus replay: both sides re-derive the SAME hash family (the
     // seeds CTEs are per-side but md5-keyed identically), candidates are the

@@ -57,12 +57,22 @@ object StreamOps {
     * dir and reused across queries and runs (contents derive
     * deterministically from the fixture).
     */
-  def multiBatchDir(spark: SparkSession, dir: String, nFiles: Int = 4): String = {
-    val src = new java.io.File(s"$dir/events.parquet")
+  def multiBatchDir(spark: SparkSession, dir: String, nFiles: Int = 4): String =
+    multiBatchTableDir(spark, dir, "events", Seq("ts", "event_id"), nFiles)
+
+  /** General form of the replay builder: split ANY fixture table into
+    * `nFiles` parquet files contiguous in `orderCols` with strictly
+    * increasing modification times. `events` replays in event time;
+    * `documents` replays in doc_id order (the ingestion order a streaming
+    * dedup consumes).
+    */
+  def multiBatchTableDir(spark: SparkSession, dir: String, table: String,
+                         orderCols: Seq[String], nFiles: Int = 4): String = {
+    val src = new java.io.File(s"$dir/$table.parquet")
     // per-file (path, size, mtime) fingerprint: a regenerated fixture always
     // re-keys, and because the key embeds nFiles too, stale content can never
     // sit under a valid key — so publication never deletes a live target
-    val key = graft.ArtifactIO.contentKey(s"$dir|$nFiles", src)
+    val key = graft.ArtifactIO.contentKey(s"$dir|$table|$nFiles", src)
     val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_stream_replay_$key")
     graft.ArtifactIO.publishDir(out, valid = o =>
       Option(o.listFiles((f: java.io.File) => f.getName.endsWith(".parquet")))
@@ -70,9 +80,9 @@ object StreamOps {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(src.getAbsolutePath)
       val n  = df.count()
-      // global (ts, event_id) rank → nFiles contiguous time ranges; the
-      // single-task window is fine for a fixture build (one-time, bounded)
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+      // global rank → nFiles contiguous ranges; the single-task window is
+      // fine for a fixture build (one-time, bounded)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols.map(col): _*)
       val raw = new java.io.File(staging, "raw")
       val ranked = df.withColumn("__rn", row_number().over(w))
         .withColumn("__b", (((col("__rn") - 1) * nFiles) / lit(n)).cast("int"))
@@ -92,6 +102,19 @@ object StreamOps {
       }
       deleteRec(raw)
     }
+  }
+
+  /** File-stream over a doc_id-ordered multi-batch replay of the documents
+    * fixture — the ingestion-order shape a streaming dedup consumes.
+    */
+  def docsStreamBatched(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val replay = multiBatchTableDir(spark, dir, "documents", Seq("doc_id"), nFiles)
+    spark.readStream
+      .schema(spark.read.option("pathGlobFilter", "*.parquet").parquet(replay).schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(replay)
   }
 
   /** File-stream over the multi-batch replay: one fixture slice per
@@ -122,6 +145,38 @@ object StreamOps {
   final case class SessState(start: Long, last: Long, n: Long, sumMicros: Long)
   final case class SessionOut(user_id: Long, start_es: Long, end_es: Long,
                               n_events: Long, sum_value_micros: Long)
+
+  final case class BandObs(band: Int, band_key: String, doc_id: Long)
+  final case class BandVerdict(doc_id: Long, band: Int, collided: Boolean)
+
+  /** Streaming LSH near-dup core: per (band, band_key) the state is the
+    * FIRST owner's doc id; every arriving observation gets a verdict —
+    * `collided` iff an earlier doc already presented this band bucket. With
+    * a doc_id-ordered replay (docsStreamBatched) "earlier arrival" and
+    * "smaller doc_id" coincide, so the verdicts equal the batch rule
+    * `min(doc_id) over the bucket < doc_id` exactly (spec-gated); same-batch
+    * buckets are resolved by sorting the group iterator. State is one long
+    * per distinct band bucket — the bounded-state shape of continuous
+    * corpus decontamination (a production variant would age buckets out via
+    * a timeout tied to the dedup horizon).
+    */
+  def bandOwnerStream(bands: Dataset[BandObs]): Dataset[BandVerdict] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(b => (b.band, b.band_key))
+      .flatMapGroupsWithState[Long, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), obs: Iterator[BandObs], state: GroupState[Long]) =>
+          val sorted = obs.toSeq.sortBy(_.doc_id)
+          var owner = state.getOption.getOrElse(Long.MaxValue)
+          val out = sorted.map { o =>
+            val v = BandVerdict(o.doc_id, o.band, owner < o.doc_id)
+            if (o.doc_id < owner) owner = o.doc_id
+            v
+          }
+          state.update(owner)
+          out.iterator
+      }
+  }
 
   /** Custom stateful operator: gap-based sessionization via
     * flatMapGroupsWithState with EVENT-TIME TIMEOUT. A session closes when a

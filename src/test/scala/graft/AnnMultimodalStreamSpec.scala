@@ -372,6 +372,26 @@ class AnnMultimodalStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup verdicts equal the batch first-owner rule") {
+    import graft.text.Dedup
+    val dir = TestSpark.sf0001
+    val docs = Tables.documents(spark, dir)
+    val bands = Dedup.minhashBands(docs)
+    val owners = bands.groupBy("band", "band_key").agg(min(col("doc_id")).as("owner"))
+    val batch = bands.join(owners, Seq("band", "band_key"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bands"),
+        sum((col("owner") < col("doc_id")).cast("long")).as("n_collided"))
+      .orderBy("doc_id").collect()
+    val stream = SparkEntry.queries("q_stream_neardup")(spark, dir)
+      .select("doc_id", "n_bands", "n_collided").orderBy("doc_id").collect()
+    assert(stream.length == batch.length && batch.nonEmpty)
+    stream.zip(batch).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    // at least one true near-dup collision exists in the fixture, else the
+    // parity above is vacuous on the collided side
+    assert(stream.exists(_.getLong(2) > 0), "fixture produced no band collisions")
+  }
+
   test("multi-batch replay crosses real micro-batch boundaries and keeps parity") {
     import spark.implicits._
     // tumbling counts over the 4-file replay: ≥ 4 micro-batches, same result

@@ -182,8 +182,15 @@ object SparkEntry {
       else new java.io.File(sys.props("java.io.tmpdir"))
     val prefix = s"graft_ckpt_${sys.props("user.name")}_"
     val pid = ProcessHandle.current().pid()
+    // purge only dirs whose embedded pid is DEAD — another live JVM of the
+    // same user (sbt test beside a bench run) must keep its in-use state
     val stale = base.listFiles((f: java.io.File) =>
-      f.getName.startsWith(prefix) && !f.getName.startsWith(s"$prefix${pid}_"))
+      f.getName.startsWith(prefix) && !f.getName.startsWith(s"$prefix${pid}_") && {
+        val owner = scala.util.Try(
+          f.getName.stripPrefix(prefix).takeWhile(_.isDigit).toLong).toOption
+        !owner.exists(p => ProcessHandle.of(p)
+          .map[java.lang.Boolean](_.isAlive).orElse(false))
+      })
     if (stale != null) stale.foreach(rmTree)
     val d = new java.io.File(base, s"$prefix${pid}_$n")
     d.mkdirs(); d

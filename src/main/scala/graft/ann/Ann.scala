@@ -19,6 +19,16 @@ import org.apache.spark.sql.DataFrame
   */
 object Ann {
 
+  // memoized per DataFrame identity (same pattern as Tvp.nRows): the
+  // driver-known regime check costs one count job per corpus frame, not one
+  // per search call — and for the persisted index artifact the count is a
+  // parquet-metadata read
+  private val rowCounts =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, java.lang.Long]())
+  private def nRows(df: DataFrame): Long =
+    rowCounts.computeIfAbsent(df, d => d.count()).longValue()
+
   def bruteCosine(queries: DataFrame, corpus: DataFrame, k: Int,
                   kernel: String = "fast"): DataFrame =
     Knn.exact(queries, corpus, k, metric = "cosine", kernel = kernel)
@@ -185,7 +195,7 @@ object Ann {
     val broadcastMax = spark.conf.get("graft.ann.broadcastMaxRows", "10000000").toLong
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist").desc, col("neighbor_id"))
     val per =
-      if (assignedCorpus.count() <= broadcastMax)
+      if (nRows(assignedCorpus) <= broadcastMax)
         Knn.exactGrouped(probed,
           assignedCorpus.select(col("vec_id"), col("embedding"), col("cluster")),
           k, "cluster", metric = "cosine", kernel = "fold")

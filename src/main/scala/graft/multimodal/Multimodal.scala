@@ -259,7 +259,7 @@ object Multimodal {
 
   /** ISO-BMFF magic: any box stream starting with an `ftyp` box. */
   def looksLikeMp4(payload: Array[Byte]): Boolean =
-    payload.length >= 12 &&
+    payload != null && payload.length >= 12 &&
       payload(4) == 'f' && payload(5) == 't' && payload(6) == 'y' && payload(7) == 'p'
 
   /** REAL structural video demux, pure JVM (no codec library): walk the
@@ -278,7 +278,6 @@ object Multimodal {
   def parseMp4Frames(payload: Array[Byte]): Option[Array[Mp4Frame]] = {
     if (!looksLikeMp4(payload)) return None
     val len = payload.length
-    def u16(o: Int): Int = ((payload(o) & 0xff) << 8) | (payload(o + 1) & 0xff)
     def u32(o: Int): Long =
       ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
         ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
@@ -326,12 +325,16 @@ object Multimodal {
       (stblB, stblE) <- child(minfKids, "stbl")
       stblKids <- boxes(stblB, stblE)
       frames <- {
-        def table(t: String): Option[(Int, Int)] = child(stblKids, t)
+        // each table's fixed header (ver/flags + counts) must fit its box
+        // BEFORE any u32 read — a header-only box ending at the payload end
+        // would otherwise index past the array instead of returning None
+        def sized(t: String, minBody: Int): Option[(Int, Int)] =
+          child(stblKids, t).filter { case (b, e) => e - b >= minBody }
         for {
-          (sttsB, sttsE) <- table("stts")
-          (stszB, stszE) <- table("stsz")
-          (stscB, stscE) <- table("stsc")
-          co <- table("stco").map((_, false)).orElse(table("co64").map((_, true)))
+          (sttsB, sttsE) <- sized("stts", 8)
+          (stszB, stszE) <- sized("stsz", 12)
+          (stscB, stscE) <- sized("stsc", 8)
+          co <- sized("stco", 8).map((_, false)).orElse(sized("co64", 8).map((_, true)))
           result <- {
             val ((coB, coE), co64) = co
             // stsz: uniform size or per-sample table
@@ -372,7 +375,7 @@ object Multimodal {
                 val chunkOff = Array.tabulate(nChunks)(c =>
                   if (co64) u64(coB + 8 + 8 * c) else u32(coB + 8 + 4 * c))
                 // keyframes: stss sample numbers (1-based); absent ⇒ all key
-                val keys: Option[Set[Int]] = table("stss").flatMap { case (b, e) =>
+                val keys: Option[Set[Int]] = sized("stss", 8).flatMap { case (b, e) =>
                   val n = u32(b + 4).toInt
                   if (n < 0 || b + 8 + 4L * n > e) None
                   else Some((0 until n).map(i => u32(b + 8 + 4 * i).toInt).toSet)
@@ -492,8 +495,12 @@ object Multimodal {
     * per-asset bounded, so partitions stay small at any corpus size.
     */
   def sampleFrames(assets: DataFrame, everyMs: Long): DataFrame = {
-    val vids = assets.filter(col("kind") === "video")
-      .withColumn("__frames", mp4FramesUdf(col("payload")))
+    // persisted: the structural and fallback branches each filter this
+    // frame, and without the persist the demux UDF (and whatever produced
+    // the payload) would re-run once per branch (same pattern as Dedup's
+    // shared shingle frame; GraftCache so bench passes release it)
+    val vids = graft.GraftCache.track(assets.filter(col("kind") === "video")
+      .withColumn("__frames", mp4FramesUdf(col("payload"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("asset_id"), col("__bucket"))
       .orderBy(col("frame_ms"), col("frame_offset"))

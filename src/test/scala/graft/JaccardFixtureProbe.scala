@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Stage attribution for dedup_jaccard_pairs at FIXTURE scale (sf0.1): the
   * 1M-doc JaccardScaleProbe answers the 100× question; this answers where
-  * the 4.8 s bench seconds go at 5k docs (scratch probe).
+  * the bench seconds go at 5k docs (scratch probe). MIRRORS the shipped
+  * r10 pipeline (inline per-doc sz before the explode — no sizes aggregate
+  * or join); if Dedup.jaccardPairs changes shape, update this in step.
   */
 object JaccardFixtureProbe {
   def main(args: Array[String]): Unit = {
@@ -25,20 +27,23 @@ object JaccardFixtureProbe {
       val docs = Tables.documents(spark, dir)
       val n = 3; val threshold = 0.4
       import org.apache.spark.sql.expressions.Window
-      val sh = time("shingles+persist") {
-        val s = graft.GraftCache.track(graft.text.Dedup.shingles(
-          docs.filter(size(split(col("text"), " ")) >= n), n))
+      val words = split(col("text"), " ")
+      val sh = time("shingles+sz+persist") {
+        val s = graft.GraftCache.track(
+          docs.filter(size(words) >= n)
+            .withColumn("__shset", array_distinct(transform(sequence(lit(0), size(words) - n),
+              i => concat_ws(" ", slice(words, i + 1, lit(n))))))
+            .select(col("doc_id"), size(col("__shset")).cast("long").as("sz"),
+              explode(col("__shset")).as("shingle")))
         s.count(); s
       }
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val dfreq = time("dfreq")(sh.groupBy("shingle").agg(count(lit(1)).as("df")))
-      val ranked = sh.join(dfreq, "shingle")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
-        .join(sizes, "doc_id")
       val prefLen = floor(lit(1.0 - threshold) * col("sz") + lit(1e-9)).cast("long") + lit(1L)
       val pre = time("ranked-prefixes") {
-        val p = ranked.filter(col("rk") <= prefLen)
+        val p = sh.join(dfreq, "shingle")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+          .filter(col("rk") <= prefLen)
           .select(col("doc_id"), col("shingle"), col("sz"), col("rk")).localCheckpoint()
         p.count(); p
       }

@@ -987,6 +987,19 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // The SAME decontamination through the general beyond-broadcast mode
+    // (shuffle-hash candidate join — the shape when the right side is a
+    // full corpus, not an eval set): rows must equal dedup_cross_neardup,
+    // driver-gated by the shared oracle; PlanSpec gates the join shape.
+    "dedup_cross_neardup_large" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.crossNearDups(
+          docs.filter(pmod(col("doc_id"), lit(100)) =!= 7),
+          docs.filter(pmod(col("doc_id"), lit(100)) === 7), threshold = 0.5,
+          broadcastBench = false)
+        .orderBy("a", "b")
+    }),
+
     // Near-dup clustering: transitive closure of the minhash pair graph,
     // canonical (min) doc per cluster — the keep-one-per-cluster dedup rule.
     // Rides the SAME memoized pair frame as dedup_minhash_pairs: the LSH
@@ -1169,6 +1182,22 @@ object SparkEntry {
       Ann.ivfDetSearch(emb.filter(col("vec_id") < 100), assigned, centroids, k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    }),
+
+    // The SAME search forced through the beyond-broadcast probed-join
+    // regime (the shape IVF takes past graft.ann.broadcastMaxRows): rows
+    // must be bit-identical to ann_ivf_topk, and this row gates that with
+    // the driver's oracle, not just the unit spec. The conf toggle is
+    // scoped to the plan construction — the regime choice happens when
+    // ivfDetSearch is CALLED.
+    "ann_ivf_join_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, assigned) = ivfDet(s, dir)
+      s.conf.set("graft.ann.broadcastMaxRows", "0")
+      try Ann.ivfDetSearch(emb.filter(col("vec_id") < 100), assigned, centroids, k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+      finally s.conf.unset("graft.ann.broadcastMaxRows")
     }),
 
     // ANN acceptance gauge: per-query recall@10 of the IVF path against the
@@ -2285,6 +2314,27 @@ object SparkEntry {
          |ORDER BY 1, 2, 3""".stripMargin
   }
 
+  // shared oracle bodies for queries that run the SAME semantics through a
+  // different physical regime (broadcast kernel vs probed join; broadcast
+  // vs shuffle-hash candidate join) — one replay gates both rows
+  private lazy val ivfTopkOracle: String =
+    s"WITH $ivfDetCtes\n" +
+      """SELECT query_id, neighbor_id, cast(rank as bigint) AS rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM cand) WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+  private lazy val crossNearDupOracle: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 != 7),
+       |benchd AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 7),
+       |${minhashSideCtes("corpus", "x")},
+       |${minhashSideCtes("benchd", "y")},
+       |xysh AS (SELECT * FROM xsh UNION ALL SELECT * FROM ysh),
+       |ccand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM xbk x JOIN ybk y
+       |       ON x.band = y.band AND x.band_key = y.band_key),
+       |${minhashVerifyCtes("c", "xysh", 0.5)}
+       |SELECT a, b, jaccard FROM cpairs ORDER BY a, b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "wm_rs_roundtrip"  -> roundtripSql(cidSql(dims.init.toSeq, key.scale)),
     "wm_tvp_roundtrip" -> roundtripSql(cidSql(dims.init.toSeq, key.scale)),
@@ -2904,16 +2954,12 @@ object SparkEntry {
     // seeds CTEs are per-side but md5-keyed identically), candidates are the
     // cross band-key join (no a < b — id spaces are disjoint), and the
     // verify tail runs over the union of both sides' shingle sets.
-    "dedup_cross_neardup" ->
-      (s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 != 7),
-          |benchd AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 7),
-          |${minhashSideCtes("corpus", "x")},
-          |${minhashSideCtes("benchd", "y")},
-          |xysh AS (SELECT * FROM xsh UNION ALL SELECT * FROM ysh),
-          |ccand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM xbk x JOIN ybk y
-          |       ON x.band = y.band AND x.band_key = y.band_key),
-          |${minhashVerifyCtes("c", "xysh", 0.5)}
-          |SELECT a, b, jaccard FROM cpairs ORDER BY a, b""".stripMargin),
+    "dedup_cross_neardup" -> crossNearDupOracle,
+
+    // Same replay — the engine side runs the beyond-broadcast shuffle-hash
+    // candidate join (broadcastBench = false), which must land on identical
+    // rows; driver-gates the large mode PlanSpec only shape-gates.
+    "dedup_cross_neardup_large" -> crossNearDupOracle,
 
     // Near-dup clusters: the minhash pair chain + a recursive min-label
     // closure over the (undirected) pair graph — the engine's Pregel-style
@@ -3358,13 +3404,12 @@ object SparkEntry {
            |  FROM xcand) WHERE rank <= 5
            |ORDER BY asset_id, rank""".stripMargin),
 
-    "ann_ivf_topk" ->
-      (s"WITH $ivfDetCtes\n" +
-        """SELECT query_id, neighbor_id, cast(rank as bigint) AS rank FROM (
-          |  SELECT query_id, neighbor_id,
-          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-          |  FROM cand) WHERE rank <= 10
-          |ORDER BY query_id, rank""".stripMargin),
+    "ann_ivf_topk" -> ivfTopkOracle,
+
+    // Same replay — the engine side forces the beyond-broadcast probed-join
+    // regime, which must land on identical rows (regimes are bit-identical
+    // by construction; this row driver-gates it, the spec only unit-gates).
+    "ann_ivf_join_topk" -> ivfTopkOracle,
 
     // IVF acceptance gauge: per-query recall@10 against the brute-force
     // cosine ground truth, both sides replayed from the same nrm scan.

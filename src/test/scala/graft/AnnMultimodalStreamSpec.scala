@@ -159,6 +159,28 @@ class AnnMultimodalStreamSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4Frames(huge).isEmpty)
   }
 
+  test("mp4 box walk: a header-only table box at the payload end returns None, not AIOOBE") {
+    // regression: table count fields were read before checking the box body
+    // could hold them — a size-8 stco as the LAST box indexed past the array
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, body: Array[Byte]*): Array[Byte] = {
+      val size = 8 + body.map(_.length).sum
+      be32(size) ++ t.getBytes("US-ASCII") ++ body.flatten
+    }
+    val ftyp = box("ftyp", "isom".getBytes, be32(0x200), "isom".getBytes, "mp41".getBytes)
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(1000), be32(100),
+      Array[Byte](0x55, (0xc4 - 256).toByte, 0, 0))
+    val hdlr = box("hdlr", be32(0), be32(0), "vide".getBytes, be32(0), be32(0), be32(0), Array[Byte](0))
+    val stts = box("stts", be32(0), be32(1), be32(1), be32(100))
+    val stsz = box("stsz", be32(0), be32(10), be32(1))
+    val stsc = box("stsc", be32(0), be32(1), be32(1), be32(1), be32(1))
+    val emptyStco = box("stco") // 8 bytes: header only, no ver/flags/count
+    val stbl = box("stbl", stts, stsz, stsc, emptyStco)
+    val bytes = ftyp ++ box("moov", box("trak", box("mdia", mdhd, hdlr, box("minf", stbl))))
+    assert(Multimodal.parseMp4Frames(bytes).isEmpty) // must not throw
+  }
+
   test("mp4 box walk: 64-bit largesize boxes and co64 offsets parse") {
     // hand-build a variant of the synthetic layout using a largesize mdat
     // and a co64 chunk-offset table — the 64-bit paths the generator's

@@ -52,6 +52,7 @@ object SparkEntry {
   // configuration (compare/roubust.py:162–176): 21-bit message, p = 0.1…0.8
   private val CurveWm = "001010010101001010010"
   private val CurvePs = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+  private val CurveReps = 10 // seeded attacks average over 10 reps (roubust.py)
   // TM modification-attack seed; its keyed dim0 (md5Mod("…|dim0", 64) = 37)
   // must avoid the TM position dim (50) so the attack's [min,max] scan
   // replays from the raw table (the embed only perturbs dim 50)
@@ -1756,6 +1757,22 @@ object SparkEntry {
         scpwKey = scpwKey, sharedAi = Some(ai(s, dir)))
         .select(col("p"), col("ber"))
         .orderBy("p")
+    }),
+
+    // RESULTS.md row 2 — TVP + RANDOM deletion, the published 10-rep
+    // configuration: same embed, ten rep-seeded deletion rankings (reps
+    // re-roll only the attack), per-(p, rep) BER gated row-for-row; the
+    // published mean is the average over these gated values.
+    "h_quality_curve_rand" -> ((s, dir) => {
+      Experiments.robustnessGrid(
+        Tables.embeddings(s, dir),
+        schemes = Seq(Experiments.SchemeTvp),
+        attacks = Seq("random_delete"),
+        ps = CurvePs, reps = CurveReps,
+        wm = CurveWm, strength = 0.54, th = 1.0, d = D, wmKey = key,
+        scpwKey = scpwKey, sharedAi = Some(ai(s, dir)))
+        .select(col("p"), col("rep").cast("long"), col("ber"))
+        .orderBy("p", "rep")
     }),
   )
 
@@ -3781,27 +3798,16 @@ object SparkEntry {
     // the full embed→attack→extract chain — SQL-expressible; see Scpw).
     "h_scpw_grid" -> scpwGridSql,
 
-    // The RESULTS.md quality curve replayed at the reference's published
+    // The RESULTS.md quality curves replayed at the reference's published
     // parameters: classification under the 21-BIT message, deficit at
-    // strength 0.54, the th=1.0 TVP selection, post-embed bits, the
-    // ai-argsort adaptive deletion at each p, and the majority-vote BER —
-    // all the same CTE machinery as h_robustness_grid, re-parameterized.
+    // strength 0.54, the th=1.0 TVP selection, post-embed bits, then the
+    // attack keep-sets and the majority-vote BER — all the same CTE
+    // machinery as h_robustness_grid, re-parameterized (shared prefix:
+    // qualityCurvePrefix).
     "h_quality_curve" -> {
       def pcut(expr: String) = s"ceil(nn.n * cast($expr as double))"
-      graphCtes + ",\n" +
-        classifyCtes("embeddings", "w", CurveWm) + ",\n" +
-        s"wbits(bit_pos, wm_bit) AS (VALUES ${bitsValuesSqlFor(CurveWm)}),\n" +
-        s"""wgstat AS (SELECT group_id, count(*) AS n_group, sum((oldbit + pos) % 2) AS n_one
-           |  FROM wcls GROUP BY 1),""".stripMargin + "\n" +
-        rsCarrierCtes(0.54, "") + ",\n" + // for its wneeds; the RS tail CTEs are unused and pruned
-        tvpCandCtes + ",\n" + tvpThCtes(1.0, "") + ",\n" +
-        s"""nn AS (SELECT count(*) AS n FROM embeddings),
-           |pvals(p) AS (VALUES ${CurvePs.map(p => s"($p)").mkString(", ")}),
-           |rka AS (SELECT vec_id, row_number() OVER (ORDER BY ai DESC, vec_id) AS r FROM ai),
-           |pb AS MATERIALIZED (SELECT c.vec_id, c.group_id,
-           |    CASE WHEN t.vec_id IS NOT NULL THEN t.wm_bit
-           |         ELSE cast((c.oldbit + c.pos) % 2 as int) END AS hb
-           |  FROM wcls c LEFT JOIN tcarriers t ON c.vec_id = t.vec_id),
+      qualityCurvePrefix + ",\n" +
+        s"""rka AS (SELECT vec_id, row_number() OVER (ORDER BY ai DESC, vec_id) AS r FROM ai),
            |ab AS (SELECT pv.p, pb.group_id, pb.hb
            |  FROM pvals pv, nn, pb JOIN rka ON pb.vec_id = rka.vec_id
            |  WHERE rka.r > ${pcut("pv.p")}),
@@ -3813,7 +3819,52 @@ object SparkEntry {
            |LEFT JOIN votes v ON v.p = pv.p AND v.group_id = b.bit_pos
            |GROUP BY pv.p ORDER BY p""".stripMargin
     },
+
+    // The 10-rep RANDOM-deletion curve (RESULTS.md row 2): same embed, ten
+    // rep-seeded keyed deletion rankings (reps re-roll only the attack —
+    // the reference's fixed-embed-seed semantics), per-(p, rep) BER rows.
+    // The published 10-rep mean is the avg over the gated per-rep values.
+    "h_quality_curve_rand" -> {
+      def pcut(expr: String) = s"ceil(nn.n * cast($expr as double))"
+      val rankedAll = (0 until CurveReps).map(rep =>
+        s"""SELECT vec_id, $rep AS rep,
+           |    row_number() OVER (ORDER BY md5(cast(vec_id as varchar) || '#del#att-${key.seed}-r$rep'), vec_id) AS rn
+           |  FROM embeddings""".stripMargin).mkString("\nUNION ALL\n")
+      qualityCurvePrefix + ",\n" +
+        s"""rvals(rep) AS (VALUES ${(0 until CurveReps).map(r => s"($r)").mkString(", ")}),
+           |ranked AS MATERIALIZED ($rankedAll),
+           |ab AS (SELECT pv.p, r.rep, pb.group_id, pb.hb
+           |  FROM pvals pv, nn, pb JOIN ranked r ON pb.vec_id = r.vec_id
+           |  WHERE r.rn <= nn.n - ${pcut("pv.p")}),
+           |votes AS (SELECT p, rep, group_id, sum(hb) AS n1, count(*) AS nv
+           |  FROM ab GROUP BY 1, 2, 3)
+           |SELECT cast(pv.p as double) AS p, cast(rv.rep as bigint) AS rep,
+           |  avg(CASE WHEN b.wm_bit <> coalesce(CASE WHEN v.n1 * 2 > v.nv THEN 1 ELSE 0 END, 0)
+           |      THEN 1 ELSE 0 END) AS ber
+           |FROM pvals pv CROSS JOIN rvals rv CROSS JOIN wbits b
+           |LEFT JOIN votes v ON v.p = pv.p AND v.rep = rv.rep AND v.group_id = b.bit_pos
+           |GROUP BY pv.p, rv.rep ORDER BY p, rep""".stripMargin
+    },
   )
+
+  /** Shared oracle prefix of the two RESULTS.md quality-curve replays:
+    * graph ai, 21-bit classification, strength-0.54 deficit, th=1.0 TVP
+    * selection, post-embed bits, and the p axis.
+    */
+  private lazy val qualityCurvePrefix: String =
+    graphCtes + ",\n" +
+      classifyCtes("embeddings", "w", CurveWm) + ",\n" +
+      s"wbits(bit_pos, wm_bit) AS (VALUES ${bitsValuesSqlFor(CurveWm)}),\n" +
+      s"""wgstat AS (SELECT group_id, count(*) AS n_group, sum((oldbit + pos) % 2) AS n_one
+         |  FROM wcls GROUP BY 1),""".stripMargin + "\n" +
+      rsCarrierCtes(0.54, "") + ",\n" + // for its wneeds; the RS tail CTEs are unused and pruned
+      tvpCandCtes + ",\n" + tvpThCtes(1.0, "") + ",\n" +
+      s"""nn AS (SELECT count(*) AS n FROM embeddings),
+         |pvals(p) AS (VALUES ${CurvePs.map(p => s"($p)").mkString(", ")}),
+         |pb AS MATERIALIZED (SELECT c.vec_id, c.group_id,
+         |    CASE WHEN t.vec_id IS NOT NULL THEN t.wm_bit
+         |         ELSE cast((c.oldbit + c.pos) % 2 as int) END AS hb
+         |  FROM wcls c LEFT JOIN tcarriers t ON c.vec_id = t.vec_id)""".stripMargin
 
   /** DuckDB cosine top-k oracle with fold-exact dot products. */
   /** The deterministic-LSH replay chain (float32-quantized md5 Box–Muller

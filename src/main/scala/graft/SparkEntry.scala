@@ -220,14 +220,14 @@ object SparkEntry {
   private def nanos(c: org.apache.spark.sql.Column) =
     floor(c.cast("double") * lit(1.0e9) + lit(0.5))
 
-  /** The three streaming queries (watermarked tumbling windows, dedup under
-    * duplicate delivery, the stateful sessionizer) run CONCURRENTLY over the
-    * shared multi-batch replay, memoized per scale dir. Each query alone is
-    * dominated by per-micro-batch fixed overhead (planning + offset/commit
-    * logs — the measured floor, see withStreamShufflePartitions); three
-    * parallel queries overlap those waits, so the trio costs ~max, not sum,
-    * of the three. Results are identical to sequential runs — the queries
-    * share only the immutable replay files, never state.
+  /** The four streaming queries (watermarked tumbling windows, dedup under
+    * duplicate delivery, the stateful sessionizer, and the documents-replay
+    * LSH near-dup) run CONCURRENTLY over their memoized-per-scale-dir
+    * replays. Each query alone is dominated by per-micro-batch fixed
+    * overhead (planning + offset/commit logs — the measured floor, see
+    * withStreamShufflePartitions); parallel queries overlap those waits, so
+    * the block costs ~max, not sum. Results are identical to sequential
+    * runs — the queries share only the immutable replay files, never state.
     */
   private def streamTrio(s: SparkSession, dir: String): Map[String, DataFrame] =
     GraftCache.memoAny(s"$dir/streamtrio") {
@@ -269,52 +269,35 @@ object SparkEntry {
           .writeStream.format("memory").queryName(s"stream_sessions_$n")
           .option("checkpointLocation", ckpt("sessions"))
           .outputMode("append").start()
-        val qs = Seq(tumbling, dedup, sessions)
+        // fourth leg — the documents-replay LSH near-dup (its source is the
+        // docs fixture, not events, but the per-micro-batch planning/commit
+        // floor it pays is the same one the trio already overlaps; running it
+        // alone re-paid that floor measured ~2 s per bench pass)
+        val bandObs = Dedup.minhashBands(
+            graft.streaming.StreamOps.docsStreamBatched(s, dir))
+          .select(col("band"), col("band_key"), col("doc_id"))
+          .as[graft.streaming.StreamOps.BandObs]
+        val neardup = graft.streaming.StreamOps.bandOwnerStream(bandObs)
+          .writeStream.format("memory").queryName(s"stream_neardup_$n")
+          .option("checkpointLocation", ckpt("neardup"))
+          .outputMode("append").start()
+        val qs = Seq(tumbling, dedup, sessions, neardup)
         qs.foreach(_.processAllAvailable())
         qs.foreach(_.stop())
       }
       // The memory sinks live in the session catalog and hold their rows on
       // the driver; drop them when the memo is invalidated, or each bench
-      // pass leaks three tables ("stream_*_$n" names are pass-unique).
+      // pass leaks four tables ("stream_*_$n" names are pass-unique).
       GraftCache.onClear { () =>
-        Seq(s"stream_tumbling_$n", s"stream_dedup_$n", s"stream_sessions_$n")
+        Seq(s"stream_tumbling_$n", s"stream_dedup_$n", s"stream_sessions_$n",
+            s"stream_neardup_$n")
           .foreach(s.catalog.dropTempView(_))
         rmTree(ckptBase) // throwaway replay checkpoints — RAM-backed, pass-unique
       }
       Map("tumbling" -> s.table(s"stream_tumbling_$n"),
         "dedup"    -> s.table(s"stream_dedup_$n"),
-        "sessions" -> s.table(s"stream_sessions_$n"))
-    }
-
-  /** Streaming LSH near-dup over the doc_id-ordered documents replay: band
-    * every arriving doc with the SAME md5-keyed minhash family as the batch
-    * operators (Dedup.minhashBands — stateless, stream-safe), route the
-    * observations through the per-bucket first-owner state
-    * (StreamOps.bandOwnerStream), and land per-(doc, band) verdicts in a
-    * memory sink. Memoized per scale dir like streamTrio.
-    */
-  private def streamNearDup(s: SparkSession, dir: String): DataFrame =
-    GraftCache.memoAny(s"$dir/streamneardup") {
-      import s.implicits._
-      val n = streamSinkSeq.incrementAndGet()
-      val ckptBase = replayCkptBase(n)
-      withStreamShufflePartitions(s, 4) {
-        val bands = Dedup.minhashBands(
-            graft.streaming.StreamOps.docsStreamBatched(s, dir))
-          .select(col("band"), col("band_key"), col("doc_id"))
-          .as[graft.streaming.StreamOps.BandObs]
-        val q = graft.streaming.StreamOps.bandOwnerStream(bands)
-          .writeStream.format("memory").queryName(s"stream_neardup_$n")
-          .option("checkpointLocation",
-            new java.io.File(ckptBase, "neardup").getAbsolutePath)
-          .outputMode("append").start()
-        q.processAllAvailable(); q.stop()
-      }
-      GraftCache.onClear { () =>
-        s.catalog.dropTempView(s"stream_neardup_$n")
-        rmTree(ckptBase)
-      }
-      s.table(s"stream_neardup_$n")
+        "sessions" -> s.table(s"stream_sessions_$n"),
+        "neardup"  -> s.table(s"stream_neardup_$n"))
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1122,7 +1105,7 @@ object SparkEntry {
     // min(doc_id) over bucket < doc_id (oracle replays the band keys and
     // the min-owner rule in SQL).
     "q_stream_neardup" -> ((s, dir) =>
-      streamNearDup(s, dir)
+      streamTrio(s, dir)("neardup")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bands"),
           sum(col("collided").cast("long")).as("n_collided"))
@@ -1764,10 +1747,9 @@ object SparkEntry {
     // re-roll only the attack), per-(p, rep) BER gated row-for-row; the
     // published mean is the average over these gated values.
     "h_quality_curve_rand" -> ((s, dir) => {
-      Experiments.robustnessGrid(
+      Experiments.randomDeleteRepCurve(
         Tables.embeddings(s, dir),
-        schemes = Seq(Experiments.SchemeTvp),
-        attacks = Seq("random_delete"),
+        scheme = Experiments.SchemeTvp,
         ps = CurvePs, reps = CurveReps,
         wm = CurveWm, strength = 0.54, th = 1.0, d = D, wmKey = key,
         scpwKey = scpwKey, sharedAi = Some(ai(s, dir)))

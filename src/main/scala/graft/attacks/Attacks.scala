@@ -327,18 +327,58 @@ object Attacks {
     * per scheme tripled the window+checkpoint jobs for identical output).
     * Each frame is a narrow (vec_id, __grank) checkpoint.
     */
-  case class GridRanks(del: DataFrame, mod: DataFrame, aiRank: Option[DataFrame])
+  /** Each ranking materializes (window + histogram collect + checkpoint jobs)
+    * only when an attack family first touches it: a delete-only grid never
+    * pays for the modify or ai orderings. Forced frames memoize (lazy val),
+    * so one GridRanks still serves every scheme/strength of a sweep.
+    */
+  final class GridRanks(delF: () => DataFrame, modF: () => DataFrame,
+                        aiF: Option[() => DataFrame]) {
+    lazy val del: DataFrame = delF()
+    lazy val mod: DataFrame = modF()
+    lazy val aiRank: Option[DataFrame] = aiF.map(_.apply())
+  }
 
   def gridRanks(ids: DataFrame, seed: String, ai: Option[DataFrame]): GridRanks = {
     val idOnly = ids.select(col("vec_id"))
-    val del = keyedRanked(idOnly, GraftCols.keyedHash(col("vec_id"), lit("del"), lit(seed)))
-      .select(col("vec_id"), col("__grank")).localCheckpoint()
-    val mod = keyedRanked(idOnly, GraftCols.keyedHash(col("vec_id"), lit("modrow"), lit(seed)))
-      .select(col("vec_id"), col("__grank")).localCheckpoint()
-    val aiR = ai.map(a =>
-      scoreRanked(idOnly.join(a, "vec_id").select(col("vec_id"), col("ai")), "ai")
-        .select(col("vec_id"), col("__grank")).localCheckpoint())
-    GridRanks(del, mod, aiR)
+    new GridRanks(
+      () => keyedRanked(idOnly, GraftCols.keyedHash(col("vec_id"), lit("del"), lit(seed)))
+        .select(col("vec_id"), col("__grank")).localCheckpoint(),
+      () => keyedRanked(idOnly, GraftCols.keyedHash(col("vec_id"), lit("modrow"), lit(seed)))
+        .select(col("vec_id"), col("__grank")).localCheckpoint(),
+      ai.map(a => () =>
+        scoreRanked(idOnly.join(a, "vec_id").select(col("vec_id"), col("ai")), "ai")
+          .select(col("vec_id"), col("__grank")).localCheckpoint()))
+  }
+
+  /** Per-rep keyed global ranks in ONE plan: (rep, vec_id, __grank) for every
+    * rep ∈ [0, reps), where __grank ranks vec_id in
+    * (md5(vec_id#lane#seedFor(rep)), vec_id) order WITHIN that rep — the
+    * ordering keyedRanked derives one rep at a time, with one histogram
+    * aggregate and one offsets broadcast serving all reps (offsets via the
+    * same bucket-cumulative scheme as Tvp.groupedRank; buckets = first 4 hex
+    * digits of the key, order-consistent with the key order by construction).
+    * The rep-grid shape: |reps| rankings cost one shuffle, not |reps|
+    * histogram-collect + window + checkpoint job chains.
+    */
+  def keyedRankedReps(ids: DataFrame, lane: String, reps: Int,
+                      seedFor: Int => String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val repDf = (0 until reps).map(r => (r, seedFor(r))).toDF("rep", "__seed")
+    val withB = ids.select(col("vec_id")).crossJoin(broadcast(repDf))
+      .withColumn("__key", GraftCols.keyedHash(col("vec_id"), lit(lane), col("__seed")))
+      .withColumn("__b", conv(substring(col("__key"), 1, 4), 16, 10).cast("int"))
+    val offs = withB.groupBy(col("rep"), col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.partitionBy(col("rep")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rep"), col("__b"), col("__off"))
+    withB.join(broadcast(offs), Seq("rep", "__b"))
+      .withColumn("__grank", row_number().over(
+          Window.partitionBy(col("rep"), col("__b")).orderBy(col("__key"), col("vec_id")))
+        .cast("long") + col("__off"))
+      .select(col("rep"), col("vec_id"), col("__grank"))
   }
 
   def attackGrid(df: DataFrame, attacks: Seq[String], ps: Seq[Double], seed: String,

@@ -240,6 +240,74 @@ object Experiments {
       .select("scheme", "attack", "strength", "p", "rep", "ber")
   }
 
+  /** The multi-rep RANDOM-DELETION BER curve in ONE plan (the published
+    * 10-rep quality-curve configuration, compare/roubust.py:162–176): reps
+    * re-roll only the deletion draw, so the embed and the row-wise
+    * classification run ONCE (robustnessGrid re-classifies per rep); all
+    * reps' keyed rankings ride one bucket-ranked frame
+    * (Attacks.keyedRankedReps — one shuffle, not |reps| histogram/window/
+    * checkpoint chains); and the p axis collapses to a per-row keep-count
+    * (the number of cutoffs this row survives — keep-sets are nested, so
+    * survival is a rank prefix) + a tiny suffix-sum over the aggregated
+    * buckets. Row-identical to robustnessGrid(..., Seq("random_delete"))
+    * — parity is spec-gated (ExperimentsSpec) and the driver's oracle
+    * replays the same semantics per (p, rep) cell.
+    *
+    * Scale shape: the wide frame is |corpus|·reps NARROW rows (id, group,
+    * bit, rank) with one bucket-join shuffle; everything after the first
+    * aggregate is ≤ reps·L·|ps| rows regardless of corpus size.
+    */
+  def randomDeleteRepCurve(emb: DataFrame, scheme: Scheme, ps: Seq[Double],
+                           reps: Int, wm: String, strength: Double, th: Double,
+                           d: Int, wmKey: WmKey, scpwKey: ScpwKey,
+                           sharedAi: Option[DataFrame] = None): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ai = if (scheme == SchemeTvp)
+      Some(sharedAi.getOrElse(KnnGraph.accessibility(emb, KnnGraph.edges(emb, 8)))
+        .localCheckpoint())
+    else None
+    val wmDf = embedFor(emb, scheme, wm, strength, th, d, wmKey, scpwKey, ai)
+      .localCheckpoint()
+    val l = wm.length
+    val cl = (scheme match {
+      case SchemeScpw => Scpw.classify(wmDf, l, scpwKey)
+      case _          => Tvp.classify(wmDf, d, l, wmKey)
+    }).select(col("vec_id"), col("group_id"), col("hidden_bit"))
+    val n = wmDf.count()
+    // keep_j = n − ceil(n·p_j): keep-set sizes, decreasing in p — the same
+    // arithmetic as attackGrid's nCut / randomDelete's keep
+    val keeps = ps.map(p => n - math.ceil(n.toDouble * p).toLong)
+    val ranked = Attacks.keyedRankedReps(wmDf.select("vec_id"), "del", reps,
+      rep => s"att-${repSeed(wmKey, rep)}")
+    // keep-sets are nested (keep_j decreases with p), so a row with rank rn
+    // survives exactly the prefix p_1..p_nkeep where nkeep = |{j: rn ≤ keep_j}|
+    val keepArr = array(keeps.map(lit): _*)
+    val partial = cl.join(ranked, "vec_id")
+      .withColumn("__nkeep", size(filter(keepArr, k => col("__grank") <= k)))
+      .filter(col("__nkeep") >= 1)
+      .groupBy("rep", "group_id", "__nkeep")
+      .agg(sum("hidden_bit").as("__s1"), count(lit(1)).as("__cnt"))
+    // votes for p_j aggregate the buckets with nkeep ≥ j (suffix-sum); the
+    // non-equi join is against a |ps|-row broadcast of aggregated partials
+    val pIdx = ps.zipWithIndex.map { case (p, i) => (p, i + 1) }.toDF("p", "__j")
+    val votes = partial.join(broadcast(pIdx), col("__nkeep") >= col("__j"))
+      .groupBy("rep", "p", "group_id")
+      .agg(sum("__s1").as("n_one"), sum("__cnt").as("n"))
+      .select(col("rep").as("vr"), col("p").as("vp"), col("group_id"),
+        when(col("n_one") * 2 > col("n"), 1).otherwise(0).as("vote_bit"))
+    val cells = (0 until reps).flatMap(r => ps.map(p => (r, p))).toDF("rep", "p")
+    cells.crossJoin(broadcast(Tvp.bitsDf(spark, wm)))
+      .join(votes, col("rep") === col("vr") && col("p") === col("vp") &&
+        col("bit_pos") === col("group_id"), "left")
+      .withColumn("extracted_bit", coalesce(col("vote_bit"), lit(0)))
+      .groupBy("rep", "p")
+      .agg(avg((col("wm_bit") =!= col("extracted_bit")).cast("int")).as("ber"))
+      .withColumn("scheme", lit(scheme.toString))
+      .withColumn("attack", lit("random_delete"))
+      .select("scheme", "attack", "p", "rep", "ber")
+  }
+
   /** Robustness grid → (scheme, attack, p, rep, ber) result frame.
     * The watermarked table is embedded ONCE per scheme and persisted; every
     * attack×p×rep cell shares it (reps re-roll only the attack draws) — at

@@ -87,6 +87,27 @@ class ExperimentsSpec extends AnyFunSuite {
     }
   }
 
+  test("randomDeleteRepCurve matches robustnessGrid cell-for-cell") {
+    // the one-plan suffix-sum curve must be row-identical to the generic
+    // per-rep grid path (same embed, same keyed rankings, same votes)
+    val ps = Seq(0.1, 0.4, 0.7)
+    for (scheme <- Seq(Experiments.SchemeTvp, Experiments.SchemeRs)) {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("p", "rep", "ber").collect()
+          .map(r => (r.getDouble(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val fused = rows(Experiments.randomDeleteRepCurve(emb, scheme, ps,
+        reps = 3, wm = "10110", strength = 0.7, th = 1.0, d = 64,
+        wmKey = wmKey, scpwKey = scpwKey, sharedAi = Some(aiDf)))
+      val generic = rows(Experiments.robustnessGrid(emb, Seq(scheme),
+        Seq("random_delete"), ps, reps = 3, wm = "10110", strength = 0.7,
+        th = 1.0, d = 64, wmKey = wmKey, scpwKey = scpwKey,
+        sharedAi = Some(aiDf)))
+      assert(fused.keySet == generic.keySet, s"$scheme cell sets differ")
+      for (k <- generic.keySet)
+        assert(fused(k) == generic(k), s"$scheme cell $k: ${fused(k)} vs ${generic(k)}")
+    }
+  }
+
   test("P16 mean distortion: zero for identity, small positive after embed") {
     assert(Metrics.meanDistortion(emb, emb) == 0.0)
     val wmDf = Tvp.embedRs(emb, "10101", 0.6, 64, wmKey)

@@ -1756,6 +1756,52 @@ object SparkEntry {
         .select(col("p"), col("rep").cast("long"), col("ber"))
         .orderBy("p", "rep")
     }),
+
+    // Corpus vocabulary heavy hitters: token frequency with a deterministic
+    // top-k cut. The scale shape is the canonical 100 TB word count —
+    // map-side partial aggregation into a hash shuffle on token, then a
+    // per-partition top-k merged on the driver (TakeOrderedAndProject — no
+    // global sort materializes). The (n DESC, token) total order makes the
+    // k-boundary tie-free.
+    "text_top_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)
+    }),
+
+    // One-pass column profiler over lineitem's measure columns: count,
+    // distinct count, min/max, exact mean — all 4×5 aggregates in a SINGLE
+    // aggregation job (one scan at 100 TB), stacked to long format after.
+    // The mean is exact and order-independent: decimal(18,2) sums are
+    // associative (the fixture's measures carry ≤2 decimals), and the final
+    // sum/n is one double division of two exact values, so Spark and the
+    // oracle land on the same IEEE result. The multi-column distinct is one
+    // Expand (×4 rows) fused into the same job — the standard profiler
+    // trade: 4× map-side rows for a single pass.
+    "profile_columns" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"${c}_n"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"),
+          sum(col(c).cast("decimal(18,2)")).as(s"${c}_sum"))
+      }
+      Tables.lineitem(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(
+          s"stack(${cols.size}, " + cols.map(c =>
+            s"'$c', ${c}_n, ${c}_nd, ${c}_min, ${c}_max, ${c}_sum")
+            .mkString(", ") + ") as (col_name, n, n_distinct, vmin, vmax, vsum)"))
+        .withColumn("avg", col("vsum").cast("double") / col("n"))
+        .drop("vsum")
+        .orderBy("col_name")
+    }),
   )
 
   /** DuckDB-side content-id expression mirroring GraftCols.contentIdCol
@@ -2921,6 +2967,28 @@ object SparkEntry {
          |  ${TextOps.langIdSql("text")} AS pred_lang,
          |  ${TextOps.fingerprintSql("text")} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Deterministic top-k: the (n DESC, token) total order makes the cut
+    // tie-free, so the DuckDB LIMIT and Spark's TakeOrderedAndProject select
+    // the same 100 rows.
+    "text_top_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // Decimal sums are exact, so the final avg is one double division of two
+    // exact values in both engines.
+    "profile_columns" -> {
+      def block(c: String) =
+        s"""SELECT '$c' AS col_name, count($c) AS n,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min($c) AS vmin, max($c) AS vmax,
+           |  cast(sum(cast($c AS decimal(18,2))) AS double) / count($c) AS avg
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(block).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+    },
 
     "dedup_exact_groups" ->
       """SELECT md5(text) AS text_hash, count(*) AS n, min(doc_id) AS keep_id

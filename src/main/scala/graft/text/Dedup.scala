@@ -26,20 +26,45 @@ object Dedup {
     df.join(keep, Seq("doc_id"), "left_semi")
   }
 
+  /** Distinct word-n-gram shingle set of one document as a single-pass UDF:
+    * one tokenize, one insertion-ordered hash set. Deliberately a UDF, not
+    * the "native" sequence→transform→slice→concat_ws→array_distinct chain:
+    * higher-order functions evaluate INTERPRETED (outside whole-stage
+    * codegen) and re-evaluate the outer split per lambda element, so the
+    * expression form measured ~8× slower (ShingleProbe at sf0.1: 3.0 s vs
+    * 0.4 s warm, row-identical output) — the usual functions-over-UDFs rule
+    * inverts when the functions are HOFs.
+    */
+  private def shingleSetUdf(n: Int) = udf((text: String) => {
+    // limit -1 keeps trailing empty tokens — exactly Spark's split() and the
+    // oracle's string_split (the char-overload split(' ') drops them and
+    // would diverge on trailing-space text)
+    val ws  = text.split(" ", -1)
+    val out = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i + n <= ws.length) {
+      val sb = new java.lang.StringBuilder(ws(i))
+      var j = 1
+      while (j < n) { sb.append(' '); sb.append(ws(i + j)); j += 1 }
+      out.add(sb.toString)
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    out.asScala.toArray
+  })
+
   /** Word n-gram shingles, one row per distinct (doc_id, shingle).
     * Duplicate shingles only occur WITHIN a document, so the set semantics
-    * come from a per-row array_distinct — a map-only pass, not a
+    * come from the per-row set build — a map-only pass, not a
     * 500k-row distinct shuffle.
     */
   def shingles(df: DataFrame, n: Int): DataFrame = {
     val words = split(col("text"), " ")
-    // the <n-word guard lives HERE so every caller is safe: without it,
-    // sequence(0, negative) throws at runtime for short docs (which the
-    // DuckDB oracle silently skips via its len(ws) >= n predicate)
+    // the <n-word guard mirrors the DuckDB oracle's len(ws) >= n predicate
+    // (the UDF would yield an empty set anyway; the filter keeps the
+    // semantics explicit and the short-doc rows out of the explode)
     df.filter(size(words) >= n)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", slice(words, i + 1, lit(n)))))).as("shingle"))
+      .select(col("doc_id"), explode(shingleSetUdf(n)(col("text"))).as("shingle"))
   }
 
   /** The minhash universal-hash modulus (the Mersenne prime 2³¹−1): small
@@ -74,7 +99,9 @@ object Dedup {
     val as = Array.tabulate(numHashes)(s => Hashing.md5Mod(s"minhash-a|$s", p - 1) + 1)
     val bs = Array.tabulate(numHashes)(s => Hashing.md5Mod(s"minhash-b|$s", p))
     val bandsUdf = udf((text: String) => {
-      val words = text.split(' ')
+      // limit -1: keep trailing empty tokens, matching Spark's split() guard
+      // below and the oracle's string_split (see shingleSetUdf)
+      val words = text.split(" ", -1)
       val sh    = scala.collection.mutable.HashSet.empty[String]
       var i     = 0
       while (i + n <= words.length) {
@@ -155,8 +182,7 @@ object Dedup {
     val words = split(col("text"), " ")
     val sh = graft.GraftCache.track(
       df.filter(size(words) >= n)
-        .withColumn("__shset", array_distinct(transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", slice(words, i + 1, lit(n))))))
+        .withColumn("__shset", shingleSetUdf(n)(col("text")))
         .select(col("doc_id"), size(col("__shset")).cast("long").as("sz"),
           explode(col("__shset")).as("shingle")))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -165,8 +191,15 @@ object Dedup {
     val ranked = sh.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+    // df = 1 prefix rows are dropped AFTER ranks are assigned (rk depends on
+    // the full ordered set): a shingle in exactly one document can never be
+    // shared, so its rows produce zero join output — dropping them changes
+    // no candidate group while removing the BULK of the join input at scale
+    // (rare shingles sort into prefixes by construction; the 1M-doc
+    // JaccardScaleProbe corpus has 57.4M distinct shingles of which only
+    // 583k have df > 1). At fixture scale it is a no-op (207 of 260k rows).
     val pre = ranked
-      .filter(col("rk") <= prefLen)
+      .filter(col("rk") <= prefLen && col("df") > 1)
       .select(col("doc_id"), col("shingle"), col("sz"), col("rk"))
     // TWO exact pruning bounds over the prefix-join rows; a candidate must
     // satisfy both. Validity rests on both docs sorting their shingle sets

@@ -28,11 +28,26 @@ object JaccardFixtureProbe {
       val n = 3; val threshold = 0.4
       import org.apache.spark.sql.expressions.Window
       val words = split(col("text"), " ")
+      // single-pass UDF shingle set — mirrors Dedup.shingleSetUdf (r10: the
+      // interpreted HOF chain measured ~8× slower, ShingleProbe)
+      val shUdf = udf((text: String) => {
+        val ws = text.split(" ", -1)
+        val out = new java.util.LinkedHashSet[String]
+        var i = 0
+        while (i + n <= ws.length) {
+          val sb = new java.lang.StringBuilder(ws(i))
+          var j = 1
+          while (j < n) { sb.append(' '); sb.append(ws(i + j)); j += 1 }
+          out.add(sb.toString)
+          i += 1
+        }
+        import scala.jdk.CollectionConverters._
+        out.asScala.toArray
+      })
       val sh = time("shingles+sz+persist") {
         val s = graft.GraftCache.track(
           docs.filter(size(words) >= n)
-            .withColumn("__shset", array_distinct(transform(sequence(lit(0), size(words) - n),
-              i => concat_ws(" ", slice(words, i + 1, lit(n))))))
+            .withColumn("__shset", shUdf(col("text")))
             .select(col("doc_id"), size(col("__shset")).cast("long").as("sz"),
               explode(col("__shset")).as("shingle")))
         s.count(); s
@@ -43,7 +58,7 @@ object JaccardFixtureProbe {
         val p = sh.join(dfreq, "shingle")
           .withColumn("rk", row_number().over(
             Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
-          .filter(col("rk") <= prefLen)
+          .filter(col("rk") <= prefLen && col("df") > 1)
           .select(col("doc_id"), col("shingle"), col("sz"), col("rk")).localCheckpoint()
         p.count(); p
       }

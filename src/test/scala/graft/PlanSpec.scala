@@ -82,4 +82,24 @@ class PlanSpec extends AnyFunSuite {
       "(shuffles |Q|·nprobe·listSize full vectors — see ivfDetSearch scaladoc)")
     assert(ivf.contains("MapPartitions"), "ann_ivf_topk lost the grouped kernel scan")
   }
+
+  test("text_top_tokens: top-k via TakeOrderedAndProject, no global sort materializes") {
+    val p = plan("text_top_tokens")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k cut must be per-partition TakeOrderedAndProject, not sort+limit")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "token counts lost map-side partial aggregation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("profile_columns: one scan, one aggregation job, distinct via a single Expand") {
+    val p = plan("profile_columns")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    val cached = p.contains("InMemoryTableScan") // another suite may have cached it
+    assert(cached || scans == 1, s"profiler must scan lineitem exactly once, saw $scans")
+    assert(p.contains("Expand"), "multi-column distinct lost its fused Expand")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "profiler should be a pure aggregation plan")
+  }
 }

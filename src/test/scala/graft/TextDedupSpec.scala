@@ -160,6 +160,41 @@ class TextDedupSpec extends AnyFunSuite {
     assert(gaps.filter(col("gap") > 1800).count() == 0)
   }
 
+  test("shingle UDF is row-identical to the declarative HOF construction") {
+    // Dedup.shingles moved to a single-pass UDF for speed (ShingleProbe:
+    // the interpreted HOF chain measured ~8×); this pins the semantics to
+    // the declarative form so the fast path can never drift — including
+    // multi-space runs (empty tokens inside shingles) and <n-word docs.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b  c d"), // double space → empty token preserved in shingles
+      (3L, "x y"),      // < n words → no rows
+      (4L, "a a a a"),  // per-doc duplicate shingles → one row each
+      (6L, "p q r "),   // trailing space → trailing empty token kept
+      (5L, "solo tokens only here")).toDF("doc_id", "text")
+    val n = 3
+    val words = split(col("text"), " ")
+    val hof = docs.filter(size(words) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))).as("shingle"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val udfRows = graft.text.Dedup.shingles(docs, n)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(udfRows.sameElements(hof), "UDF shingles diverged from the HOF form")
+    // and on real fixture text
+    val real = Tables.documents(spark, TestSpark.sf0001).limit(200)
+    val rHof = real.filter(size(words) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))).as("shingle"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val rUdf = graft.text.Dedup.shingles(real, n)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(rUdf.sameElements(rHof))
+  }
+
   test("langId picks a profile language deterministically") {
     import spark.implicits._
     val df = Seq(

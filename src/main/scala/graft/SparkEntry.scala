@@ -102,6 +102,23 @@ object SparkEntry {
       (c, GraftCache.track(Ann.ivfDetAssign(emb, c)))
     }
 
+  /** Deterministic-LSH top-5 of the first 100 queries — the (corpus, seed,
+    * k) artifact both LSH queries consume (ann_lsh_topk reads it whole,
+    * ann_lsh_recall joins it against the brute-force ground truth), memoized
+    * like the dedup pair frame so the bucket join + exact re-rank runs once
+    * per pass. localCheckpoint truncates the multi-join lineage.
+    */
+  private def lshDetShared(s: SparkSession, dir: String): DataFrame =
+    GraftCache.memo(s"$dir/lshtopk") {
+      val emb = Tables.embeddings(s, dir)
+      val hashed = GraftCache.memoAny(s"$dir/lshdet") {
+        GraftCache.track(Knn.lshDetHash(emb, Knn.lshDetProjections(5, D, "lsh"), 1.0))
+      }
+      Knn.lshDet(emb.filter(col("vec_id") < 100), emb, 5, D,
+        bucketLength = 1.0, numHashTables = 5, seed = "lsh",
+        prehashed = Some(hashed)).localCheckpoint()
+    }
+
   /** The persisted deterministic-IVF index dir for a scale dir — built once
     * per (fixture-fingerprint, nlist) key (staging + atomic-rename publish;
     * an existing valid artifact is reused without rewriting) and shared by
@@ -1294,12 +1311,7 @@ object SparkEntry {
     // technique) instead of spark.ml's seeded RNG — same bucket-join plan,
     // every draw SQL-replayable. Pre-hashed corpus memoized per scale dir.
     "ann_lsh_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val hashed = GraftCache.memoAny(s"$dir/lshdet") {
-        GraftCache.track(Knn.lshDetHash(emb, Knn.lshDetProjections(5, D, "lsh"), 1.0))
-      }
-      Knn.lshDet(emb.filter(col("vec_id") < 100), emb, 5, D,
-          bucketLength = 1.0, numHashTables = 5, seed = "lsh", prehashed = Some(hashed))
+      lshDetShared(s, dir)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -1308,12 +1320,7 @@ object SparkEntry {
     // path against the brute-force L2 ground truth (the memoized rawKnn
     // frame — its 17-deep ranks contain the top-5).
     "ann_lsh_recall" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val hashed = GraftCache.memoAny(s"$dir/lshdet") {
-        GraftCache.track(Knn.lshDetHash(emb, Knn.lshDetProjections(5, D, "lsh"), 1.0))
-      }
-      val lsh = Knn.lshDet(emb.filter(col("vec_id") < 100), emb, 5, D,
-          bucketLength = 1.0, numHashTables = 5, seed = "lsh", prehashed = Some(hashed))
+      val lsh = lshDetShared(s, dir)
         .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
       rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 5)
         .select(col("query_id"), col("neighbor_id"))
@@ -1774,30 +1781,31 @@ object SparkEntry {
     }),
 
     // One-pass column profiler over lineitem's measure columns: count,
-    // distinct count, min/max, exact mean — all 4×5 aggregates in a SINGLE
-    // aggregation job (one scan at 100 TB), stacked to long format after.
-    // The mean is exact and order-independent: decimal(18,2) sums are
-    // associative (the fixture's measures carry ≤2 decimals), and the final
-    // sum/n is one double division of two exact values, so Spark and the
-    // oracle land on the same IEEE result. The multi-column distinct is one
-    // Expand (×4 rows) fused into the same job — the standard profiler
-    // trade: 4× map-side rows for a single pass.
+    // distinct count, min/max, exact mean — one scan, one shuffle. The shape
+    // is unpivot-first: stack() to (col_name, v) long format (map-only),
+    // then a TWO-LEVEL aggregation — level 1 keyed (col_name, v) collapses
+    // to distinct values with multiplicities (map-side partial absorbs the
+    // 4× row fan-out), level 2 keyed col_name derives n = Σcnt,
+    // n_distinct = count, min/max, and the exact decimal sum Σ v·cnt. This
+    // beats the one-agg multi-countDistinct form 3× (ProfileProbe: 1.0 s vs
+    // 2.9 s warm at sf0.1) because that form plans a 5-branch Expand whose
+    // first aggregate keys on ALL FOUR value columns at once — a 3M-row
+    // grouping keyed by near-unique tuples — while this one never groups by
+    // more than one value column. The mean stays exact and
+    // order-independent: decimal(18,2) sums are associative (the measures
+    // carry ≤2 decimals) and the final sum/n is one double division of two
+    // exact values, so Spark and the oracle land on the same IEEE result.
     "profile_columns" -> ((s, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val aggs = cols.flatMap { c =>
-        Seq(
-          count(col(c)).as(s"${c}_n"),
-          countDistinct(col(c)).as(s"${c}_nd"),
-          min(col(c)).as(s"${c}_min"),
-          max(col(c)).as(s"${c}_max"),
-          sum(col(c).cast("decimal(18,2)")).as(s"${c}_sum"))
-      }
       Tables.lineitem(s, dir)
-        .agg(aggs.head, aggs.tail: _*)
         .select(expr(
-          s"stack(${cols.size}, " + cols.map(c =>
-            s"'$c', ${c}_n, ${c}_nd, ${c}_min, ${c}_max, ${c}_sum")
-            .mkString(", ") + ") as (col_name, n, n_distinct, vmin, vmax, vsum)"))
+          s"stack(${cols.size}, " + cols.map(c => s"'$c', $c").mkString(", ") +
+            ") as (col_name, v)"))
+        .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+        .groupBy("col_name")
+        .agg(sum("cnt").as("n"), count(lit(1)).as("n_distinct"),
+          min("v").as("vmin"), max("v").as("vmax"),
+          sum(col("v").cast("decimal(18,2)") * col("cnt")).as("vsum"))
         .withColumn("avg", col("vsum").cast("double") / col("n"))
         .drop("vsum")
         .orderBy("col_name")

@@ -73,9 +73,14 @@ class PlanSpec extends AnyFunSuite {
     // LSH keeps its bucket-key candidate join; IVF search is the grouped
     // broadcast kernel — its inverted-list scan must appear as a map-only
     // MapPartitions, never as a row join shuffling embedding vectors
-    val lsh = plan("ann_lsh_topk")
-    assert(!lsh.contains("CartesianProduct"), "ann_lsh_topk has a cartesian product")
-    assert(lsh.contains("Join"), "ann_lsh_topk lost its candidate join")
+    // ann_lsh_topk reads the memoized lshDetShared checkpoint, so assert the
+    // shape on the underlying construction instead of the query plan
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val lsh = graft.knn.Knn.lshDet(emb.filter(col("vec_id") < 100), emb, 5, 64)
+      .queryExecution.executedPlan.toString
+    assert(!lsh.contains("CartesianProduct"), "lshDet has a cartesian product")
+    assert(lsh.contains("Join"), "lshDet lost its candidate join")
     val ivf = plan("ann_ivf_topk")
     assert(!ivf.contains("CartesianProduct"), "ann_ivf_topk has a cartesian product")
     assert(!ivf.contains("Join"), "ann_ivf_topk regressed to the probed row join " +
@@ -92,13 +97,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("profile_columns: one scan, one aggregation job, distinct via a single Expand") {
+  test("profile_columns: one scan, unpivot-first two-level aggregation, no Expand") {
     val p = plan("profile_columns")
     val scans = p.linesIterator.count(l =>
       l.contains("FileScan parquet") && l.contains("lineitem"))
     val cached = p.contains("InMemoryTableScan") // another suite may have cached it
     assert(cached || scans == 1, s"profiler must scan lineitem exactly once, saw $scans")
-    assert(p.contains("Expand"), "multi-column distinct lost its fused Expand")
+    assert(!p.contains("Expand"),
+      "profiler regressed to the multi-countDistinct Expand plan " +
+        "(3× slower — groups by all value columns at once; see ProfileProbe)")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       "profiler should be a pure aggregation plan")
   }

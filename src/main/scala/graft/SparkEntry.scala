@@ -106,7 +106,8 @@ object SparkEntry {
     * k) artifact both LSH queries consume (ann_lsh_topk reads it whole,
     * ann_lsh_recall joins it against the brute-force ground truth), memoized
     * like the dedup pair frame so the bucket join + exact re-rank runs once
-    * per pass. localCheckpoint truncates the multi-join lineage.
+    * per pass (memo persists the frame; no extra checkpoint — that would
+    * materialize a second copy of an already-persisted result).
     */
   private def lshDetShared(s: SparkSession, dir: String): DataFrame =
     GraftCache.memo(s"$dir/lshtopk") {
@@ -116,7 +117,7 @@ object SparkEntry {
       }
       Knn.lshDet(emb.filter(col("vec_id") < 100), emb, 5, D,
         bucketLength = 1.0, numHashTables = 5, seed = "lsh",
-        prehashed = Some(hashed)).localCheckpoint()
+        prehashed = Some(hashed))
     }
 
   /** The persisted deterministic-IVF index dir for a scale dir — built once
@@ -1780,6 +1781,65 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // Corpus composition report: docs/tokens per (source, language) with an
+    // exact parts-per-million token share. One groupBy plus a broadcast of
+    // the 1-row total — the share is integer arithmetic (n·10⁶ div total),
+    // no double division to drift between engines. The mix report is the
+    // first artifact any pretraining data audit asks for.
+    "corpus_mix" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("source"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("tk"))
+      val g = toks.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("n_tokens"))
+      val tot = toks.agg(sum("tk").as("tot"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("token_share_ppm", expr("n_tokens * 1000000 div tot"))
+        .select("source", "lang", "n_docs", "n_tokens", "token_share_ppm")
+        .orderBy("source", "lang")
+    }),
+
+    // Deterministic stratified sampling + train/val/test split assignment:
+    // a 10% keyed-hash sample of every language stratum, then an 80/10/10
+    // split from a second independent keyed draw. Entirely map-side until
+    // the report aggregate, and content-key-deterministic — rerunning on a
+    // different cluster/partitioning reproduces the exact membership, which
+    // rand()-based sampling cannot. min/max doc_id witness the membership
+    // beyond counts.
+    "sample_stratified" -> ((s, dir) => {
+      val idStr = col("doc_id").cast("string")
+      val sampled = Tables.documents(s, dir)
+        .filter(GraftCols.md5Mod(concat(lit("strat|"), idStr), 1000) < 100)
+      val draw = GraftCols.md5Mod(concat(lit("split|"), idStr), 10)
+      sampled
+        .withColumn("split",
+          when(draw <= 7, "train").when(draw === 8, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "split")
+    }),
+
+    // Sequence packing (concatenate-then-chunk): per source shard, docs in
+    // doc_id order are packed into 2048-token context windows; a doc is
+    // assigned to the window holding its LAST token. The cumulative sum is
+    // a per-source window (partitioned prefix sum — parallel across
+    // sources; at 100 TB packing runs per shard exactly like this), and the
+    // window id is integer arithmetic, oracle-replayable. Emits per-window
+    // fill stats — the packing-efficiency report of an LLM data pipeline.
+    "pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk"))
+        .withColumn("cum", sum("tk").over(w))
+        .withColumn("window_id", expr("(cum - 1) div 2048"))
+        .groupBy("source", "window_id")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "window_id")
+    }),
+
     // One-pass column profiler over lineitem's measure columns: count,
     // distinct count, min/max, exact mean — one scan, one shuffle. The shape
     // is unpivot-first: stack() to (col_name, v) long format (map-only),
@@ -2984,6 +3044,41 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE length(token) > 0
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // Integer ppm arithmetic — no double division to drift between engines.
+    "corpus_mix" ->
+      """WITH t AS (SELECT source, lang,
+        |    cast(len(string_split(text, ' ')) as bigint) AS tk FROM documents),
+        |g AS (SELECT source, lang, count(*) AS n_docs,
+        |    cast(sum(tk) as bigint) AS n_tokens FROM t GROUP BY 1, 2),
+        |tot AS (SELECT cast(sum(tk) as bigint) AS tot FROM t)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  (n_tokens * 1000000) // tot AS token_share_ppm
+        |FROM g, tot ORDER BY source, lang""".stripMargin,
+
+    // Same keyed md5 draws (full-128-bit mod) as the engine — membership is
+    // content-deterministic, so the oracle reproduces it row-for-row.
+    "sample_stratified" -> {
+      val strat = md5ModSql("'strat|' || cast(doc_id as varchar)", 1000)
+      val draw  = md5ModSql("'split|' || cast(doc_id as varchar)", 10)
+      s"""SELECT lang,
+         |  CASE WHEN $draw <= 7 THEN 'train'
+         |       WHEN $draw = 8 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM documents WHERE $strat < 100
+         |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+    },
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    cast(len(string_split(text, ' ')) as bigint) AS tk FROM documents),
+        |c AS (SELECT source, doc_id, tk,
+        |    cast(sum(tk) OVER (PARTITION BY source ORDER BY doc_id) as bigint) AS cum
+        |  FROM t)
+        |SELECT source, (cum - 1) // 2048 AS window_id, count(*) AS n_docs,
+        |  cast(sum(tk) as bigint) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, window_id""".stripMargin,
 
     // Decimal sums are exact, so the final avg is one double division of two
     // exact values in both engines.

@@ -1840,6 +1840,29 @@ object SparkEntry {
         .orderBy("source", "window_id")
     }),
 
+    // Int8 symmetric scalar quantization of the embedding column — the
+    // standard vector-store compression step (scale = max|v|/127 per
+    // vector, q ∈ [−127, 127]) — with exact dequantization-error
+    // accounting. Map-only per row; error totals are integer micros so the
+    // oracle replays them bit-exactly (doubles would be fold-order
+    // dependent). All arithmetic is float→double→round, IEEE-identical in
+    // both engines; a zero vector keeps scale 0 and quantizes to all zeros.
+    "embed_quantize" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .withColumn("mx", expr(
+          "aggregate(embedding, cast(0.0 as double), (a, x) -> greatest(a, abs(cast(x as double))))"))
+        .withColumn("scale", col("mx") / lit(127.0))
+        .withColumn("q", expr(
+          "transform(embedding, x -> CASE WHEN scale = 0.0 THEN 0L ELSE cast(round(cast(x as double) / scale) as bigint) END)"))
+        .select(col("vec_id"),
+          expr("array_max(transform(q, v -> abs(v)))").as("q_max"),
+          micros(col("scale")).as("scale_micros"),
+          expr("aggregate(zip_with(q, embedding, (qi, xi) -> " +
+            "cast(floor(abs(qi * scale - cast(xi as double)) * 1000000.0 + 0.5) as bigint)), " +
+            "0L, (a, e) -> a + e)").as("err_total_micros"))
+        .orderBy("vec_id")
+    }),
+
     // One-pass column profiler over lineitem's measure columns: count,
     // distinct count, min/max, exact mean — one scan, one shuffle. The shape
     // is unpivot-first: stack() to (col_name, v) long format (map-only),
@@ -3079,6 +3102,27 @@ object SparkEntry {
         |  cast(sum(tk) as bigint) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, window_id""".stripMargin,
+
+    // float→double→round arithmetic is IEEE-identical in both engines
+    // (round is half-away-from-zero on doubles in both); error totals fold
+    // as integer micros, so partition order cannot drift the sum.
+    "embed_quantize" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |    list_reduce(list_prepend(0.0, list_transform(embedding,
+         |      x -> abs(cast(x as double)))), (a, b) -> greatest(a, b)) / 127.0 AS scale
+         |  FROM embeddings),
+         |q AS (SELECT vec_id, scale, embedding,
+         |    list_transform(range(1, ${D + 1}), i -> CASE WHEN scale = 0.0 THEN cast(0 as bigint)
+         |      ELSE cast(round(cast(embedding[i] as double) / scale) as bigint) END) AS qs
+         |  FROM s)
+         |SELECT vec_id,
+         |  cast(list_reduce(list_prepend(cast(0 as bigint), list_transform(qs, v -> abs(v))),
+         |    (a, b) -> greatest(a, b)) as bigint) AS q_max,
+         |  ${microsSql("scale")} AS scale_micros,
+         |  cast(list_reduce(list_prepend(cast(0 as bigint), list_transform(range(1, ${D + 1}),
+         |      i -> cast(floor(abs(qs[i] * scale - cast(embedding[i] as double)) * 1000000.0 + 0.5) as bigint))),
+         |    (a, b) -> a + b) as bigint) AS err_total_micros
+         |FROM q ORDER BY vec_id""".stripMargin,
 
     // Decimal sums are exact, so the final avg is one double division of two
     // exact values in both engines.

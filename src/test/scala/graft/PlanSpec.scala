@@ -97,6 +97,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("corpus_mix: 1-row total broadcasts; sample_stratified filter is map-side") {
+    val mix = plan("corpus_mix")
+    assert(mix.contains("BroadcastNestedLoopJoin") || mix.contains("BroadcastExchange"),
+      "the 1-row token total must broadcast, not shuffle")
+    assert(!mix.contains("CartesianProduct"))
+    val strat = plan("sample_stratified")
+    assert(!strat.contains("Join"), "keyed sampling must not plan a join")
+    // the keyed-hash sample filter must run before any exchange: the plan
+    // below the first Exchange (reading bottom-up: after it in text order)
+    // must contain the Filter
+    val lines = strat.linesIterator.toVector
+    val exch = lines.indexWhere(_.contains("Exchange"))
+    val filt = lines.indexWhere(_.contains("Filter"))
+    assert(filt > exch && exch >= 0, "sample filter should sit below the report exchange")
+  }
+
+  test("pack_sequences: one source-partitioned window, no extra shuffle for the report") {
+    val p = plan("pack_sequences")
+    assert(p.contains("Window"), "packing lost its prefix-sum window")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+  }
+
   test("profile_columns: one scan, unpivot-first two-level aggregation, no Expand") {
     val p = plan("profile_columns")
     val scans = p.linesIterator.count(l =>

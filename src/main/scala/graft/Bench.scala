@@ -50,6 +50,20 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // Fixed-work calibration measured before each pass: a 32-way parallel
+    // fold over 4×10⁸ longs. Pure compute on an otherwise-idle box takes a
+    // near-constant time, so the per-pass readings expose hypervisor-level
+    // ambient contention (this sandbox has measured ±10–20% drift, with
+    // occasional 2–4× storms) that per-query medians alone cannot
+    // distinguish from code regressions. Reported as `calib_secs` in the
+    // JSON line for round-over-round normalization.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(400000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = scala.collection.mutable.ArrayBuffer.empty[Double]
+
     def runPass(): Seq[(String, Double)] = {
       GraftCache.clear()
       spark.catalog.clearCache() // CacheManager matches analyzed plans — a
@@ -69,7 +83,7 @@ object Bench {
     // just not the JVM's.
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
     (1 to warmups).foreach(_ => runPass())
-    val all = (1 to passes).map(_ => runPass())
+    val all = (1 to passes).map { _ => calib += calibrate(); runPass() }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
@@ -90,6 +104,7 @@ object Bench {
     }.sum
     println(s"""{"queries":$qs,"sf":"$sfDir","passes":$passes,""" +
       s""""pass_totals":[${passTotals.mkString(",")}],""" +
+      s""""calib_secs":[${calib.mkString(",")}],""" +
       s""""value_min":$totalMin,""" +
       s""""metric":"total_median","value":$total,"unit":"sec"}""")
     spark.stop()

@@ -106,18 +106,24 @@ object SparkEntry {
     * k) artifact both LSH queries consume (ann_lsh_topk reads it whole,
     * ann_lsh_recall joins it against the brute-force ground truth), memoized
     * like the dedup pair frame so the bucket join + exact re-rank runs once
-    * per pass (memo persists the frame; no extra checkpoint — that would
-    * materialize a second copy of an already-persisted result).
+    * per pass. Materialized EAGERLY (count on the persisted frame): a lazy
+    * persist left the build to whichever consumer ran first, and a
+    * broadcast-side read there can compute the plan without fully
+    * populating the cache — the second consumer then silently rebuilt the
+    * whole join (measured: topk re-paid the ~2 s build after recall ran).
     */
   private def lshDetShared(s: SparkSession, dir: String): DataFrame =
-    GraftCache.memo(s"$dir/lshtopk") {
+    GraftCache.memoAny(s"$dir/lshtopk") {
       val emb = Tables.embeddings(s, dir)
       val hashed = GraftCache.memoAny(s"$dir/lshdet") {
         GraftCache.track(Knn.lshDetHash(emb, Knn.lshDetProjections(5, D, "lsh"), 1.0))
       }
-      Knn.lshDet(emb.filter(col("vec_id") < 100), emb, 5, D,
-        bucketLength = 1.0, numHashTables = 5, seed = "lsh",
-        prehashed = Some(hashed))
+      val d = GraftCache.track(
+        Knn.lshDet(emb.filter(col("vec_id") < 100), emb, 5, D,
+          bucketLength = 1.0, numHashTables = 5, seed = "lsh",
+          prehashed = Some(hashed)))
+      d.count() // fill every cached partition before any consumer plans
+      d
     }
 
   /** The persisted deterministic-IVF index dir for a scale dir — built once

@@ -188,18 +188,25 @@ object Dedup {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val prefLen =
       floor(lit(1.0 - threshold) * col("sz") + lit(1e-9)).cast("long") + lit(1L)
-    val ranked = sh.join(dfreq, "shingle")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
-    // df = 1 prefix rows are dropped AFTER ranks are assigned (rk depends on
-    // the full ordered set): a shingle in exactly one document can never be
-    // shared, so its rows produce zero join output — dropping them changes
-    // no candidate group while removing the BULK of the join input at scale
-    // (rare shingles sort into prefixes by construction; the 1M-doc
-    // JaccardScaleProbe corpus has 57.4M distinct shingles of which only
-    // 583k have df > 1). At fixture scale it is a no-op (207 of 260k rows).
+    // Only df > 1 shingles can be shared, so only they can produce join
+    // rows — AND their rank in the full (df asc, shingle) per-doc order
+    // decomposes: every df = 1 shingle sorts BEFORE every shared one, so
+    // rk = (sz − n_hot) + rk2, where n_hot is the doc's shared-shingle
+    // count and rk2 the rank among shared shingles only. The expensive
+    // per-doc sort therefore runs over the shared rows alone — at the
+    // 1M-doc JaccardScaleProbe corpus that is ~1.2M rows instead of 58M
+    // (57.4M of 58M distinct shingles have df = 1); at fixture scale the
+    // two forms coincide (207 of 260k rows are df = 1). Row-identical to
+    // ranking the full set then filtering (the df = 1 rows dropped here
+    // carry ranks ≤ their doc's prefix boundary but join to nothing).
+    val shHot = sh.join(dfreq.filter(col("df") > 1), "shingle")
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = shHot
+      .withColumn("rk2", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
+      .withColumn("n_hot", count(lit(1)).over(byDoc))
+      .withColumn("rk", col("sz") - col("n_hot") + col("rk2"))
     val pre = ranked
-      .filter(col("rk") <= prefLen && col("df") > 1)
+      .filter(col("rk") <= prefLen)
       .select(col("doc_id"), col("shingle"), col("sz"), col("rk"))
     // TWO exact pruning bounds over the prefix-join rows; a candidate must
     // satisfy both. Validity rests on both docs sorting their shingle sets

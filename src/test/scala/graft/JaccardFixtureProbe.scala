@@ -55,10 +55,13 @@ object JaccardFixtureProbe {
       val dfreq = time("dfreq")(sh.groupBy("shingle").agg(count(lit(1)).as("df")))
       val prefLen = floor(lit(1.0 - threshold) * col("sz") + lit(1e-9)).cast("long") + lit(1L)
       val pre = time("ranked-prefixes") {
-        val p = sh.join(dfreq, "shingle")
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
-          .filter(col("rk") <= prefLen && col("df") > 1)
+        // two-level rank on the shared rows only — mirrors Dedup.jaccardPairs
+        val byDoc = Window.partitionBy("doc_id")
+        val p = sh.join(dfreq.filter(col("df") > 1), "shingle")
+          .withColumn("rk2", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
+          .withColumn("n_hot", count(lit(1)).over(byDoc))
+          .withColumn("rk", col("sz") - col("n_hot") + col("rk2"))
+          .filter(col("rk") <= prefLen)
           .select(col("doc_id"), col("shingle"), col("sz"), col("rk")).localCheckpoint()
         p.count(); p
       }

@@ -195,6 +195,36 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rUdf.sameElements(rHof))
   }
 
+  test("two-level prefix rank equals ranking the full shingle set then filtering") {
+    // jaccardPairs ranks ONLY df>1 rows and reconstitutes the full-order
+    // rank as (sz − n_hot) + rk2 (every df=1 shingle sorts first). This
+    // pins that decomposition to the direct form on real fixture text.
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val threshold = 0.4
+    val base = graft.text.Dedup.shingles(docs, 3)
+    val szs = base.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val withSz = base.join(szs, "doc_id")
+    val dfreq = withSz.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefLen = floor(lit(1.0 - threshold) * col("sz") + lit(1e-9)).cast("long") + lit(1L)
+    val full = withSz.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+      .filter(col("rk") <= prefLen && col("df") > 1)
+      .select(col("doc_id"), col("shingle"), col("sz"), col("rk").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sorted
+    val byDoc = Window.partitionBy("doc_id")
+    val two = withSz.join(dfreq.filter(col("df") > 1), "shingle")
+      .withColumn("rk2", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
+      .withColumn("n_hot", count(lit(1)).over(byDoc))
+      .withColumn("rk", col("sz") - col("n_hot") + col("rk2"))
+      .filter(col("rk") <= prefLen)
+      .select(col("doc_id"), col("shingle"), col("sz"), col("rk").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sorted
+    assert(full.nonEmpty && two.sameElements(full),
+      s"two-level rank diverged: full=${full.length} two=${two.length}")
+  }
+
   test("langId picks a profile language deterministically") {
     import spark.implicits._
     val df = Seq(

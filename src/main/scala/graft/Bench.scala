@@ -83,6 +83,8 @@ object Bench {
     // just not the JVM's.
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
     (1 to warmups).foreach(_ => runPass())
+    calibrate() // discarded: absorb the gauge's own codegen/JIT compile so
+    // calib(0) doesn't over-read by a code-constant on an otherwise quiet host
     val all = (1 to passes).map { _ => calib += calibrate(); runPass() }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

@@ -1792,9 +1792,14 @@ object SparkEntry {
     "corpus_mix" -> ((s, dir) => {
       val toks = Tables.documents(s, dir).select(col("source"), col("lang"),
         TextOps.tokenCount(col("text")).cast("long").as("tk"))
+      // localCheckpoint materializes the (tiny) grouped frame once, so the
+      // grand total derives from the handful of group rows instead of a
+      // second scan + tokenize of the whole corpus (the dominant cost at
+      // scale; two independent subtrees over `toks` would each pay it)
       val g = toks.groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("tk").as("n_tokens"))
-      val tot = toks.agg(sum("tk").as("tot"))
+        .localCheckpoint()
+      val tot = g.agg(sum("n_tokens").as("tot"))
       g.crossJoin(broadcast(tot))
         .withColumn("token_share_ppm", expr("n_tokens * 1000000 div tot"))
         .select("source", "lang", "n_docs", "n_tokens", "token_share_ppm")
@@ -1887,6 +1892,10 @@ object SparkEntry {
         .select(expr(
           s"stack(${cols.size}, " + cols.map(c => s"'$c', $c").mkString(", ") +
             ") as (col_name, v)"))
+        // NULL measures are excluded exactly like the oracle's count(x) /
+        // count(DISTINCT x) — without this a NULL group would inflate n and
+        // n_distinct by one relative to the SQL semantics
+        .filter(col("v").isNotNull)
         .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
         .groupBy("col_name")
         .agg(sum("cnt").as("n"), count(lit(1)).as("n_distinct"),

@@ -35,7 +35,7 @@ object Dedup {
     * 0.4 s warm, row-identical output) — the usual functions-over-UDFs rule
     * inverts when the functions are HOFs.
     */
-  private def shingleSetUdf(n: Int) = udf((text: String) => {
+  private[graft] def shingleSetUdf(n: Int) = udf((text: String) => {
     // limit -1 keeps trailing empty tokens — exactly Spark's split() and the
     // oracle's string_split (the char-overload split(' ') drops them and
     // would diverge on trailing-space text)

@@ -28,22 +28,8 @@ object JaccardFixtureProbe {
       val n = 3; val threshold = 0.4
       import org.apache.spark.sql.expressions.Window
       val words = split(col("text"), " ")
-      // single-pass UDF shingle set — mirrors Dedup.shingleSetUdf (r10: the
-      // interpreted HOF chain measured ~8× slower, ShingleProbe)
-      val shUdf = udf((text: String) => {
-        val ws = text.split(" ", -1)
-        val out = new java.util.LinkedHashSet[String]
-        var i = 0
-        while (i + n <= ws.length) {
-          val sb = new java.lang.StringBuilder(ws(i))
-          var j = 1
-          while (j < n) { sb.append(' '); sb.append(ws(i + j)); j += 1 }
-          out.add(sb.toString)
-          i += 1
-        }
-        import scala.jdk.CollectionConverters._
-        out.asScala.toArray
-      })
+      // the production shingle UDF itself — no inline copy to drift
+      val shUdf = graft.text.Dedup.shingleSetUdf(n)
       val sh = time("shingles+sz+persist") {
         val s = graft.GraftCache.track(
           docs.filter(size(words) >= n)

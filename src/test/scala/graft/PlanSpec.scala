@@ -73,14 +73,11 @@ class PlanSpec extends AnyFunSuite {
     // LSH keeps its bucket-key candidate join; IVF search is the grouped
     // broadcast kernel — its inverted-list scan must appear as a map-only
     // MapPartitions, never as a row join shuffling embedding vectors
-    // ann_lsh_topk reads the memoized lshDetShared checkpoint, so assert the
-    // shape on the underlying construction instead of the query plan
-    import org.apache.spark.sql.functions.col
-    val emb = Tables.embeddings(spark, TestSpark.sf0001)
-    val lsh = graft.knn.Knn.lshDet(emb.filter(col("vec_id") < 100), emb, 5, 64)
-      .queryExecution.executedPlan.toString
-    assert(!lsh.contains("CartesianProduct"), "lshDet has a cartesian product")
-    assert(lsh.contains("Join"), "lshDet lost its candidate join")
+    // ann_lsh_topk builds its bucket join per consumer (only the hashed
+    // corpus is memoized), so the registered query plan carries the join
+    val lsh = plan("ann_lsh_topk")
+    assert(!lsh.contains("CartesianProduct"), "ann_lsh_topk has a cartesian product")
+    assert(lsh.contains("Join"), "ann_lsh_topk lost its candidate join")
     val ivf = plan("ann_ivf_topk")
     assert(!ivf.contains("CartesianProduct"), "ann_ivf_topk has a cartesian product")
     assert(!ivf.contains("Join"), "ann_ivf_topk regressed to the probed row join " +

@@ -97,14 +97,18 @@ object Bench {
       .mkString("{", ",", "}")
     val passTotals = all.map(_.map(_._2).sum)
     val total = med.map(_._2).sum
-    // Sum of per-query MINIMA across passes: far more robust to host
-    // contention than the median (a loaded pass inflates medians but rarely
-    // all three samples of a query), so round-over-round comparisons can
-    // check both before calling a regression.
-    val totalMin = selected.map { case (name, _) =>
-      all.map(_.toMap.apply(name)).min
-    }.sum
-    println(s"""{"queries":$qs,"sf":"$sfDir","passes":$passes,""" +
+    // Per-query MINIMA across passes: far more robust to host contention
+    // than the median (a loaded pass inflates medians but rarely all three
+    // samples of a query), so round-over-round comparisons can check both
+    // before calling a regression. Reported as a full map (`queries_min`)
+    // alongside the medians, plus the summed headline (`value_min`).
+    val mins = selected.map { case (name, _) =>
+      name -> all.map(_.toMap.apply(name)).min
+    }
+    val qsMin = mins.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val totalMin = mins.map(_._2).sum
+    println(s"""{"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","passes":$passes,""" +
       s""""pass_totals":[${passTotals.mkString(",")}],""" +
       s""""calib_secs":[${calib.mkString(",")}],""" +
       s""""value_min":$totalMin,""" +

@@ -1792,13 +1792,14 @@ object SparkEntry {
     "corpus_mix" -> ((s, dir) => {
       val toks = Tables.documents(s, dir).select(col("source"), col("lang"),
         TextOps.tokenCount(col("text")).cast("long").as("tk"))
-      // localCheckpoint materializes the (tiny) grouped frame once, so the
-      // grand total derives from the handful of group rows instead of a
-      // second scan + tokenize of the whole corpus (the dominant cost at
-      // scale; two independent subtrees over `toks` would each pay it)
-      val g = toks.groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_docs"), sum("tk").as("n_tokens"))
-        .localCheckpoint()
+      // persist the (tiny) grouped frame so the grand total derives from the
+      // handful of group rows instead of a second scan + tokenize of the
+      // whole corpus (the dominant cost at scale; two independent subtrees
+      // over `toks` would each pay it). Routed through GraftCache.track so
+      // the bench's between-pass clear() releases the blocks — a bare
+      // localCheckpoint's RDD blocks would linger until GC
+      val g = GraftCache.track(toks.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("tk").as("n_tokens")))
       val tot = g.agg(sum("n_tokens").as("tot"))
       g.crossJoin(broadcast(tot))
         .withColumn("token_share_ppm", expr("n_tokens * 1000000 div tot"))
@@ -1827,24 +1828,18 @@ object SparkEntry {
         .orderBy("lang", "split")
     }),
 
-    // Sequence packing (concatenate-then-chunk): per source shard, docs in
-    // doc_id order are packed into 2048-token context windows; a doc is
-    // assigned to the window holding its LAST token. The cumulative sum is
-    // a per-source window (partitioned prefix sum — parallel across
-    // sources; at 100 TB packing runs per shard exactly like this), and the
-    // window id is integer arithmetic, oracle-replayable. Emits per-window
-    // fill stats — the packing-efficiency report of an LLM data pipeline.
+    // Sequence packing (concatenate-then-chunk): docs in doc_id order packed
+    // into 2048-token context windows per source; a doc is assigned to the
+    // window holding its LAST token. The prefix sum is DUAL-REGIME
+    // (Pack.groupedCumSum): plain per-source window at fixture scale, a
+    // (source × doc_id-range bucket) cumsum + histogram offsets above
+    // `graft.rank.smallMaxRows` — a source-alone window is exactly
+    // |sources| partitions at ANY corpus size (a crawl is typically ONE
+    // source → single-task global sort at 100 TB). Both regimes are
+    // row-identical (PackSpec) and oracle-replayable; emits per-window fill
+    // stats — the packing-efficiency report of an LLM data pipeline.
     "pack_sequences" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      Tables.documents(s, dir)
-        .select(col("source"), col("doc_id"),
-          TextOps.tokenCount(col("text")).cast("long").as("tk"))
-        .withColumn("cum", sum("tk").over(w))
-        .withColumn("window_id", expr("(cum - 1) div 2048"))
-        .groupBy("source", "window_id")
-        .agg(count(lit(1)).as("n_docs"), sum("tk").as("n_tokens"),
-          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      graft.text.Pack.packWindows(Tables.documents(s, dir))
         .orderBy("source", "window_id")
     }),
 

@@ -36,6 +36,10 @@ object Dedup {
     * inverts when the functions are HOFs.
     */
   private[graft] def shingleSetUdf(n: Int) = udf((text: String) => {
+    // null text → empty set, preserving the declarative chain's null
+    // propagation (no rows) regardless of whether a caller's size(split())
+    // guard runs before or after this UDF in the planned order
+    if (text == null) Array.empty[String] else {
     // limit -1 keeps trailing empty tokens — exactly Spark's split() and the
     // oracle's string_split (the char-overload split(' ') drops them and
     // would diverge on trailing-space text)
@@ -51,6 +55,7 @@ object Dedup {
     }
     import scala.jdk.CollectionConverters._
     out.asScala.toArray
+    }
   })
 
   /** Word n-gram shingles, one row per distinct (doc_id, shingle).
@@ -100,8 +105,10 @@ object Dedup {
     val bs = Array.tabulate(numHashes)(s => Hashing.md5Mod(s"minhash-b|$s", p))
     val bandsUdf = udf((text: String) => {
       // limit -1: keep trailing empty tokens, matching Spark's split() guard
-      // below and the oracle's string_split (see shingleSetUdf)
-      val words = text.split(" ", -1)
+      // below and the oracle's string_split (see shingleSetUdf); null-safe
+      // like shingleSetUdf so plan reorders can't turn a skipped row into
+      // an NPE
+      val words = if (text == null) Array.empty[String] else text.split(" ", -1)
       val sh    = scala.collection.mutable.HashSet.empty[String]
       var i     = 0
       while (i + n <= words.length) {

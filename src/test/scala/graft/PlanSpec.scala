@@ -101,19 +101,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!mix.contains("CartesianProduct"))
     val strat = plan("sample_stratified")
     assert(!strat.contains("Join"), "keyed sampling must not plan a join")
-    // the keyed-hash sample filter must run before any exchange: the plan
-    // below the first Exchange (reading bottom-up: after it in text order)
-    // must contain the Filter
+    // the keyed-hash sample filter must run before the report aggregation's
+    // shuffle: anchor on the hashpartitioning Exchange the groupBy plans and
+    // the Filter carrying the md5 sample predicate (not just any
+    // Filter/Exchange substring), then check text order — the plan prints
+    // top-down, so "below the exchange" means a LARGER line index
     val lines = strat.linesIterator.toVector
-    val exch = lines.indexWhere(_.contains("Exchange"))
-    val filt = lines.indexWhere(_.contains("Filter"))
-    assert(filt > exch && exch >= 0, "sample filter should sit below the report exchange")
+    val exch = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("lang"))
+    val filt = lines.indexWhere(l => l.contains("Filter") && l.contains("md5"))
+    assert(exch >= 0, "report groupBy lost its hashpartitioning exchange")
+    assert(filt >= 0, "md5 sample predicate no longer plans as a Filter")
+    assert(filt > exch, "sample filter should sit below the report exchange")
   }
 
-  test("pack_sequences: one source-partitioned window, no extra shuffle for the report") {
+  test("pack_sequences small regime: one source-partitioned window, no extra shuffle") {
     val p = plan("pack_sequences")
     assert(p.contains("Window"), "packing lost its prefix-sum window")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+  }
+
+  test("pack_sequences distributed regime: no single-partition-per-source sort") {
+    // force the big-data path and assert the cumsum window partitions by
+    // (source, bucket), never source alone — a source-alone window is the
+    // 100 TB single-task wall the dual regime exists to avoid
+    spark.conf.set("graft.rank.smallMaxRows", "0")
+    try {
+      val p = plan("pack_sequences")
+      val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toVector
+      assert(winLines.nonEmpty, "distributed packing lost its window")
+      val cum = winLines.filter(_.contains("tk"))
+      assert(cum.nonEmpty, "no cumsum window over tk in the distributed plan")
+      assert(cum.forall(_.contains("__b_cum")),
+        "distributed cumsum window must partition by (source, __b_cum), not source alone")
+      assert(p.contains("BroadcastHashJoin"), "bucket offsets must broadcast back")
+    } finally spark.conf.unset("graft.rank.smallMaxRows")
   }
 
   test("profile_columns: one scan, unpivot-first two-level aggregation, no Expand") {

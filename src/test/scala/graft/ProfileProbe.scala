@@ -23,7 +23,9 @@ object ProfileProbe {
         val t0 = System.nanoTime(); f
         println(f"$tag%-28s pass$p ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       }
-    // A: the shipped shape — 4 countDistinct + 16 other aggs in one agg
+    // A: the REJECTED naive shape (4 countDistinct + 16 other aggs in one
+    // agg → a 5-branch Expand) — the shape PlanSpec bars the shipped
+    // unpivot-first variant D from regressing to
     timed("A one-agg multi-distinct") {
       val aggs = cols.flatMap { c =>
         Seq(count(col(c)).as(s"${c}_n"), countDistinct(col(c)).as(s"${c}_nd"),

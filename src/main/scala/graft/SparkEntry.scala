@@ -1100,6 +1100,29 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // The shared four-leg replay's own reported line: alphabetically FIRST
+    // among q_stream_* in the bench's sorted order, so it — not whichever
+    // leg happens to sort first — pays the memoized concurrent replay
+    // build; each leg's row then reports its own sink-drain only. The
+    // result is a real correctness check, not just a timing hook: one row
+    // per leg with the row count of that leg's registered result, each
+    // count oracle-checked against the same SQL body the per-leg entries
+    // replay.
+    "q_stream_block" -> ((s, dir) => {
+      val legs = streamTrio(s, dir)
+      Seq(
+        "dedup"    -> legs("dedup"),
+        "neardup"  -> legs("neardup").groupBy("doc_id")
+          .agg(count(lit(1)).as("nb")),
+        "sessions" -> legs("sessions"),
+        "tumbling" -> legs("tumbling"))
+        .map { case (l, df) =>
+          df.agg(count(lit(1)).as("n_rows")).select(lit(l).as("leg"), col("n_rows"))
+        }
+        .reduce(_.union(_))
+        .orderBy("leg")
+    }),
+
     // Streaming exact dedup under duplicate DELIVERY (the at-least-once
     // scenario dropDuplicatesWithinWatermark exists for): the event stream
     // unioned with itself re-delivers every event; watermarked keyed state
@@ -1352,18 +1375,25 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
-    // Multimodal — video frame sampling, dual-path. EVEN video asset_ids
-    // carry a deterministic synthetic MP4 (Multimodal.syntheticMp4): Spark
-    // walks the ACTUAL ISO-BMFF boxes to the sample tables and emits true
-    // per-frame offsets/sizes/keyflags; the oracle replays the generator's
-    // closed-form layout arithmetically — the parse is oracle-gated without
-    // DuckDB needing a byte parser. ODD video asset_ids keep text payloads
-    // and exercise the documented non-BMFF fallback (slice token).
+    // Multimodal — video frame sampling, TRI-path. Video asset_ids ≡ 0
+    // (mod 4) carry a deterministic MJPEG-in-MP4 (Multimodal.syntheticMjpeg:
+    // real zero-padded solid-gray JPEGs behind a real sample table + "jpeg"
+    // stsd): Spark walks the ACTUAL boxes AND decodes the sampled frames
+    // with imageio, reporting real pixel content (mean_luma_milli) — the
+    // oracle replays both the closed-form layout and the decoded gray
+    // (quality-1.0 JPEG roundtrips solid grays bit-exactly; MjpegSpec gates
+    // that JVM fact exhaustively). Video ids ≡ 2 (mod 4) keep the
+    // structure-only synthetic MP4 (no stsd → content sentinel −1). ODD
+    // video ids keep text payloads and exercise the documented non-BMFF
+    // fallback (slice token).
     "multimodal_frames" -> ((s, dir) => {
-      val mp4Udf = udf((id: Long) => Multimodal.syntheticMp4(id))
+      val mp4Udf   = udf((id: Long) => Multimodal.syntheticMp4(id))
+      val mjpegUdf = udf((id: Long) => Multimodal.syntheticMjpeg(id))
       val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
         .withColumn("payload",
-          when(col("kind") === "video" && pmod(col("asset_id"), lit(2)) === 0,
+          when(col("kind") === "video" && pmod(col("asset_id"), lit(4)) === 0,
+            mjpegUdf(col("asset_id")))
+          .when(col("kind") === "video" && pmod(col("asset_id"), lit(4)) === 2,
             mp4Udf(col("asset_id")))
           .otherwise(col("payload")))
       Multimodal.sampleFrames(assets, everyMs = 10000)
@@ -1841,6 +1871,36 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) => {
       graft.text.Pack.packWindows(Tables.documents(s, dir))
         .orderBy("source", "window_id")
+    }),
+
+    // Repetition/boilerplate quality signals — the standard corpus-quality
+    // repetition rules (duplicate-line fraction, duplicate-2-gram fraction,
+    // duplicate-token fraction, top-2-gram token share) flagged at the
+    // usual pretraining-filter thresholds (0.30 / 0.30 / 0.50 / 0.20,
+    // strict >, compared in exact integer micros so both engines agree).
+    // Per-doc stats are ONE map-side UDF pass (TextOps.repetitionStatsUdf);
+    // the report is one 1-row aggregate stacked to per-rule rows — the
+    // 100 TB shape is map-everything + one tiny exchange.
+    "text_quality_flags" -> ((s, dir) => {
+      val m = Tables.documents(s, dir)
+        .select(TextOps.repetitionStatsUdf(col("text")).as("r"))
+        .select(col("r.dup_line_micros").as("dl"), col("r.dup_2gram_micros").as("d2"),
+          col("r.dup_token_micros").as("dt"), col("r.top_2gram_micros").as("t2"))
+      m.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("d2") > 300000L, 1L).otherwise(0L)).as("f_2g"),
+          sum(col("d2")).as("s_2g"),
+          sum(when(col("dl") > 300000L, 1L).otherwise(0L)).as("f_ln"),
+          sum(col("dl")).as("s_ln"),
+          sum(when(col("dt") > 500000L, 1L).otherwise(0L)).as("f_tk"),
+          sum(col("dt")).as("s_tk"),
+          sum(when(col("t2") > 200000L, 1L).otherwise(0L)).as("f_t2"),
+          sum(col("t2")).as("s_t2"))
+        .select(expr(
+          "stack(4, 'dup_2grams', f_2g, s_2g, 'dup_lines', f_ln, s_ln, " +
+            "'dup_tokens', f_tk, s_tk, 'top_2gram', f_t2, s_t2) " +
+            "as (rule, n_flagged, sum_metric_micros)"), col("n_docs"))
+        .orderBy("rule")
     }),
 
     // Int8 symmetric scalar quantization of the embedding column — the
@@ -2478,6 +2538,48 @@ object SparkEntry {
        |${minhashVerifyCtes("c", "xysh", 0.5)}
        |SELECT a, b, jaccard FROM cpairs ORDER BY a, b""".stripMargin
 
+  // stream-leg oracle bodies, shared between the per-leg entries and the
+  // q_stream_block count report (the block wraps each in SELECT count(*))
+  private lazy val streamTumblingOracle: String =
+    s"""SELECT cast(floor(epoch(ts) / 600) as bigint) AS bucket, event_type,
+       |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros,
+       |  cast(floor(epoch(ts) / 600) as bigint) * 600 AS bucket_start
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  private lazy val streamDedupOracle: String =
+    s"""SELECT event_id, user_id, event_type,
+       |  ${microsSql("value")} AS value_micros,
+       |  cast(floor(epoch(ts)) as bigint) AS es
+       |FROM events ORDER BY event_id""".stripMargin
+  private lazy val streamSessionsOracle: String =
+    """WITH e AS (SELECT user_id, event_id, value, ts,
+      |             cast(floor(epoch(ts)) as bigint) AS es FROM events),
+      |s AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+      |                     THEN 1 ELSE 0 END AS ns
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s2 AS (SELECT *, cast(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS UNBOUNDED PRECEDING) as bigint) AS session_seq FROM s),
+      |g AS (SELECT user_id, session_seq, count(*) AS n_events, min(es) AS start_es,
+      |        max(es) AS end_es, __SUMV__ AS sum_value_micros
+      |      FROM s2 GROUP BY 1, 2),
+      |wm AS (SELECT max(cast(floor(epoch(ts)) as bigint)) * 1000 - 1800500 AS wm_ms FROM events)
+      |SELECT user_id, start_es, end_es, n_events, sum_value_micros
+      |FROM g, wm
+      |WHERE session_seq < (SELECT max(session_seq) FROM g g2 WHERE g2.user_id = g.user_id)
+      |   OR (end_es + 1800) * 1000 < wm.wm_ms
+      |ORDER BY user_id, start_es""".stripMargin
+      .replace("__SUMV__", sumMicrosSql("value"))
+  private lazy val streamNeardupOracle: String =
+    s"WITH ${minhashSideCtes("documents", "m")},\n" +
+      """owners AS (SELECT band, band_key, min(doc_id) AS owner
+        |  FROM mbk GROUP BY 1, 2)
+        |SELECT b.doc_id,
+        |  cast(count(*) as bigint) AS n_bands,
+        |  cast(sum(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) as bigint) AS n_collided,
+        |  cast(CASE WHEN sum(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) = 0
+        |       THEN 1 ELSE 0 END as int) AS kept
+        |FROM mbk b JOIN owners o ON b.band = o.band AND b.band_key = o.band_key
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "wm_rs_roundtrip"  -> roundtripSql(cidSql(dims.init.toSeq, key.scale)),
     "wm_tvp_roundtrip" -> roundtripSql(cidSql(dims.init.toSeq, key.scale)),
@@ -3110,6 +3212,52 @@ object SparkEntry {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, window_id""".stripMargin,
 
+    // Per-doc repetition fractions rendered as integer micros (IEEE double
+    // division + floor identical in both engines), flag thresholds compared
+    // on the micros integers; per-doc top-2-gram counts via unnest+group.
+    "text_quality_flags" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |    string_split(text, chr(10)) AS ls FROM documents),
+        |base AS (SELECT doc_id,
+        |    len(ls) AS nl, len(list_distinct(ls)) AS ndl,
+        |    len(ws) AS nt, len(list_distinct(ws)) AS ndt,
+        |    CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END AS n2,
+        |    CASE WHEN len(ws) >= 2 THEN len(list_distinct(
+        |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+        |      ELSE 0 END AS nd2
+        |  FROM t),
+        |gc AS (SELECT doc_id, g2, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1])) AS g2 FROM t WHERE len(ws) >= 2)
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, max(c) AS maxc FROM gc GROUP BY 1),
+        |m AS (SELECT
+        |    cast(floor((CASE WHEN nl = 0 THEN 0.0
+        |      ELSE 1.0 - cast(ndl as double) / nl END) * 1000000.0 + 0.5) as bigint) AS dl,
+        |    cast(floor((CASE WHEN n2 = 0 THEN 0.0
+        |      ELSE 1.0 - cast(nd2 as double) / n2 END) * 1000000.0 + 0.5) as bigint) AS d2,
+        |    cast(floor((CASE WHEN nt = 0 THEN 0.0
+        |      ELSE 1.0 - cast(ndt as double) / nt END) * 1000000.0 + 0.5) as bigint) AS dt,
+        |    cast(floor((CASE WHEN nt = 0 OR maxc IS NULL THEN 0.0
+        |      ELSE 2.0 * maxc / nt END) * 1000000.0 + 0.5) as bigint) AS t2
+        |  FROM base b LEFT JOIN mx USING (doc_id)),
+        |a AS (SELECT cast(count(*) as bigint) AS n_docs,
+        |    cast(sum(CASE WHEN d2 > 300000 THEN 1 ELSE 0 END) as bigint) AS f_2g,
+        |    cast(sum(d2) as bigint) AS s_2g,
+        |    cast(sum(CASE WHEN dl > 300000 THEN 1 ELSE 0 END) as bigint) AS f_ln,
+        |    cast(sum(dl) as bigint) AS s_ln,
+        |    cast(sum(CASE WHEN dt > 500000 THEN 1 ELSE 0 END) as bigint) AS f_tk,
+        |    cast(sum(dt) as bigint) AS s_tk,
+        |    cast(sum(CASE WHEN t2 > 200000 THEN 1 ELSE 0 END) as bigint) AS f_t2,
+        |    cast(sum(t2) as bigint) AS s_t2
+        |  FROM m)
+        |SELECT * FROM (
+        |  SELECT 'dup_2grams' AS rule, f_2g AS n_flagged, s_2g AS sum_metric_micros, n_docs FROM a
+        |  UNION ALL SELECT 'dup_lines', f_ln, s_ln, n_docs FROM a
+        |  UNION ALL SELECT 'dup_tokens', f_tk, s_tk, n_docs FROM a
+        |  UNION ALL SELECT 'top_2gram', f_t2, s_t2, n_docs FROM a)
+        |ORDER BY rule""".stripMargin,
+
     // float→double→round arithmetic is IEEE-identical in both engines
     // (round is half-away-from-zero on doubles in both); error totals fold
     // as integer micros, so partition order cannot drift the sum.
@@ -3159,17 +3307,24 @@ object SparkEntry {
     // the first-owner rule — a doc's band verdict is `collided` iff the
     // bucket's min doc_id is smaller (doc_id order = arrival order in the
     // replay). One row per banded doc with its collision count.
-    "q_stream_neardup" ->
-      (s"WITH ${minhashSideCtes("documents", "m")},\n" +
-        """owners AS (SELECT band, band_key, min(doc_id) AS owner
-          |  FROM mbk GROUP BY 1, 2)
-          |SELECT b.doc_id,
-          |  cast(count(*) as bigint) AS n_bands,
-          |  cast(sum(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) as bigint) AS n_collided,
-          |  cast(CASE WHEN sum(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) = 0
-          |       THEN 1 ELSE 0 END as int) AS kept
-          |FROM mbk b JOIN owners o ON b.band = o.band AND b.band_key = o.band_key
-          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
+    "q_stream_neardup" -> streamNeardupOracle,
+
+    // The shared replay block's count report: one row per leg with the row
+    // count of that leg's registered result — each count(*) wraps the SAME
+    // oracle body the per-leg entries use, so the block is a real
+    // correctness check (every sink materialized, every leg's cardinality
+    // exact), not just a timing hook.
+    "q_stream_block" ->
+      s"""SELECT * FROM (
+         |  SELECT 'dedup' AS leg,
+         |    cast((SELECT count(*) FROM ($streamDedupOracle)) as bigint) AS n_rows
+         |  UNION ALL SELECT 'neardup',
+         |    cast((SELECT count(*) FROM ($streamNeardupOracle)) as bigint)
+         |  UNION ALL SELECT 'sessions',
+         |    cast((SELECT count(*) FROM ($streamSessionsOracle)) as bigint)
+         |  UNION ALL SELECT 'tumbling',
+         |    cast((SELECT count(*) FROM ($streamTumblingOracle)) as bigint)
+         |) ORDER BY leg""".stripMargin,
 
     // Cross-corpus replay: both sides re-derive the SAME hash family (the
     // seeds CTEs are per-side but md5-keyed identically), candidates are the
@@ -3281,11 +3436,7 @@ object SparkEntry {
 
     // identical oracle for the STREAMING path — stream/batch parity is part
     // of the driver-gated contract
-    "q_stream_tumbling" ->
-      s"""SELECT cast(floor(epoch(ts) / 600) as bigint) AS bucket, event_type,
-         |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros,
-         |  cast(floor(epoch(ts) / 600) as bigint) * 600 AS bucket_start
-         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_tumbling" -> streamTumblingOracle,
 
     "q_events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, value, ts,
@@ -3304,24 +3455,7 @@ object SparkEntry {
     // event-closed sessions (the batch grid minus each user's last) PLUS
     // final sessions flushed by the event-time timeout: last + gap behind
     // the final watermark max(es)·1000 − 1800500 ms
-    "q_stream_sessions" ->
-      """WITH e AS (SELECT user_id, event_id, value, ts,
-        |             cast(floor(epoch(ts)) as bigint) AS es FROM events),
-        |s AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
-        |                     THEN 1 ELSE 0 END AS ns
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s2 AS (SELECT *, cast(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS UNBOUNDED PRECEDING) as bigint) AS session_seq FROM s),
-        |g AS (SELECT user_id, session_seq, count(*) AS n_events, min(es) AS start_es,
-        |        max(es) AS end_es, __SUMV__ AS sum_value_micros
-        |      FROM s2 GROUP BY 1, 2),
-        |wm AS (SELECT max(cast(floor(epoch(ts)) as bigint)) * 1000 - 1800500 AS wm_ms FROM events)
-        |SELECT user_id, start_es, end_es, n_events, sum_value_micros
-        |FROM g, wm
-        |WHERE session_seq < (SELECT max(session_seq) FROM g g2 WHERE g2.user_id = g.user_id)
-        |   OR (end_es + 1800) * 1000 < wm.wm_ms
-        |ORDER BY user_id, start_es""".stripMargin
-        .replace("__SUMV__", sumMicrosSql("value")),
+    "q_stream_sessions" -> streamSessionsOracle,
 
     // native sliding windows replayed by explicit 2-way expansion: slot
     // boundaries are integer-aligned, so floor(epoch) assignment matches
@@ -3337,11 +3471,7 @@ object SparkEntry {
 
     // duplicate-delivery dedup: the watermarked keyed state must land a
     // finite double-delivery replay on exactly the distinct batch table
-    "q_stream_dedup" ->
-      s"""SELECT event_id, user_id, event_type,
-         |  ${microsSql("value")} AS value_micros,
-         |  cast(floor(epoch(ts)) as bigint) AS es
-         |FROM events ORDER BY event_id""".stripMargin,
+    "q_stream_dedup" -> streamDedupOracle,
 
     "q3_shipping" ->
       s"""SELECT l_orderkey, cast(epoch(o_orderdate) as bigint) AS o_orderdate_es,
@@ -3379,28 +3509,36 @@ object SparkEntry {
         |  cast(224 as int) AS width, cast(224 as int) AS height
         |FROM documents ORDER BY asset_id""".stripMargin,
 
-    // Frame sampling replay, dual-path. EVEN video assets: replay the
-    // synthetic MP4's closed-form layout (n = 5 + id%7 samples, delta =
-    // (2000 + (id%5)·1000) ms, sizes 16 + (id+k)%9, one chunk at byte 32,
-    // keyframes every 3rd sample) and take the earliest frame per 10 s
-    // bucket — arithmetic replay of the box walk Spark performs on actual
-    // bytes. ODD video assets: the non-BMFF fallback (one row per everyMs
-    // offset below duration_ms, token = base64 slice at the keyed offset).
+    // Frame sampling replay, TRI-path. Video assets ≡ 2 (mod 4): the
+    // structure-only synthetic MP4's closed-form layout (n = 5 + id%7
+    // samples, delta = (2000 + (id%5)·1000) ms, sizes 16 + (id+k)%9, one
+    // chunk at byte 32, keyframes every 3rd sample), content sentinel −1.
+    // Video assets ≡ 0 (mod 4): the MJPEG variant — same n/delta/keyframe
+    // formulas, UNIFORM 1024-byte samples (off = 32 + k·1024), and REAL
+    // decoded content: mean_luma_milli = ((id·31 + k·97) % 256)·1000, the
+    // solid gray each frame was encoded with (quality-1.0 JPEG roundtrips
+    // grays bit-exactly — MjpegSpec gates the JVM fact the closed form
+    // relies on). Earliest frame per 10 s bucket either way. ODD video
+    // assets: the non-BMFF fallback (one row per everyMs offset below
+    // duration_ms, token = base64 slice at the keyed offset).
     "multimodal_frames" ->
       """WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
         |mp4 AS (SELECT doc_id, 5 + (doc_id % 7) AS n,
-        |               2000 + (doc_id % 5) * 1000 AS delta
+        |               2000 + (doc_id % 5) * 1000 AS delta,
+        |               (doc_id % 4 = 0) AS mjpeg
         |        FROM v WHERE doc_id % 2 = 0),
-        |samp AS (SELECT doc_id, unnest(range(0, n)) AS k, delta FROM mp4),
+        |samp AS (SELECT doc_id, unnest(range(0, n)) AS k, delta, mjpeg FROM mp4),
         |sized AS (SELECT doc_id, k, k * delta AS ms,
-        |                 16 + ((doc_id + k) % 9) AS sz,
-        |                 (k % 3 = 0) AS is_key
+        |                 CASE WHEN mjpeg THEN 1024 ELSE 16 + ((doc_id + k) % 9) END AS sz,
+        |                 (k % 3 = 0) AS is_key,
+        |                 CASE WHEN mjpeg THEN ((doc_id * 31 + k * 97) % 256) * 1000
+        |                      ELSE -1 END AS luma
         |          FROM samp),
-        |offs AS (SELECT doc_id, k, ms, sz, is_key,
+        |offs AS (SELECT doc_id, k, ms, sz, is_key, luma,
         |                32 + coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY k
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
         |         FROM sized),
-        |pick AS (SELECT doc_id, ms, off, sz, is_key,
+        |pick AS (SELECT doc_id, ms, off, sz, is_key, luma,
         |                row_number() OVER (PARTITION BY doc_id, ms // 10000
         |                  ORDER BY ms, off) AS rn
         |         FROM offs),
@@ -3408,7 +3546,7 @@ object SparkEntry {
         |  SELECT doc_id AS asset_id, cast(ms as bigint) AS frame_ms,
         |         cast(off as bigint) AS frame_offset, cast(sz as bigint) AS frame_size,
         |         cast(CASE WHEN is_key THEN 1 ELSE 0 END as int) AS is_key,
-        |         '' AS frame_token
+        |         '' AS frame_token, cast(luma as bigint) AS mean_luma_milli
         |  FROM pick WHERE rn = 1),
         |fb AS (SELECT doc_id,
         |         unnest(range(0, (doc_id % 90000) + 1000, 10000)) AS frame_ms, text
@@ -3417,7 +3555,8 @@ object SparkEntry {
         |  SELECT doc_id AS asset_id, cast(frame_ms as bigint) AS frame_ms,
         |         cast(-1 as bigint) AS frame_offset, cast(-1 as bigint) AS frame_size,
         |         cast(-1 as int) AS is_key,
-        |         substr(to_base64(encode(text)), cast((frame_ms % 32) + 1 as int), 16) AS frame_token
+        |         substr(to_base64(encode(text)), cast((frame_ms % 32) + 1 as int), 16) AS frame_token,
+        |         cast(-1 as bigint) AS mean_luma_milli
         |  FROM fb)
         |SELECT * FROM (SELECT * FROM structural UNION ALL SELECT * FROM fallback)
         |ORDER BY asset_id, frame_ms""".stripMargin,

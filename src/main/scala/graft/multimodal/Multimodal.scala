@@ -257,6 +257,15 @@ object Multimodal {
     */
   final case class Mp4Frame(ms: Long, offset: Long, size: Long, key: Boolean)
 
+  /** A demuxed video track: the sample-description codec fourcc from `stsd`
+    * (e.g. "jpeg" for MJPEG, "avc1" for H.264; None when the box is absent
+    * or malformed — the pre-stsd synthetic fixtures) plus the located
+    * frames. A "jpeg" codec means every sample is a self-contained JPEG the
+    * JDK's imageio can decode — the one video codec this toolchain can turn
+    * into pixel content without an external library.
+    */
+  final case class Mp4Track(codec: Option[String], frames: Array[Mp4Frame])
+
   /** ISO-BMFF magic: any box stream starting with an `ftyp` box. */
   def looksLikeMp4(payload: Array[Byte]): Boolean =
     payload != null && payload.length >= 12 &&
@@ -269,13 +278,17 @@ object Multimodal {
     * sizes), `stsc` (sample→chunk runs), `stco`/`co64` (chunk offsets),
     * `stss` (sync samples; absent ⇒ every sample is a keyframe, per spec) —
     * and materialize one `Mp4Frame` per sample with its true timestamp and
-    * byte extent. This does NOT decode pictures (no codec toolchain here);
-    * it locates them, which is what frame SAMPLING needs — a decoder drops
-    * into the per-frame byte ranges this emits. Returns None on any
+    * byte extent, plus the `stsd` codec fourcc. This does NOT decode
+    * pictures itself; it locates them, which is what frame SAMPLING needs —
+    * and when the codec is "jpeg" (MJPEG), `sampleFrames` DOES decode the
+    * sampled frames with the imageio path. Returns None on any
     * malformed/truncated/inconsistent structure or when no video track
     * exists — callers fall back to the deterministic stub kernel.
     */
-  def parseMp4Frames(payload: Array[Byte]): Option[Array[Mp4Frame]] = {
+  def parseMp4Frames(payload: Array[Byte]): Option[Array[Mp4Frame]] =
+    parseMp4Track(payload).map(_.frames)
+
+  def parseMp4Track(payload: Array[Byte]): Option[Mp4Track] = {
     if (!looksLikeMp4(payload)) return None
     val len = payload.length
     def u32(o: Int): Long =
@@ -304,7 +317,7 @@ object Multimodal {
     def child(bs: List[(String, Int, Int)], t: String): Option[(Int, Int)] =
       bs.find(_._1 == t).map(b => (b._2, b._3))
 
-    def videoTrackFrames(trakBody: Int, trakEnd: Int): Option[Array[Mp4Frame]] = for {
+    def videoTrackFrames(trakBody: Int, trakEnd: Int): Option[Mp4Track] = for {
       trakKids <- boxes(trakBody, trakEnd)
       (mdiaB, mdiaE) <- child(trakKids, "mdia")
       mdiaKids <- boxes(mdiaB, mdiaE)
@@ -324,6 +337,13 @@ object Multimodal {
       minfKids <- boxes(minfB, minfE)
       (stblB, stblE) <- child(minfKids, "stbl")
       stblKids <- boxes(stblB, stblE)
+      // stsd: ver/flags(4) entry_count(4), then the first sample entry —
+      // size(4) format(4). The fourcc is all frame decode needs; absent or
+      // short boxes leave codec None (structure-only demux, the old
+      // behavior).
+      codec = child(stblKids, "stsd").collect {
+        case (b, e) if e - b >= 16 && u32(b + 4) >= 1 => typ(b + 12)
+      }
       frames <- {
         // each table's fixed header (ver/flags + counts) must fit its box
         // BEFORE any u32 read — a header-only box ending at the payload end
@@ -415,16 +435,16 @@ object Multimodal {
           }
         } yield result
       }
-    } yield frames
+    } yield Mp4Track(codec, frames)
 
     for {
       top <- boxes(0, len)
       (moovB, moovE) <- child(top, "moov")
       moovKids <- boxes(moovB, moovE)
-      frames <- moovKids.iterator.collect { case ("trak", b, e) => (b, e) }
+      track <- moovKids.iterator.collect { case ("trak", b, e) => (b, e) }
         .map { case (b, e) => videoTrackFrames(b, e) }
-        .collectFirst { case Some(f) => f }
-    } yield frames
+        .collectFirst { case Some(t) => t }
+    } yield track
   }
 
   /** Deterministic minimal-but-valid MP4 for fixtures: `ftyp` + `mdat` +
@@ -472,25 +492,160 @@ object Multimodal {
     out.toByteArray
   }
 
-  private val mp4FramesUdf = udf((p: Array[Byte]) =>
-    parseMp4Frames(p).map(_.map(f => (f.ms, f.offset, f.size, f.key))))
+  /** Solid-gray 16×16 JPEG at compression quality 1.0. At that quality the
+    * JDK encoder's quantization steps are all 1 (libjpeg's scaling formula
+    * clamps to 1 at q=100), so a constant raster survives encode→decode
+    * BIT-EXACTLY for every gray value 0–255 — verified exhaustively by
+    * MjpegSpec — which is what lets the DuckDB oracle predict decoded frame
+    * content in closed form. Trailing pad bytes after EOI are ignored by
+    * the decoder (also spec-gated), so MJPEG samples can be padded to a
+    * uniform stsz size.
+    */
+  def encodeSolidJpeg(gray: Int, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val v   = gray & 0xff
+    val rgb = (v << 16) | (v << 8) | v
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    try writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
 
-  /** Frame sampling for video assets, dual-path:
+  /** MJPEG sample size: every synthetic MJPEG frame is a real JPEG padded
+    * with zeros to this uniform size (encoded solid-gray 16×16 measures
+    * ≤ ~650 bytes), so stsz is uniform and frame offsets are closed-form
+    * (32 + k·1024) for the oracle.
+    */
+  val MjpegSampleSize = 1024
+
+  /** Synthetic MJPEG fixture gray value for frame k of asset `id` — the
+    * closed form the oracle replays (`((id·31 + k·97) mod 256)`).
+    */
+  def mjpegGray(assetId: Long, k: Int): Int =
+    (((assetId * 31 + k * 97) % 256 + 256) % 256).toInt
+
+  /** Deterministic MJPEG-in-MP4 for fixtures: the same moov layout, sample
+    * count (5 + id%7), frame cadence ((2000 + (id%5)·1000) ms @ timescale
+    * 1000), and keyframe rule (every 3rd) as `syntheticMp4`, but with a
+    * `stsd` declaring codec "jpeg", a UNIFORM stsz of `MjpegSampleSize`,
+    * and an mdat of REAL zero-padded solid-gray JPEGs (gray = mjpegGray).
+    * Spark box-walks and DECODES the actual bytes; the oracle replays the
+    * layout and the decoded mean luma arithmetically.
+    */
+  def syntheticMjpeg(assetId: Long): Array[Byte] = {
+    val n     = (5 + (assetId % 7)).toInt
+    val delta = 2000 + (assetId % 5) * 1000
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, body: Array[Byte]*): Array[Byte] = {
+      val size = 8 + body.map(_.length).sum
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(be32(size)); b.write(t.getBytes("US-ASCII")); body.foreach(b.write)
+      b.toByteArray
+    }
+    out.write(box("ftyp", "isom".getBytes, be32(0x200), "isom".getBytes, "mp41".getBytes))
+    val mdat = new Array[Byte](n * MjpegSampleSize)
+    (0 until n).foreach { k =>
+      val jpg = encodeSolidJpeg(mjpegGray(assetId, k))
+      require(jpg.length <= MjpegSampleSize, s"encoded JPEG ${jpg.length} > pad size")
+      System.arraycopy(jpg, 0, mdat, k * MjpegSampleSize, jpg.length)
+    }
+    out.write(box("mdat", mdat))
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(1000),
+      be32(n * delta), Array[Byte](0x55, (0xc4 - 256).toByte, 0, 0))
+    val hdlr = box("hdlr", be32(0), be32(0), "vide".getBytes,
+      be32(0), be32(0), be32(0), Array[Byte](0))
+    // stsd: ver/flags, entry_count 1, one visual sample entry whose only
+    // load-bearing fields for this demux are its size and "jpeg" fourcc
+    // (the 70 zero bytes stand in for the fixed VisualSampleEntry body)
+    val stsdEntry = box("jpeg", new Array[Byte](70))
+    val stsd = box("stsd", be32(0), be32(1), stsdEntry)
+    val stts = box("stts", be32(0), be32(1), be32(n), be32(delta))
+    val stsz = box("stsz", be32(0), be32(MjpegSampleSize), be32(n))
+    val stsc = box("stsc", be32(0), be32(1), be32(1), be32(n), be32(1))
+    val stco = box("stco", be32(0), be32(1), be32(32))
+    val keyNums = (0 until n).filter(_ % 3 == 0).map(_ + 1)
+    val stss = box("stss", be32(0) +: be32(keyNums.length) +:
+      keyNums.map(k => be32(k)): _*)
+    val stbl = box("stbl", stsd, stts, stsz, stsc, stco, stss)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", mdia)
+    out.write(box("moov", trak))
+    out.toByteArray
+  }
+
+  /** Integer mean luma (BT.601, ×1000) of one coded frame's byte range:
+    * decode the slice with imageio, fold Σ⌊(299r+587g+114b)/1000⌋, return
+    * sum·1000 / pixels — all integer arithmetic, so the oracle's closed
+    * form (gray·1000 for a solid-gray frame) matches exactly. −1 when the
+    * slice does not decode.
+    */
+  def frameMeanLumaMilli(payload: Array[Byte], offset: Long, size: Long): Long = {
+    if (payload == null || offset < 0 || size <= 0 ||
+        offset + size > payload.length) return -1L
+    val slice = java.util.Arrays.copyOfRange(
+      payload, offset.toInt, (offset + size).toInt)
+    decodeImage(slice) match {
+      case Some(img) =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        if (w * h == 0) -1L else sum * 1000L / (w * h)
+      case None => -1L
+    }
+  }
+
+  private val mp4TrackUdf = udf((p: Array[Byte]) =>
+    parseMp4Track(p).map(t =>
+      (t.codec.getOrElse(""), t.frames.map(f => (f.ms, f.offset, f.size, f.key)))))
+
+  private val meanLumaUdf = udf((p: Array[Byte], off: Long, sz: Long) =>
+    frameMeanLumaMilli(p, off, sz))
+
+  /** Frame sampling for video assets, now TRI-path:
     *  - payloads that parse as ISO-BMFF get the STRUCTURAL demux
-    *    (parseMp4Frames): one row per `everyMs` presentation-time bucket —
+    *    (parseMp4Track): one row per `everyMs` presentation-time bucket —
     *    the earliest sample in the bucket — with the frame's true byte
     *    offset/length and keyframe flag from the sample tables
     *    (`frame_token` is '': the structural fields supersede the stub's
     *    payload excerpt).
+    *  - when the track's `stsd` codec is "jpeg" (MJPEG), the SAMPLED frames
+    *    are additionally DECODED with the imageio path and report real
+    *    pixel content: `mean_luma_milli` (integer BT.601 mean luma ×1000).
+    *    The decode runs AFTER the bucket pick and joins the (small) sampled
+    *    rows back to the payloads — locate-then-fetch, never decode-all —
+    *    so at scale only sampled frames pay decode and the window shuffles
+    *    frame-table rows, never payload bytes.
     *  - everything else keeps the deterministic stub (fixed offsets below
     *    meta duration, base64 payload slice as token; offset/size −1,
-    *    is_key −1) — no video DECODER exists in this toolchain, and
-    *    non-BMFF containers would need one.
+    *    is_key −1) — compressed codecs (H.264 etc.) would need a decoder
+    *    this toolchain doesn't have.
     * Absent fields are SENTINELS (−1 / ''), not NULLs: a nullable bigint
     * round-trips as float64 through pandas reads of the verify dumps
     * ("32.0" ≠ "32"), so NULL-free columns keep all oracle read paths
     * exact. is_key is int (1/0 structural, −1 fallback) for the same
-    * reason.
+    * reason; mean_luma_milli is −1 for every non-decoded row.
     * The bucket pick is a window over (asset, bucket) — frame tables are
     * per-asset bounded, so partitions stay small at any corpus size.
     */
@@ -500,22 +655,35 @@ object Multimodal {
     // the payload) would re-run once per branch (same pattern as Dedup's
     // shared shingle frame; GraftCache so bench passes release it)
     val vids = graft.GraftCache.track(assets.filter(col("kind") === "video")
-      .withColumn("__frames", mp4FramesUdf(col("payload"))))
+      .withColumn("__track", mp4TrackUdf(col("payload"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("asset_id"), col("__bucket"))
       .orderBy(col("frame_ms"), col("frame_offset"))
-    val structural = vids.filter(col("__frames").isNotNull)
-      .select(col("asset_id"), explode(col("__frames")).as("f"))
-      .select(col("asset_id"), col("f._1").as("frame_ms"),
+    val picked = vids.filter(col("__track").isNotNull)
+      .select(col("asset_id"), col("__track._1").as("__codec"),
+        explode(col("__track._2")).as("f"))
+      .select(col("asset_id"), col("__codec"), col("f._1").as("frame_ms"),
         col("f._2").as("frame_offset"), col("f._3").as("frame_size"),
         col("f._4").as("is_key"))
       .withColumn("__bucket", floor(col("frame_ms") / lit(everyMs)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
+      .select(col("asset_id"), col("__codec"), col("frame_ms"),
+        col("frame_offset"), col("frame_size"),
+        col("is_key").cast(IntegerType).as("is_key"))
+    // content decode for MJPEG: sampled rows only, joined back to payloads
+    val decoded = picked.filter(col("__codec") === "jpeg")
+      .join(vids.select(col("asset_id"), col("payload")), "asset_id")
+      .withColumn("mean_luma_milli",
+        meanLumaUdf(col("payload"), col("frame_offset"), col("frame_size")))
+      .drop("payload")
+    val structural = decoded
+      .unionByName(picked.filter(col("__codec") =!= "jpeg")
+        .withColumn("mean_luma_milli", lit(-1L)))
       .select(col("asset_id"), col("frame_ms"), col("frame_offset"),
-        col("frame_size"), col("is_key").cast(IntegerType).as("is_key"),
-        lit("").as("frame_token"))
-    val fallback = vids.filter(col("__frames").isNull)
+        col("frame_size"), col("is_key"), lit("").as("frame_token"),
+        col("mean_luma_milli"))
+    val fallback = vids.filter(col("__track").isNull)
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs))))
       .select(
@@ -524,7 +692,8 @@ object Multimodal {
         lit(-1L).as("frame_size"),
         lit(-1).as("is_key"),
         substring(base64(col("payload")), (pmod(col("frame_ms"), lit(32)) + 1).cast("int"), lit(16))
-          .as("frame_token"))
+          .as("frame_token"),
+        lit(-1L).as("mean_luma_milli"))
     structural.unionByName(fallback)
   }
 }

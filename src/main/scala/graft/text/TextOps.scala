@@ -58,6 +58,56 @@ object TextOps {
     round(lit(0.4) * lenScore + lit(0.2) * tokScore + lit(0.4) * purity, 9)
   }
 
+  /** Per-document repetition statistics — the standard corpus-quality
+    * repetition rules (duplicate-line fraction, duplicate-2-gram fraction,
+    * duplicate-token fraction, top-2-gram token share), each rendered as
+    * exact integer micros so the DuckDB oracle replays them bit-for-bit.
+    * One map-side pass per doc (a UDF for the same reason as
+    * `Dedup.shingleSetUdf`: the HOF chain evaluates interpreted and
+    * re-evaluates the outer split per lambda element). Definitions:
+    *   dup_line_micros  = 1 − distinct_lines/lines        (lines = '\n' split)
+    *   dup_2gram_micros = 1 − distinct_2grams/2grams      (word 2-grams)
+    *   dup_token_micros = 1 − distinct_tokens/tokens
+    *   top_2gram_micros = 2·count(most frequent 2-gram)/tokens
+    * Degenerate inputs (<2 tokens, empty) yield 0 — same CASE guards as the
+    * SQL mirror. Splits keep trailing empties (limit −1), matching Spark's
+    * split() and DuckDB's string_split.
+    */
+  case class RepStats(dup_line_micros: Long, dup_2gram_micros: Long,
+                      dup_token_micros: Long, top_2gram_micros: Long)
+
+  val repetitionStatsUdf = udf((text: String) => {
+    if (text == null) RepStats(0L, 0L, 0L, 0L) else {
+      def micros(f: Double): Long = math.floor(f * 1000000.0 + 0.5).toLong
+      val ls = text.split("\n", -1)
+      val ws = text.split(" ", -1)
+      val nl = ls.length
+      val lineSet = new java.util.HashSet[String](); ls.foreach(lineSet.add)
+      val ndl = lineSet.size
+      val nt = ws.length
+      val tokSet = new java.util.HashSet[String](); ws.foreach(tokSet.add)
+      val ndt = tokSet.size
+      val n2 = math.max(nt - 1, 0)
+      var maxC = 0; var nd2 = 0
+      if (n2 > 0) {
+        val counts = new java.util.HashMap[String, Integer]()
+        var i = 0
+        while (i < nt - 1) {
+          val g = ws(i) + " " + ws(i + 1)
+          val c: Int = counts.merge(g, 1, (a, b) => a + b)
+          if (c > maxC) maxC = c
+          i += 1
+        }
+        nd2 = counts.size
+      }
+      RepStats(
+        micros(if (nl == 0) 0.0 else 1.0 - ndl.toDouble / nl),
+        micros(if (n2 == 0) 0.0 else 1.0 - nd2.toDouble / n2),
+        micros(if (nt == 0) 0.0 else 1.0 - ndt.toDouble / nt),
+        micros(if (nt == 0 || maxC == 0) 0.0 else 2.0 * maxC / nt))
+    }
+  })
+
   /** Document fingerprint: Horner rolling hash over character codes,
     * mod 10^12 (fits exact BIGINT arithmetic in both engines).
     */

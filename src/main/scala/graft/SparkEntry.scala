@@ -113,14 +113,21 @@ object SparkEntry {
     * ~0.4 s rebuild it saved (driver bench r10: shared 3.1–3.2 s combined
     * vs 2.6 s unshared for the recall+topk pair).
     */
+  /** The SHARED pre-hashed LSH corpus (5 keyed hyperplane tables, width 1.0)
+    * — the write-once artifact every LSH consumer rides (top-k, recall
+    * gauge, and the r11 table-count sweep).
+    */
+  private def lshHashedShared(s: SparkSession, dir: String): DataFrame =
+    GraftCache.memoAny(s"$dir/lshdet") {
+      GraftCache.track(Knn.lshDetHash(
+        Tables.embeddings(s, dir), Knn.lshDetProjections(5, D, "lsh"), 1.0))
+    }
+
   private def lshDetShared(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val hashed = GraftCache.memoAny(s"$dir/lshdet") {
-      GraftCache.track(Knn.lshDetHash(emb, Knn.lshDetProjections(5, D, "lsh"), 1.0))
-    }
     Knn.lshDet(emb.filter(col("vec_id") < 100), emb, 5, D,
       bucketLength = 1.0, numHashTables = 5, seed = "lsh",
-      prehashed = Some(hashed))
+      prehashed = Some(lshHashedShared(s, dir)))
   }
 
   /** The persisted deterministic-IVF index dir for a scale dir — built once
@@ -1305,6 +1312,38 @@ object SparkEntry {
           (sum(when(col("pr") <= col("nprobe"), 1L).otherwise(0L)).cast("double") /
             count(lit(1)).cast("double")).as("recall"))
         .orderBy("nlist", "nprobe")
+    }),
+
+    // LSH accuracy/latency trade-off curve as DATA — the mirror of the IVF
+    // sweeps for the second ANN family: recall@5 vs number of hash tables
+    // T ∈ {1..5}, all from the ONE shared 5-table hashed corpus. Keyed
+    // projections are per-table independent, so tables 0..T−1 of the
+    // 5-table artifact ARE the T-table hash family; and because the
+    // scanned-subset re-rank can only promote candidates, an exact-top-5
+    // neighbor is in the T-table LSH top-5 iff some table t < T buckets it
+    // with the query — recall@5(T) is the fraction of exact pairs whose
+    // FIRST matching table index is < T, no per-T search needed.
+    "ann_lsh_tables_sweep" -> ((s, dir) => {
+      val hashed = lshHashedShared(s, dir)
+      val qh = Knn.lshDetHash(
+          Tables.embeddings(s, dir).filter(col("vec_id") < 100),
+          Knn.lshDetProjections(5, D, "lsh"), 1.0)
+        .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+      val exact = rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+      val tmin = exact
+        .join(qh, "query_id")
+        .join(hashed.select(col("vec_id").as("neighbor_id"), col("t"), col("bucket")),
+          Seq("neighbor_id", "t", "bucket"))
+        .groupBy("query_id", "neighbor_id").agg(min("t").as("t_min"))
+      exact.join(tmin, Seq("query_id", "neighbor_id"), "left")
+        .select(coalesce(col("t_min"), lit(999)).as("t_min"),
+          explode(array(Seq(1, 2, 3, 4, 5).map(lit): _*)).as("tables"))
+        .groupBy(col("tables").cast("long").as("tables"))
+        .agg(sum(when(col("t_min") < col("tables"), 1L).otherwise(0L)).as("n_hit"),
+          (sum(when(col("t_min") < col("tables"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("recall"))
+        .orderBy("tables")
     }),
 
     // CROSS-MODAL composition — multimodal assets probed against the
@@ -3899,6 +3938,33 @@ object SparkEntry {
            |FROM bk b LEFT JOIN lshk i
            |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
            |GROUP BY b.query_id ORDER BY 1""".stripMargin),
+
+    // Table-count sweep: first-matching-table index per exact pair over the
+    // same proj/hashed CTEs, recall@5(T) = frac(t_min < T). Self pairs
+    // match at t = 0, so recall ≥ 0.2 at T = 1 by construction.
+    "ann_lsh_tables_sweep" ->
+      (s"WITH $lshDetCtes,\n" +
+        s"""bknn AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    sqrt(${l2sqSql("a.embedding", "b.embedding")}) AS dist
+           |  FROM embeddings a, embeddings b WHERE a.vec_id < 100),
+           |bk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+           |    FROM bknn) WHERE rank <= 5),
+           |tmin AS (SELECT b.query_id, b.neighbor_id, min(q.t) AS t_min
+           |  FROM bk b JOIN hashed q ON q.vec_id = b.query_id
+           |            JOIN hashed c ON c.vec_id = b.neighbor_id
+           |                         AND c.t = q.t AND c.bucket = q.bucket
+           |  GROUP BY 1, 2),
+           |x AS (SELECT coalesce(t.t_min, 999) AS t_min
+           |  FROM bk b LEFT JOIN tmin t
+           |    ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id),
+           |sweep AS (SELECT tt.range AS tables, t_min FROM x, range(1, 6) tt)
+           |SELECT cast(tables as bigint) AS tables,
+           |  cast(sum(CASE WHEN t_min < tables THEN 1 ELSE 0 END) as bigint) AS n_hit,
+           |  cast(sum(CASE WHEN t_min < tables THEN 1 ELSE 0 END) as double)
+           |    / count(*) AS recall
+           |FROM sweep GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "ann_cosine_pairs" -> cosineSql(
       queryFilter = "true", k = 6,

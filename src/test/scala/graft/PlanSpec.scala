@@ -138,6 +138,20 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.rank.smallMaxRows")
   }
 
+  test("text_quality_flags: one documents scan, map-side stats, single small exchange") {
+    val p = plan("text_quality_flags")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+    // per-doc stats are one UDF pass; the only exchange is the 1-row
+    // report aggregate's partial→final shuffle
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 1, s"repetition flags should shuffle once, saw $exchanges")
+    if (!p.contains("InMemoryTableScan")) {
+      val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+      assert(scans == 1, s"repetition flags must scan documents once, saw $scans")
+    }
+  }
+
   test("profile_columns: one scan, unpivot-first two-level aggregation, no Expand") {
     val p = plan("profile_columns")
     val scans = p.linesIterator.count(l =>

@@ -90,8 +90,9 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    val byPass = all.map(_.toMap)
     val med = selected.map { case (name, _) =>
-      name -> median(all.map(_.toMap.apply(name)))
+      name -> median(byPass.map(_(name)))
     }
     val qs = med.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -103,7 +104,7 @@ object Bench {
     // before calling a regression. Reported as a full map (`queries_min`)
     // alongside the medians, plus the summed headline (`value_min`).
     val mins = selected.map { case (name, _) =>
-      name -> all.map(_.toMap.apply(name)).min
+      name -> byPass.map(_(name)).min
     }
     val qsMin = mins.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1325,9 +1325,10 @@ object SparkEntry {
     // FIRST matching table index is < T, no per-T search needed.
     "ann_lsh_tables_sweep" -> ((s, dir) => {
       val hashed = lshHashedShared(s, dir)
-      val qh = Knn.lshDetHash(
-          Tables.embeddings(s, dir).filter(col("vec_id") < 100),
-          Knn.lshDetProjections(5, D, "lsh"), 1.0)
+      // the query side is a filter of the SAME persisted hash frame (same
+      // projections/seed/width, map-only per row) — no second embeddings
+      // scan or projection pass
+      val qh = hashed.filter(col("vec_id") < 100)
         .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
       val exact = rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 5)
         .select("query_id", "neighbor_id")

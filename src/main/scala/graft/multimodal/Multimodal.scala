@@ -501,7 +501,17 @@ object Multimodal {
     * the decoder (also spec-gated), so MJPEG samples can be padded to a
     * uniform stsz size.
     */
-  def encodeSolidJpeg(gray: Int, w: Int = 16, h: Int = 16): Array[Byte] = {
+  // only 256 distinct 16×16 solid-gray JPEGs exist; memoize them so fixture
+  // generation (thousands of frames per bench pass) re-encodes each gray
+  // once per JVM instead of once per frame
+  private val solidJpegCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
+
+  def encodeSolidJpeg(gray: Int, w: Int = 16, h: Int = 16): Array[Byte] =
+    if (w == 16 && h == 16)
+      solidJpegCache.computeIfAbsent(gray & 0xff, g => encodeSolidJpegUncached(g, 16, 16))
+    else encodeSolidJpegUncached(gray, w, h)
+
+  private def encodeSolidJpegUncached(gray: Int, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val v   = gray & 0xff
@@ -597,9 +607,16 @@ object Multimodal {
         offset + size > payload.length) return -1L
     val slice = java.util.Arrays.copyOfRange(
       payload, offset.toInt, (offset + size).toInt)
-    decodeImage(slice) match {
+    // decodeImage catches IOException, but the JDK JPEG reader can also
+    // throw RuntimeExceptions on structurally-valid-container +
+    // garbage-sample inputs (fuzzed dims, negative allocations) — the same
+    // never-throw standard parseMp4Track holds applies here: any failure
+    // is the −1 sentinel, never a crashed query
+    try decodeImage(slice) match {
       case Some(img) =>
         val (w, h) = (img.getWidth, img.getHeight)
+        val pixels = w.toLong * h
+        if (pixels <= 0) return -1L
         var sum = 0L; var y = 0
         while (y < h) {
           var x = 0
@@ -611,9 +628,9 @@ object Multimodal {
           }
           y += 1
         }
-        if (w * h == 0) -1L else sum * 1000L / (w * h)
+        sum * 1000L / pixels
       case None => -1L
-    }
+    } catch { case _: Throwable => -1L }
   }
 
   private val mp4TrackUdf = udf((p: Array[Byte]) =>

@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Pack {
 
-  /** Same knob as `Tvp.smallRankMax` — one control surface for every
-    * dual-regime rank/cumsum in the engine; tests force either path with it.
+  /** The shared dual-regime knob (`graft.rank.smallMaxRows`) — one control
+    * surface for every dual-regime rank/cumsum in the engine; tests force
+    * either path with it.
     */
   private def smallMax(df: DataFrame): Long =
-    df.sparkSession.conf.get("graft.rank.smallMaxRows", "1000000").toLong
+    graft.watermark.Tvp.smallRankMax(df.sparkSession)
 
   /** Per-`parts` running sum of `valCol` in `orderCol` ASC order, without a
     * per-part global sort: partial cumsum within (parts, bucket) partitions

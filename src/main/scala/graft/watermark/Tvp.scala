@@ -81,7 +81,7 @@ object Tvp {
     * skew-safe shape — a group_id window has exactly L partitions at ANY
     * corpus size. Config knob exists for tests to force either path.
     */
-  private[watermark] def smallRankMax(spark: SparkSession): Long =
+  private[graft] def smallRankMax(spark: SparkSession): Long =
     spark.conf.get("graft.rank.smallMaxRows", "1000000").toLong
 
   /** Global 1-based rank within `parts` in `order`, without a per-part

@@ -328,6 +328,18 @@ object SparkEntry {
         "neardup"  -> s.table(s"stream_neardup_$n"))
     }
 
+  /** Diagnostic hook for TmModCatProbe: the per-row (p, wm_id, orig_id, cat)
+    * frame the modify grid aggregates — lets a row-level DuckDB diff
+    * localize any category divergence to one (id, diff) pair.
+    */
+  private[graft] def dumpTmModCats(s: SparkSession, dir: String): DataFrame = {
+    val emb  = Tables.embeddings(s, dir)
+    val wmDf = TabularMark.embed(emb, tmKey)
+    val tagged = Attacks.attackGrid(wmDf, Seq("random_modify"), TmGridPs, TmModSeed, D, None)
+    TabularMark.matchedCatsTagged(emb, tagged, tmKey, Seq("p"))
+      .orderBy("p", "wm_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1726,8 +1738,14 @@ object SparkEntry {
       val gdir = GraftCache.memoAny(s"$dir/graphdir") {
         // same publish discipline as the IVF index: fixture-fingerprint key,
         // staging build, one atomic rename; an existing valid artifact is
-        // reused without rewriting (write-once across JVMs, not per session)
-        val k = ArtifactIO.contentKey(s"$dir|m=$M|v1",
+        // reused without rewriting (write-once across JVMs, not per session).
+        // The COMPUTE MODE is part of the key: the persisted ai doubles are
+        // parity-fold vs distributed-sum dependent, so a scale-mode bench
+        // writing first must not serve a parity-mode verify (and vice
+        // versa) — without the key the artifact's correctness depended on
+        // which process ran first on the machine
+        val mode = if (parityMode) "parity" else "scale"
+        val k = ArtifactIO.contentKey(s"$dir|m=$M|mode=$mode|v1",
           new java.io.File(s"$dir/embeddings.parquet"))
         val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_knngraph_$k")
         ArtifactIO.publishDir(out, valid = o =>
@@ -1913,6 +1931,34 @@ object SparkEntry {
         .orderBy("source", "window_id")
     }),
 
+    // Unigram language-model surprisal per doc — the perplexity-filter step
+    // of a pretraining pipeline (CCNet-style), self-trained on the corpus:
+    // two passes (vocab build, then score), the canonical LM-scoring shape
+    // at 100 TB. p(tok) = cnt/total; per-token surprisal −ln p is
+    // float32-QUANTIZED before the micros render (the attack_insert
+    // technique) so the JVM's and DuckDB's libm ln lanes collapse to the
+    // same value, then folded as exact integer micros. The vocab joins
+    // broadcast (a real pipeline broadcasts a top-K vocab + smoothing for
+    // the tail; the fixture vocab is tiny). mean = one double division of
+    // two exact integers — IEEE-identical in both engines.
+    "text_surprisal" -> ((s, dir) => {
+      def toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val tot = vocab.agg(sum("cnt").as("tot"))
+      toks.join(broadcast(vocab), "token")
+        .crossJoin(broadcast(tot))
+        .withColumn("sm",
+          floor((-log(col("cnt").cast("double") / col("tot").cast("double")))
+            .cast("float").cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("sm").as("surprisal_micros"))
+        .withColumn("mean_surprisal",
+          col("surprisal_micros").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Repetition/boilerplate quality signals — the standard corpus-quality
     // repetition rules (duplicate-line fraction, duplicate-2-gram fraction,
     // duplicate-token fraction, top-2-gram token share) flagged at the
@@ -2047,7 +2093,16 @@ object SparkEntry {
        |pks AS MATERIALIZED (SELECT id, min(vec_id) AS orig_id FROM tmids WHERE vec_id < $nw GROUP BY id),
        |carrids AS MATERIALIZED (SELECT DISTINCT id FROM tmids WHERE vec_id < $nw),
        |segs(id, i, s, e, cat, len1, len2, fin) AS (
-       |  SELECT id, 0, -$pp, -$pp + seglen, 1, seglen, 0.0, seglen >= $pp
+       |  -- the initial branch TYPES the recursive CTE's columns (DuckDB
+       |  -- casts every recursive result into them): bare `-4.0`/`0.0`
+       |  -- literals typed s/len2 as DECIMAL(2,1), silently ROUNDING every
+       |  -- segment start and the cat-2 running length to one decimal on
+       |  -- each iteration — a latent divergence from the engine's exact
+       |  -- doubles that first surfaced at sf0.1 (a matched diff within
+       |  -- 0.005 of a true segment boundary flipped category). Explicit
+       |  -- double casts keep the whole recursion in doubles.
+       |  SELECT id, 0, cast(-$pp as double), -$pp + seglen, 1, seglen,
+       |    cast(0.0 as double), seglen >= $pp
        |  FROM (SELECT id, 1.0 + (least($pp - (-$pp), $pp) - 1.0) * ${unitSql("id || '|seg|0'")} AS seglen FROM carrids)
        |  UNION ALL
        |  SELECT id, i + 1, e, e + seglen,
@@ -3251,6 +3306,24 @@ object SparkEntry {
         |  cast(sum(tk) as bigint) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, window_id""".stripMargin,
+
+    // Per-token −ln p float32-quantized before the micros render, so the
+    // two engines' libm lanes agree; sums are exact bigints, the mean one
+    // double division.
+    "text_surprisal" ->
+      """WITH tk AS (SELECT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE length(t) > 0),
+        |v AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1),
+        |tot AS (SELECT cast(sum(cnt) as bigint) AS tot FROM v),
+        |sc AS (SELECT tk.doc_id,
+        |    cast(floor(cast(cast(-ln(cast(cnt as double) / tot) as real) as double)
+        |      * 1000000.0 + 0.5) as bigint) AS sm
+        |  FROM tk JOIN v USING (token), tot)
+        |SELECT doc_id, cast(count(*) as bigint) AS n_tokens,
+        |  cast(sum(sm) as bigint) AS surprisal_micros,
+        |  cast(sum(sm) as double) / count(*) AS mean_surprisal
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Per-doc repetition fractions rendered as integer micros (IEEE double
     // division + floor identical in both engines), flag thresholds compared

@@ -2012,6 +2012,45 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Deterministic Johnson–Lindenstrauss random projection 64d → 16d — the
+    // standard pre-indexing dimensionality reduction of a vector store.
+    // The projection matrix is the SAME keyed float32-quantized md5
+    // Box–Muller family as the LSH hyperplanes (seed "jlproj"), rows scaled
+    // 1/√16; per-vector output reports the first/last projected coordinate
+    // (float32-quantized, exact micros) plus the original and projected
+    // squared norms (sequential-fold nanos) — the JL norm-preservation
+    // check as data. Map-only per row; the oracle replays matrix, folds,
+    // and quantization bit-for-bit.
+    "embed_project" -> ((s, dir) => {
+      val dCount = D; val kOut = 16
+      val proj = Array.tabulate(kOut, dCount)((t, j) =>
+        Hashing.gauss(s"jlproj|$t|$j").toFloat.toDouble)
+      val bc = s.sparkContext.broadcast(proj)
+      val projUdf = udf((e: Seq[Float]) => {
+        val rs = bc.value
+        val ys = Array.tabulate(kOut) { t =>
+          val r = rs(t)
+          var acc = 0.0; var j = 0
+          while (j < r.length) { acc += e(j).toDouble * r(j); j += 1 }
+          (acc / 4.0).toFloat // 1/√16 JL scaling, float32-quantized
+        }
+        var osq = 0.0; var j = 0
+        while (j < e.length) { val v = e(j).toDouble; osq += v * v; j += 1 }
+        var psq = 0.0; var t = 0
+        while (t < kOut) { val v = ys(t).toDouble; psq += v * v; t += 1 }
+        def micros(x: Double) = math.floor(x * 1000000.0 + 0.5).toLong
+        def nanos(x: Double)  = math.floor(x * 1000000000.0 + 0.5).toLong
+        (micros(ys(0).toDouble), micros(ys(kOut - 1).toDouble),
+          nanos(osq), nanos(psq))
+      })
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), projUdf(col("embedding")).as("p"))
+        .select(col("vec_id"),
+          col("p._1").as("y0_micros"), col("p._2").as("y15_micros"),
+          col("p._3").as("orig_sq_nanos"), col("p._4").as("proj_sq_nanos"))
+        .orderBy("vec_id")
+    }),
+
     // One-pass column profiler over lineitem's measure columns: count,
     // distinct count, min/max, exact mean — one scan, one shuffle. The shape
     // is unpivot-first: stack() to (col_name, v) long format (map-only),
@@ -3306,6 +3345,37 @@ object SparkEntry {
         |  cast(sum(tk) as bigint) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, window_id""".stripMargin,
+
+    // Same keyed Box–Muller matrix (float32 lanes), same sequential folds,
+    // same quantize-then-render order as the engine — the JL projection
+    // replays bit-for-bit.
+    "embed_project" ->
+      s"""WITH jproj AS MATERIALIZED (
+         |  SELECT t, list(cast(cast(g as real) as double) ORDER BY j) AS r
+         |  FROM (SELECT ts.range AS t, js.range AS j,
+         |          ${gaussSql("'jlproj|' || cast(ts.range as varchar) || '|' || cast(js.range as varchar)")} AS g
+         |        FROM range(0, 16) ts, range(0, $D) js)
+         |  GROUP BY t),
+         |ys AS (
+         |  SELECT e.vec_id, p.t,
+         |    cast(cast(list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+         |      i -> cast(e.embedding[i] as double) * p.r[i])), (a, b) -> a + b) / 4.0 as real) as double) AS yq
+         |  FROM embeddings e, jproj p),
+         |pagg AS (
+         |  SELECT vec_id,
+         |    cast(floor(min(CASE WHEN t = 0 THEN yq END) * 1000000.0 + 0.5) as bigint) AS y0_micros,
+         |    cast(floor(min(CASE WHEN t = 15 THEN yq END) * 1000000.0 + 0.5) as bigint) AS y15_micros,
+         |    cast(floor(list_reduce(list_prepend(0.0, list(yq * yq ORDER BY t)),
+         |      (a, b) -> a + b) * 1000000000.0 + 0.5) as bigint) AS proj_sq_nanos
+         |  FROM ys GROUP BY vec_id),
+         |osq AS (
+         |  SELECT vec_id, cast(floor(list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+         |      i -> cast(embedding[i] as double) * cast(embedding[i] as double))),
+         |      (a, b) -> a + b) * 1000000000.0 + 0.5) as bigint) AS orig_sq_nanos
+         |  FROM embeddings)
+         |SELECT a.vec_id, y0_micros, y15_micros, orig_sq_nanos, proj_sq_nanos
+         |FROM pagg a JOIN osq o ON o.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     // Per-token −ln p float32-quantized before the micros render, so the
     // two engines' libm lanes agree; sums are exact bigints, the mean one

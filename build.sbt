@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Pin suite-level sequencing explicitly: several suites force the shared
+// session's dual-regime knob (graft.rank.smallMaxRows) around a block and
+// would flake if suites ever interleaved against the one TestSpark session.
+// Forked single-group execution is already sequential; this makes the
+// contract survive a future grouping/fork change.
+Test / parallelExecution := false
 run / fork := true
 // Raw stdout for forked runs — the driver parses Bench's single JSON line
 // and sbt's default LoggedOutput would prefix it with "[info] ".

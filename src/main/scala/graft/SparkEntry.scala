@@ -32,6 +32,10 @@ object SparkEntry {
   private val M         = 8 // HNSW parameter of the reference (watermarking.py:285)
   private val scpwKey   = ScpwKey(topK = 20, position = 30, stdE = 0.05, seed = "20")
   private val tmKey     = TmKey(nw = 100, p = 4.0, k = 40, position = 50)
+  // text_surprisal_topk's bounded vocabulary broadcast: K = 16 keeps the
+  // fixture's 31-type vocab split across both scoring paths (15 tail types)
+  // so the smoothed-tail rule is oracle-exercised, not just documented
+  private val SurprisalTopK = 16
   // H1 strength_analysis sweep — the reference's FULL published grid shape
   // (roubust/roubust.py:225–227: strl × pl = 6 × 13)
   private val StrengthGridSts = Seq(0.55, 0.6, 0.7, 0.8, 0.9, 1.0)
@@ -91,6 +95,12 @@ object SparkEntry {
     GraftCache.memo(s"$dir/ndpairs") {
       Dedup.nearDupPairs(Tables.documents(s, dir), threshold = 0.5).localCheckpoint()
     }
+  /** Driver-known documents row count, memoized per scale dir — the cheap
+    * regime input for corpus-size-dependent plan choices (a parquet footer
+    * count; a true vocab count would cost the tokenize pass it gates).
+    */
+  private def docCount(s: SparkSession, dir: String): Long =
+    GraftCache.memoAny(s"$dir/doccount") { Tables.documents(s, dir).count() }
   /** In-session deterministic-IVF index (sampled centroids + assignment) for
     * a scale dir, memoized per (dir, nlist) — the nlist axis exists for the
     * index-size sweep; every other consumer rides the default 16.
@@ -1937,23 +1947,74 @@ object SparkEntry {
     // at 100 TB. p(tok) = cnt/total; per-token surprisal −ln p is
     // float32-QUANTIZED before the micros render (the attack_insert
     // technique) so the JVM's and DuckDB's libm ln lanes collapse to the
-    // same value, then folded as exact integer micros. The vocab joins
-    // broadcast (a real pipeline broadcasts a top-K vocab + smoothing for
-    // the tail; the fixture vocab is tiny). mean = one double division of
-    // two exact integers — IEEE-identical in both engines.
+    // same value, then folded as exact integer micros. The vocab join is
+    // DUAL-REGIME on the shared knob (graft.rank.smallMaxRows, keyed on the
+    // driver-known documents row count — the cheap monotone proxy for vocab
+    // growth): a broadcast hash join at fixture scale, a plain shuffle
+    // equi-join on `token` above it — a 100 TB corpus has a 10⁸–10⁹-token
+    // vocabulary and force-broadcasting it is a driver OOM. Both regimes are
+    // row-identical (the join is the same equi-join; PlanSpec gates the
+    // shape, SurprisalScaleProbe records the crossover). The 1-row total
+    // stays broadcast in both — it is an aggregate, bounded by construction.
+    // For the bounded-broadcast top-K + smoothed-tail scoring variant see
+    // text_surprisal_topk. mean = one double division of two exact
+    // integers — IEEE-identical in both engines.
     "text_surprisal" -> ((s, dir) => {
       def toks = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
       val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
       val tot = vocab.agg(sum("cnt").as("tot"))
-      toks.join(broadcast(vocab), "token")
+      val smallVocab = docCount(s, dir) <= Tvp.smallRankMax(s)
+      val scored = if (smallVocab) toks.join(broadcast(vocab), "token")
+                   else toks.join(vocab.hint("shuffle_merge"), "token")
+      scored
         .crossJoin(broadcast(tot))
         .withColumn("sm",
           floor((-log(col("cnt").cast("double") / col("tot").cast("double")))
             .cast("float").cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum("sm").as("surprisal_micros"))
+        .withColumn("mean_surprisal",
+          col("surprisal_micros").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // The BOUNDED-BROADCAST LM scoring variant — what a production pipeline
+    // actually ships at 100 TB: only the top-K vocabulary (K = 16 here; the
+    // fixture vocab is 31 types, so the tail path IS oracle-exercised) rides
+    // the broadcast, and every tail token scores against ONE shared smoothed
+    // estimate, the surprisal of the AVERAGE tail type
+    // (−ln(tail_mass / total / n_tail_types)). The top-K cut is
+    // TakeOrderedAndProject (map-side partial top-K, no global vocab sort),
+    // tail stats are one broadcast anti-join aggregate, and the scoring join
+    // broadcasts exactly K rows at ANY corpus size — the plan keeps this
+    // shape regardless of the regime knob because its broadcast is bounded
+    // by construction (PlanSpec gates it). Same float32-quantized micros
+    // rendering as text_surprisal.
+    "text_surprisal_topk" -> ((s, dir) => {
+      def toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val topk  = vocab.orderBy(col("cnt").desc, col("token")).limit(SurprisalTopK)
+      val tot   = vocab.agg(sum("cnt").as("tot"))
+      val tail  = vocab.join(broadcast(topk.select("token")), Seq("token"), "left_anti")
+        .agg(coalesce(sum("cnt"), lit(0L)).as("tail_cnt"),
+          count(lit(1)).as("n_tail"))
+      def f32micros(c: org.apache.spark.sql.Column) =
+        floor(c.cast("float").cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
+      toks.join(broadcast(topk), Seq("token"), "left")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(tail))
+        .withColumn("sm", when(col("cnt").isNotNull,
+            f32micros(-log(col("cnt").cast("double") / col("tot").cast("double"))))
+          .otherwise(
+            f32micros(-log(col("tail_cnt").cast("double") / col("tot").cast("double")
+              / col("n_tail").cast("double")))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+          sum("sm").as("surprisal_micros"))
         .withColumn("mean_surprisal",
           col("surprisal_micros").cast("double") / col("n_tokens"))
         .orderBy("doc_id")
@@ -3394,6 +3455,32 @@ object SparkEntry {
         |  cast(sum(sm) as bigint) AS surprisal_micros,
         |  cast(sum(sm) as double) / count(*) AS mean_surprisal
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Bounded-broadcast variant: only the top-K (cnt DESC, token ASC) types
+    // score individually; every tail token takes the one smoothed estimate
+    // −ln(tail_mass/total/n_tail_types). Same f32-quantized micros lanes.
+    "text_surprisal_topk" ->
+      s"""WITH tk AS (SELECT doc_id, t AS token FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         |  WHERE length(t) > 0),
+         |v AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1),
+         |tot AS (SELECT cast(sum(cnt) as bigint) AS tot FROM v),
+         |topk AS (SELECT token, cnt FROM v ORDER BY cnt DESC, token LIMIT $SurprisalTopK),
+         |tail AS (SELECT coalesce(cast(sum(cnt) as bigint), 0) AS tail_cnt,
+         |    cast(count(*) as bigint) AS n_tail
+         |  FROM v WHERE token NOT IN (SELECT token FROM topk)),
+         |sc AS (SELECT tk.doc_id, k.cnt,
+         |    CASE WHEN k.cnt IS NOT NULL
+         |      THEN cast(floor(cast(cast(-ln(cast(k.cnt as double) / tot) as real) as double)
+         |        * 1000000.0 + 0.5) as bigint)
+         |      ELSE cast(floor(cast(cast(-ln(cast(tail_cnt as double) / tot / n_tail) as real) as double)
+         |        * 1000000.0 + 0.5) as bigint) END AS sm
+         |  FROM tk LEFT JOIN topk k USING (token), tot, tail)
+         |SELECT doc_id, cast(count(*) as bigint) AS n_tokens,
+         |  cast(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) as bigint) AS n_oov,
+         |  cast(sum(sm) as bigint) AS surprisal_micros,
+         |  cast(sum(sm) as double) / count(*) AS mean_surprisal
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Per-doc repetition fractions rendered as integer micros (IEEE double
     // division + floor identical in both engines), flag thresholds compared

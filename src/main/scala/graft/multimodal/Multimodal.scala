@@ -508,7 +508,10 @@ object Multimodal {
 
   def encodeSolidJpeg(gray: Int, w: Int = 16, h: Int = 16): Array[Byte] =
     if (w == 16 && h == 16)
-      solidJpegCache.computeIfAbsent(gray & 0xff, g => encodeSolidJpegUncached(g, 16, 16))
+      // defensive copy: this is a public API and a caller mutating the
+      // returned bytes must not corrupt every later fixture encode of the
+      // same gray (the cache holds the only canonical array)
+      solidJpegCache.computeIfAbsent(gray & 0xff, g => encodeSolidJpegUncached(g, 16, 16)).clone()
     else encodeSolidJpegUncached(gray, w, h)
 
   private def encodeSolidJpegUncached(gray: Int, w: Int, h: Int): Array[Byte] = {

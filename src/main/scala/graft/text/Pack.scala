@@ -70,15 +70,29 @@ object Pack {
     val t = docs.select(col("source"), col("doc_id"),
       TextOps.tokenCount(col("text")).cast("long").as("tk"))
     val st = t.agg(count(lit(1)).as("n"),
-      min("doc_id").as("mn"), max("doc_id").as("mx")).head()
+      min("doc_id").as("mn"), max("doc_id").as("mx"),
+      countDistinct(col("source")).as("ns")).head()
     val n  = st.getLong(0)
-    val big = n > smallMax(docs)
+    val nSources = if (n == 0L) 0L else st.getLong(3)
+    // The offsets frame groupedCumSum broadcasts is up to |sources|·|buckets|
+    // rows — a MANY-source corpus above the row knob would otherwise make the
+    // "tiny" broadcast assumption false. Two guards: (a) with ≥4096 distinct
+    // sources the per-source window already has ≥4096-way sort parallelism,
+    // so the plain window IS the scale shape (no bucket machinery at all);
+    // (b) otherwise the bucket count scales down so |sources|·|buckets| stays
+    // ≤ ~65536 (≥64 buckets keeps the skew guard meaningful). Bucket count
+    // never changes results — only how the row-identical cumsum parallelizes.
+    val manySources = nSources >= 4096L
+    val big = n > smallMax(docs) && !manySources
+    val nBuckets =
+      if (nSources <= 1L) 65536L
+      else math.max(64L, math.min(65536L, 65536L / nSources))
     val (mn, mx) = if (n == 0L) (0L, 0L) else (st.getLong(1), st.getLong(2))
     val bucket =
       if (!big || mx == mn) lit(0)
       else least(greatest(
-        floor((col("doc_id").cast("double") - mn) / (mx - mn).toDouble * 65535)
-          .cast("int"), lit(0)), lit(65535))
+        floor((col("doc_id").cast("double") - mn) / (mx - mn).toDouble * (nBuckets - 1L))
+          .cast("int"), lit(0)), lit((nBuckets - 1L).toInt))
     groupedCumSum(t, Seq("source"), "doc_id", "tk", "cum", bucket,
         distributed = big)
       .withColumn("window_id", expr(s"(cum - 1) div $contextLen"))

@@ -37,6 +37,44 @@ class PackSpec extends AnyFunSuite {
     assert(big.count() == rows.length.toLong)
   }
 
+  test("many-source corpora skip the bucket machinery (offsets broadcast stays tiny)") {
+    import spark.implicits._
+    // 5000 distinct sources over the row knob: the per-source window already
+    // has 5000-way parallelism, and |sources|×65536 bucket offsets would be
+    // a ~330M-row broadcast — the guard must choose the plain window
+    val df = (0 until 5000).map(i => (s"src$i", i.toLong, 10L))
+      .toDF("source", "doc_id", "tk")
+      .withColumn("text", concat_ws(" ", lit("a"), lit("b")))
+      .drop("tk")
+    spark.conf.set("graft.rank.smallMaxRows", "0")
+    try {
+      val p = Pack.packWindows(df).queryExecution.executedPlan.toString
+      assert(!p.contains("__b_cum"),
+        "≥4096-source corpus must use the plain per-source window, not bucket offsets")
+      assert(!p.contains("BroadcastHashJoin"), "no offsets broadcast expected")
+    } finally spark.conf.unset("graft.rank.smallMaxRows")
+  }
+
+  test("few-source big regime scales the bucket count down (offsets ≤ ~65536 rows)") {
+    import spark.implicits._
+    // 128 sources above the knob: buckets = 65536/128 = 512 per source, so
+    // the offsets frame stays ≤ 65536 rows; parity with the plain window
+    val rows = (0 until 4000).map(i => (s"s${i % 128}", i.toLong, (i % 7 + 1).toLong))
+    val df = rows.toDF("source", "doc_id", "tk")
+      .withColumn("text", concat_ws(" ", (0 until 3).map(_ => lit("w")): _*))
+    val docs = df.select(col("source"), col("doc_id"), col("text"))
+    def run() = Pack.packWindows(docs, contextLen = 8)
+      .orderBy("source", "window_id").collect().toSeq
+    val small = run()
+    spark.conf.set("graft.rank.smallMaxRows", "0")
+    try {
+      val big = Pack.packWindows(docs, contextLen = 8)
+      val p = big.queryExecution.executedPlan.toString
+      assert(p.contains("__b_cum"), "128-source big regime should still bucket")
+      assert(run() == small && small.nonEmpty)
+    } finally spark.conf.unset("graft.rank.smallMaxRows")
+  }
+
   test("packWindows is regime-invariant on the documents fixture") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     def run() = Pack.packWindows(docs)

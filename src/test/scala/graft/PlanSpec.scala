@@ -138,6 +138,33 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.rank.smallMaxRows")
   }
 
+  test("text_surprisal vocab join is dual-regime: broadcast small, shuffle above the knob") {
+    val small = plan("text_surprisal")
+    assert(small.contains("BroadcastHashJoin"),
+      "fixture regime should broadcast the (tiny) vocab")
+    spark.conf.set("graft.rank.smallMaxRows", "0")
+    try {
+      val big = plan("text_surprisal")
+      assert(!big.contains("BroadcastHashJoin"),
+        "above the knob the unbounded vocab must NOT broadcast " +
+          "(a 100 TB corpus vocabulary is 10⁸–10⁹ types — driver OOM)")
+      assert(big.contains("SortMergeJoin"), "big regime lost its shuffle token join")
+    } finally spark.conf.unset("graft.rank.smallMaxRows")
+  }
+
+  test("text_surprisal_topk: broadcast bounded by K in ANY regime, top-K without global sort") {
+    spark.conf.set("graft.rank.smallMaxRows", "0")
+    try {
+      val p = plan("text_surprisal_topk")
+      assert(p.contains("TakeOrderedAndProject"),
+        "top-K vocab cut must be map-side TakeOrderedAndProject, not sort+limit")
+      assert(p.contains("BroadcastHashJoin"),
+        "the K-row vocab should broadcast — that bound is the variant's point")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        "no unbounded shuffle join should remain in the bounded-broadcast variant")
+    } finally spark.conf.unset("graft.rank.smallMaxRows")
+  }
+
   test("text_quality_flags: one documents scan, map-side stats, single small exchange") {
     val p = plan("text_quality_flags")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"))

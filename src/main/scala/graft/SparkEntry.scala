@@ -1,6 +1,6 @@
 package graft
 
-import graft.ann.Ann
+import graft.ann.{Ann, GraphAnn}
 import graft.attacks.Attacks
 import graft.events.EventOps
 import graft.experiments.Experiments
@@ -32,6 +32,12 @@ object SparkEntry {
   private val M         = 8 // HNSW parameter of the reference (watermarking.py:285)
   private val scpwKey   = ScpwKey(topK = 20, position = 30, stdE = 0.05, seed = "20")
   private val tmKey     = TmKey(nw = 100, p = 4.0, k = 40, position = 50)
+  // Graph-traversal ANN (GraphAnn): beam width 16, 4 expansion rounds from
+  // 4 shared keyed-md5 entry points — ≤ B·(2M+1)·R candidate scorings per
+  // query, replayed in SQL as unrolled rounds
+  private val GraphEntries = 4
+  private val GraphBeam    = 16
+  private val GraphRounds  = 4
   // text_surprisal_topk's bounded vocabulary broadcast: K = 16 keeps the
   // fixture's 31-type vocab split across both scoring paths (15 tail types)
   // so the smoothed-tail rule is oracle-exercised, not just documented
@@ -158,6 +164,63 @@ object SparkEntry {
         Ann.ivfWrite(staging.getAbsolutePath, c, a)
       }
     }
+
+  /** The persisted kNN-graph artifact dir (edges + accessibility) for a
+    * scale dir — same publish discipline as the IVF index:
+    * fixture-fingerprint key, staging build, one atomic rename; an existing
+    * valid artifact is reused without rewriting (write-once across JVMs,
+    * not per session). The COMPUTE MODE is part of the key: the persisted
+    * ai doubles are parity-fold vs distributed-sum dependent, so a
+    * scale-mode bench writing first must not serve a parity-mode verify
+    * (and vice versa) — without the key the artifact's correctness depended
+    * on which process ran first on the machine. Shared by graph_cold_read
+    * and every graph-traversal ANN consumer.
+    */
+  private def graphArtifactDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/graphdir") {
+      val mode = if (parityMode) "parity" else "scale"
+      val k = ArtifactIO.contentKey(s"$dir|m=$M|mode=$mode|v1",
+        new java.io.File(s"$dir/embeddings.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_knngraph_$k")
+      ArtifactIO.publishDir(out, valid = o =>
+        new java.io.File(o, "edges/_SUCCESS").isFile &&
+          new java.io.File(o, "ai/_SUCCESS").isFile) { staging =>
+        KnnGraph.write(staging.getAbsolutePath, edges(s, dir), ai(s, dir))
+      }
+    }
+
+  /** The shared graph-traversal ANN result for the standard query sample
+    * (first 100 vectors, top-10): both the top-k dump and the recall gauge
+    * consume it, and the beam search's R localCheckpoint rounds are the
+    * whole cost — memoized like rawKnn. Rides the PERSISTED edge artifact
+    * (read cold from parquet), not the in-session edges frame: graph search
+    * is the index's query path, and its 100 TB deployment reads the
+    * write-once graph table.
+    */
+  private def graphAnnShared(s: SparkSession, dir: String): DataFrame =
+    GraftCache.memo(s"$dir/graphann") {
+      val emb = Tables.embeddings(s, dir)
+      val (edgesDf, _) = KnnGraph.read(s, graphArtifactDir(s, dir))
+      GraphAnn.beamSearch(emb.filter(col("vec_id") < 100), emb, edgesDf,
+        GraphAnn.entryPoints(emb, GraphEntries),
+        k = 10, beam = GraphBeam, rounds = GraphRounds)
+    }
+
+  /** Deterministic cross-modal probe vectors: asset payload → keyed md5
+    * gaussians, float32 like the corpus — the stand-in for a real encoder
+    * (no model weights in this toolchain); the whole chain SQL-replayable.
+    * Shared by the IVF and graph-traversal cross-modal queries.
+    */
+  private def assetProbes(s: SparkSession, dir: String): DataFrame = {
+    val dCount = D
+    val probeUdf = udf((payload: Array[Byte]) => {
+      val key = Hashing.md5Hex(new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+      Array.tabulate(dCount)(i => Hashing.gauss(s"xm|$key|$i").toFloat)
+    })
+    Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+      .filter(col("asset_id") < 100)
+      .select(col("asset_id").as("vec_id"), probeUdf(col("payload")).as("embedding"))
+  }
 
   /** Per-carrier bit-level dump: (vec_id, group, message bit, keyed carrier
     * dim, embedded float32 value) — the oracle replays the codec in SQL.
@@ -1381,18 +1444,55 @@ object SparkEntry {
     // with the whole chain SQL-replayable.
     "crossmodal_ann" -> ((s, dir) => {
       val (centroids, assigned) = Ann.ivfRead(s, ivfArtifactDir(s, dir))
-      val dCount = D
-      val probeUdf = udf((payload: Array[Byte]) => {
-        val key = Hashing.md5Hex(new String(payload, java.nio.charset.StandardCharsets.UTF_8))
-        Array.tabulate(dCount)(i => Hashing.gauss(s"xm|$key|$i").toFloat)
-      })
-      val queries = Multimodal.assetsFromDocuments(Tables.documents(s, dir))
-        .filter(col("asset_id") < 100)
-        .select(col("asset_id").as("vec_id"), probeUdf(col("payload")).as("embedding"))
-      Ann.ivfDetSearch(queries, assigned, centroids, k = 5, nprobe = 4)
+      Ann.ivfDetSearch(assetProbes(s, dir), assigned, centroids, k = 5, nprobe = 4)
         .select(col("query_id").as("asset_id"), col("neighbor_id"),
           col("rank").cast("long"))
         .orderBy("asset_id", "rank")
+    }),
+
+    // The SAME cross-modal probes routed through the graph-traversal search
+    // family instead of IVF — multimodal asset → probe vector → persisted
+    // kNN-edge artifact → beam search. Closes multimodal → graph search
+    // end-to-end; the probes are OUT-OF-CORPUS query vectors, which is the
+    // production shape (the other graph-ANN queries probe corpus members).
+    "crossmodal_graph_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (edgesDf, _) = KnnGraph.read(s, graphArtifactDir(s, dir))
+      GraphAnn.beamSearch(assetProbes(s, dir), emb, edgesDf,
+          GraphAnn.entryPoints(emb, GraphEntries),
+          k = 5, beam = GraphBeam, rounds = GraphRounds)
+        .select(col("query_id").as("asset_id"), col("neighbor_id"),
+          col("rank").cast("long"))
+        .orderBy("asset_id", "rank")
+    }),
+
+    // Graph-traversal ANN — the THIRD search family (GraphAnn scaladoc),
+    // and the reference-shaped one: FAISS HNSW answers index.search
+    // (watermarking.py:305) by greedy traversal over the level-0 adjacency
+    // lists (:168–174) — here a deterministic B=16 beam, 4 rounds, over the
+    // PERSISTED kNN edge artifact, entries a keyed-md5 corpus sample. Every
+    // round is replayed by the oracle as one unrolled SQL block.
+    "ann_graph_topk" -> ((s, dir) => {
+      graphAnnShared(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("dist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Graph-ANN acceptance gauge: per-query recall@10 against the exact
+    // fold-L2 ground truth (the memoized rawKnn frame) — the number that
+    // sizes beam/rounds at scale, itself oracle-exact.
+    "ann_graph_recall" -> ((s, dir) => {
+      val g = graphAnnShared(s, dir)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(g, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
+        .orderBy("query_id")
     }),
 
     // ANN — approximate LSH join path. Deterministic variant: keyed md5
@@ -1745,26 +1845,7 @@ object SparkEntry {
     // per-node out-degree + AI from the persisted frames alone — the
     // fresh-session path that skips the kNN pass entirely.
     "graph_cold_read" -> ((s, dir) => {
-      val gdir = GraftCache.memoAny(s"$dir/graphdir") {
-        // same publish discipline as the IVF index: fixture-fingerprint key,
-        // staging build, one atomic rename; an existing valid artifact is
-        // reused without rewriting (write-once across JVMs, not per session).
-        // The COMPUTE MODE is part of the key: the persisted ai doubles are
-        // parity-fold vs distributed-sum dependent, so a scale-mode bench
-        // writing first must not serve a parity-mode verify (and vice
-        // versa) — without the key the artifact's correctness depended on
-        // which process ran first on the machine
-        val mode = if (parityMode) "parity" else "scale"
-        val k = ArtifactIO.contentKey(s"$dir|m=$M|mode=$mode|v1",
-          new java.io.File(s"$dir/embeddings.parquet"))
-        val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_knngraph_$k")
-        ArtifactIO.publishDir(out, valid = o =>
-          new java.io.File(o, "edges/_SUCCESS").isFile &&
-            new java.io.File(o, "ai/_SUCCESS").isFile) { staging =>
-          KnnGraph.write(staging.getAbsolutePath, edges(s, dir), ai(s, dir))
-        }
-      }
-      val (edgesDf, aiDf) = KnnGraph.read(s, gdir)
+      val (edgesDf, aiDf) = KnnGraph.read(s, graphArtifactDir(s, dir))
       val deg = edgesDf.groupBy(col("src")).agg(count(lit(1)).as("out_degree"))
       aiDf.join(deg, aiDf("vec_id") === deg("src"), "left")
         .select(col("vec_id"),
@@ -2299,6 +2380,38 @@ object SparkEntry {
        |    0.5 * ((m.bidir_edges - g.mu_e) / sqrt(greatest(g.msq_e - g.mu_e * g.mu_e, 0.0))) AS ai
        |  FROM mets m, gstats g)
        |""".stripMargin
+  }
+
+  /** Unrolled GraphAnn beam-search replay over graphCtes' `edges`: round 0
+    * scores the shared keyed-md5 entry sample, each later round scores
+    * {beam ∪ out-neighbors} (UNION dedups; re-scoring a dropped node is
+    * identical because fold-L2 is a pure function — the engine's
+    * anti-join merely avoids the recompute) and keeps the B best per query
+    * (dist ASC, node ASC). Requires a `$qv(query_id, qe)` CTE; emits
+    * gb0..gb$GraphRounds, the last being the final beam.
+    */
+  private def graphSearchCtes(qv: String): String = {
+    val d2 = "(cast(q.qe[i] as double) - cast(b.embedding[i] as double))"
+    def scored(i: Int, pairs: String) =
+      s"""gs$i AS (SELECT p.query_id, p.node,
+         |    sqrt(list_reduce(list_transform(range(1, ${D + 1}), i -> $d2 * $d2), (x, y) -> x + y)) AS dist
+         |  FROM $pairs p JOIN $qv q ON q.query_id = p.query_id
+         |  JOIN embeddings b ON b.vec_id = p.node),
+         |gb$i AS (SELECT query_id, node, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+         |    FROM gs$i) WHERE rn <= $GraphBeam)""".stripMargin
+    val entry =
+      s"""gent AS (SELECT vec_id AS node FROM embeddings
+         |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
+         |gp0 AS (SELECT q.query_id, e.node FROM $qv q, gent e),
+         |${scored(0, "gp0")}""".stripMargin
+    val rounds = (1 to GraphRounds).map { i =>
+      s"""gp$i AS (SELECT query_id, node FROM gb${i - 1}
+         |  UNION
+         |  SELECT b.query_id, e.dst AS node FROM gb${i - 1} b JOIN edges e ON e.src = b.node),
+         |${scored(i, s"gp$i")}""".stripMargin
+    }
+    (entry +: rounds).mkString(",\n")
   }
 
   /** Horner fold of md5(expr) modulo a possibly COLUMN modulus (the bit
@@ -4033,6 +4146,50 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
            |  FROM xcand) WHERE rank <= 5
            |ORDER BY asset_id, rank""".stripMargin),
+
+    // Same probe vectors, graph-traversal search family: edges from
+    // graphCtes, probes from the documents payload replay, the beam rounds
+    // unrolled by graphSearchCtes.
+    "crossmodal_graph_ann" ->
+      (graphCtes + ",\n" +
+        s"""qv AS MATERIALIZED (SELECT doc_id AS query_id,
+           |    list_transform(range(0, $D), i ->
+           |      cast(${gaussSql("'xm|' || md5(text) || '|' || cast(i as varchar)")} as real)) AS qe
+           |  FROM documents WHERE doc_id < 100),
+           |${graphSearchCtes("qv")}
+           |SELECT query_id AS asset_id, node AS neighbor_id, cast(rn as bigint) AS rank FROM (
+           |  SELECT query_id, node, dist,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+           |  FROM gb$GraphRounds) WHERE rn <= 5
+           |ORDER BY asset_id, rank""".stripMargin),
+
+    // Graph-traversal ANN: the final beam's top-10 with the fold-L2
+    // distances — every round of the traversal replayed as SQL.
+    "ann_graph_topk" ->
+      (graphCtes + ",\n" +
+        s"""gq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+           |${graphSearchCtes("gq")}
+           |SELECT query_id, node AS neighbor_id, dist, cast(rn as bigint) AS rank FROM (
+           |  SELECT query_id, node, dist,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+           |  FROM gb$GraphRounds) WHERE rn <= 10
+           |ORDER BY query_id, rank""".stripMargin),
+
+    // Graph-ANN recall@10 vs the exact fold-L2 top-10 (raw17 ranks).
+    "ann_graph_recall" ->
+      (graphCtes + ",\n" +
+        s"""gq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+           |${graphSearchCtes("gq")},
+           |gk AS (SELECT query_id, node AS neighbor_id FROM (
+           |    SELECT query_id, node,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+           |    FROM gb$GraphRounds) WHERE rn <= 10),
+           |bk AS (SELECT query_id, neighbor_id FROM raw17 WHERE query_id < 100 AND rank <= 10)
+           |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
+           |  cast(count(i.neighbor_id) as double) / count(*) AS recall
+           |FROM bk b LEFT JOIN gk i
+           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+           |GROUP BY b.query_id ORDER BY 1""".stripMargin),
 
     "ann_ivf_topk" -> ivfTopkOracle,
 

@@ -1,0 +1,86 @@
+package graft.ann
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Graph-traversal ANN — the THIRD approximate-search family beside IVF and
+  * LSH, and the one shaped like the reference's actual index: FAISS HNSW
+  * answers `index.search` (watermarking.py:305) by greedy best-first
+  * traversal over adjacency lists, and every reference consumer reads only
+  * the level-0 lists (watermarking.py:168–174) — exactly the persisted kNN
+  * edge table this engine already builds (KnnGraph G7).
+  *
+  * This is a deterministic, SQL-replayable BEAM search over that edge
+  * artifact:
+  *   - entry points: a fixed keyed-md5 corpus sample (the IVF-centroid
+  *     trick) shared by all queries — no seed/order-dependent entry node;
+  *   - each of R rounds expands the current beam's out-edges, scores the
+  *     union {beam ∪ neighbors} by the sequential fold-L2 (bit-identical to
+  *     VectorOps.l2Col and the DuckDB lambda fold), and keeps the B best
+  *     per query (ties to the lower node id);
+  *   - result: top-k of the final beam.
+  * Fixed R (not per-query convergence) keeps the traversal replayable as R
+  * unrolled SQL rounds and gives the batch a deterministic cost envelope.
+  *
+  * 100 TB shape: this is batched DiskANN/HNSW-style search — per round ONE
+  * equi-join of the frontier against the edge table (co-located when the
+  * artifact is partitioned by `src`, as KnnGraph.write lays it out) plus one
+  * equi-join against the corpus for scoring; all per-query state is
+  * |Q|·B rows. No broadcast of anything unbounded, no global sort — the
+  * only windows partition by query_id over ≤ B·(2M+1) rows. The query
+  * embedding rides the frontier rows (d floats per row) — the standard
+  * batched-traversal trade: re-joining the query table each round would
+  * save bytes but add a shuffle per round.
+  */
+object GraphAnn {
+
+  /** Entry points: the `nEntry` corpus rows in md5("seed|"+vec_id) order —
+    * same closed-form sampling as Ann.ivfDetCentroids, so the oracle
+    * replays the choice as ORDER BY md5 LIMIT n.
+    */
+  def entryPoints(corpus: DataFrame, nEntry: Int, seed: String = "gentry"): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(concat(lit(s"$seed|"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(nEntry)
+      .select(col("vec_id").as("node"))
+
+  /** Beam search; returns (query_id, neighbor_id, dist, rank), rank ≤ k.
+    * `queries`: (vec_id, embedding); `corpus`: (vec_id, embedding);
+    * `edgesDf`: (src, dst, …) — the persisted kNN graph.
+    */
+  def beamSearch(queries: DataFrame, corpus: DataFrame, edgesDf: DataFrame,
+                 entries: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
+    require(beam >= k, s"beam width $beam must cover the requested top-$k")
+    val nodes = corpus.select(col("vec_id").as("node"), col("embedding").as("ne"))
+    def score(cand: DataFrame): DataFrame = // cand: (query_id, qe, node)
+      cand.join(nodes, "node")
+        .withColumn("dist", VectorOps.l2Col(col("qe"), col("ne")))
+        .select(col("query_id"), col("qe"), col("node"), col("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("node"))
+    def topB(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= beam).drop("rn")
+    // round 0: every query scores the shared entry set (tiny — broadcast)
+    var beamDf = topB(score(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .crossJoin(broadcast(entries))))
+      .localCheckpoint() // per-round lineage truncation, as KnnGraph.bfs
+    var r = 0
+    while (r < rounds) {
+      // neighbors of the beam not already IN the beam; a node dropped in an
+      // earlier round may be re-scored — dist is a pure function, so the
+      // result equals the oracle's simpler "score(beam ∪ neighbors)" rule
+      val cand = beamDf.select("query_id", "qe", "node")
+        .join(edgesDf.select(col("src").as("node"), col("dst")), "node")
+        .select(col("query_id"), col("qe"), col("dst").as("node"))
+        .dropDuplicates("query_id", "node")
+        .join(beamDf.select("query_id", "node"), Seq("query_id", "node"), "left_anti")
+      beamDf = topB(beamDf.unionByName(score(cand))).localCheckpoint()
+      r += 1
+    }
+    beamDf
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"), col("dist"), col("rank"))
+  }
+}

@@ -85,12 +85,24 @@ object Bench {
     (1 to warmups).foreach(_ => runPass())
     calibrate() // discarded: absorb the gauge's own codegen/JIT compile so
     // calib(0) doesn't over-read by a code-constant on an otherwise quiet host
-    val all = (1 to passes).map { _ => calib += calibrate(); runPass() }
+    val all = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    (1 to passes).foreach { _ => calib += calibrate(); all += runPass() }
+    // STORM GUARD: r11's three measured passes all ran under ~2–2.5× ambient
+    // load (calib 0.26–0.33 vs ~0.13 quiet) and the headline median came out
+    // 1.7× the same-day cross-run floor. If NO pass saw a quiet host
+    // (min calib above the gate), buy up to maxExtra more passes — one quiet
+    // pass anchors the minima map and the normalized headline.
+    val calibGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_GATE", "0.2").toDouble
+    val maxExtra  = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "2").toInt
+    var extra = 0
+    while (extra < maxExtra && calib.min > calibGate) {
+      calib += calibrate(); all += runPass(); extra += 1
+    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val byPass = all.map(_.toMap)
+    val byPass = all.toVector.map(_.toMap)
     val med = selected.map { case (name, _) =>
       name -> median(byPass.map(_(name)))
     }
@@ -109,9 +121,25 @@ object Bench {
     val qsMin = mins.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val totalMin = mins.map(_._2).sum
-    println(s"""{"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","passes":$passes,""" +
+    // CALIB-NORMALIZED headline: each pass's samples are scaled by
+    // quietCalib/calib_pass (clamped ≤ 1 — a quieter-than-reference pass is
+    // taken at face value, never boosted), then the per-query medians are
+    // summed. The calibration gauge is pure parallel compute, so the ratio
+    // is a first-order estimate of how much ambient contention stretched
+    // the pass; the normalized total is comparable across rounds without
+    // storm archaeology. The reference quiet reading (0.13 s on this box)
+    // is overridable for a different host via SPARK_GRAFT_QUIET_CALIB.
+    val quietCalib = sys.env.getOrElse("SPARK_GRAFT_QUIET_CALIB", "0.13").toDouble
+    val scales = calib.map(c => math.min(1.0, quietCalib / c)).toVector
+    val normMed = selected.map { case (name, _) =>
+      median(byPass.zipWithIndex.map { case (m, i) => m(name) * scales(i) })
+    }
+    val totalNorm = normMed.sum
+    val nPasses = all.size
+    println(s"""{"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","passes":$nPasses,""" +
       s""""pass_totals":[${passTotals.mkString(",")}],""" +
       s""""calib_secs":[${calib.mkString(",")}],""" +
+      s""""quiet_calib":$quietCalib,"value_norm":$totalNorm,""" +
       s""""value_min":$totalMin,""" +
       s""""metric":"total_median","value":$total,"unit":"sec"}""")
     spark.stop()

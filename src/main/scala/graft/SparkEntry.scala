@@ -107,6 +107,27 @@ object SparkEntry {
     */
   private def docCount(s: SparkSession, dir: String): Long =
     GraftCache.memoAny(s"$dir/doccount") { Tables.documents(s, dir).count() }
+  /** Per-doc unigram surprisal (doc_id, n_tokens, surprisal_micros) — the
+    * dual-regime vocab join documented at the text_surprisal registration;
+    * shared with pipeline_doc_manifest's high-surprisal rule.
+    */
+  private def surprisalPerDoc(s: SparkSession, dir: String): DataFrame = {
+    def toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum("cnt").as("tot"))
+    val smallVocab = docCount(s, dir) <= Tvp.smallRankMax(s)
+    val scored = if (smallVocab) toks.join(broadcast(vocab), "token")
+                 else toks.join(vocab.hint("shuffle_merge"), "token")
+    scored
+      .crossJoin(broadcast(tot))
+      .withColumn("sm",
+        floor((-log(col("cnt").cast("double") / col("tot").cast("double")))
+          .cast("float").cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("sm").as("surprisal_micros"))
+  }
   /** In-session deterministic-IVF index (sampled centroids + assignment) for
     * a scale dir, memoized per (dir, nlist) — the nlist axis exists for the
     * index-size sweep; every other consumer rides the default 16.
@@ -1145,6 +1166,64 @@ object SparkEntry {
         .orderBy("stage_id")
     }),
 
+    // Per-doc quality MANIFEST — the actual deliverable of a pretraining
+    // pipeline: one row per document with the keep/drop verdict and every
+    // reason, joining all the engine's independent signals (each previously
+    // queryable only on its own): benchmark holdout membership, 4-gram
+    // benchmark contamination, exact-dup (keep-min-doc_id), minhash
+    // near-dup (the memoized τ=0.5 pair frame — b-side drops), quality
+    // score < 0.8, the four repetition rules at the text_quality_flags
+    // thresholds, and high unigram surprisal (> 3.5 micros-per-token·10⁶ —
+    // an exact integer compare, no double drift). `reasons` is a fixed-order
+    // comma join ('' = keep); keep = 1 iff no rule fired. One scan per
+    // signal, all joins on doc_id; at 100 TB each signal is the map/agg
+    // shape already gated by its own query, and the manifest is the join of
+    // their outputs — the exact layout a downstream trainer consumes.
+    "pipeline_doc_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exact = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(Dedup.exactGroups(docs).select(col("text_hash").as("h"), col("keep_id")), "h")
+        .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("exact_dup"))
+      val nd = nearDupPairsShared(s, dir).select(col("b").as("doc_id")).distinct()
+        .withColumn("near_dup", lit(true))
+      val bench = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+      val cont = Dedup.contamination(
+          docs.filter(pmod(col("doc_id"), lit(100)) =!= 7), bench, 4)
+        .select("doc_id").withColumn("contaminated", lit(true))
+      val rep = docs.select(col("doc_id"),
+          TextOps.repetitionStatsUdf(col("text")).as("r"),
+          TextOps.qualityScore(col("text")).as("q"))
+        .select(col("doc_id"),
+          (col("r.dup_2gram_micros") > 300000L).as("rep_2gram"),
+          (col("r.dup_line_micros") > 300000L).as("rep_lines"),
+          (col("r.dup_token_micros") > 500000L).as("rep_tokens"),
+          (col("r.top_2gram_micros") > 200000L).as("rep_top2gram"),
+          (col("q") < 0.8).as("low_quality"))
+      val sup = surprisalPerDoc(s, dir).select(col("doc_id"),
+        (col("surprisal_micros") > col("n_tokens") * lit(3500000L)).as("high_surprisal"))
+      docs.select(col("doc_id"),
+          (pmod(col("doc_id"), lit(100)) === 7).as("benchmark"))
+        .join(exact, "doc_id")
+        .join(nd, Seq("doc_id"), "left")
+        .join(cont, Seq("doc_id"), "left")
+        .join(rep, "doc_id")
+        .join(sup, "doc_id")
+        .withColumn("reasons", concat_ws(",",
+          when(col("benchmark"), "benchmark"),
+          when(coalesce(col("contaminated"), lit(false)), "contaminated"),
+          when(col("exact_dup"), "exact_dup"),
+          when(coalesce(col("near_dup"), lit(false)), "near_dup"),
+          when(col("low_quality"), "low_quality"),
+          when(col("rep_2gram"), "rep_2gram"),
+          when(col("rep_lines"), "rep_lines"),
+          when(col("rep_tokens"), "rep_tokens"),
+          when(col("rep_top2gram"), "rep_top2gram"),
+          when(col("high_surprisal"), "high_surprisal")))
+        .withColumn("keep", when(col("reasons") === "", 1L).otherwise(0L))
+        .select(col("doc_id"), col("keep"), col("reasons"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       Dedup.withSimhash(Tables.documents(s, dir))
         .select("doc_id", "simhash").orderBy("doc_id")
@@ -2041,21 +2120,7 @@ object SparkEntry {
     // text_surprisal_topk. mean = one double division of two exact
     // integers — IEEE-identical in both engines.
     "text_surprisal" -> ((s, dir) => {
-      def toks = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .filter(length(col("token")) > 0)
-      val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-      val tot = vocab.agg(sum("cnt").as("tot"))
-      val smallVocab = docCount(s, dir) <= Tvp.smallRankMax(s)
-      val scored = if (smallVocab) toks.join(broadcast(vocab), "token")
-                   else toks.join(vocab.hint("shuffle_merge"), "token")
-      scored
-        .crossJoin(broadcast(tot))
-        .withColumn("sm",
-          floor((-log(col("cnt").cast("double") / col("tot").cast("double")))
-            .cast("float").cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum("sm").as("surprisal_micros"))
+      surprisalPerDoc(s, dir)
         .withColumn("mean_surprisal",
           col("surprisal_micros").cast("double") / col("n_tokens"))
         .orderBy("doc_id")
@@ -2191,6 +2256,55 @@ object SparkEntry {
           col("p._1").as("y0_micros"), col("p._2").as("y15_micros"),
           col("p._3").as("orig_sq_nanos"), col("p._4").as("proj_sq_nanos"))
         .orderBy("vec_id")
+    }),
+
+    // Product-quantization codebook + assignment — the OTHER standard
+    // vector-store compression beside int8 scalar quantization
+    // (embed_quantize): the 64-d space splits into m=8 subspaces of 8 dims;
+    // each subspace gets a 16-codeword codebook, here the SAME deterministic
+    // keyed-md5 corpus sample as the IVF coarse quantizer (seed "pq" — one
+    // closed-form SQL replay, no Lloyd iterations: PQ distortion at this
+    // codebook size is dominated by ksub, not centroid optimality, and the
+    // sampled rows make every assignment an oracle-replayable fold-L2
+    // argmin). Emits one row per (vector, subspace): the assigned code and
+    // the exact per-subspace reconstruction error in integer micros (the
+    // embed_quantize technique — order-free bigint sums). Map-only per row
+    // over an 8×16×8-float broadcast; the 100 TB shape is embarrassingly
+    // parallel, codes are 8 bytes/vector vs 256 for the raw floats.
+    "embed_pq" -> ((s, dir) => {
+      val mSub = 8; val dSub = D / 8
+      val cents = Ann.ivfDetCentroids(Tables.embeddings(s, dir), nlist = 16, seed = "pq")
+      val bc = s.sparkContext.broadcast(cents)
+      val pqUdf = udf((e: Seq[Float]) => {
+        val cs = bc.value
+        val a  = e.toArray
+        (0 until mSub).map { u =>
+          val off = u * dSub
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var s2 = 0.0; var j = 0
+            while (j < dSub) {
+              val d = a(off + j).toDouble - cs(c)(off + j).toDouble
+              s2 += d * d; j += 1
+            }
+            if (s2 < bestD) { bestD = s2; best = c } // strict < = ties to lower code
+            c += 1
+          }
+          var err = 0L; var j = 0
+          while (j < dSub) {
+            err += math.floor(
+              math.abs(cs(best)(off + j).toDouble - a(off + j).toDouble) * 1000000.0 + 0.5).toLong
+            j += 1
+          }
+          (u, best, err)
+        }
+      })
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), explode(pqUdf(col("embedding"))).as("pq"))
+        .select(col("vec_id"), col("pq._1").cast("long").as("subspace"),
+          col("pq._2").cast("long").as("code"), col("pq._3").as("err_micros"))
+        .orderBy("vec_id", "subspace")
     }),
 
     // One-pass column profiler over lineitem's measure columns: count,
@@ -3551,6 +3665,32 @@ object SparkEntry {
          |FROM pagg a JOIN osq o ON o.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
 
+    // PQ replay: codebook = the 16 keyed-md5 sample rows (code = sample
+    // rank), assignment = per-(vector, subspace) fold-L2 argmin (ties to the
+    // lower code), reconstruction error = order-free bigint micro sums.
+    "embed_pq" ->
+      """WITH cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, embedding FROM (
+        |    SELECT md5('pq|' || cast(vec_id as varchar)) AS h, vec_id, embedding
+        |    FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+        |su AS (SELECT unnest(range(0, 8)) AS u),
+        |scored AS (SELECT e.vec_id, s.u, c.code,
+        |    list_reduce(list_transform(range(1, 9), j ->
+        |      (cast(e.embedding[s.u * 8 + j] as double) - cast(c.embedding[s.u * 8 + j] as double))
+        |      * (cast(e.embedding[s.u * 8 + j] as double) - cast(c.embedding[s.u * 8 + j] as double))),
+        |      (x, y) -> x + y) AS d2
+        |  FROM embeddings e, su s, cb c),
+        |best AS (SELECT vec_id, u, code FROM (
+        |    SELECT vec_id, u, code,
+        |      row_number() OVER (PARTITION BY vec_id, u ORDER BY d2, code) AS rn
+        |    FROM scored) WHERE rn = 1)
+        |SELECT b.vec_id, cast(b.u as bigint) AS subspace, cast(b.code as bigint) AS code,
+        |  cast(list_reduce(list_transform(range(1, 9), j ->
+        |    cast(floor(abs(cast(c.embedding[b.u * 8 + j] as double) - cast(e.embedding[b.u * 8 + j] as double))
+        |      * 1000000.0 + 0.5) as bigint)),
+        |    (x, y) -> x + y) as bigint) AS err_micros
+        |FROM best b JOIN cb c ON c.code = b.code JOIN embeddings e ON e.vec_id = b.vec_id
+        |ORDER BY b.vec_id, subspace""".stripMargin,
+
     // Per-token −ln p float32-quantized before the micros render, so the
     // two engines' libm lanes agree; sums are exact bigints, the mean one
     // double division.
@@ -3765,6 +3905,85 @@ object SparkEntry {
          |  UNION ALL SELECT 3, 'near_dup', (SELECT count(*) FROM nd)
          |  UNION ALL SELECT 4, 'decontaminated', (SELECT count(*) FROM fin))
          |ORDER BY stage_id""".stripMargin),
+
+    // Manifest replay: each rule is the SAME fragment its own query uses —
+    // minhash pair b-sides, exact-dup keep-min, 4-gram benchmark collisions,
+    // quality score, per-doc repetition micros, per-doc surprisal micros —
+    // then one fixed-order concat_ws verdict per document.
+    "pipeline_doc_manifest" ->
+      (s"""WITH ${minhashPairsCtes("documents", "p", 0.5)},
+         |xdup AS (SELECT d.doc_id FROM documents d
+         |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY 1) k
+         |    ON md5(d.text) = k.h AND d.doc_id <> k.keep_id),
+         |ndup AS (SELECT DISTINCT b AS doc_id FROM ppairs),
+         |bsh AS (SELECT DISTINCT unnest(${ngramSql(4)}) AS s
+         |  FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 100 = 7)
+         |  WHERE len(ws) >= 4),
+         |csh AS (SELECT DISTINCT doc_id, unnest(${ngramSql(4)}) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id % 100 <> 7)
+         |  WHERE len(ws) >= 4),
+         |cont AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (s)),
+         |rt AS (SELECT doc_id, string_split(text, ' ') AS ws,
+         |    string_split(text, chr(10)) AS ls FROM documents),
+         |rbase AS (SELECT doc_id,
+         |    len(ls) AS nl, len(list_distinct(ls)) AS ndl,
+         |    len(ws) AS nt, len(list_distinct(ws)) AS ndt,
+         |    CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END AS n2,
+         |    CASE WHEN len(ws) >= 2 THEN len(list_distinct(
+         |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+         |      ELSE 0 END AS nd2
+         |  FROM rt),
+         |rgc AS (SELECT doc_id, g2, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i+1])) AS g2 FROM rt WHERE len(ws) >= 2)
+         |  GROUP BY 1, 2),
+         |rmx AS (SELECT doc_id, max(c) AS maxc FROM rgc GROUP BY 1),
+         |rm AS (SELECT b.doc_id,
+         |    cast(floor((CASE WHEN nl = 0 THEN 0.0
+         |      ELSE 1.0 - cast(ndl as double) / nl END) * 1000000.0 + 0.5) as bigint) AS dl,
+         |    cast(floor((CASE WHEN n2 = 0 THEN 0.0
+         |      ELSE 1.0 - cast(nd2 as double) / n2 END) * 1000000.0 + 0.5) as bigint) AS d2,
+         |    cast(floor((CASE WHEN nt = 0 THEN 0.0
+         |      ELSE 1.0 - cast(ndt as double) / nt END) * 1000000.0 + 0.5) as bigint) AS dt,
+         |    cast(floor((CASE WHEN nt = 0 OR maxc IS NULL THEN 0.0
+         |      ELSE 2.0 * maxc / nt END) * 1000000.0 + 0.5) as bigint) AS t2
+         |  FROM rbase b LEFT JOIN rmx USING (doc_id)),
+         |stk AS (SELECT doc_id, t AS token FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         |  WHERE length(t) > 0),
+         |sv AS (SELECT token, count(*) AS cnt FROM stk GROUP BY 1),
+         |stot AS (SELECT cast(sum(cnt) as bigint) AS tot FROM sv),
+         |ssc AS (SELECT stk.doc_id,
+         |    cast(floor(cast(cast(-ln(cast(cnt as double) / tot) as real) as double)
+         |      * 1000000.0 + 0.5) as bigint) AS sm
+         |  FROM stk JOIN sv USING (token), stot),
+         |sd AS (SELECT doc_id, cast(sum(sm) as bigint) AS s,
+         |    cast(count(*) as bigint) AS n FROM ssc GROUP BY 1),
+         |flags AS (SELECT d.doc_id,
+         |    d.doc_id % 100 = 7 AS benchmark,
+         |    d.doc_id IN (SELECT doc_id FROM cont) AS contaminated,
+         |    d.doc_id IN (SELECT doc_id FROM xdup) AS exact_dup,
+         |    d.doc_id IN (SELECT doc_id FROM ndup) AS near_dup,
+         |    ${TextOps.qualityScoreSql("d.text")} < 0.8 AS low_quality,
+         |    rm.d2 > 300000 AS rep_2gram, rm.dl > 300000 AS rep_lines,
+         |    rm.dt > 500000 AS rep_tokens, rm.t2 > 200000 AS rep_top2gram,
+         |    sd.s > sd.n * 3500000 AS high_surprisal
+         |  FROM documents d JOIN rm ON rm.doc_id = d.doc_id JOIN sd ON sd.doc_id = d.doc_id)
+         |SELECT doc_id,
+         |  cast(CASE WHEN reasons = '' THEN 1 ELSE 0 END as bigint) AS keep, reasons
+         |FROM (SELECT doc_id, concat_ws(',',
+         |    CASE WHEN benchmark THEN 'benchmark' END,
+         |    CASE WHEN contaminated THEN 'contaminated' END,
+         |    CASE WHEN exact_dup THEN 'exact_dup' END,
+         |    CASE WHEN near_dup THEN 'near_dup' END,
+         |    CASE WHEN low_quality THEN 'low_quality' END,
+         |    CASE WHEN rep_2gram THEN 'rep_2gram' END,
+         |    CASE WHEN rep_lines THEN 'rep_lines' END,
+         |    CASE WHEN rep_tokens THEN 'rep_tokens' END,
+         |    CASE WHEN rep_top2gram THEN 'rep_top2gram' END,
+         |    CASE WHEN high_surprisal THEN 'high_surprisal' END) AS reasons
+         |  FROM flags)
+         |ORDER BY doc_id""".stripMargin),
 
     // Contamination screen: naive shingle semi-join form.
     "text_contamination" ->

@@ -179,6 +179,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_pq: map-only assignment over a broadcast codebook — no join, no shuffle agg") {
+    val p = plan("embed_pq")
+    for (op <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"))
+      assert(!p.contains(op), s"embed_pq plan contains $op — assignment must stay map-only")
+  }
+
+  test("pipeline_doc_manifest: signal joins stay keyed, nothing goes cartesian") {
+    val p = plan("pipeline_doc_manifest")
+    assert(!p.contains("CartesianProduct"), "manifest degraded to a cartesian")
+    assert(p.contains("Join"), "manifest lost its per-doc signal joins")
+  }
+
   test("profile_columns: one scan, unpivot-first two-level aggregation, no Expand") {
     val p = plan("profile_columns")
     val scans = p.linesIterator.count(l =>

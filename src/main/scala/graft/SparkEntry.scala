@@ -243,6 +243,46 @@ object SparkEntry {
       .select(col("asset_id").as("vec_id"), probeUdf(col("payload")).as("embedding"))
   }
 
+  /** The PQ/ADC scan for the standard query sample: corpus rows are
+    * PQ-encoded then RECONSTRUCTED in the map (argmin code per subspace,
+    * ties to the lower code — identical to embed_pq), and the exact fold-L2
+    * kernel runs queries against the reconstructed corpus. Memoized like
+    * rawKnn (both the top-k dump and the recall gauge consume it).
+    */
+  private def pqReconSearch(s: SparkSession, dir: String, k: Int): DataFrame =
+    GraftCache.memo(s"$dir/pqadc") {
+      val mSub = 8; val dSub = D / 8
+      val cents = Ann.ivfDetCentroids(Tables.embeddings(s, dir), nlist = 16, seed = "pq")
+      val bc = s.sparkContext.broadcast(cents)
+      val reconUdf = udf((e: Seq[Float]) => {
+        val cs  = bc.value
+        val a   = e.toArray
+        val out = new Array[Float](a.length)
+        var u = 0
+        while (u < mSub) {
+          val off = u * dSub
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var s2 = 0.0; var j = 0
+            while (j < dSub) {
+              val d = a(off + j).toDouble - cs(c)(off + j).toDouble
+              s2 += d * d; j += 1
+            }
+            if (s2 < bestD) { bestD = s2; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < dSub) { out(off + j) = cs(best)(off + j); j += 1 }
+          u += 1
+        }
+        out
+      })
+      val emb = Tables.embeddings(s, dir)
+      val recon = emb.select(col("vec_id"), reconUdf(col("embedding")).as("embedding"))
+      Knn.exact(emb.filter(col("vec_id") < 100), recon, k, kernel = "fold")
+    }
+
   /** Per-carrier bit-level dump: (vec_id, group, message bit, keyed carrier
     * dim, embedded float32 value) — the oracle replays the codec in SQL.
     */
@@ -2307,6 +2347,39 @@ object SparkEntry {
         .orderBy("vec_id", "subspace")
     }),
 
+    // ADC search over the PQ-compressed corpus — the query path that makes
+    // embed_pq an INDEX, not just compression (FAISS IVFADC's scan): the
+    // asymmetric distance Σ_u ‖q_u − codeword(code_u)‖² is EXACTLY the
+    // fold-L2 between the query and the PQ-RECONSTRUCTED vector, so the
+    // scan reuses Knn.exact's map-only broadcast kernel verbatim on a
+    // reconstructed corpus — at 100 TB the scan reads 8-byte codes + a tiny
+    // codebook instead of 256-byte vectors (32× less IO), decodes in the
+    // map, and ships only |Q|·k merge rows. Reconstruction is the same
+    // argmin as embed_pq (ties to the lower code); the oracle rebuilds the
+    // reconstructed list per row and replays the same fold.
+    "ann_pq_topk" -> ((s, dir) => {
+      pqReconSearch(s, dir, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("dist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ acceptance gauge: recall@10 of the compressed (ADC) scan against
+    // the exact uncompressed ground truth — the distortion-vs-recall number
+    // that sizes m/ksub before a 100 TB build.
+    "ann_pq_recall" -> ((s, dir) => {
+      val g = pqReconSearch(s, dir, k = 10)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(g, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // One-pass column profiler over lineitem's measure columns: count,
     // distinct count, min/max, exact mean — one scan, one shuffle. The shape
     // is unpivot-first: stack() to (col_name, v) long format (map-only),
@@ -2527,6 +2600,42 @@ object SparkEntry {
     }
     (entry +: rounds).mkString(",\n")
   }
+
+  /** PQ codebook + assignment CTEs (embed_pq's semantics): `cb` = the 16
+    * keyed-md5 sample rows with code = sample rank, `best` = per-(vec_id,
+    * subspace u) fold-L2 argmin code (ties to the lower code).
+    */
+  private def pqCtes: String =
+    """cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, embedding FROM (
+      |    SELECT md5('pq|' || cast(vec_id as varchar)) AS h, vec_id, embedding
+      |    FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+      |su AS (SELECT unnest(range(0, 8)) AS u),
+      |scored AS (SELECT e.vec_id, s.u, c.code,
+      |    list_reduce(list_transform(range(1, 9), j ->
+      |      (cast(e.embedding[s.u * 8 + j] as double) - cast(c.embedding[s.u * 8 + j] as double))
+      |      * (cast(e.embedding[s.u * 8 + j] as double) - cast(c.embedding[s.u * 8 + j] as double))),
+      |      (x, y) -> x + y) AS d2
+      |  FROM embeddings e, su s, cb c),
+      |best AS (SELECT vec_id, u, code FROM (
+      |    SELECT vec_id, u, code,
+      |      row_number() OVER (PARTITION BY vec_id, u ORDER BY d2, code) AS rn
+      |    FROM scored) WHERE rn = 1)""".stripMargin
+
+  /** PQ reconstruction CTE: per vec_id, the 64-float list stitched from the
+    * assigned codewords' subvectors (u ASC keeps element order).
+    */
+  private def pqReconCtes: String =
+    """rec AS (SELECT b.vec_id,
+      |    flatten(list(c.embedding[b.u * 8 + 1 : b.u * 8 + 8] ORDER BY b.u)) AS re
+      |  FROM best b JOIN cb c ON c.code = b.code GROUP BY b.vec_id)""".stripMargin
+
+  /** The ADC distance: fold-L2 between query `q.embedding` and
+    * reconstruction `r.re`, the bit-exact mirror of Knn.exact's fold kernel.
+    */
+  private def pqAdcDist(q: String, r: String): String =
+    s"sqrt(list_reduce(list_transform(range(1, ${D + 1}), i -> " +
+      s"(cast($q.embedding[i] as double) - cast($r.re[i] as double)) * " +
+      s"(cast($q.embedding[i] as double) - cast($r.re[i] as double))), (x, y) -> x + y))"
 
   /** Horner fold of md5(expr) modulo a possibly COLUMN modulus (the bit
     * position's span is row-dependent) — full-128-bit semantics as md5ModSql.
@@ -3669,27 +3778,51 @@ object SparkEntry {
     // rank), assignment = per-(vector, subspace) fold-L2 argmin (ties to the
     // lower code), reconstruction error = order-free bigint micro sums.
     "embed_pq" ->
-      """WITH cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, embedding FROM (
-        |    SELECT md5('pq|' || cast(vec_id as varchar)) AS h, vec_id, embedding
-        |    FROM embeddings ORDER BY h, vec_id LIMIT 16)),
-        |su AS (SELECT unnest(range(0, 8)) AS u),
-        |scored AS (SELECT e.vec_id, s.u, c.code,
-        |    list_reduce(list_transform(range(1, 9), j ->
-        |      (cast(e.embedding[s.u * 8 + j] as double) - cast(c.embedding[s.u * 8 + j] as double))
-        |      * (cast(e.embedding[s.u * 8 + j] as double) - cast(c.embedding[s.u * 8 + j] as double))),
-        |      (x, y) -> x + y) AS d2
-        |  FROM embeddings e, su s, cb c),
-        |best AS (SELECT vec_id, u, code FROM (
-        |    SELECT vec_id, u, code,
-        |      row_number() OVER (PARTITION BY vec_id, u ORDER BY d2, code) AS rn
-        |    FROM scored) WHERE rn = 1)
-        |SELECT b.vec_id, cast(b.u as bigint) AS subspace, cast(b.code as bigint) AS code,
-        |  cast(list_reduce(list_transform(range(1, 9), j ->
-        |    cast(floor(abs(cast(c.embedding[b.u * 8 + j] as double) - cast(e.embedding[b.u * 8 + j] as double))
-        |      * 1000000.0 + 0.5) as bigint)),
-        |    (x, y) -> x + y) as bigint) AS err_micros
-        |FROM best b JOIN cb c ON c.code = b.code JOIN embeddings e ON e.vec_id = b.vec_id
-        |ORDER BY b.vec_id, subspace""".stripMargin,
+      (s"WITH $pqCtes\n" +
+        """SELECT b.vec_id, cast(b.u as bigint) AS subspace, cast(b.code as bigint) AS code,
+          |  cast(list_reduce(list_transform(range(1, 9), j ->
+          |    cast(floor(abs(cast(c.embedding[b.u * 8 + j] as double) - cast(e.embedding[b.u * 8 + j] as double))
+          |      * 1000000.0 + 0.5) as bigint)),
+          |    (x, y) -> x + y) as bigint) AS err_micros
+          |FROM best b JOIN cb c ON c.code = b.code JOIN embeddings e ON e.vec_id = b.vec_id
+          |ORDER BY b.vec_id, subspace""".stripMargin),
+
+    // ADC scan replay: reconstruct every corpus row from its codes, then
+    // the exact fold-L2 window against the query sample — the asymmetric
+    // distance IS the distance to the reconstruction.
+    "ann_pq_topk" ->
+      (s"WITH $pqCtes,\n$pqReconCtes,\n" +
+        s"""pqp AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id, ${pqAdcDist("q", "r")} AS dist
+           |  FROM embeddings q, rec r WHERE q.vec_id < 100)
+           |SELECT query_id, neighbor_id, dist, cast(rank as bigint) AS rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+           |  FROM pqp) WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin),
+
+    // ADC recall@10 vs the exact uncompressed fold-L2 top-10.
+    "ann_pq_recall" ->
+      (s"WITH $pqCtes,\n$pqReconCtes,\n" +
+        s"""pqp AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id, ${pqAdcDist("q", "r")} AS dist
+           |  FROM embeddings q, rec r WHERE q.vec_id < 100),
+           |gk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+           |    FROM pqp) WHERE rank <= 10),
+           |xp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    sqrt(list_reduce(list_transform(range(1, ${D + 1}), i ->
+           |      (cast(a.embedding[i] as double) - cast(b.embedding[i] as double))
+           |      * (cast(a.embedding[i] as double) - cast(b.embedding[i] as double))),
+           |      (x, y) -> x + y)) AS dist
+           |  FROM embeddings a, embeddings b WHERE a.vec_id < 100),
+           |bk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+           |    FROM xp) WHERE rank <= 10)
+           |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
+           |  cast(count(i.neighbor_id) as double) / count(*) AS recall
+           |FROM bk b LEFT JOIN gk i
+           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+           |GROUP BY b.query_id ORDER BY 1""".stripMargin),
 
     // Per-token −ln p float32-quantized before the micros render, so the
     // two engines' libm lanes agree; sums are exact bigints, the mean one

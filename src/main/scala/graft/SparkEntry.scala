@@ -7,7 +7,7 @@ import graft.experiments.Experiments
 import graft.functions.Hashing
 import graft.multimodal.Multimodal
 import graft.functions.GraftCols
-import graft.text.{Dedup, TextOps}
+import graft.text.{Bm25, Dedup, TextOps}
 import graft.graph.KnnGraph
 import graft.knn.Knn
 import graft.metrics.Metrics
@@ -327,6 +327,16 @@ object SparkEntry {
     */
   private def micros(c: org.apache.spark.sql.Column) = EventOps.micros(c)
   private val streamSinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The fixed BM25 query set (query_id, term): common terms, a rare
+    * high-idf term ('dup' occurs only in planted duplicate docs), and a
+    * 4-term mix. Shared verbatim by the Spark relation and the oracle's
+    * VALUES list.
+    */
+  private val bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "spark", 0 -> "join", 0 -> "window",
+    1 -> "dup", 1 -> "vector", 1 -> "hash",
+    2 -> "customer", 2 -> "order", 2 -> "query", 2 -> "fast")
 
   /** Checkpoint base (offset/commit logs + state store files) for a finite
     * stream replay, on a RAM-backed path when one exists: a replay's
@@ -1156,6 +1166,34 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(100)) === 7), threshold = 0.5,
           broadcastBench = false)
         .orderBy("a", "b")
+    }),
+
+    // Exact duplicated-SPAN accounting (Dedup.spanDupStats): fixed-length
+    // 8-token n-gram spans appearing in ≥2 docs, counted PER POSITION per
+    // doc — the sliding-window substring-dedup signal the distinct-shingle
+    // Jaccard family can't express (a doc repeating a borrowed span pays
+    // once per repetition). Spans travel as md5 keys; three narrow
+    // partial-agg exchanges; dup_ppm is exact integer division.
+    "dedup_span_ngrams" -> ((s, dir) =>
+      Dedup.spanDupStats(Tables.documents(s, dir), n = 8)
+        .orderBy("doc_id")),
+
+    // BM25 ranked keyword retrieval (Bm25.scores + two-phase tournament
+    // top-k): three fixed queries — common terms, a rare high-idf term
+    // ('dup' appears only in planted duplicate docs), and a 4-term mix —
+    // scored with Lucene's +1 idf at k1=1.2, b=0.75. The corpus never
+    // shuffles: tokens are broadcast-filtered to the query vocabulary
+    // before the tf aggregate, df/idf/stats ride back as broadcasts, and
+    // the top-10 avoids a per-query global sort via per-bucket tournaments.
+    // idf is float32-quantized after ln (the text_surprisal libm collapse);
+    // scores are exact integer micros, ties broken on doc_id.
+    "text_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = bm25Queries.toDF("query_id", "term")
+      Bm25.topK(Bm25.scores(Tables.documents(s, dir), queries), k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("n_terms"), col("score_micros"))
+        .orderBy("query_id", "rank")
     }),
 
     // Near-dup clustering: transitive closure of the minhash pair graph,
@@ -4119,6 +4157,51 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin),
 
     // Contamination screen: naive shingle semi-join form.
+    // Per-position 8-token span dedup: md5-keyed spans, cross-doc filter,
+    // per-doc rollup — the engine's three exchanges replayed as CTEs.
+    "dedup_span_ngrams" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |    WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (SELECT doc_id, md5(array_to_string(t[i : i + 7], ' ')) AS k
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM d)),
+        |pg AS (SELECT k, doc_id, count(*) AS c FROM g GROUP BY 1, 2),
+        |cd AS (SELECT k FROM pg GROUP BY k HAVING count(*) >= 2),
+        |dup AS (SELECT pg.doc_id, sum(pg.c) AS dup_c FROM pg JOIN cd USING (k) GROUP BY 1)
+        |SELECT d.doc_id, cast(len(d.t) - 7 AS bigint) AS n_grams,
+        |  cast(coalesce(dup.dup_c, 0) AS bigint) AS n_dup_grams,
+        |  cast(coalesce(dup.dup_c, 0) AS bigint) * 1000000 // cast(len(d.t) - 7 AS bigint) AS dup_ppm
+        |FROM d LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // BM25: idf float32-quantized after ln then micros-gridded (the same
+    // libm-lane collapse as text_surprisal); every other factor is IEEE
+    // double arithmetic on exact integers, so per-term scores render to
+    // identical integer micros and the top-10 needs no tournament here —
+    // selection matches the engine's exact two-phase by construction.
+    "text_bm25_topk" -> {
+      val values = bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      val avgdl = "(cast(st.tot AS double) / cast(st.n_docs AS double))"
+      val idf = "cast(cast(floor(cast(cast(ln((cast(st.n_docs AS double) - cast(df.df AS double) + 0.5)" +
+        " / (cast(df.df AS double) + 0.5) + 1.0) AS float) AS double) * 1000000.0 + 0.5) AS bigint) AS double)" +
+        " / 1000000.0"
+      val tfn = s"((cast(tf.tf AS double) * ${Bm25.K1 + 1.0}) / (cast(tf.tf AS double)" +
+        s" + ${Bm25.K1} * (${1.0 - Bm25.B} + ${Bm25.B} * (cast(tf.dl AS double) / $avgdl))))"
+      s"""WITH q(query_id, term) AS (VALUES $values),
+         |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |st AS (SELECT count(*) AS n_docs, sum(len(t)) AS tot FROM d),
+         |toks AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+         |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT q.query_id, tf.doc_id, count(*) AS n_terms,
+         |    cast(sum(cast(floor(($idf * $tfn) * 1000000.0 + 0.5) AS bigint)) AS bigint) AS score_micros
+         |  FROM tf JOIN df USING (term) CROSS JOIN st JOIN q USING (term)
+         |  GROUP BY 1, 2)
+         |SELECT query_id, cast(rank AS bigint) AS rank, doc_id, n_terms, score_micros FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_micros DESC, doc_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
     "text_contamination" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT DISTINCT doc_id, s FROM (

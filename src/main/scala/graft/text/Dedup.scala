@@ -425,4 +425,40 @@ object Dedup {
       .select(col("query_id").as("a"), col("neighbor_id").as("b"),
         col("dist").as("cosine"))
       .distinct()
+
+  /** Duplicated-SPAN accounting — the exact-substring dedup signal
+    * (fixed-length token n-gram spans appearing in MORE THAN ONE document),
+    * reported per doc as (n_grams, n_dup_grams, dup_ppm). This is the
+    * sliding-window flavor of substring dedup: unlike the distinct-shingle
+    * Jaccard family above, every POSITION counts, so a doc that repeats a
+    * borrowed span many times scores it many times.
+    *
+    * Scale shape: spans shuffle as 16-byte md5 keys (never the gram text),
+    * with three narrow-row exchanges — per-(gram, doc) position counts
+    * (map-side partial agg), per-gram doc counts (tiny rows, again
+    * partially aggregated so a boilerplate gram in 10⁶ docs combines
+    * map-side), and the per-doc rollup. The cross-doc filter joins the two
+    * gram frames on the md5 key; a pathologically common gram skews that
+    * join's key, which AQE's skew-split handles (the per-doc counts are
+    * already aggregated, so no row explosion — just uneven partitions).
+    * dup_ppm is an exact integer division, oracle-identical by construction.
+    */
+  def spanDupStats(docs: DataFrame, n: Int = 8): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n)
+    val grams = t
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - lit(n - 1))).as("i"))
+      .select(col("doc_id"), md5(concat_ws(" ", slice(col("t"), col("i"), lit(n)))).as("k"))
+    val perDocGram = grams.groupBy("k", "doc_id").agg(count(lit(1)).as("c"))
+    val crossDoc = perDocGram.groupBy("k").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("k")
+    val dup = perDocGram.join(crossDoc, "k")
+      .groupBy("doc_id").agg(sum("c").as("dup_c"))
+    t.select(col("doc_id"), (size(col("t")) - lit(n - 1)).cast("long").as("n_grams"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("dup_c"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_ppm", expr("n_dup_grams * 1000000 div n_grams"))
+  }
 }

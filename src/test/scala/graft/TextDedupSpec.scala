@@ -225,6 +225,48 @@ class TextDedupSpec extends AnyFunSuite {
       s"two-level rank diverged: full=${full.length} two=${two.length}")
   }
 
+  test("spanDupStats counts every position of a cross-doc span, per doc") {
+    import spark.implicits._
+    // 10-token docs; A and B share one 8-token span (two positions in A's
+    // repeat-doc C count twice); D is all-unique.
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val df = Seq(
+      (1L, s"a0 $span a9"),            // positions 1..3: a0-start, span, tail — grams: 3
+      (2L, s"b0 b1 $span"),            // span at the end
+      (3L, s"$span $span"),            // 16 tokens: the span twice → 9 grams, ALL dup
+      (4L, "d0 d1 d2 d3 d4 d5 d6 d7 d8 d9")).toDF("doc_id", "text")
+    val got = Dedup.spanDupStats(df, n = 8).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: grams at pos 1..3; only pos 2 equals the span → 1 dup of 3
+    assert(got(0) == (1L, 3L, 1L, 333333L), s"doc1: ${got(0)}")
+    assert(got(1) == (2L, 3L, 1L, 333333L), s"doc2: ${got(1)}")
+    // doc 3: 9 grams; pos 1 and 9 are the span (2 hits); the 7 straddling
+    // grams (s2..s8 s1, …) occur only inside doc 3, so they are not
+    // cross-doc dups and only the 2 span positions count.
+    assert(got(2) == (3L, 9L, 2L, 222222L), s"doc3: ${got(2)}")
+    assert(got(3) == (4L, 3L, 0L, 0L), s"doc4: ${got(3)}")
+  }
+
+  test("bm25: rare term outranks common ones; topK tournament is exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "rare common common common"),
+      (2L, "common common common common"),
+      (3L, "rare rare common filler"),
+      (4L, "filler filler filler filler")).toDF("doc_id", "text")
+    val q = Seq(0 -> "rare", 0 -> "common").toDF("query_id", "term")
+    val scored = graft.text.Bm25.scores(df, q)
+    val got = graft.text.Bm25.topK(scored, k = 3).orderBy("rank")
+      .select("rank", "doc_id").as[(Long, Long)].collect()
+    // df(rare)=2 of 4 docs, df(common)=3: idf(rare) > idf(common); doc 3 has
+    // rare tf=2 → top; docs 1 (rare+common) next; doc 2 (common only) last.
+    assert(got.map(_._2).toSeq == Seq(3L, 1L, 2L), s"ranking: ${got.mkString(",")}")
+    // tournament equals the naive global sort on the same scored frame
+    val naive = scored.orderBy(col("query_id"), col("score_micros").desc, col("doc_id"))
+      .limit(3).select("doc_id").as[Long].collect().toSeq
+    assert(got.map(_._2).toSeq == naive)
+  }
+
   test("langId picks a profile language deterministically") {
     import spark.implicits._
     val df = Seq(

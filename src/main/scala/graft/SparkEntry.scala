@@ -251,37 +251,47 @@ object SparkEntry {
     */
   private def pqReconSearch(s: SparkSession, dir: String, k: Int): DataFrame =
     GraftCache.memo(s"$dir/pqadc") {
-      val mSub = 8; val dSub = D / 8
-      val cents = Ann.ivfDetCentroids(Tables.embeddings(s, dir), nlist = 16, seed = "pq")
-      val bc = s.sparkContext.broadcast(cents)
-      val reconUdf = udf((e: Seq[Float]) => {
-        val cs  = bc.value
-        val a   = e.toArray
-        val out = new Array[Float](a.length)
-        var u = 0
-        while (u < mSub) {
-          val off = u * dSub
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cs.length) {
-            var s2 = 0.0; var j = 0
-            while (j < dSub) {
-              val d = a(off + j).toDouble - cs(c)(off + j).toDouble
-              s2 += d * d; j += 1
-            }
-            if (s2 < bestD) { bestD = s2; best = c }
-            c += 1
-          }
-          var j = 0
-          while (j < dSub) { out(off + j) = cs(best)(off + j); j += 1 }
-          u += 1
-        }
-        out
-      })
       val emb = Tables.embeddings(s, dir)
-      val recon = emb.select(col("vec_id"), reconUdf(col("embedding")).as("embedding"))
-      Knn.exact(emb.filter(col("vec_id") < 100), recon, k, kernel = "fold")
+      Knn.exact(emb.filter(col("vec_id") < 100), pqReconCorpus(s, dir), k, kernel = "fold")
     }
+
+  /** The PQ-RECONSTRUCTED corpus (vec_id, embedding): every row replaced by
+    * its codeword stitch — argmin code per subspace, ties to the lower
+    * code, identical to embed_pq. Map-only over a broadcast codebook; the
+    * frame both ADC scans (flat ann_pq_topk, probed ann_ivfpq_topk) decode
+    * against.
+    */
+  private def pqReconCorpus(s: SparkSession, dir: String): DataFrame = {
+    val mSub = 8; val dSub = D / 8
+    val cents = Ann.ivfDetCentroids(Tables.embeddings(s, dir), nlist = 16, seed = "pq")
+    val bc = s.sparkContext.broadcast(cents)
+    val reconUdf = udf((e: Seq[Float]) => {
+      val cs  = bc.value
+      val a   = e.toArray
+      val out = new Array[Float](a.length)
+      var u = 0
+      while (u < mSub) {
+        val off = u * dSub
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var s2 = 0.0; var j = 0
+          while (j < dSub) {
+            val d = a(off + j).toDouble - cs(c)(off + j).toDouble
+            s2 += d * d; j += 1
+          }
+          if (s2 < bestD) { bestD = s2; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dSub) { out(off + j) = cs(best)(off + j); j += 1 }
+        u += 1
+      }
+      out
+    })
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), reconUdf(col("embedding")).as("embedding"))
+  }
 
   /** Per-carrier bit-level dump: (vec_id, group, message bit, keyed carrier
     * dim, embedded float32 value) — the oracle replays the codec in SQL.
@@ -2418,6 +2428,51 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // IVFPQ — the full FAISS-style composite: IVF coarse probe (top-4
+    // clusters by fold-L2 to the sampled centroids, assignment from REAL
+    // vectors at build time) + asymmetric-cosine ADC re-rank against the
+    // PQ-RECONSTRUCTED inverted lists. Literally ivfDetSearch handed the
+    // reconstructed corpus: the probed-scan machinery (grouped broadcast
+    // kernel, beyond-broadcast join regime, skew guard) is inherited
+    // unchanged, so at 100 TB the scan touches nprobe/nlist of the corpus
+    // AND reads 8-byte codes instead of 256-byte vectors — the two
+    // orthogonal savings multiplied, which is why IVFADC is the standard
+    // billion-scale layout.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, assigned) = ivfDet(s, dir)
+      val reconAssigned = assigned.select(col("vec_id"), col("cluster"))
+        .join(pqReconCorpus(s, dir), "vec_id")
+      Ann.ivfDetSearch(emb.filter(col("vec_id") < 100), reconAssigned, centroids,
+          k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("score"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVFPQ acceptance gauge: recall@10 of the probed-ADC composite against
+    // exact brute cosine — the number that trades nprobe (probe coverage)
+    // against m/ksub (code distortion) before a 100 TB build. Both loss
+    // sources show up here; compare ann_ivf_recall (probe loss only) and
+    // ann_pq_recall (distortion loss only) to attribute.
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, assigned) = ivfDet(s, dir)
+      val reconAssigned = assigned.select(col("vec_id"), col("cluster"))
+        .join(pqReconCorpus(s, dir), "vec_id")
+      val q = emb.filter(col("vec_id") < 100)
+      val g = Ann.ivfDetSearch(q, reconAssigned, centroids, k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      Ann.bruteCosine(q, emb, 10, kernel = "fold")
+        .select(col("query_id"), col("neighbor_id"))
+        .join(g, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // One-pass column profiler over lineitem's measure columns: count,
     // distinct count, min/max, exact mean — one scan, one shuffle. The shape
     // is unpivot-first: stack() to (col_name, v) long format (map-only),
@@ -2451,6 +2506,33 @@ object SparkEntry {
         .withColumn("avg", col("vsum").cast("double") / col("n"))
         .drop("vsum")
         .orderBy("col_name")
+    }),
+
+    // EXACT distributed quantiles (p50/p90/p99 of doc length per source) —
+    // the length-cutoff calibration step of a corpus filter, computed as a
+    // value histogram + ordered cumsum, NOT a sort: groupBy(source, value)
+    // partial-aggregates map-side, so the window that orders values sees
+    // |distinct values| rows per source, not |docs| — for an integer-domain
+    // measure that is thousands of rows at ANY corpus size. The quantile is
+    // the smallest value whose cumulative count reaches ceil(p·n)
+    // (quantile_disc semantics, derived from first principles on both
+    // engines so no built-in's interpolation rule is trusted). For a
+    // continuous-domain measure the same shape range-buckets first and
+    // sorts only the cutoff bucket — Attacks.scoreTopK's two-pass.
+    "profile_quantiles" -> ((s, dir) => {
+      val h = Tables.documents(s, dir)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("n_chars")
+      val cum = h.withColumn("cum", sum("c").over(w))
+      val tot = h.groupBy("source").agg(sum("c").as("n"))
+      def q(p: Double) =
+        min(when(col("cum") >= ceil(lit(p) * col("n")), col("n_chars")))
+      cum.join(tot, "source")
+        .groupBy("source")
+        .agg(max("n").as("n_docs"),
+          q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"))
+        .orderBy("source")
     }),
   )
 
@@ -3862,6 +3944,63 @@ object SparkEntry {
            |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
            |GROUP BY b.query_id ORDER BY 1""".stripMargin),
 
+    // IVFPQ replay: the IVF probe chain (cent/nrm/asg/probe) composed with
+    // the PQ reconstruction chain (cb/best/rec); candidates are scored by
+    // the fold-cosine against the RECONSTRUCTION — the asymmetric ADC form.
+    "ann_ivfpq_topk" ->
+      (s"WITH $pqCtes,\n$pqReconCtes,\n$ivfIndexCtes,\n$ivfProbeCte,\n" +
+        s"""rsq AS (SELECT r.vec_id, r.re,
+           |    list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+           |      i -> cast(r.re[i] as double) * cast(r.re[i] as double))), (acc, x) -> acc + x) AS sq
+           |  FROM rec r),
+           |candq AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id,
+           |    CASE WHEN sqrt(p.qsq) * sqrt(r.sq) = 0 THEN 0.0 ELSE
+           |      list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+           |        i -> cast(p.qe[i] as double) * cast(r.re[i] as double))), (acc, x) -> acc + x)
+           |      / (sqrt(p.qsq) * sqrt(r.sq)) END AS score
+           |  FROM probe p JOIN asg a ON p.cluster = a.cluster JOIN rsq r ON r.vec_id = a.vec_id)
+           |SELECT query_id, neighbor_id, score, cast(rank as bigint) AS rank FROM (
+           |  SELECT query_id, neighbor_id, score,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |  FROM candq) WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin),
+
+    // IVFPQ recall replay: composite top-10 (candq, as ann_ivfpq_topk) vs
+    // brute-cosine top-10 over the same nrm frame.
+    "ann_ivfpq_recall" ->
+      (s"WITH $pqCtes,\n$pqReconCtes,\n$ivfIndexCtes,\n$ivfProbeCte,\n" +
+        s"""rsq AS (SELECT r.vec_id, r.re,
+           |    list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+           |      i -> cast(r.re[i] as double) * cast(r.re[i] as double))), (acc, x) -> acc + x) AS sq
+           |  FROM rec r),
+           |candq AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id,
+           |    CASE WHEN sqrt(p.qsq) * sqrt(r.sq) = 0 THEN 0.0 ELSE
+           |      list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+           |        i -> cast(p.qe[i] as double) * cast(r.re[i] as double))), (acc, x) -> acc + x)
+           |      / (sqrt(p.qsq) * sqrt(r.sq)) END AS score
+           |  FROM probe p JOIN asg a ON p.cluster = a.cluster JOIN rsq r ON r.vec_id = a.vec_id),
+           |gk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |    FROM candq) WHERE rank <= 10),
+           |bpairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    CASE WHEN sqrt(q.sq) * sqrt(c.sq) = 0 THEN 0.0 ELSE
+           |      list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+           |        i -> cast(q.embedding[i] as double) * cast(c.embedding[i] as double))), (acc, x) -> acc + x)
+           |      / (sqrt(q.sq) * sqrt(c.sq)) END AS score
+           |  FROM nrm q, nrm c WHERE q.vec_id < 100),
+           |bk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |    FROM bpairs) WHERE rank <= 10)
+           |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
+           |  cast(count(i.neighbor_id) as double) / count(*) AS recall
+           |FROM bk b LEFT JOIN gk i
+           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+           |GROUP BY b.query_id ORDER BY 1""".stripMargin),
+
     // Per-token −ln p float32-quantized before the micros render, so the
     // two engines' libm lanes agree; sums are exact bigints, the mean one
     // double division.
@@ -3985,6 +4124,21 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(block).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
+
+    // Histogram-cumsum exact quantiles, quantile_disc semantics from first
+    // principles (smallest value with cum ≥ ceil(p·n)) — no engine
+    // built-in's interpolation rule on either side.
+    "profile_quantiles" ->
+      """WITH h AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, n_chars,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum FROM h),
+        |tot AS (SELECT source, sum(c) AS n FROM h GROUP BY 1)
+        |SELECT s.source, cast(t.n AS bigint) AS n_docs,
+        |  min(CASE WHEN s.cum >= ceil(0.5 * cast(t.n AS double)) THEN s.n_chars END) AS p50,
+        |  min(CASE WHEN s.cum >= ceil(0.9 * cast(t.n AS double)) THEN s.n_chars END) AS p90,
+        |  min(CASE WHEN s.cum >= ceil(0.99 * cast(t.n AS double)) THEN s.n_chars END) AS p99
+        |FROM cum s JOIN tot t USING (source)
+        |GROUP BY s.source, t.n ORDER BY 1""".stripMargin,
 
     "dedup_exact_groups" ->
       """SELECT md5(text) AS text_hash, count(*) AS n, min(doc_id) AS keep_id
@@ -5148,18 +5302,25 @@ object SparkEntry {
        |        ORDER BY ${l2sqSql("e.embedding", "c.embedding")}, c.cluster) AS rn
        |    FROM nrm e, cent c) WHERE rn = 1)""".stripMargin
 
+  /** The query-side coarse probe (top-4 centroids per query by fold-L2,
+    * ties to the lower cluster) over `cent`/`nrm` from ivfIndexCtes. No
+    * leading WITH.
+    */
+  private def ivfProbeCte: String =
+    s"""probe AS (
+       |  SELECT query_id, qe, qsq, cluster FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS qe, e.sq AS qsq, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2sqSql("e.embedding", "c.embedding")}, c.cluster) AS rn
+       |    FROM nrm e, cent c WHERE e.vec_id < 100) WHERE rn <= 4)""".stripMargin
+
   /** The deterministic-IVF replay chain (sampled centroids, fold-L2
     * assignment + probe, fold-cosine candidate scores) — shared by
     * ann_ivf_topk and ann_ivf_recall. No leading WITH.
     */
   private def ivfDetCtes: String =
     s"""$ivfIndexCtes,
-       |probe AS (
-       |  SELECT query_id, qe, qsq, cluster FROM (
-       |    SELECT e.vec_id AS query_id, e.embedding AS qe, e.sq AS qsq, c.cluster,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${l2sqSql("e.embedding", "c.embedding")}, c.cluster) AS rn
-       |    FROM nrm e, cent c WHERE e.vec_id < 100) WHERE rn <= 4),
+       |$ivfProbeCte,
        |cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |    CASE WHEN sqrt(p.qsq) * sqrt(a.sq) = 0 THEN 0.0 ELSE

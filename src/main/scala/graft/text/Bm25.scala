@@ -45,7 +45,13 @@ object Bm25 {
       .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
         explode(col("t")).as("term"))
       .join(broadcast(terms), "term") // map-side probe: only queried terms survive
+    // tf feeds BOTH the df aggregate and the scoring join; without a
+    // materialization Spark re-plans the whole scan+explode subtree for
+    // each consumer (two corpus scans, two explodes). The frame itself is
+    // |docs matching a query term| × |matched terms| rows of ids+counts —
+    // the small thing the big pass exists to produce — so checkpoint it.
     val tf = toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val st = docs.select(size(split(col("text"), " ")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))

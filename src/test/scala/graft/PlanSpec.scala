@@ -203,4 +203,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       "profiler should be a pure aggregation plan")
   }
+
+  test("text_bm25_topk: postings materialize once, small frames broadcast, no cartesian beyond the 1-row stats") {
+    val p = plan("text_bm25_topk")
+    // the postings frame is localCheckpointed: its consumers read the
+    // checkpointed RDD, so the scan+explode subtree appears at most once in
+    // the executed plan (the stats scan is a separate map-side pass)
+    val gens = p.linesIterator.count(_.trim.startsWith("Generate explode"))
+    assert(gens == 0, s"postings subtree re-planned past the checkpoint ($gens explodes)")
+    assert(p.contains("BroadcastHashJoin"), "df/query joins must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no BM25 frame is big enough to sort-merge")
+  }
+
+  test("dedup_span_ngrams: spans shuffle as md5 keys, never gram text; no cartesian") {
+    val p = plan("dedup_span_ngrams")
+    assert(!p.contains("CartesianProduct"), "span dedup degraded to a cartesian")
+    // the only exchanges are on the 16-byte key, the doc id, or the rollup —
+    // no exchange may carry the token array or a reconstructed gram string
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected keyed exchanges")
+    exchanges.foreach { e =>
+      assert(!e.contains("concat_ws") && !e.contains("slice"),
+        s"an exchange carries gram text, not its hash: $e")
+    }
+  }
+
+  test("profile_quantiles: the ordered window sees the histogram, not rows") {
+    val p = plan("profile_quantiles")
+    // the window input must be the (source, n_chars) aggregate — a Window
+    // directly over a scan would sort every document row
+    val widx = p.linesIterator.indexWhere(l => l.contains("Window ") || l.trim.startsWith("Window"))
+    assert(widx >= 0, "expected a cumsum window")
+    assert(p.contains("HashAggregate"), "expected the histogram aggregate below the window")
+    assert(!p.contains("CartesianProduct"), "quantiles degraded to a cartesian")
+  }
 }

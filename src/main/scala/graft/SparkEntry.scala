@@ -196,6 +196,30 @@ object SparkEntry {
       }
     }
 
+  /** The DATE-PARTITIONED events artifact (Hive-style `day=YYYY-MM-DD/`
+    * directories, one file per day via a pre-write repartition on the
+    * partition column) — the layout every 100 TB event store uses so that
+    * time-ranged queries PRUNE at the scan instead of reading the corpus.
+    * The day index is pure long arithmetic on ts_ns (tz-proof, like every
+    * event query); partition values round-trip as DATE through Spark's
+    * partition-type inference. Same publish discipline as the IVF index:
+    * content-keyed, staged, atomically renamed, reused across JVMs.
+    */
+  private def eventsByDateDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/eventsbydate") {
+      val k = ArtifactIO.contentKey(s"$dir|bydate|v1",
+        new java.io.File(s"$dir/events.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_eventsbydate_$k")
+      ArtifactIO.publishDir(out, valid = o => new java.io.File(o, "_SUCCESS").isFile) { staging =>
+        Tables.events(s, dir)
+          .withColumn("day", date_add(lit("1970-01-01").cast("date"),
+            expr("cast(ts_ns div 86400000000000 as int)")))
+          .repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day")
+          .parquet(staging.getAbsolutePath)
+      }
+    }
+
   /** The persisted kNN-graph artifact dir (edges + accessibility) for a
     * scale dir — same publish discipline as the IVF index:
     * fixture-fingerprint key, staging build, one atomic rename; an existing
@@ -1358,6 +1382,22 @@ object SparkEntry {
       EventOps.tumbling(Tables.events(s, dir), widthSec = 600)
         .select("bucket", "event_type", "n", "sum_value_micros", "bucket_start")
         .orderBy("bucket", "event_type")
+    }),
+
+    // Time-ranged daily rollup over the DATE-PARTITIONED artifact: the
+    // one-week BETWEEN lands in the scan's PartitionFilters (PlanSpec
+    // gates it), so 7 of 30 day directories are listed and read — at
+    // 100 TB this is the difference between scanning a week and scanning
+    // the store. The rollup itself is one partial-agg exchange.
+    "q_events_pruned" -> ((s, dir) => {
+      s.read.parquet(eventsByDateDir(s, dir))
+        .filter(col("day").between(
+          lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"), sum(micros(col("value"))).as("sum_value_micros"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("sum_value_micros"))
+        .orderBy("day", "event_type")
     }),
 
     // Sliding windows (width 600 s, slide 300 s) through Spark's native
@@ -4424,6 +4464,16 @@ object SparkEntry {
     // identical oracle for the STREAMING path — stream/batch parity is part
     // of the driver-gated contract
     "q_stream_tumbling" -> streamTumblingOracle,
+
+    // The partitioned-artifact rollup replays against the RAW events table
+    // (the artifact's content IS the table, re-laid-out); the wall-clock
+    // date matches the engine's tz-proof epoch-day arithmetic.
+    "q_events_pruned" ->
+      s"""SELECT strftime(cast(ts AS date), '%Y-%m-%d') AS day, event_type,
+         |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events
+         |WHERE cast(ts AS date) BETWEEN date '2024-01-08' AND date '2024-01-14'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, value, ts,

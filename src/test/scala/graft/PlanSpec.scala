@@ -228,6 +228,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_events_pruned: the date range prunes at the scan as PartitionFilters") {
+    val p = plan("q_events_pruned")
+    val scan = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scan.nonEmpty, "partitioned scan lost its PartitionFilters")
+    assert(scan.get.contains("day"), s"date range must prune on the partition column: ${scan.get}")
+    // the range must NOT survive as a post-scan data filter — that would
+    // mean every partition is listed and rows filtered late (the scan
+    // renders on one line, so slice out the segments after PartitionFilters)
+    val pushed = scan.get.split("PushedFilters:").lift(1).getOrElse("")
+    assert(!pushed.contains("day"), s"day predicate leaked into the data scan: $pushed")
+  }
+
   test("profile_quantiles: the ordered window sees the histogram, not rows") {
     val p = plan("profile_quantiles")
     // the window input must be the (source, n_chars) aggregate — a Window

@@ -111,12 +111,22 @@ object SparkEntry {
     GraftCache.memo(s"$dir/ndpairs") {
       Dedup.nearDupPairs(Tables.documents(s, dir), threshold = 0.5).localCheckpoint()
     }
-  /** Driver-known documents row count, memoized per scale dir — the cheap
-    * regime input for corpus-size-dependent plan choices (a parquet footer
-    * count; a true vocab count would cost the tokenize pass it gates).
+  /** Driver-known APPROXIMATE vocabulary cardinality (HLL, ±~2%) of the
+    * documents table, memoized per scale dir — the regime input for the
+    * surprisal vocab join. One map-side tokenize + sketch pass: the HLL
+    * partials merge without ever shuffling the vocabulary itself, so the
+    * gate costs a scan, not the groupBy it gates. Gating on the vocab's OWN
+    * cardinality (not the old doc-count proxy) closes the
+    * few-but-enormous-documents corner: a 100-doc corpus of book-length
+    * texts can carry a broadcast-hostile type count.
     */
-  private def docCount(s: SparkSession, dir: String): Long =
-    GraftCache.memoAny(s"$dir/doccount") { Tables.documents(s, dir).count() }
+  private def vocabEstimate(s: SparkSession, dir: String): Long =
+    GraftCache.memoAny(s"$dir/vocabest") {
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .agg(approx_count_distinct(col("token")).as("v")).head().getLong(0)
+    }
   /** Per-doc unigram surprisal (doc_id, n_tokens, surprisal_micros) — the
     * dual-regime vocab join documented at the text_surprisal registration;
     * shared with pipeline_doc_manifest's high-surprisal rule.
@@ -127,7 +137,9 @@ object SparkEntry {
       .filter(length(col("token")) > 0)
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
     val tot = vocab.agg(sum("cnt").as("tot"))
-    val smallVocab = docCount(s, dir) <= Tvp.smallRankMax(s)
+    // ×5/4 headroom absorbs the HLL estimate's error band: a vocab sitting
+    // right at the knob must never broadcast on an undercount
+    val smallVocab = vocabEstimate(s, dir) * 5L / 4L <= Tvp.smallRankMax(s)
     val scored = if (smallVocab) toks.join(broadcast(vocab), "token")
                  else toks.join(vocab.hint("shuffle_merge"), "token")
     scored
@@ -207,13 +219,18 @@ object SparkEntry {
     */
   private def eventsByDateDir(s: SparkSession, dir: String): String =
     GraftCache.memoAny(s"$dir/eventsbydate") {
-      val k = ArtifactIO.contentKey(s"$dir|bydate|v1",
+      val k = ArtifactIO.contentKey(s"$dir|bydate|v2", // v2: floor-day arithmetic
         new java.io.File(s"$dir/events.parquet"))
       val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_eventsbydate_$k")
       ArtifactIO.publishDir(out, valid = o => new java.io.File(o, "_SUCCESS").isFile) { staging =>
+        // FLOOR division on the long, not `div` (which truncates toward
+        // zero): a pre-1970 ts_ns must land one day EARLIER, matching the
+        // oracle's cast(ts AS date) floor semantics — latent with the
+        // 2024-only fixture, but the artifact layout shouldn't depend on it
         Tables.events(s, dir)
           .withColumn("day", date_add(lit("1970-01-01").cast("date"),
-            expr("cast(ts_ns div 86400000000000 as int)")))
+            expr("cast(if(ts_ns >= 0, ts_ns div 86400000000000, " +
+              "-((-ts_ns + 86400000000000 - 1) div 86400000000000)) as int)")))
           .repartition(col("day"))
           .write.mode("overwrite").partitionBy("day")
           .parquet(staging.getAbsolutePath)
@@ -1338,13 +1355,18 @@ object SparkEntry {
           (col("q") < 0.8).as("low_quality"))
       val sup = surprisalPerDoc(s, dir).select(col("doc_id"),
         (col("surprisal_micros") > col("n_tokens") * lit(3500000L)).as("high_surprisal"))
+      // the surprisal signal joins LEFT: a document whose text yields zero
+      // non-empty tokens has no surprisal row, and an inner join would
+      // silently drop it from the manifest — the one-row-per-document
+      // contract must hold for every doc (its high_surprisal is then null,
+      // which concat_ws skips exactly like false)
       docs.select(col("doc_id"),
           (pmod(col("doc_id"), lit(100)) === 7).as("benchmark"))
         .join(exact, "doc_id")
         .join(nd, Seq("doc_id"), "left")
         .join(cont, Seq("doc_id"), "left")
         .join(rep, "doc_id")
-        .join(sup, "doc_id")
+        .join(sup, Seq("doc_id"), "left")
         .withColumn("reasons", concat_ws(",",
           when(col("benchmark"), "benchmark"),
           when(coalesce(col("contaminated"), lit(false)), "contaminated"),
@@ -2261,9 +2283,11 @@ object SparkEntry {
     // float32-QUANTIZED before the micros render (the attack_insert
     // technique) so the JVM's and DuckDB's libm ln lanes collapse to the
     // same value, then folded as exact integer micros. The vocab join is
-    // DUAL-REGIME on the shared knob (graft.rank.smallMaxRows, keyed on the
-    // driver-known documents row count — the cheap monotone proxy for vocab
-    // growth): a broadcast hash join at fixture scale, a plain shuffle
+    // DUAL-REGIME on the shared knob (graft.rank.smallMaxRows, keyed on an
+    // HLL estimate of the vocabulary's own cardinality — one map-side
+    // sketch pass, memoized per dir; see vocabEstimate for why the old
+    // doc-count proxy was unsafe): a broadcast hash join at fixture scale,
+    // a plain shuffle
     // equi-join on `token` above it — a 100 TB corpus has a 10⁸–10⁹-token
     // vocabulary and force-broadcasting it is a driver OOM. Both regimes are
     // row-identical (the join is the same equi-join; PlanSpec gates the
@@ -4348,7 +4372,8 @@ object SparkEntry {
          |    rm.d2 > 300000 AS rep_2gram, rm.dl > 300000 AS rep_lines,
          |    rm.dt > 500000 AS rep_tokens, rm.t2 > 200000 AS rep_top2gram,
          |    sd.s > sd.n * 3500000 AS high_surprisal
-         |  FROM documents d JOIN rm ON rm.doc_id = d.doc_id JOIN sd ON sd.doc_id = d.doc_id)
+         |  FROM documents d JOIN rm ON rm.doc_id = d.doc_id
+         |    LEFT JOIN sd ON sd.doc_id = d.doc_id)
          |SELECT doc_id,
          |  cast(CASE WHEN reasons = '' THEN 1 ELSE 0 END as bigint) AS keep, reasons
          |FROM (SELECT doc_id, concat_ws(',',

@@ -268,6 +268,17 @@ object Attacks {
     val (maxId, stats) = insertStats.computeIfAbsent(df, dd => {
       val mx = dd.agg(max(col("vec_id"))).head().getLong(0)
       val st =
+        // PARITY-MODE MEMORY BOUND: this branch collects per-position
+        // sorted (vec_id, value) lists — D driver-side arrays of N entries,
+        // i.e. the whole dataset (~12 bytes·N·D) — because bit-exact
+        // fold-order μ/σ requires replaying the oracle's vec_id-ordered
+        // sequential sums. That is a FIXTURE-FIDELITY regime by definition:
+        // parityStats is only on for verify-scale runs (sf ≤ 0.1, N·D ≤
+        // ~10⁷ values ≈ tens of MB). Scale mode (the else branch) is the
+        // production shape — distributed avg/stddev_pop, nothing driver-side
+        // but D aggregate rows — and any corpus too big for this collect
+        // must run with parityStats off, same probe-style bound as the
+        // other parity/scale splits (cf. Scpw's 65536-capped pool).
         if (parityStats)
           dd.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
             .groupBy("pos")

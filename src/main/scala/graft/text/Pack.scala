@@ -33,14 +33,18 @@ object Pack {
     * `bucket` must be ORDER-CONSISTENT — b(x) < b(y) implies x precedes y in
     * `orderCol` order — so (bucket asc, orderCol) is exactly orderCol order
     * and the result is row-identical to `sum(valCol) over (partition by
-    * parts order by orderCol)`. The offsets frame is |parts|·|buckets| rows
-    * (tiny), broadcast back like groupedRank's.
+    * parts order by orderCol)`. The offsets frame is |parts|·|buckets| rows,
+    * joined back broadcast when that product is small (the common case) and
+    * as a plain keyed equi-join when a many-source corpus makes it large —
+    * `broadcastOffsets` picks; either join is on (parts, bucket) and
+    * row-identical.
     *
     * With `distributed = false` this IS the plain per-part window.
     */
   private[graft] def groupedCumSum(df: DataFrame, parts: Seq[String],
       orderCol: String, valCol: String, cumName: String,
-      bucket: Column, distributed: Boolean): DataFrame = {
+      bucket: Column, distributed: Boolean,
+      broadcastOffsets: Boolean = true): DataFrame = {
     if (!distributed)
       return df.withColumn(cumName, sum(col(valCol)).over(
         Window.partitionBy(parts.map(col): _*).orderBy(col(orderCol))))
@@ -52,7 +56,7 @@ object Pack {
         Window.partitionBy(parts.map(col): _*).orderBy(col(b))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select((parts :+ b :+ off).map(col): _*)
-    withB.join(broadcast(offs), parts :+ b)
+    withB.join(if (broadcastOffsets) broadcast(offs) else offs, parts :+ b)
       .withColumn(cumName, sum(col(valCol)).over(
           Window.partitionBy((parts :+ b).map(col): _*).orderBy(col(orderCol)))
         + col(off))
@@ -74,19 +78,23 @@ object Pack {
       countDistinct(col("source")).as("ns")).head()
     val n  = st.getLong(0)
     val nSources = if (n == 0L) 0L else st.getLong(3)
-    // The offsets frame groupedCumSum broadcasts is up to |sources|·|buckets|
-    // rows — a MANY-source corpus above the row knob would otherwise make the
-    // "tiny" broadcast assumption false. Two guards: (a) with ≥4096 distinct
-    // sources the per-source window already has ≥4096-way sort parallelism,
-    // so the plain window IS the scale shape (no bucket machinery at all);
-    // (b) otherwise the bucket count scales down so |sources|·|buckets| stays
-    // ≤ ~65536 (≥64 buckets keeps the skew guard meaningful). Bucket count
-    // never changes results — only how the row-identical cumsum parallelizes.
-    val manySources = nSources >= 4096L
-    val big = n > smallMax(docs) && !manySources
+    // The offsets frame is |sources|·|buckets| rows. The bucket machinery
+    // stays ON for ANY source count above the row knob — a many-source
+    // corpus does not guarantee many-way sort parallelism (one crawl source
+    // can hold most of the rows, and that source's cumsum would be one
+    // task), so a skewed source must still split across buckets. The bucket
+    // count scales down with the source count (floor 8 — enough splits to
+    // break a single-source monolith) which bounds the offsets frame at
+    // ~max(65536, 8·|sources|) rows; it rides back broadcast while under
+    // ~256k rows and as a plain keyed join beyond that (a broadcast of
+    // 8·10⁶ offset rows for a 10⁶-source corpus would defeat the point).
+    // Bucket count never changes results — only how the row-identical
+    // cumsum parallelizes.
+    val big = n > smallMax(docs)
     val nBuckets =
       if (nSources <= 1L) 65536L
-      else math.max(64L, math.min(65536L, 65536L / nSources))
+      else math.max(8L, math.min(65536L, 65536L / nSources))
+    val bcastOffs = nSources * nBuckets <= 262144L
     val (mn, mx) = if (n == 0L) (0L, 0L) else (st.getLong(1), st.getLong(2))
     val bucket =
       if (!big || mx == mn) lit(0)
@@ -94,7 +102,7 @@ object Pack {
         floor((col("doc_id").cast("double") - mn) / (mx - mn).toDouble * (nBuckets - 1L))
           .cast("int"), lit(0)), lit((nBuckets - 1L).toInt))
     groupedCumSum(t, Seq("source"), "doc_id", "tk", "cum", bucket,
-        distributed = big)
+        distributed = big, broadcastOffsets = bcastOffs)
       .withColumn("window_id", expr(s"(cum - 1) div $contextLen"))
       .groupBy("source", "window_id")
       .agg(count(lit(1)).as("n_docs"), sum("tk").as("n_tokens"),

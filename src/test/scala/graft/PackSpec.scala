@@ -37,21 +37,54 @@ class PackSpec extends AnyFunSuite {
     assert(big.count() == rows.length.toLong)
   }
 
-  test("many-source corpora skip the bucket machinery (offsets broadcast stays tiny)") {
+  test("many-source corpora keep the bucket machinery (a skewed source must still split)") {
     import spark.implicits._
-    // 5000 distinct sources over the row knob: the per-source window already
-    // has 5000-way parallelism, and |sources|×65536 bucket offsets would be
-    // a ~330M-row broadcast — the guard must choose the plain window
-    val df = (0 until 5000).map(i => (s"src$i", i.toLong, 10L))
-      .toDF("source", "doc_id", "tk")
+    // 5000 distinct sources over the row knob, with ONE source holding most
+    // of the rows — the realistic crawl shape. The old ≥4096-source guard
+    // disabled bucketing entirely here, making the dominant source's cumsum
+    // a single-task sort at any scale; the bucket count scales down instead
+    // (max(8, 65536/5000) = 13 → 65k offset rows, still broadcastable).
+    val rows = (0 until 4999).map(i => (s"src$i", i.toLong, 10L)) ++
+      (0 until 2000).map(i => ("srcBig", 10000L + i, 10L))
+    val df = rows.toDF("source", "doc_id", "tk")
       .withColumn("text", concat_ws(" ", lit("a"), lit("b")))
       .drop("tk")
     spark.conf.set("graft.rank.smallMaxRows", "0")
     try {
-      val p = Pack.packWindows(df).queryExecution.executedPlan.toString
-      assert(!p.contains("__b_cum"),
-        "≥4096-source corpus must use the plain per-source window, not bucket offsets")
-      assert(!p.contains("BroadcastHashJoin"), "no offsets broadcast expected")
+      val out = Pack.packWindows(df, contextLen = 8)
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("__b_cum"),
+        "many-source corpus must STILL bucket — source count is no skew guarantee")
+      assert(p.contains("BroadcastHashJoin"),
+        "65k offset rows should ride back broadcast")
+      // parity against the plain window on the same data
+      spark.conf.unset("graft.rank.smallMaxRows")
+      val small = Pack.packWindows(df, contextLen = 8)
+        .orderBy("source", "window_id").collect().toSeq
+      spark.conf.set("graft.rank.smallMaxRows", "0")
+      assert(out.orderBy("source", "window_id").collect().toSeq == small)
+    } finally spark.conf.unset("graft.rank.smallMaxRows")
+  }
+
+  test("huge source counts drop the offsets broadcast but keep the keyed join") {
+    import spark.implicits._
+    // 40k sources × floor-8 buckets = 320k potential offset rows > the 256k
+    // broadcast bound: the offsets join must become a plain keyed join (no
+    // driver-side collect of an unbounded frame), results unchanged.
+    val df = (0 until 40960).map(i => (s"s$i", i.toLong, 1L))
+      .toDF("source", "doc_id", "tk")
+      .withColumn("text", lit("a"))
+      .drop("tk")
+    spark.conf.set("graft.rank.smallMaxRows", "0")
+    try {
+      val out = Pack.packWindows(df, contextLen = 8)
+      val opt = out.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__b_cum"), "big regime should bucket")
+      // the FORCED broadcast hint must be gone above the 256k bound — AQE
+      // may still pick a broadcast when the offsets frame is small at
+      // runtime (fine: that's a measured decision, not an unbounded hint)
+      assert(!opt.contains("strategy=broadcast"),
+        "≥256k potential offset rows must not carry a forced broadcast hint")
     } finally spark.conf.unset("graft.rank.smallMaxRows")
   }
 

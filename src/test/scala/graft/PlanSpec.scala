@@ -152,6 +152,30 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.rank.smallMaxRows")
   }
 
+  test("text_surprisal regime gate keys on vocab cardinality, not doc count (few huge docs)") {
+    import org.apache.spark.sql.functions._
+    val sc = spark
+    import sc.implicits._
+    // 3 documents × 4000 distinct tokens each: a doc-count proxy calls this
+    // corpus "small" (3 ≤ any knob) and would broadcast a 12k-type vocab;
+    // the HLL vocab gate must pick the shuffle join once the knob sits
+    // under the TYPE count — the few-but-enormous-documents corner
+    val dir = java.nio.file.Files.createTempDirectory("graft_fewhuge").toString
+    (0 until 3).map { d =>
+      (d.toLong, (0 until 4000).map(t => s"w${d}_$t").mkString(" "), "en", "s0", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("graft.rank.smallMaxRows", "5000")
+    try {
+      val p = SparkEntry.queries("text_surprisal")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        "a 12k-type vocab over a 5k knob must NOT broadcast just because " +
+          "the corpus has 3 documents")
+      assert(p.contains("SortMergeJoin"), "few-huge-docs regime lost its shuffle token join")
+    } finally spark.conf.unset("graft.rank.smallMaxRows")
+  }
+
   test("text_surprisal_topk: broadcast bounded by K in ANY regime, top-K without global sort") {
     spark.conf.set("graft.rank.smallMaxRows", "0")
     try {

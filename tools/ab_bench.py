@@ -58,7 +58,16 @@ def bench_once(tree, queries, sf, cpus):
         line = line.strip()
         if line.startswith('{"queries"'):
             d = json.loads(line)
-            return d["queries"], d["calib_secs"][0]
+            calibs = d.get("calib_secs") or []
+            if not calibs:
+                # pre-r10 baselines predate the calibration gauge; keep the
+                # pass usable rather than crash after both builds + a
+                # measured pass (flagged as nan in the summary)
+                print(f"  !! {tree}: bench JSON has no calib_secs "
+                      f"(baseline older than r10?) — calib recorded as nan",
+                      flush=True)
+                return d["queries"], float("nan")
+            return d["queries"], calibs[0]
     sys.exit(f"no bench JSON line from {tree}:\n{out.stdout[-2000:]}")
 
 
@@ -103,8 +112,17 @@ def main():
     print(f"{'query':32s} {'cur med':>8s} {'base med':>9s} {'med rat':>8s} "
           f"{'cur min':>8s} {'base min':>9s} {'min rat':>8s}")
     for q in queries:
-        cm = [m[q] for m, _ in results["current"]]
-        bm = [m[q] for m, _ in results["baseline"]]
+        cm = [m[q] for m, _ in results["current"] if q in m]
+        bm = [m[q] for m, _ in results["baseline"] if q in m]
+        if not cm:
+            print(f"{q:32s} {'absent in current tree':>26s}")
+            continue
+        if not bm:
+            # a query added since the baseline ref: no ratio exists, but the
+            # clean-window absolute cost is still the point of the run
+            print(f"{q:32s} {median(cm):8.2f} {'n/a':>9s} {'n/a':>8s} "
+                  f"{min(cm):8.2f} {'n/a':>9s} {'n/a':>8s}  (new since baseline)")
+            continue
         mr = median(cm) / median(bm) if median(bm) else float("nan")
         nr = min(cm) / min(bm) if min(bm) else float("nan")
         print(f"{q:32s} {median(cm):8.2f} {median(bm):9.2f} {mr:8.2f} "

@@ -321,6 +321,172 @@ object SparkEntry {
         k = 10, nprobe = 4)
     }
 
+  /** The IVFADC index build: a TRAINED coarse quantizer + a TRAINED
+    * residual codebook, both refined one Lloyd step from the closed-form
+    * keyed samples — because residual encoding only pays when the coarse
+    * centroids are cell MEANS: a sampled-data-point "centroid" leaves
+    * residuals ~1.5× the raw vector's energy in high dimension (two random
+    * points are near-orthogonal), and the prototype sweep measured residual
+    * coding LOSING recall against raw coding under sampled centroids
+    * (0.177 vs 0.194 @ sf0.1) but winning 0.243 once both stages take one
+    * mean step (DESIGN.md "IVFADC"). Every mean is ORDER-FREE and
+    * oracle-replayable: per-element integer-micros sums (exact bigints,
+    * associative) divided driver-side — the embed_quantize technique — so
+    * the whole trained index stays closed-form SQL. Driver state is
+    * bounded: two 1024-row stats collects + a 16-row sample; every
+    * distributed pass is map-only over broadcast codebooks (the write-once
+    * 100 TB index-build shape). Returns (refined float32 centroids,
+    * assignment frame vs them, per-(subspace, code) refined codewords).
+    */
+  private def ivfAdcIndex(s: SparkSession, dir: String)
+      : (Array[Array[Float]], DataFrame, Array[Array[Array[Double]]]) =
+    GraftCache.memoAny(s"$dir/ivfadcidx") {
+      val emb = Tables.embeddings(s, dir)
+      val mSub = 8; val dSub = D / 8
+      def foldArgmin(v: Array[Float], cs: Array[Array[Float]]): Int = {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var s2 = 0.0; var j = 0
+          while (j < v.length) {
+            val d = v(j).toDouble - cs(c)(j).toDouble
+            s2 += d * d; j += 1
+          }
+          if (s2 < bestD) { bestD = s2; best = c } // ties to the lower id
+          c += 1
+        }
+        best
+      }
+      // one coarse Lloyd step from the shared "ivf" sample: per-(cluster,
+      // dim) micros sums → float32 means; an empty cell (possible only for
+      // bit-identical duplicate sample vectors) keeps its init point
+      val cents0 = Ann.ivfDetCentroids(emb, nlist = 16)
+      val cstat = Ann.ivfDetAssign(emb, cents0)
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("j", "v")))
+        .groupBy("cluster", "j")
+        .agg(sum(floor(col("v").cast("double") * lit(1000000.0) + lit(0.5)).cast("long")).as("m"),
+          count(lit(1)).as("n"))
+        .collect()
+      val cents1 = cents0.map(_.clone())
+      cstat.foreach { r =>
+        cents1(r.getInt(0))(r.getInt(1)) =
+          ((r.getLong(2).toDouble / r.getLong(3)) / 1000000.0).toFloat
+      }
+      val assigned = GraftCache.track(Ann.ivfDetAssign(emb, cents1))
+      // residual codebook init: the "pqres" keyed sample's residuals vs
+      // their OWN refined cell (the same fold argmin the corpus pass uses)
+      val rcb0: Array[Array[Double]] = emb.select(col("vec_id"), col("embedding"))
+        .orderBy(md5(concat(lit("pqres|"), col("vec_id").cast("string"))), col("vec_id"))
+        .limit(16)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+        .map { v =>
+          val mu = cents1(foldArgmin(v, cents1))
+          Array.tabulate(v.length)(j => v(j).toDouble - mu(j).toDouble)
+        }
+      // one codebook Lloyd step on the residuals: assign every (row,
+      // subspace) against the init codebook, micros-sum per (u, code, j)
+      val bcC = s.sparkContext.broadcast(cents1)
+      val bcR0 = s.sparkContext.broadcast(rcb0)
+      val statUdf = udf((e: Seq[Float], cluster: Int) => {
+        val cs = bcC.value; val rb = bcR0.value
+        val a = e.toArray; val mu = cs(cluster)
+        val r = new Array[Double](a.length)
+        var j = 0
+        while (j < a.length) { r(j) = a(j).toDouble - mu(j).toDouble; j += 1 }
+        val out = new Array[(Int, Int, Int, Long)](a.length)
+        var u = 0
+        while (u < mSub) {
+          val off = u * dSub
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < rb.length) {
+            var s2 = 0.0; var k = 0
+            while (k < dSub) {
+              val d = r(off + k) - rb(c)(off + k)
+              s2 += d * d; k += 1
+            }
+            if (s2 < bestD) { bestD = s2; best = c }
+            c += 1
+          }
+          var k = 0
+          while (k < dSub) {
+            out(off + k) = (u, best, k,
+              math.floor(r(off + k) * 1000000.0 + 0.5).toLong)
+            k += 1
+          }
+          u += 1
+        }
+        out.toSeq
+      })
+      val rstat = assigned
+        .select(explode(statUdf(col("embedding"), col("cluster"))).as("t"))
+        .groupBy(col("t._1").as("u"), col("t._2").as("code"), col("t._3").as("j"))
+        .agg(sum(col("t._4")).as("m"), count(lit(1)).as("n"))
+        .collect()
+      val rcb1: Array[Array[Array[Double]]] =
+        Array.tabulate(mSub)(u => Array.tabulate(rcb0.length)(c =>
+          Array.tabulate(dSub)(j => rcb0(c)(u * dSub + j))))
+      rstat.foreach { r =>
+        rcb1(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          (r.getLong(3).toDouble / r.getLong(4)) / 1000000.0
+      }
+      (cents1, assigned, rcb1)
+    }
+
+  /** IVFADC proper — the probed-ADC composite over the TRAINED index:
+    * every corpus row's residual vs its refined coarse centroid is
+    * PQ-assigned against the refined residual codebook (argmin per
+    * subspace, ties to the lower code), reconstruction = centroid +
+    * codeword, float32-cast (the lane both engines share). Same probe
+    * shape and 8×16 code budget as ivfPqSearch — the recall delta between
+    * the two gauges is the residual(+training) gain. Map-only recon over
+    * two tiny broadcasts, then the unchanged ivfDetSearch machinery;
+    * memoized (top-k dump + recall gauge both consume it).
+    */
+  private def ivfAdcSearch(s: SparkSession, dir: String): DataFrame =
+    GraftCache.memo(s"$dir/ivfadc") {
+      val emb = Tables.embeddings(s, dir)
+      val (cents1, assigned, rcb1) = ivfAdcIndex(s, dir)
+      val mSub = 8; val dSub = D / 8
+      val bcC = s.sparkContext.broadcast(cents1)
+      val bcR = s.sparkContext.broadcast(rcb1)
+      val reconUdf = udf((e: Seq[Float], cluster: Int) => {
+        val cs = bcC.value; val rb = bcR.value
+        val a  = e.toArray; val mu = cs(cluster)
+        val r  = new Array[Double](a.length)
+        var j = 0
+        while (j < a.length) { r(j) = a(j).toDouble - mu(j).toDouble; j += 1 }
+        val out = new Array[Float](a.length)
+        var u = 0
+        while (u < mSub) {
+          val off = u * dSub
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < rb(u).length) {
+            var s2 = 0.0; var k = 0
+            while (k < dSub) {
+              val d = r(off + k) - rb(u)(c)(k)
+              s2 += d * d; k += 1
+            }
+            if (s2 < bestD) { bestD = s2; best = c } // ties to the lower code
+            c += 1
+          }
+          var k = 0
+          while (k < dSub) {
+            out(off + k) = (mu(off + k).toDouble + rb(u)(best)(k)).toFloat
+            k += 1
+          }
+          u += 1
+        }
+        out
+      })
+      val reconAssigned = assigned.select(col("vec_id"),
+        reconUdf(col("embedding"), col("cluster")).as("embedding"), col("cluster"))
+      Ann.ivfDetSearch(emb.filter(col("vec_id") < 100), reconAssigned, cents1,
+        k = 10, nprobe = 4)
+    }
+
   /** The PQ-RECONSTRUCTED corpus (vec_id, embedding): every row replaced by
     * its codeword stitch — argmin code per subspace, ties to the lower
     * code, identical to embed_pq. Map-only over a broadcast codebook; the
@@ -2552,6 +2718,41 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // IVFADC proper — the residual-encoded composite (FAISS's production
+    // default) at the same nlist/nprobe/8×16 code budget as ann_ivfpq_topk,
+    // with BOTH stages trained one order-free Lloyd step (integer-micros
+    // means — see ivfAdcIndex): codes quantize the RESIDUAL vs the refined
+    // coarse centroid, the scan reconstructs centroid + codeword. The
+    // training step is load-bearing, not decoration: under SAMPLED
+    // data-point centroids residuals carry ~1.5× the raw energy (two
+    // random high-dim points are near-orthogonal) and residual coding
+    // LOSES (measured 0.177 vs 0.194 @ sf0.1); with mean cells it wins
+    // 0.243 at equal budget — the number ann_ivfadc_recall reads out
+    // against ann_ivfpq_recall.
+    "ann_ivfadc_topk" -> ((s, dir) => {
+      ivfAdcSearch(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("score"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVFADC acceptance gauge: recall@10 of the residual composite against
+    // exact brute cosine — read next to ann_ivfpq_recall (raw-encoded, same
+    // budget) to see the residual gain, and ann_ivf_recall (no quantization)
+    // to see the remaining distortion loss.
+    "ann_ivfadc_recall" -> ((s, dir) => {
+      val g = ivfAdcSearch(s, dir)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      cosKnn(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(g, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // One-pass column profiler over lineitem's measure columns: count,
     // distinct count, min/max, exact mean — one scan, one shuffle. The shape
     // is unpivot-first: stack() to (col_name, v) long format (map-only),
@@ -2827,6 +3028,104 @@ object SparkEntry {
     """rec AS (SELECT b.vec_id,
       |    flatten(list(c.embedding[b.u * 8 + 1 : b.u * 8 + 8] ORDER BY b.u)) AS re
       |  FROM best b JOIN cb c ON c.code = b.code GROUP BY b.vec_id)""".stripMargin
+
+  /** The IVFADC trained-index replay (expects `cent`/`nrm`/`asg` from
+    * ivfIndexCtes in scope; no leading WITH) — the SQL mirror of
+    * ivfAdcIndex + ivfAdcSearch's encoding:
+    *   cstat/cent1: one coarse Lloyd step — per-(cluster, dim)
+    *     integer-micros sums over the sampled-centroid assignment, mean
+    *     float32-cast; empty cells (duplicate sample vectors only) keep
+    *     their init point via the LEFT JOIN coalesce;
+    *   asg1/probe1: corpus assignment + query probe vs the REFINED cells;
+    *   rcb/rcbr0: residual codebook init — the "pqres" keyed sample's
+    *     residuals vs their own refined cell (exact doubles);
+    *   rstat/rcb1: one codebook Lloyd step — per-(subspace, code, dim)
+    *     micros means of the residuals each init codeword wins;
+    *   rbest/arec: final per-(vector, subspace) argmin (ties to the lower
+    *     code) and reconstruction centroid + codeword, float32-cast per
+    *     element (the lane the engine's .toFloat shares).
+    */
+  private def ivfAdcCtes: String =
+    s"""rsu AS (SELECT unnest(range(0, 8)) AS u),
+       |cstat AS (SELECT a.cluster, j.range AS j,
+       |    cast(sum(cast(floor(cast(a.embedding[j.range] as double) * 1000000.0 + 0.5) as bigint)) as bigint) AS m,
+       |    count(*) AS n
+       |  FROM asg a, range(1, ${D + 1}) j GROUP BY 1, 2),
+       |cent1 AS MATERIALIZED (SELECT c0.cluster, list(coalesce(
+       |      cast(cast((cast(s.m as double) / s.n) / 1000000.0 as real) as double),
+       |      cast(c0.embedding[j.range] as double)) ORDER BY j.range) AS embedding
+       |  FROM cent c0 CROSS JOIN range(1, ${D + 1}) j
+       |    LEFT JOIN cstat s ON s.cluster = c0.cluster AND s.j = j.range
+       |  GROUP BY c0.cluster),
+       |asg1 AS MATERIALIZED (SELECT vec_id, embedding, sq, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, e.sq, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2sqSql("e.embedding", "c.embedding")}, c.cluster) AS rn
+       |    FROM nrm e, cent1 c) WHERE rn = 1),
+       |probe1 AS (SELECT query_id, qe, qsq, cluster FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS qe, e.sq AS qsq, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2sqSql("e.embedding", "c.embedding")}, c.cluster) AS rn
+       |    FROM nrm e, cent1 c WHERE e.vec_id < 100) WHERE rn <= 4),
+       |rcb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, vec_id, embedding FROM (
+       |    SELECT md5('pqres|' || cast(vec_id as varchar)) AS h, vec_id, embedding
+       |    FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+       |rcbr0 AS (SELECT r.code, list_transform(range(1, ${D + 1}), i ->
+       |      cast(r.embedding[i] as double) - c.embedding[i]) AS re
+       |  FROM rcb r JOIN asg1 a ON a.vec_id = r.vec_id JOIN cent1 c ON c.cluster = a.cluster),
+       |rsd AS MATERIALIZED (SELECT a.vec_id, a.cluster, list_transform(range(1, ${D + 1}), i ->
+       |      cast(a.embedding[i] as double) - c.embedding[i]) AS rv
+       |  FROM asg1 a JOIN cent1 c ON c.cluster = a.cluster),
+       |rbest0 AS (SELECT vec_id, u, code FROM (
+       |    SELECT v.vec_id, s.u, b.code,
+       |      row_number() OVER (PARTITION BY v.vec_id, s.u ORDER BY
+       |        list_reduce(list_transform(range(1, 9), j ->
+       |          (v.rv[s.u * 8 + j] - b.re[s.u * 8 + j]) * (v.rv[s.u * 8 + j] - b.re[s.u * 8 + j])),
+       |          (x, y) -> x + y), b.code) AS rn
+       |    FROM rsd v, rsu s, rcbr0 b) WHERE rn = 1),
+       |rstat AS (SELECT b.u, b.code, j.range AS j,
+       |    cast(sum(cast(floor(v.rv[b.u * 8 + j.range] * 1000000.0 + 0.5) as bigint)) as bigint) AS m,
+       |    count(*) AS n
+       |  FROM rbest0 b JOIN rsd v ON v.vec_id = b.vec_id, range(1, 9) j
+       |  GROUP BY 1, 2, 3),
+       |rcb1 AS MATERIALIZED (SELECT s.u, r0.code, list(coalesce(
+       |      (cast(t.m as double) / t.n) / 1000000.0,
+       |      r0.re[s.u * 8 + j.range]) ORDER BY j.range) AS cw
+       |  FROM rcbr0 r0 CROSS JOIN rsu s CROSS JOIN range(1, 9) j
+       |    LEFT JOIN rstat t ON t.u = s.u AND t.code = r0.code AND t.j = j.range
+       |  GROUP BY s.u, r0.code),
+       |rbest AS (SELECT vec_id, u, code FROM (
+       |    SELECT v.vec_id, b.u, b.code,
+       |      row_number() OVER (PARTITION BY v.vec_id, b.u ORDER BY
+       |        list_reduce(list_transform(range(1, 9), j ->
+       |          (v.rv[b.u * 8 + j] - b.cw[j]) * (v.rv[b.u * 8 + j] - b.cw[j])),
+       |          (x, y) -> x + y), b.code) AS rn
+       |    FROM rsd v, rcb1 b) WHERE rn = 1),
+       |arec AS (SELECT b.vec_id,
+       |    flatten(list(list_transform(range(1, 9), j -> cast(cast(
+       |        c.embedding[b.u * 8 + j] + r.cw[j] as real) as double))
+       |      ORDER BY b.u)) AS re
+       |  FROM rbest b JOIN rcb1 r ON r.u = b.u AND r.code = b.code
+       |    JOIN rsd v ON v.vec_id = b.vec_id JOIN cent1 c ON c.cluster = v.cluster
+       |  GROUP BY b.vec_id)""".stripMargin
+
+  /** The probed asymmetric-cosine scoring of reconstruction frame `arec`
+    * over the refined probe/assignment (probe1/asg1 from ivfAdcCtes):
+    * candidates = probed inverted lists, score = fold-cosine(query,
+    * reconstruction). No leading WITH; emits CTE `acand`.
+    */
+  private def ivfAdcCandCte: String =
+    s"""arsq AS (SELECT r.vec_id, r.re,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+       |      i -> r.re[i] * r.re[i])), (acc, x) -> acc + x) AS sq
+       |  FROM arec r),
+       |acand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    CASE WHEN sqrt(p.qsq) * sqrt(r.sq) = 0 THEN 0.0 ELSE
+       |      list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+       |        i -> cast(p.qe[i] as double) * r.re[i])), (acc, x) -> acc + x)
+       |      / (sqrt(p.qsq) * sqrt(r.sq)) END AS score
+       |  FROM probe1 p JOIN asg1 a ON p.cluster = a.cluster JOIN arsq r ON r.vec_id = a.vec_id)""".stripMargin
 
   /** The ADC distance: fold-L2 between query `q.embedding` and
     * reconstruction `r.re`, the bit-exact mirror of Knn.exact's fold kernel.
@@ -4064,6 +4363,43 @@ object SparkEntry {
            |    SELECT query_id, neighbor_id,
            |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
            |    FROM candq) WHERE rank <= 10),
+           |bpairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    CASE WHEN sqrt(q.sq) * sqrt(c.sq) = 0 THEN 0.0 ELSE
+           |      list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+           |        i -> cast(q.embedding[i] as double) * cast(c.embedding[i] as double))), (acc, x) -> acc + x)
+           |      / (sqrt(q.sq) * sqrt(c.sq)) END AS score
+           |  FROM nrm q, nrm c WHERE q.vec_id < 100),
+           |bk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |    FROM bpairs) WHERE rank <= 10)
+           |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
+           |  cast(count(i.neighbor_id) as double) / count(*) AS recall
+           |FROM bk b LEFT JOIN gk i
+           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+           |GROUP BY b.query_id ORDER BY 1""".stripMargin),
+
+    // IVFADC replay: the IVF chain (cent/asg/probe) + the residual-encoding
+    // chain (rcb → rcbr residual codebook, rsd per-row residuals, rbest
+    // assignment, arec = centroid + codeword float32-cast), scored by the
+    // asymmetric fold-cosine.
+    "ann_ivfadc_topk" ->
+      (s"WITH $ivfIndexCtes,\n$ivfAdcCtes,\n$ivfAdcCandCte\n" +
+        """SELECT query_id, neighbor_id, score, cast(rank as bigint) AS rank FROM (
+          |  SELECT query_id, neighbor_id, score,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          |  FROM acand) WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin),
+
+    // IVFADC recall replay: residual-composite top-10 vs brute-cosine
+    // top-10 over the same nrm frame (the ann_ivfpq_recall shape with the
+    // residual reconstruction swapped in).
+    "ann_ivfadc_recall" ->
+      (s"WITH $ivfIndexCtes,\n$ivfAdcCtes,\n$ivfAdcCandCte,\n" +
+        s"""gk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |    FROM acand) WHERE rank <= 10),
            |bpairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            |    CASE WHEN sqrt(q.sq) * sqrt(c.sq) = 0 THEN 0.0 ELSE
            |      list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),

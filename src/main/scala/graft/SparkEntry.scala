@@ -251,7 +251,7 @@ object SparkEntry {
   private def graphArtifactDir(s: SparkSession, dir: String): String =
     GraftCache.memoAny(s"$dir/graphdir") {
       val mode = if (parityMode) "parity" else "scale"
-      val k = ArtifactIO.contentKey(s"$dir|m=$M|mode=$mode|v1",
+      val k = ArtifactIO.contentKey(s"$dir|m=$M|mode=$mode|v2", // v2: bucketed edge layout
         new java.io.File(s"$dir/embeddings.parquet"))
       val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_knngraph_$k")
       ArtifactIO.publishDir(out, valid = o =>

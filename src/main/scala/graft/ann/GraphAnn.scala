@@ -25,8 +25,10 @@ import org.apache.spark.sql.DataFrame
   * unrolled SQL rounds and gives the batch a deterministic cost envelope.
   *
   * 100 TB shape: this is batched DiskANN/HNSW-style search — per round ONE
-  * equi-join of the frontier against the edge table (co-located when the
-  * artifact is partitioned by `src`, as KnnGraph.write lays it out) plus one
+  * equi-join of the frontier against the edge table (co-located BY THE
+  * PLANNER: KnnGraph.write buckets the artifact by `src` and KnnGraph.read
+  * re-declares the spec, so only the frontier side exchanges —
+  * GraphAnnSpec gates that no round re-shuffles the edge table) plus one
   * equi-join against the corpus for scoring; all per-query state is
   * |Q|·B rows. No broadcast of anything unbounded, no global sort — the
   * only windows partition by query_id over ≤ B·(2M+1) rows. The query
@@ -68,19 +70,28 @@ object GraphAnn {
       .localCheckpoint() // per-round lineage truncation, as KnnGraph.bfs
     var r = 0
     while (r < rounds) {
-      // neighbors of the beam not already IN the beam; a node dropped in an
-      // earlier round may be re-scored — dist is a pure function, so the
-      // result equals the oracle's simpler "score(beam ∪ neighbors)" rule
-      val cand = beamDf.select("query_id", "qe", "node")
-        .join(edgesDf.select(col("src").as("node"), col("dst")), "node")
-        .select(col("query_id"), col("qe"), col("dst").as("node"))
-        .dropDuplicates("query_id", "node")
-        .join(beamDf.select("query_id", "node"), Seq("query_id", "node"), "left_anti")
-      beamDf = topB(beamDf.unionByName(score(cand))).localCheckpoint()
+      beamDf = topB(beamDf.unionByName(score(
+        frontierCandidates(beamDf, edgesDf)))).localCheckpoint()
       r += 1
     }
     beamDf
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("node").as("neighbor_id"), col("dist"), col("rank"))
   }
+
+  /** One round's frontier expansion: neighbors of the beam not already IN
+    * the beam; a node dropped in an earlier round may be re-scored — dist
+    * is a pure function, so the result equals the oracle's simpler
+    * "score(beam ∪ neighbors)" rule. Exposed for the plan gate: when
+    * `edgesDf` is the BUCKETED persisted artifact (KnnGraph.read), this
+    * equi-join must consume the edge table's bucket layout and shuffle only
+    * the frontier side — an edge-side Exchange here multiplies by R rounds
+    * and is exactly the regression GraphAnnSpec pins.
+    */
+  private[graft] def frontierCandidates(beamDf: DataFrame, edgesDf: DataFrame): DataFrame =
+    beamDf.select("query_id", "qe", "node")
+      .join(edgesDf.select(col("src").as("node"), col("dst")), "node")
+      .select(col("query_id"), col("qe"), col("dst").as("node"))
+      .dropDuplicates("query_id", "node")
+      .join(beamDf.select("query_id", "node"), Seq("query_id", "node"), "left_anti")
 }

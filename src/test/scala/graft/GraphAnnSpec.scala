@@ -56,4 +56,57 @@ class GraphAnnSpec extends AnyFunSuite {
       GraphAnn.beamSearch(queries, emb, edges, entries, k = 10, beam = 5, rounds = 1)
     }
   }
+
+  test("per-round frontier join consumes the bucketed edge artifact — no edge-side Exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeExec}
+    // persist a real artifact through the bucketed writer, read it back
+    // through the catalog-declared spec, and plan ONE round's expansion
+    // with broadcast off (the at-scale join regime): the SMJ must sit
+    // directly on the bucketed scan — an Exchange above the edge scan here
+    // would re-shuffle the whole edge table on EVERY beam round
+    val dir = java.nio.file.Files.createTempDirectory("graft_bedges").toFile
+    val ai = graft.graph.KnnGraph.accessibility(emb, edges)
+    KnnGraph.write(dir.getAbsolutePath, edges, ai)
+    val (edgesArt, _) = KnnGraph.read(spark, dir.getAbsolutePath)
+    val frontier = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("vec_id").as("node"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = GraphAnn.frontierCandidates(frontier, edgesArt)
+        .queryExecution.executedPlan match {
+          // AQE's root is a leaf node — collect() would see nothing inside
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      val bucketed = scans.filter(_.relation.bucketSpec.exists(_.bucketColumnNames == Seq("src")))
+      assert(bucketed.nonEmpty, "edge scan lost its bucket spec — KnnGraph.read " +
+        "must declare the layout, not spark.read.parquet it away")
+      // an Exchange whose subtree holds the bucketed scan AND no join is a
+      // re-shuffle of the edge table BEFORE its first join — the per-round
+      // regression this gate exists for. Exchanges above the join (the
+      // dropDuplicates aggregate etc.) shuffle join output, which is the
+      // bounded frontier-derived side, and are fine.
+      val badShuffles = plan.collect { case e: ShuffleExchangeExec => e }.filter { e =>
+        val hasBucketScan = e.collectLeaves().exists {
+          case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+          case _ => false
+        }
+        val hasJoinBelow = e.children.exists(_.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.nonEmpty)
+        hasBucketScan && !hasJoinBelow
+      }
+      assert(badShuffles.isEmpty,
+        s"the bucketed edge table re-exchanges before reaching the frontier join:\n$plan")
+      // and the layout actually reaches the join: the scan reports its
+      // bucket count as output partitioning
+      assert(bucketed.head.outputPartitioning.numPartitions == KnnGraph.EdgeBuckets,
+        s"bucketed scan does not expose HashPartitioning($$src, ${KnnGraph.EdgeBuckets})")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

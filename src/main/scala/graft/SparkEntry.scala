@@ -1588,6 +1588,30 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    // JOIN-DRIVEN prune over the same date-partitioned artifact — the DPP
+    // pattern that actually bites at 100 TB: the date range q_events_pruned
+    // exercises is a STATIC PartitionFilter, but production rollups filter
+    // a day DIMENSION (fiscal calendar, holiday table, experiment windows)
+    // and join it to the fact — the fact scan can then only prune at
+    // RUNTIME, when dynamic partition pruning feeds the dim broadcast's
+    // day values into the scan's partition filter (PlanSpec gates the
+    // `dynamicpruning` expression at the scan). Here the dim is the
+    // 30-day calendar with a weekday index, filtered to weekends: 9 of 30
+    // day directories survive, chosen by the join, not by a literal.
+    "q_events_dpp" -> ((s, dir) => {
+      val dim = s.range(0, 30)
+        .select(date_add(lit("2024-01-01").cast("date"), col("id").cast("int")).as("day"),
+          pmod(col("id"), lit(7)).as("di"))
+        .filter(col("di").isin(5, 6)) // 2024-01-01 is a Monday: di 5/6 = Sat/Sun
+      s.read.parquet(eventsByDateDir(s, dir))
+        .join(broadcast(dim.select("day")), Seq("day"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"), sum(micros(col("value"))).as("sum_value_micros"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("sum_value_micros"))
+        .orderBy("day", "event_type")
+    }),
+
     // Sliding windows (width 600 s, slide 300 s) through Spark's native
     // window() expansion — each event lands in two overlapping windows.
     "q_events_sliding" -> ((s, dir) => {
@@ -4834,6 +4858,17 @@ object SparkEntry {
          |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros
          |FROM events
          |WHERE cast(ts AS date) BETWEEN date '2024-01-08' AND date '2024-01-14'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The weekend-dim join replayed literally: same 30-day calendar, same
+    // index-mod-7 weekend rule (2024-01-01 is a Monday).
+    "q_events_dpp" ->
+      s"""WITH dim AS (SELECT cast('2024-01-01' as date) + cast(r.range as integer) AS day
+         |  FROM range(0, 30) r WHERE r.range % 7 IN (5, 6))
+         |SELECT strftime(f.day, '%Y-%m-%d') AS day, event_type,
+         |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM (SELECT cast(ts AS date) AS day, event_type, value FROM events) f
+         |JOIN dim ON f.day = dim.day
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_events_sessions" ->

@@ -264,6 +264,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!pushed.contains("day"), s"day predicate leaked into the data scan: $pushed")
   }
 
+  test("q_events_dpp: the dim join prunes the fact scan via dynamic partition pruning") {
+    val p = plan("q_events_dpp")
+    val scan = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("graft_eventsbydate"))
+    assert(scan.nonEmpty, "no partitioned events scan in the DPP plan")
+    assert(scan.get.contains("dynamicpruning"),
+      s"the weekend-dim join must reach the scan as a dynamicpruning partition " +
+        s"filter — a post-scan join filter reads all 30 day directories: ${scan.get}")
+    assert(p.contains("BroadcastHashJoin"), "the 9-row day dim must broadcast")
+  }
+
   test("profile_quantiles: the ordered window sees the histogram, not rows") {
     val p = plan("profile_quantiles")
     // the window input must be the (source, n_chars) aggregate — a Window

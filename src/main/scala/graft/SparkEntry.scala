@@ -1438,6 +1438,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // AND-semantics BM25 — the common retrieval default (every query term
+    // must match): a per-query arity frame (tiny, broadcast) joins the
+    // existing scores and keeps docs with n_terms = |query|; ranking and
+    // the two-phase tournament top-k are unchanged. At 100 TB the filter
+    // runs BEFORE the top-k machinery, so multi-term queries shrink the
+    // candidate set exactly where the per-query sort pressure lives.
+    "text_bm25_and_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = bm25Queries.toDF("query_id", "term")
+      val arity = queries.groupBy("query_id").agg(count(lit(1)).as("q_terms"))
+      val scored = Bm25.scores(Tables.documents(s, dir), queries)
+        .join(broadcast(arity), "query_id")
+        .filter(col("n_terms") === col("q_terms"))
+        .drop("q_terms")
+      Bm25.topK(scored, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("n_terms"), col("score_micros"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Near-dup clustering: transitive closure of the minhash pair graph,
     // canonical (min) doc per cluster — the keep-one-per-cluster dedup rule.
     // Rides the SAME memoized pair frame as dedup_minhash_pairs: the LSH
@@ -4793,6 +4813,35 @@ object SparkEntry {
          |SELECT query_id, cast(rank AS bigint) AS rank, doc_id, n_terms, score_micros FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_micros DESC, doc_id) AS rank
          |  FROM sc)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // AND replay: identical scoring chain, plus the per-query arity frame
+    // and the all-terms-matched filter.
+    "text_bm25_and_topk" -> {
+      val values = bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      val avgdl = "(cast(st.tot AS double) / cast(st.n_docs AS double))"
+      val idf = "cast(cast(floor(cast(cast(ln((cast(st.n_docs AS double) - cast(df.df AS double) + 0.5)" +
+        " / (cast(df.df AS double) + 0.5) + 1.0) AS float) AS double) * 1000000.0 + 0.5) AS bigint) AS double)" +
+        " / 1000000.0"
+      val tfn = s"((cast(tf.tf AS double) * ${Bm25.K1 + 1.0}) / (cast(tf.tf AS double)" +
+        s" + ${Bm25.K1} * (${1.0 - Bm25.B} + ${Bm25.B} * (cast(tf.dl AS double) / $avgdl))))"
+      s"""WITH q(query_id, term) AS (VALUES $values),
+         |qa AS (SELECT query_id, count(*) AS qt FROM q GROUP BY 1),
+         |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |st AS (SELECT count(*) AS n_docs, sum(len(t)) AS tot FROM d),
+         |toks AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+         |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT q.query_id, tf.doc_id, count(*) AS n_terms,
+         |    cast(sum(cast(floor(($idf * $tfn) * 1000000.0 + 0.5) AS bigint)) AS bigint) AS score_micros
+         |  FROM tf JOIN df USING (term) CROSS JOIN st JOIN q USING (term)
+         |  GROUP BY 1, 2),
+         |sca AS (SELECT sc.* FROM sc JOIN qa USING (query_id) WHERE sc.n_terms = qa.qt)
+         |SELECT query_id, cast(rank AS bigint) AS rank, doc_id, n_terms, score_micros FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_micros DESC, doc_id) AS rank
+         |  FROM sca)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 

@@ -1,0 +1,134 @@
+package graft
+import graft.ann.GraphAnn
+import graft.graph.KnnGraph
+import graft.knn.Knn
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale attribution for graph-traversal ANN — the one nontrivial kernel
+  * that had no synthetic probe (IvfScaleProbe / PackScaleProbe /
+  * JaccardScaleProbe cover the others): beam search over a ≥1M-node graph,
+  * sweeping rounds R × beam width B, recording recall@10 against the exact
+  * baseline and wall time per round (≈ per-round frontier+scoring join
+  * cost — the thing that multiplies by R at any corpus size).
+  *
+  * The graph is built the way a 100 TB deployment would build it —
+  * IVF-blocked approximate kNN (assign to √N-ish sampled cells, exact kNN
+  * within each cell via the grouped broadcast kernel), NOT an O(N²) pass —
+  * then persisted through the BUCKETED artifact writer and read back
+  * through the catalog spec, so the sweep exercises the exact per-round
+  * join shape production search runs (edge side: bucketed scan, no
+  * re-exchange; see GraphAnnSpec's plan gate).
+  *
+  * Run: `sbt "Test/runMain graft.GraphAnnScaleProbe [nCorpus] [nQueries]"`.
+  * Findings recorded in DESIGN.md ("Graph-ANN scale probe").
+  */
+object GraphAnnScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val nCorpus  = args.headOption.map(_.toInt).getOrElse(1000000)
+    val nQueries = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val d = 8
+    val m = 8 // out-degree of the synthetic graph
+    // uniform keyed-hash vectors (same family as ScaleProbe/IvfScaleProbe)
+    // at a moderate dimension: tight synthetic CLUSTERS were tried first
+    // and fragment the kNN graph into per-cluster cliques no beam can
+    // navigate (recall ≈ 0 at any R — see DESIGN 3c), which says something
+    // true about graph ANN (it needs a continuous manifold or pruned long
+    // edges) but measures the fixture, not the search
+    val gen = udf((id: Long) => Array.tabulate(d)(j =>
+      (graft.functions.Hashing.unitUniform(s"v|$id|$j").toFloat - 0.5f)))
+    val corpus = spark.range(nCorpus)
+      .select(col("id").as("vec_id"), gen(col("id")).as("embedding"))
+      .localCheckpoint()
+    val queries = corpus.filter(col("vec_id") < nQueries).cache()
+    queries.count()
+    def time[A](label: String)(f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[gascale] $label%-34s $dt%8.2f s"); (r, dt)
+    }
+    // exact ground truth: one broadcast-kernel pass (N-proportional — the
+    // cost the graph index exists to avoid per query batch)
+    val (exact, _) = time("exact top-10 (brute baseline)") {
+      val e = Knn.exact(queries, corpus, 10, kernel = "fast")
+        .select("query_id", "neighbor_id").localCheckpoint()
+      e.count(); e
+    }
+    val nExact = exact.count()
+    // IVF-blocked approximate kNN graph (cell-local exact kNN) PLUS keyed
+    // random long-range links — the NSW construction: cell-local edges
+    // alone leave ~|clusters| disconnected cliques (a beam can only search
+    // components its entries touch — measured recall ≈ 0 without the long
+    // links), while a few uniform shortcuts per node give the greedy
+    // descent its navigability, which is exactly why HNSW keeps upper
+    // layers and Vamana keeps pruned long edges
+    val nlist = 1024
+    val nLong = 2
+    val mRep  = 8
+    val (graphDir, _) = time(s"graph build (cell kNN + rep layer + $nLong NSW links)") {
+      // cell representatives = the keyed sample rows themselves (with ids)
+      val repRows = corpus
+        .orderBy(md5(concat(lit("gsp|"), col("vec_id").cast("string"))), col("vec_id"))
+        .limit(nlist).select("vec_id", "embedding").collect()
+      val repIds = repRows.map(_.getLong(0))
+      val cents  = repRows.map(_.getSeq[Float](1).toArray)
+      val assigned = graft.ann.Ann.ivfDetAssign(corpus, cents).localCheckpoint()
+      // level 0: cell-local exact kNN (the IVF-blocked distributed build)
+      val local = Knn.exactGrouped(assigned, assigned, m + 1, "cluster", kernel = "fast")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .filter(col("rank") <= m)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("dist"))
+      // level 1 (the HNSW-upper-layer idea): every node links to its cell's
+      // representative, and representatives carry their own kNN graph
+      // (driver-side — nlist² distances) — beam descent then navigates the
+      // rep layer to the right region and refines through level 0. Without
+      // a long-range structure the cell-local graph is ~|cells|
+      // disconnected cliques and measured recall is ≈ 0 at any R.
+      import spark.implicits._
+      val toRep = assigned.select(col("vec_id").as("src"), col("cluster"))
+        .join(broadcast(repIds.zipWithIndex
+          .map { case (id, c) => (c, id) }.toSeq.toDF("cluster", "dst")), "cluster")
+        .filter(col("dst") =!= col("src"))
+        .select(col("src"), col("dst"), lit(0.0).as("dist"))
+      val repEdges = (for {
+        c <- cents.indices
+        near <- cents.indices.filter(_ != c)
+          .map(c2 => (graft.functions.VectorOps.l2(cents(c), cents(c2)), c2))
+          .sorted.take(mRep)
+      } yield (repIds(c), repIds(near._2), 0.0)).toSeq.toDF("src", "dst", "dist")
+      // plus a couple of uniform NSW shortcuts per node for insurance
+      val longUdf = udf((id: Long) =>
+        Array.tabulate(nLong)(j => graft.functions.Hashing.md5Mod(s"lr|$id|$j", nCorpus)))
+      val longLinks = corpus.select(col("vec_id").as("src"),
+          explode(longUdf(col("vec_id"))).as("dst"))
+        .filter(col("dst") =!= col("src"))
+        .withColumn("dist", lit(0.0)) // beamSearch re-scores; dist unused
+      val edges = local.unionByName(toRep).unionByName(repEdges).unionByName(longLinks)
+      val dir = java.nio.file.Files.createTempDirectory("graft_gascale").toString
+      val ai = assigned.select(col("vec_id"), lit(0.0).as("ai")) // probe needs no AI
+      KnnGraph.write(dir, edges, ai)
+      dir
+    }
+    val (edgesArt, _) = KnnGraph.read(spark, graphDir)
+    println(s"[gascale] corpus $nCorpus, edges ${edgesArt.count()}, queries $nQueries")
+    val entries = GraphAnn.entryPoints(corpus, 64, seed = "gsp-e").cache()
+    entries.count()
+    println(f"[gascale] ${"R x B"}%-10s ${"recall@10"}%10s ${"total s"}%9s ${"s/round"}%9s")
+    for (beam <- Seq(16, 32, 64); rounds <- Seq(1, 2, 4, 8, 12, 16)) {
+      val t0 = System.nanoTime()
+      val res = GraphAnn.beamSearch(queries, corpus, edgesArt, entries,
+        k = 10, beam = beam, rounds = rounds)
+      val hits = res.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[gascale] R=$rounds%-2d B=$beam%-4d ${hits.toDouble / nExact}%10.4f $dt%9.2f ${dt / math.max(rounds, 1)}%9.2f")
+    }
+    spark.stop()
+  }
+}

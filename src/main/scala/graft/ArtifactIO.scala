@@ -96,4 +96,43 @@ object ArtifactIO {
     }
     out.getAbsolutePath
   }
+
+  /** Write `df` as a BUCKETED parquet table at `path` — hash buckets on
+    * `bucketCol`, sorted within, ONE file per bucket via a matching
+    * pre-write repartition (single-file buckets are what lets a reader
+    * trust the sort order) — through the only bucket-writing API Spark has
+    * (saveAsTable); the temp catalog entry is dropped right after
+    * (external: files persist). Pair with `readBucketed`, which re-declares
+    * the spec — bucket metadata lives in the catalog, not the files, and a
+    * plain spark.read.parquet would silently forget the layout.
+    */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, path: String,
+                    bucketCol: String, nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    val tmpName = s"graft_bw_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .option("path", path)
+      .saveAsTable(tmpName)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+  }
+
+  /** Register (once per session, keyed by path) an external bucketed table
+    * over files written by `writeBucketed` and return it. `schemaDdl` must
+    * state the written schema exactly (e.g. "src BIGINT, dst BIGINT").
+    */
+  def readBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+                   schemaDdl: String, bucketCol: String, nBuckets: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val name = "graft_bt_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    if (!spark.catalog.tableExists(name))
+      spark.sql(
+        s"""CREATE TABLE $name ($schemaDdl)
+           |USING parquet CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $nBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    spark.table(name)
+  }
 }

@@ -261,6 +261,41 @@ object SparkEntry {
       }
     }
 
+  /** The corpus as a BUCKETED-by-vec_id table — the edge artifact's layout
+    * treatment applied to graph search's OTHER per-round join (candidate
+    * scoring): beam rounds then join candidates against the corpus with no
+    * corpus-side exchange either (GraphAnnSpec gates both joins). Any
+    * serious vector deployment stores its corpus bucketed/clustered by id;
+    * this artifact is that table for a scale dir. Same content-keyed
+    * publish discipline as the graph/IVF artifacts.
+    */
+  private def embBucketedDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/embbucket") {
+      val k = ArtifactIO.contentKey(s"$dir|embbucket|v1",
+        new java.io.File(s"$dir/embeddings.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_embbucket_$k")
+      ArtifactIO.publishDir(out, valid = o => new java.io.File(o, "_SUCCESS").isFile) { staging =>
+        ArtifactIO.writeBucketed(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          staging.getAbsolutePath, "vec_id", 32)
+      }
+    }
+
+  private def embBucketed(s: SparkSession, dir: String): DataFrame =
+    ArtifactIO.readBucketed(s, embBucketedDir(s, dir),
+      "vec_id BIGINT, embedding ARRAY<FLOAT>", "vec_id", 32)
+
+  /** Shared per-(query, doc) BM25 scores for the fixed query set — the OR
+    * and AND top-k variants differ only in the arity filter, so the
+    * postings build pays once (the checkpoint inside Bm25.scores holds the
+    * materialized tf frame for both consumers).
+    */
+  private def bm25ScoredShared(s: SparkSession, dir: String): DataFrame =
+    GraftCache.memo(s"$dir/bm25scores") {
+      import s.implicits._
+      Bm25.scores(Tables.documents(s, dir), bm25Queries.toDF("query_id", "term"))
+    }
+
   /** The shared graph-traversal ANN result for the standard query sample
     * (first 100 vectors, top-10): both the top-k dump and the recall gauge
     * consume it, and the beam search's R localCheckpoint rounds are the
@@ -273,8 +308,8 @@ object SparkEntry {
     GraftCache.memo(s"$dir/graphann") {
       val emb = Tables.embeddings(s, dir)
       val (edgesDf, _) = KnnGraph.read(s, graphArtifactDir(s, dir))
-      GraphAnn.beamSearch(emb.filter(col("vec_id") < 100), emb, edgesDf,
-        GraphAnn.entryPoints(emb, GraphEntries),
+      GraphAnn.beamSearch(emb.filter(col("vec_id") < 100), embBucketed(s, dir),
+        edgesDf, GraphAnn.entryPoints(emb, GraphEntries),
         k = 10, beam = GraphBeam, rounds = GraphRounds)
     }
 
@@ -1428,11 +1463,12 @@ object SparkEntry {
     // before the tf aggregate, df/idf/stats ride back as broadcasts, and
     // the top-10 avoids a per-query global sort via per-bucket tournaments.
     // idf is float32-quantized after ln (the text_surprisal libm collapse);
-    // scores are exact integer micros, ties broken on doc_id.
+    // scores are exact integer micros, ties broken on doc_id. The scores
+    // frame is memoized per dir — the OR and AND variants differ only in
+    // the arity filter, and the postings build (scan + explode + broadcast
+    // probe + checkpoint) is the whole cost of both.
     "text_bm25_topk" -> ((s, dir) => {
-      import s.implicits._
-      val queries = bm25Queries.toDF("query_id", "term")
-      Bm25.topK(Bm25.scores(Tables.documents(s, dir), queries), k = 10)
+      Bm25.topK(bm25ScoredShared(s, dir), k = 10)
         .select(col("query_id"), col("rank"), col("doc_id"),
           col("n_terms"), col("score_micros"))
         .orderBy("query_id", "rank")
@@ -1446,9 +1482,9 @@ object SparkEntry {
     // candidate set exactly where the per-query sort pressure lives.
     "text_bm25_and_topk" -> ((s, dir) => {
       import s.implicits._
-      val queries = bm25Queries.toDF("query_id", "term")
-      val arity = queries.groupBy("query_id").agg(count(lit(1)).as("q_terms"))
-      val scored = Bm25.scores(Tables.documents(s, dir), queries)
+      val arity = bm25Queries.toDF("query_id", "term")
+        .groupBy("query_id").agg(count(lit(1)).as("q_terms"))
+      val scored = bm25ScoredShared(s, dir)
         .join(broadcast(arity), "query_id")
         .filter(col("n_terms") === col("q_terms"))
         .drop("q_terms")
@@ -1922,7 +1958,7 @@ object SparkEntry {
     "crossmodal_graph_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val (edgesDf, _) = KnnGraph.read(s, graphArtifactDir(s, dir))
-      GraphAnn.beamSearch(assetProbes(s, dir), emb, edgesDf,
+      GraphAnn.beamSearch(assetProbes(s, dir), embBucketed(s, dir), edgesDf,
           GraphAnn.entryPoints(emb, GraphEntries),
           k = 5, beam = GraphBeam, rounds = GraphRounds)
         .select(col("query_id").as("asset_id"), col("neighbor_id"),

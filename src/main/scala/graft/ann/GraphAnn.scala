@@ -55,11 +55,7 @@ object GraphAnn {
   def beamSearch(queries: DataFrame, corpus: DataFrame, edgesDf: DataFrame,
                  entries: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
     require(beam >= k, s"beam width $beam must cover the requested top-$k")
-    val nodes = corpus.select(col("vec_id").as("node"), col("embedding").as("ne"))
-    def score(cand: DataFrame): DataFrame = // cand: (query_id, qe, node)
-      cand.join(nodes, "node")
-        .withColumn("dist", VectorOps.l2Col(col("qe"), col("ne")))
-        .select(col("query_id"), col("qe"), col("node"), col("dist"))
+    def score(cand: DataFrame): DataFrame = scoreCandidates(cand, corpus)
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("node"))
     def topB(df: DataFrame): DataFrame =
       df.withColumn("rn", row_number().over(w)).filter(col("rn") <= beam).drop("rn")
@@ -88,6 +84,19 @@ object GraphAnn {
     * the frontier side — an edge-side Exchange here multiplies by R rounds
     * and is exactly the regression GraphAnnSpec pins.
     */
+  /** The round's OTHER join: score candidates (query_id, qe, node) by
+    * fold-L2 against the corpus. Exposed for the plan gate like
+    * frontierCandidates: when `corpus` is a BUCKETED table (bucketed by
+    * vec_id — the layout any serious deployment gives its vector corpus),
+    * this equi-join must consume the layout and shuffle only the
+    * |Q|·B·2M-row candidate side — a corpus-side Exchange here also
+    * multiplies by R rounds.
+    */
+  private[graft] def scoreCandidates(cand: DataFrame, corpus: DataFrame): DataFrame =
+    cand.join(corpus.select(col("vec_id").as("node"), col("embedding").as("ne")), "node")
+      .withColumn("dist", VectorOps.l2Col(col("qe"), col("ne")))
+      .select(col("query_id"), col("qe"), col("node"), col("dist"))
+
   private[graft] def frontierCandidates(beamDf: DataFrame, edgesDf: DataFrame): DataFrame =
     beamDf.select("query_id", "qe", "node")
       .join(edgesDf.select(col("src").as("node"), col("dst")), "node")

@@ -208,15 +208,9 @@ object KnnGraph {
     * path it points at is renamed away by the artifact publish.
     */
   def write(dir: String, edgesDf: DataFrame, aiDf: DataFrame): Unit = {
-    val spark = edgesDf.sparkSession
-    val tmpName = s"graft_edges_w_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    edgesDf.select(col("src"), col("dst"), col("dist"))
-      .repartition(EdgeBuckets, col("src"))
-      .write.mode("overwrite")
-      .bucketBy(EdgeBuckets, "src").sortBy("src")
-      .option("path", s"$dir/edges")
-      .saveAsTable(tmpName)
-    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    graft.ArtifactIO.writeBucketed(
+      edgesDf.select(col("src"), col("dst"), col("dist")),
+      s"$dir/edges", "src", EdgeBuckets)
     aiDf.select(col("vec_id"), col("ai"))
       .write.mode("overwrite").parquet(s"$dir/ai")
   }
@@ -228,18 +222,10 @@ object KnnGraph {
     * a plain spark.read.parquet would silently forget the layout and
     * re-exchange the edge table under every join.
     */
-  def read(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val path = s"$dir/edges"
-    val name = "graft_edges_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    if (!spark.catalog.tableExists(name))
-      spark.sql(
-        s"""CREATE TABLE $name (src BIGINT, dst BIGINT, dist DOUBLE)
-           |USING parquet CLUSTERED BY (src) SORTED BY (src) INTO $EdgeBuckets BUCKETS
-           |LOCATION '$path'""".stripMargin)
-    (spark.table(name), spark.read.parquet(s"$dir/ai"))
-  }
+  def read(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (graft.ArtifactIO.readBucketed(spark, s"$dir/edges",
+        "src BIGINT, dst BIGINT, dist DOUBLE", "src", EdgeBuckets),
+      spark.read.parquet(s"$dir/ai"))
 
   def bfs(edgesDf: DataFrame, seeds: DataFrame, maxIter: Int = 50): DataFrame = {
     // Same lineage discipline as `components`: eager localCheckpoint per

@@ -109,4 +109,45 @@ class GraphAnnSpec extends AnyFunSuite {
         s"bucketed scan does not expose HashPartitioning($$src, ${KnnGraph.EdgeBuckets})")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("scoring join consumes a bucketed corpus — no corpus-side Exchange either") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the round's OTHER join: candidates vs the corpus. Same treatment as
+    // the edge table — a corpus bucketed by vec_id must feed the join
+    // straight off its scan, because this exchange too multiplies by R
+    val dir = java.nio.file.Files.createTempDirectory("graft_bcorp").toString
+    graft.ArtifactIO.writeBucketed(
+      emb.select(col("vec_id"), col("embedding")), dir, "vec_id", 32)
+    val corpusArt = graft.ArtifactIO.readBucketed(spark, dir,
+      "vec_id BIGINT, embedding ARRAY<FLOAT>", "vec_id", 32)
+    val cand = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("vec_id").as("node"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = GraphAnn.scoreCandidates(cand, corpusArt)
+        .queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+      val bucketed = plan.collect { case f: FileSourceScanExec => f }
+        .filter(_.relation.bucketSpec.exists(_.bucketColumnNames == Seq("vec_id")))
+      assert(bucketed.nonEmpty, "corpus scan lost its bucket spec")
+      val badShuffles = plan.collect { case e: ShuffleExchangeExec => e }.filter(
+        _.collectLeaves().exists {
+          case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+          case _ => false
+        })
+      assert(badShuffles.isEmpty,
+        s"the bucketed corpus re-exchanges under the scoring join:\n$plan")
+      // parity: bucketed-corpus scoring must return the exact same rows
+      val a = GraphAnn.scoreCandidates(cand, corpusArt)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+      val b = GraphAnn.scoreCandidates(cand, emb)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+      assert(a == b && a.nonEmpty, "bucketed and plain corpus scoring diverge")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -264,6 +264,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!pushed.contains("day"), s"day predicate leaked into the data scan: $pushed")
   }
 
+  test("ann_ivfadc_topk: trained-index composite stays keyed — no cartesian, kernel regime") {
+    val p = plan("ann_ivfadc_topk")
+    assert(!p.contains("CartesianProduct"), "IVFADC degraded to a cartesian")
+    // fixture regime: the probed scan rides the grouped broadcast kernel
+    // (map-side), so no shuffle JOIN should appear in the search plan —
+    // the recon pass is map-only over broadcast codebooks
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "IVFADC search should be the grouped broadcast kernel at fixture scale")
+  }
+
   test("q_events_dpp: the dim join prunes the fact scan via dynamic partition pruning") {
     val p = plan("q_events_dpp")
     val scan = p.linesIterator.find(l =>

@@ -11,6 +11,7 @@ import graft.text.{Bm25, Dedup, TextOps}
 import graft.graph.KnnGraph
 import graft.knn.Knn
 import graft.metrics.Metrics
+import graft.operators.SkewJoin
 import graft.watermark.{Scpw, ScpwKey, TabularMark, TmKey, Tvp, WmKey}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1666,6 +1667,29 @@ object SparkEntry {
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n"), col("sum_value_micros"))
         .orderBy("day", "event_type")
+    }),
+
+    // Skew-salted shuffle join (SkewJoin): events ⋈ per-type baseline on
+    // event_type — 5 distinct keys over 100k rows, the each-key-is-a-hot-key
+    // shape where hash partitioning would funnel ~20% of the fact through
+    // single tasks. The census finds every type heavy (threshold 32 at all
+    // fixture scales), rows spread over (type, salt 0..7), and the baseline
+    // replicates ×8 — output identical to the plain join, which is the
+    // oracle. Integer-micros cross-multiply (value·n > sum) avoids division
+    // so "above type average" is exact in both engines. The shuffle_merge
+    // hint models the big-dim regime (a broadcastable dim needs no salt);
+    // SkewJoinSpec measures the partition-balance win on synthetic skew.
+    "q_events_skew_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+      val base = Tables.events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n_base"), sum(micros(col("value"))).as("sm"))
+      SkewJoin.innerSalted(ev, base, "event_type", col("event_id"),
+          nSalt = 8, heavyThreshold = 32)
+        .groupBy("event_type")
+        .agg(max(col("n_base")).as("n_events"),
+          sum(when(micros(col("value")) * col("n_base") > col("sm"), 1L)
+            .otherwise(0L)).as("n_above"))
+        .orderBy("event_type")
     }),
 
     // Sliding windows (width 600 s, slide 300 s) through Spark's native
@@ -4955,6 +4979,18 @@ object SparkEntry {
          |FROM (SELECT cast(ts AS date) AS day, event_type, value FROM events) f
          |JOIN dim ON f.day = dim.day
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The salted join replays as the PLAIN join — salting only reshapes the
+    // shuffle, never the row set; micros cross-multiply keeps "above
+    // average" division-free on both engines.
+    "q_events_skew_join" ->
+      s"""WITH base AS (SELECT event_type, count(*) AS n_base,
+         |    ${sumMicrosSql("value")} AS sm FROM events GROUP BY 1)
+         |SELECT e.event_type, max(b.n_base) AS n_events,
+         |  cast(sum(CASE WHEN ${microsSql("e.value")} * b.n_base > b.sm
+         |      THEN 1 ELSE 0 END) as bigint) AS n_above
+         |FROM events e JOIN base b ON e.event_type = b.event_type
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, value, ts,

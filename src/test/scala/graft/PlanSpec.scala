@@ -274,6 +274,15 @@ class PlanSpec extends AnyFunSuite {
       "IVFADC search should be the grouped broadcast kernel at fixture scale")
   }
 
+  test("q_events_skew_join: the join runs on (key, salt) in the merge regime") {
+    val p = plan("q_events_skew_join")
+    assert(!p.contains("CartesianProduct"), "salted join degraded to a cartesian")
+    assert(p.contains("__salt"),
+      "the salt column vanished from the join plan — the hot keys ride one task again")
+    assert(p.contains("SortMergeJoin"),
+      "the modeled big-dim regime should plan a shuffle merge join")
+  }
+
   test("q_events_dpp: the dim join prunes the fact scan via dynamic partition pruning") {
     val p = plan("q_events_dpp")
     val scan = p.linesIterator.find(l =>

@@ -11,7 +11,7 @@ import graft.text.{Bm25, Dedup, TextOps}
 import graft.graph.KnnGraph
 import graft.knn.Knn
 import graft.metrics.Metrics
-import graft.operators.SkewJoin
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
 import graft.watermark.{Scpw, ScpwKey, TabularMark, TmKey, Tvp, WmKey}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -731,7 +731,33 @@ object SparkEntry {
           .writeStream.format("memory").queryName(s"stream_neardup_$n")
           .option("checkpointLocation", ckpt("neardup"))
           .outputMode("append").start()
-        val qs = Seq(tumbling, dedup, sessions, neardup)
+        // fifth leg — stream-stream interval join (purchases within 2 h
+        // after a click, same user): both sides watermarked, and the join
+        // condition bounds p_time in BOTH directions so Spark can size and
+        // evict each side's state from the watermark (the unbounded-state
+        // trap of an unconstrained stream-stream join). The time-contiguous
+        // replay keeps arrival order monotone in event time, so no pair is
+        // ever dropped by state eviction and the finite replay lands on
+        // exactly the batch interval join — the oracle.
+        val clicks = graft.streaming.StreamOps.eventsStreamBatched(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("event_time").as("click_time"))
+          .withWatermark("click_time", "30 minutes")
+        val purchases = graft.streaming.StreamOps.eventsStreamBatched(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+            micros(col("value")).as("p_val_us"), col("event_time").as("p_time"))
+          .withWatermark("p_time", "30 minutes")
+        val sjoin = clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("p_time") >= col("click_time") &&
+              col("p_time") < col("click_time") + expr("INTERVAL 7200 SECONDS"))
+          .select(col("user_id"), col("click_id"), col("p_id"), col("p_val_us"))
+          .writeStream.format("memory").queryName(s"stream_join_$n")
+          .option("checkpointLocation", ckpt("join"))
+          .outputMode("append").start()
+        val qs = Seq(tumbling, dedup, sessions, neardup, sjoin)
         qs.foreach(_.processAllAvailable())
         qs.foreach(_.stop())
       }
@@ -740,14 +766,15 @@ object SparkEntry {
       // pass leaks four tables ("stream_*_$n" names are pass-unique).
       GraftCache.onClear { () =>
         Seq(s"stream_tumbling_$n", s"stream_dedup_$n", s"stream_sessions_$n",
-            s"stream_neardup_$n")
+            s"stream_neardup_$n", s"stream_join_$n")
           .foreach(s.catalog.dropTempView(_))
         rmTree(ckptBase) // throwaway replay checkpoints — RAM-backed, pass-unique
       }
       Map("tumbling" -> s.table(s"stream_tumbling_$n"),
         "dedup"    -> s.table(s"stream_dedup_$n"),
         "sessions" -> s.table(s"stream_sessions_$n"),
-        "neardup"  -> s.table(s"stream_neardup_$n"))
+        "neardup"  -> s.table(s"stream_neardup_$n"),
+        "join"     -> s.table(s"stream_join_$n"))
     }
 
   /** Diagnostic hook for TmModCatProbe: the per-row (p, wm_id, orig_id, cat)
@@ -1692,6 +1719,55 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Backward as-of join (AsOfJoin): every event picks up the user's most
+    // recent signup value at or before the event — the time-series join
+    // DuckDB spells ASOF JOIN and Spark lacks. The union+running-window form
+    // costs ONE hash exchange on user_id (the plan has no join node at all);
+    // the naive theta-join alternative is a nested-loop at any scale. Dim is
+    // deduped to one row per (user, ts) so "latest" is unambiguous in both
+    // engines; signup events match themselves (inclusive >=), users with no
+    // prior signup aggregate as unmatched — LEFT ASOF semantics, which the
+    // oracle replays literally.
+    "q_events_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "ts_ns", "event_id")
+      val dim = Tables.events(s, dir)
+        .filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts_ns")
+        .agg(max(micros(col("value"))).as("signup_val_us"))
+      AsOfJoin.backward(ev, dim, "user_id", "ts_ns", Seq("signup_val_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("signup_val_us").isNotNull, 1L).otherwise(0L))
+            .as("n_matched"),
+          coalesce(sum("signup_val_us"), lit(0L)).as("sm_signup"))
+        .orderBy("user_id")
+    }),
+
+    // Interval containment via the bin-bucketed range join (RangeJoin):
+    // every 20th error event opens a 1800 s incident window; each incident
+    // counts the events it contains. The bin key turns what Spark would
+    // otherwise plan as a broadcast-nested-loop into a hash-joinable
+    // equi-join (W = window length → ≤ 2 bins per interval); the exact
+    // containment filter runs on the equi-matched candidates only. Every
+    // incident contains at least its own opening event, so the inner join
+    // keeps all incidents. The oracle replays the containment as a plain
+    // inequality join (DuckDB's IEJoin handles that shape natively).
+    "q_events_range_join" -> ((s, dir) => {
+      val winNs = 1800L * 1000000000L
+      val ev = Tables.events(s, dir)
+        .select(col("ts_ns"), micros(col("value")).as("val_us"))
+      val inc = Tables.events(s, dir)
+        .filter(col("event_type") === "error" && col("event_id") % 20 === 0)
+        .select(col("event_id").as("incident_id"),
+          col("ts_ns").as("start_ns"), (col("ts_ns") + winNs).as("end_ns"))
+      RangeJoin.pointInInterval(ev, inc, "ts_ns", "start_ns", "end_ns",
+          binWidth = winNs)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(sum("val_us"), lit(0L)).as("sm_value"))
+        .orderBy("incident_id")
+    }),
+
     // Sliding windows (width 600 s, slide 300 s) through Spark's native
     // window() expansion — each event lands in two overlapping windows.
     "q_events_sliding" -> ((s, dir) => {
@@ -1728,6 +1804,7 @@ object SparkEntry {
       val legs = streamTrio(s, dir)
       Seq(
         "dedup"    -> legs("dedup"),
+        "join"     -> legs("join"),
         "neardup"  -> legs("neardup").groupBy("doc_id")
           .agg(count(lit(1)).as("nb")),
         "sessions" -> legs("sessions"),
@@ -1746,6 +1823,19 @@ object SparkEntry {
     // distinct batch table — the oracle.
     "q_stream_dedup" -> ((s, dir) =>
       streamTrio(s, dir)("dedup").orderBy("event_id")),
+
+    // Stream-stream interval join (the fifth replay leg): the sink holds the
+    // raw (click, purchase) pairs; the registered result aggregates them per
+    // user. The oracle replays the pair set as the plain batch interval join
+    // — watermarked streaming state only changes WHEN pairs are emitted,
+    // never which pairs exist (the time-contiguous replay guarantees none
+    // are dropped as late).
+    "q_stream_join" -> ((s, dir) =>
+      streamTrio(s, dir)("join")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum("p_val_us"), lit(0L)).as("sm_purchase"))
+        .orderBy("user_id")),
 
     // The stateful streaming sessionizer (flatMapGroupsWithState with
     // event-time timeout) under a bit-exact oracle: the multi-batch replay
@@ -3701,6 +3791,18 @@ object SparkEntry {
       |   OR (end_es + 1800) * 1000 < wm.wm_ms
       |ORDER BY user_id, start_es""".stripMargin
       .replace("__SUMV__", sumMicrosSql("value"))
+  /** The stream-stream join leg's pair set — the plain batch interval join
+    * (clicks ⋈ purchases of the same user within the following 2 h).
+    */
+  private lazy val streamJoinPairsOracle: String =
+    s"""SELECT c.user_id, c.click_id, p.p_id, p.p_val_us
+       |FROM (SELECT user_id, event_id AS click_id, ts AS ct FROM events
+       |      WHERE event_type = 'click') c
+       |JOIN (SELECT user_id AS p_user, event_id AS p_id, ts AS pt,
+       |        ${microsSql("value")} AS p_val_us FROM events
+       |      WHERE event_type = 'purchase') p
+       |  ON c.user_id = p.p_user
+       | AND p.pt >= c.ct AND p.pt < c.ct + INTERVAL 7200 SECOND""".stripMargin
   private lazy val streamNeardupOracle: String =
     s"WITH ${minhashSideCtes("documents", "m")},\n" +
       """owners AS (SELECT band, band_key, min(doc_id) AS owner
@@ -4685,6 +4787,8 @@ object SparkEntry {
       s"""SELECT * FROM (
          |  SELECT 'dedup' AS leg,
          |    cast((SELECT count(*) FROM ($streamDedupOracle)) as bigint) AS n_rows
+         |  UNION ALL SELECT 'join',
+         |    cast((SELECT count(*) FROM ($streamJoinPairsOracle)) as bigint)
          |  UNION ALL SELECT 'neardup',
          |    cast((SELECT count(*) FROM ($streamNeardupOracle)) as bigint)
          |  UNION ALL SELECT 'sessions',
@@ -4959,6 +5063,13 @@ object SparkEntry {
     // of the driver-gated contract
     "q_stream_tumbling" -> streamTumblingOracle,
 
+    // Per-user rollup of the stream-stream join leg's pair set.
+    "q_stream_join" ->
+      s"""SELECT user_id, count(*) AS n_pairs,
+         |  cast(coalesce(sum(p_val_us), 0) as bigint) AS sm_purchase
+         |FROM ($streamJoinPairsOracle)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The partitioned-artifact rollup replays against the RAW events table
     // (the artifact's content IS the table, re-laid-out); the wall-clock
     // date matches the engine's tz-proof epoch-day arithmetic.
@@ -4990,6 +5101,33 @@ object SparkEntry {
          |  cast(sum(CASE WHEN ${microsSql("e.value")} * b.n_base > b.sm
          |      THEN 1 ELSE 0 END) as bigint) AS n_above
          |FROM events e JOIN base b ON e.event_type = b.event_type
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Literal ASOF LEFT JOIN — DuckDB's native backward-inclusive as-of is
+    // the semantics AsOfJoin.backward implements (ties inclusive, latest
+    // dim wins, unmatched keep nulls). ts orders identically to the
+    // engine's ts_ns (the fixture is micros-precision on both read paths).
+    "q_events_asof_join" ->
+      s"""WITH dim AS (SELECT user_id, ts, max(${microsSql("value")}) AS sv
+         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+         |SELECT e.user_id, count(*) AS n_events,
+         |  cast(sum(CASE WHEN d.sv IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+         |    AS n_matched,
+         |  cast(coalesce(sum(d.sv), 0) as bigint) AS sm_signup
+         |FROM events e ASOF LEFT JOIN dim d
+         |  ON e.user_id = d.user_id AND e.ts >= d.ts
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The bin-bucketed range join replays as the plain containment
+    // inequality join — binning only reshapes the physical plan, never the
+    // matched pair set.
+    "q_events_range_join" ->
+      s"""WITH inc AS (SELECT event_id AS incident_id, ts AS t0 FROM events
+         |  WHERE event_type = 'error' AND event_id % 20 = 0)
+         |SELECT i.incident_id, count(*) AS n_events,
+         |  cast(coalesce(sum(${microsSql("e.value")}), 0) as bigint) AS sm_value
+         |FROM inc i JOIN events e
+         |  ON e.ts >= i.t0 AND e.ts < i.t0 + INTERVAL 1800 SECOND
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_events_sessions" ->

@@ -283,6 +283,20 @@ class PlanSpec extends AnyFunSuite {
       "the modeled big-dim regime should plan a shuffle merge join")
   }
 
+  test("q_events_asof_join: join-free single-exchange union+window shape") {
+    val p = plan("q_events_asof_join")
+    assert(!p.contains("Join"),
+      "the as-of query planned a join node — the union+window form is gone")
+    assert(p.contains("Window"), "the running-last window vanished")
+  }
+
+  test("q_events_range_join: containment runs as an equi-join on the bin key") {
+    val p = plan("q_events_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the range join degraded to a nested loop")
+    assert(p.contains("__bin"), "the bin key vanished from the join")
+  }
+
   test("q_events_dpp: the dim join prunes the fact scan via dynamic partition pruning") {
     val p = plan("q_events_dpp")
     val scan = p.linesIterator.find(l =>

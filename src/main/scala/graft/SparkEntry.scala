@@ -218,23 +218,66 @@ object SparkEntry {
     * partition-type inference. Same publish discipline as the IVF index:
     * content-keyed, staged, atomically renamed, reused across JVMs.
     */
+  /** FLOOR division on the long, not `div` (which truncates toward zero): a
+    * pre-1970 ts_ns must land one day EARLIER, matching the oracle's
+    * cast(ts AS date) floor semantics — latent with the 2024-only fixture,
+    * but the artifact layout shouldn't depend on it.
+    */
+  private def eventsWithDay(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("day", date_add(lit("1970-01-01").cast("date"),
+        expr("cast(if(ts_ns >= 0, ts_ns div 86400000000000, " +
+          "-((-ts_ns + 86400000000000 - 1) div 86400000000000)) as int)")))
+
   private def eventsByDateDir(s: SparkSession, dir: String): String =
     GraftCache.memoAny(s"$dir/eventsbydate") {
       val k = ArtifactIO.contentKey(s"$dir|bydate|v2", // v2: floor-day arithmetic
         new java.io.File(s"$dir/events.parquet"))
       val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_eventsbydate_$k")
       ArtifactIO.publishDir(out, valid = o => new java.io.File(o, "_SUCCESS").isFile) { staging =>
-        // FLOOR division on the long, not `div` (which truncates toward
-        // zero): a pre-1970 ts_ns must land one day EARLIER, matching the
-        // oracle's cast(ts AS date) floor semantics — latent with the
-        // 2024-only fixture, but the artifact layout shouldn't depend on it
-        Tables.events(s, dir)
-          .withColumn("day", date_add(lit("1970-01-01").cast("date"),
-            expr("cast(if(ts_ns >= 0, ts_ns div 86400000000000, " +
-              "-((-ts_ns + 86400000000000 - 1) div 86400000000000)) as int)")))
+        eventsWithDay(s, dir)
           .repartition(col("day"))
           .write.mode("overwrite").partitionBy("day")
           .parquet(staging.getAbsolutePath)
+      }
+    }
+
+  /** Incrementally-maintained variant of the date-partitioned artifact: a
+    * bootstrap load of days before `IncrCutDay`, then a DELTA batch (the
+    * cutover day minus one onward — a one-day overlap, the late-data /
+    * reprocessing case) applied with `partitionOverwriteMode=dynamic`, so
+    * only the day partitions the delta TOUCHES are replaced and the
+    * bootstrap days' files are never rewritten. This is the 100 TB
+    * maintenance pattern: daily ingestion replaces O(delta) partitions, not
+    * the store — and the mode matters, because the default STATIC overwrite
+    * semantics of `mode("overwrite")` on a partitioned path truncates every
+    * partition first (IncrementalSpec pins both behaviors). The final
+    * content must equal the one-shot full build — the oracle replays the
+    * raw table.
+    */
+  private[graft] val IncrCutDay = "2024-01-20"
+  private def eventsIncrementalDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/eventsincr") {
+      val k = ArtifactIO.contentKey(s"$dir|incr|v1",
+        new java.io.File(s"$dir/events.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_eventsincr_$k")
+      ArtifactIO.publishDir(out, valid = o => new java.io.File(o, "_SUCCESS").isFile) { staging =>
+        val cut = lit(IncrCutDay).cast("date")
+        val withDay = eventsWithDay(s, dir)
+        withDay.filter(col("day") < cut)
+          .repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day")
+          .parquet(staging.getAbsolutePath)
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try withDay.filter(col("day") >= date_sub(cut, 1))
+          .repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day")
+          .parquet(staging.getAbsolutePath)
+        finally prev match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
       }
     }
 
@@ -1670,6 +1713,22 @@ object SparkEntry {
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n"), col("sum_value_micros"))
         .orderBy("day", "event_type")
+    }),
+
+    // Daily rollup over the INCREMENTALLY-maintained artifact: bootstrap
+    // (days < 2024-01-20) + a dynamic-overwrite delta batch with a one-day
+    // overlap (see eventsIncrementalDir). The rollup must equal the raw
+    // table's — i.e. the overlap day was REPLACED once, never duplicated,
+    // and no bootstrap day was truncated by the delta write. The oracle is
+    // the plain full-table rollup, so any incremental-maintenance slip
+    // (doubled overlap rows, missing bootstrap days) hash-fails.
+    "q_events_incremental" -> ((s, dir) => {
+      s.read.parquet(eventsIncrementalDir(s, dir))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), sum(micros(col("value"))).as("sum_value_micros"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("sum_value_micros"))
+        .orderBy("day")
     }),
 
     // JOIN-DRIVEN prune over the same date-partitioned artifact — the DPP
@@ -5079,6 +5138,13 @@ object SparkEntry {
          |FROM events
          |WHERE cast(ts AS date) BETWEEN date '2024-01-08' AND date '2024-01-14'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The incremental artifact's content IS the raw table when maintenance
+    // is correct — the full-table rollup is the oracle.
+    "q_events_incremental" ->
+      s"""SELECT strftime(cast(ts AS date), '%Y-%m-%d') AS day,
+         |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The weekend-dim join replayed literally: same 30-day calendar, same
     // index-mod-7 weekend rule (2024-01-01 is a Monday).

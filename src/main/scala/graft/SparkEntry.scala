@@ -3052,6 +3052,27 @@ object SparkEntry {
     // engines so no built-in's interpolation rule is trusted). For a
     // continuous-domain measure the same shape range-buckets first and
     // sorts only the cutoff bucket — Attacks.scoreTopK's two-pass.
+    // Bottom-k (KMV) distinct-count sketch per event type, next to the
+    // exact count it approximates: deterministic (md5-keyed, integer
+    // division) so the oracle replays the ESTIMATOR bit-exactly — the
+    // engine-portable alternative to HLL whose register layout no two
+    // engines share. Below k the sketch is lossless (sf0.001's 15 users
+    // exercise that branch); above it the (k−1)·2^48 div h_k estimator
+    // kicks in (sf0.01/sf0.1). The k-smallest selection rides Catalyst's
+    // InferWindowGroupLimit: a PARTIAL WindowGroupLimit prunes every map
+    // task to k rows before the group exchange, so no single task ever
+    // sorts a whole group's distinct set (PlanSpec gates the partial).
+    "profile_distinct_kmv" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_type", "user_id")
+      val est = graft.functions.Sketches.kmvDistinct(
+        ev, Seq("event_type"), col("user_id"), k = 64)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      est.join(exact, "event_type")
+        .select("event_type", "n_exact", "n_kept", "est_distinct")
+        .orderBy("event_type")
+    }),
+
     "profile_quantiles" -> ((s, dir) => {
       val h = Tables.documents(s, dir)
         .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
@@ -4804,6 +4825,30 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(block).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
+
+    // The KMV estimator replayed literally: same 48-bit md5-prefix hash
+    // (Horner fold = conv base 16), same bottom-k selection, same integer
+    // division — the sketch is deterministic, so this is an exact compare
+    // of an approximate algorithm.
+    "profile_distinct_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    list_reduce(list_transform(
+        |      string_split(substring(md5(cast(user_id AS varchar)), 1, 12), ''),
+        |      x -> cast(strpos('0123456789abcdef', x) - 1 AS bigint)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk FROM h),
+        |s AS (SELECT event_type, cast(count(*) as bigint) AS n_kept,
+        |    max(CASE WHEN rk = 64 THEN hv END) AS hk
+        |  FROM r WHERE rk <= 64 GROUP BY 1),
+        |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
+        |  GROUP BY 1)
+        |SELECT s.event_type, x.n_exact, s.n_kept,
+        |  cast(CASE WHEN s.n_kept < 64 THEN s.n_kept
+        |    ELSE (63 * 281474976710656) // s.hk END as bigint) AS est_distinct
+        |FROM s JOIN x ON s.event_type = x.event_type
+        |ORDER BY 1""".stripMargin,
 
     // Histogram-cumsum exact quantiles, quantile_disc semantics from first
     // principles (smallest value with cum ≥ ceil(p·n)) — no engine

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic distributed sketches. Both estimators here are md5-keyed
+  * and integer-arithmetic end to end, so a SQL oracle replays them BIT-exactly
+  * — unlike HLL/approx_count_distinct, whose register layouts are
+  * engine-private. That determinism is not a toy property: it is what lets a
+  * 100 TB pipeline assert sketch results across engine versions and what
+  * lets the driver's DuckDB compare gate them like any exact query.
+  *
+  * KMV (k minimum values): the k smallest 48-bit hash values of a column's
+  * DISTINCT values estimate the column's cardinality as (k−1)·2^48 / h_k
+  * (Bar-Yossef et al., the classic bottom-k estimator; FAR less state than
+  * exact distinct at high cardinality — k longs per group vs one entry per
+  * value). Merge = "union then keep k smallest", associative and
+  * order-invariant, so it distributes as plain aggregation.
+  */
+object Sketches {
+
+  /** 48-bit md5 prefix as a long — uniform on [0, 2^48), collision-safe to
+    * ~10^7 distinct values per group (beyond that, collisions bias the
+    * estimate low by < k/2^48 — negligible), and exactly representable on
+    * every engine (2^48 < 2^53, though the math below stays integer anyway).
+    */
+  def hash48(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** Per-`group` distinct-count estimate of `value` from a bottom-k sketch.
+    *
+    * Output: (groupCols*, n_kept, est_distinct) — when a group holds fewer
+    * than k distinct hashes the estimate IS the exact count (the sketch is
+    * lossless below k); at or above k it is the integer-division estimator
+    * (k−1)·2^48 div h_k.
+    *
+    * Plan shape at scale: the `row_number() <= k` filter triggers Catalyst's
+    * InferWindowGroupLimit rewrite (Spark 3.5+), which inserts a
+    * WindowGroupLimit in PARTIAL mode below the window's exchange — every
+    * map task pre-prunes its slice of a group to its k smallest hashes
+    * before any shuffle, so the group's sort task receives at most
+    * k·(upstream tasks) rows, never the group's full distinct set. That
+    * partial/final pair IS the distributed bottom-k merge; SketchSpec and
+    * PlanSpec gate its presence so a regression (e.g. rewriting the filter
+    * in a form the rule no longer recognizes) reintroduces the single-task
+    * group sort loudly.
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, s"k=$k: the bottom-k estimator needs k >= 2")
+    val g = groupCols.map(col)
+    val hashed = df.select(g :+ hash48(value).as("__hv"): _*).distinct()
+    val global = Window.partitionBy(g: _*).orderBy("__hv")
+    hashed
+      .withColumn("__rk", row_number().over(global)).filter(col("__rk") <= k)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("__rk") === k, col("__hv"))).as("__hk"))
+      .select(g ++ Seq(col("n_kept"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(${k - 1}L * 281474976710656L) div __hk"))
+          .as("est_distinct")): _*)
+  }
+}

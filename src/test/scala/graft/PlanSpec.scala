@@ -297,6 +297,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__bin"), "the bin key vanished from the join")
   }
 
+  test("profile_distinct_kmv: bottom-k selection pre-prunes map-side") {
+    val p = plan("profile_distinct_kmv")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "no map-side top-k prune before the group exchange — the sketch " +
+        "would ship whole distinct sets into single sort tasks")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_events_dpp: the dim join prunes the fact scan via dynamic partition pruning") {
     val p = plan("q_events_dpp")
     val scan = p.linesIterator.find(l =>

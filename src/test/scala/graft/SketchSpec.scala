@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.Sketches
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the KMV distinct sketch: losslessness below k, estimator
+  * accuracy above k (KMV stderr ≈ 1/√(k−2) ≈ 12.7% at k=64 — the 2σ bound
+  * here is deterministic, not flaky: same data, same hashes, same estimate),
+  * partition-count invariance (the merge is order-free), and the two-level
+  * selection plan.
+  */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("below k the sketch is the exact distinct count") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => ("g", i % 40L)).toDF("g", "v")
+    val r = Sketches.kmvDistinct(df, Seq("g"), col("v"), k = 64).collect()(0)
+    assert(r.getLong(1) == 40L && r.getLong(2) == 40L,
+      s"40 distinct < k=64 must report exactly 40: $r")
+  }
+
+  test("above k the estimate lands within 2 sigma of the truth") {
+    import spark.implicits._
+    val n = 10000L
+    val df = spark.range(3 * n).select(
+      (col("id") % 3).cast("string").as("g"),
+      (col("id") / 3).cast("long").as("v")) // each group: n distinct values
+    val got = Sketches.kmvDistinct(df, Seq("g"), col("v"), k = 64)
+      .orderBy("g").collect()
+    got.foreach { r =>
+      val est = r.getLong(2)
+      assert(r.getLong(1) == 64L, s"group kept ${r.getLong(1)} != k")
+      assert(math.abs(est - n) < 0.26 * n,
+        s"group ${r.getString(0)}: est $est vs true $n — beyond 2 sigma")
+    }
+  }
+
+  test("the estimate is invariant to input partitioning") {
+    import spark.implicits._
+    val df = spark.range(5000).select(lit("g").as("g"), col("id").as("v"))
+    val a = Sketches.kmvDistinct(df.repartition(3), Seq("g"), col("v")).collect()(0)
+    val b = Sketches.kmvDistinct(df.repartition(17), Seq("g"), col("v")).collect()(0)
+    assert(a == b, s"$a != $b — the bottom-k merge must be order-free")
+  }
+
+  test("the bottom-k selection pre-prunes map-side (WindowGroupLimit Partial)") {
+    import spark.implicits._
+    // a non-constant group key, so the window actually partitions
+    val df = spark.range(5000).select(
+      (col("id") % 3).cast("string").as("g"), col("id").as("v"))
+    val p = Sketches.kmvDistinct(df, Seq("g"), col("v"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"no map-side top-k prune — a billion-distinct group would ship its " +
+        s"whole distinct set into one sort task:\n$p")
+  }
+}

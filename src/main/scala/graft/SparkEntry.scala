@@ -2636,6 +2636,29 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // Heavy hitters through a 4×1024 count-min sketch, next to their exact
+    // counts: the constant-state frequency oracle (d·w cells total — it
+    // broadcasts at ANY vocabulary size) vs the exact per-token groupBy it
+    // approximates. CMS only overestimates, so n_cms ≥ n_exact row by row
+    // — and because the hashing is keyed md5-mod, the oracle rebuilds every
+    // cell and lands on the identical estimates (an exact compare of an
+    // approximate structure, like the KMV sketch). The grouped token frame
+    // is tracked so the tokenize pass runs once for the exact counts, the
+    // sketch build, and the probe set.
+    "text_heavy_hitters_cms" -> ((s, dir) => {
+      val toks = GraftCache.track(
+        Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+          .groupBy("token").agg(count(lit(1)).as("n")))
+      val cms = graft.functions.Sketches.cmsBuild(toks, "token", "n")
+      val top = toks.orderBy(col("n").desc, col("token")).limit(20)
+      graft.functions.Sketches.cmsProbe(cms, top, "token")
+        .join(broadcast(top), "token")
+        .select(col("token"), col("n").as("n_exact"), col("n_cms"))
+        .orderBy(col("n_exact").desc, col("token"))
+    }),
+
     // Corpus composition report: docs/tokens per (source, language) with an
     // exact parts-per-million token share. One groupBy plus a broadcast of
     // the 1-row total — the share is integer arithmetic (n·10⁶ div total),
@@ -4491,6 +4514,24 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE length(token) > 0
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // Every CMS cell and estimate rebuilt literally: same keyed md5-mod
+    // bucket hash, same min-over-rows estimator.
+    "text_heavy_hitters_cms" -> {
+      val bucket = md5ModSql("cast(j AS varchar) || '#' || token", 1024)
+      s"""WITH t AS (SELECT token, count(*) AS n
+         |    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |    WHERE length(token) > 0 GROUP BY 1),
+         |  js AS (SELECT * FROM (VALUES (0), (1), (2), (3)) j(j)),
+         |  cms AS (SELECT j, $bucket AS b, cast(sum(n) as bigint) AS c
+         |    FROM t, js GROUP BY 1, 2),
+         |  top AS (SELECT token, n FROM t ORDER BY n DESC, token LIMIT 20),
+         |  probe AS (SELECT top.token, top.n, js.j, $bucket AS b FROM top, js)
+         |SELECT probe.token, cast(probe.n as bigint) AS n_exact,
+         |  cast(min(cms.c) as bigint) AS n_cms
+         |FROM probe JOIN cms ON cms.j = probe.j AND cms.b = probe.b
+         |GROUP BY 1, 2 ORDER BY n_exact DESC, token""".stripMargin
+    },
 
     // Integer ppm arithmetic — no double division to drift between engines.
     "corpus_mix" ->

@@ -46,6 +46,48 @@ object Sketches {
     * in a form the rule no longer recognizes) reintroduces the single-task
     * group sort loudly.
     */
+  /** Count-min sketch over a pre-aggregated (key, count) frame: d hash rows
+    * × w buckets, cell = sum of counts of the keys hashing there. The whole
+    * sketch is d·w rows — CONSTANT state regardless of key cardinality,
+    * which is its point at 100 TB: a frequency oracle for a billion-token
+    * vocabulary in a frame that broadcasts. Estimates only ever
+    * overestimate (collisions add, never subtract): est(k) = min over the d
+    * rows of the cell k hashes to, within ε·N of truth with probability
+    * 1−δ at w = e/ε, d = ln(1/δ) (Cormode & Muthukrishnan). Hashing is the
+    * engine's keyed md5-mod, so a SQL oracle replays every cell and every
+    * estimate bit-exactly.
+    *
+    * Build cost: one map-side-combined groupBy over d×|keys| rows. At
+    * extreme vocabularies, pre-aggregate the input counts first (as the
+    * caller is required to) so the explode multiplies group rows, not raw
+    * tokens.
+    */
+  def cmsBuild(counts: DataFrame, key: String, cnt: String,
+               d: Int = 4, w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 2, s"degenerate sketch ${d}x$w")
+    counts
+      .select(explode(sequence(lit(0), lit(d - 1))).as("__j"),
+        col(key), col(cnt))
+      .select(col("__j"),
+        GraftCols.md5Mod(
+          concat(col("__j").cast("string"), lit("#"), col(key)), w).as("__b"),
+        col(cnt))
+      .groupBy("__j", "__b").agg(sum(col(cnt)).as("__c"))
+  }
+
+  /** Point estimates for `probes`' keys against a cmsBuild sketch (same d,
+    * w, and key expression): (key, n_cms). The sketch side broadcasts —
+    * d·w rows by construction.
+    */
+  def cmsProbe(cms: DataFrame, probes: DataFrame, key: String,
+               d: Int = 4, w: Int = 1024): DataFrame =
+    probes
+      .select(col(key), explode(sequence(lit(0), lit(d - 1))).as("__j"))
+      .withColumn("__b", GraftCols.md5Mod(
+        concat(col("__j").cast("string"), lit("#"), col(key)), w))
+      .join(broadcast(cms), Seq("__j", "__b"))
+      .groupBy(key).agg(min("__c").as("n_cms"))
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
                   k: Int = 64): DataFrame = {
     require(k >= 2, s"k=$k: the bottom-k estimator needs k >= 2")

@@ -305,6 +305,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("text_heavy_hitters_cms: the sketch side broadcasts, nothing goes cartesian") {
+    val p = plan("text_heavy_hitters_cms")
+    assert(p.contains("BroadcastHashJoin"),
+      "the d·w-cell sketch must broadcast into the probe join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_events_dpp: the dim join prunes the fact scan via dynamic partition pruning") {
     val p = plan("q_events_dpp")
     val scan = p.linesIterator.find(l =>

@@ -45,6 +45,39 @@ class SketchSpec extends AnyFunSuite {
     assert(a == b, s"$a != $b — the bottom-k merge must be order-free")
   }
 
+  test("CMS never underestimates, and is exact when the table is collision-free") {
+    import spark.implicits._
+    val counts = (0 until 500).map(i => (s"k$i", (i % 17 + 1).toLong))
+      .toDF("key", "n")
+    // wide sketch: 500 keys over 4×8192 buckets — per-row collision odds
+    // ~1.5%, min over 4 independent rows ~5e-8; exactness is deterministic
+    // for this fixed key set (and would fail loudly if the hash changed)
+    val wide = Sketches.cmsProbe(
+      Sketches.cmsBuild(counts, "key", "n", d = 4, w = 8192),
+      counts, "key", d = 4, w = 8192)
+    assert(wide.join(counts, "key").filter(col("n_cms") =!= col("n")).isEmpty,
+      "collision-free sketch must be exact")
+    // narrow sketch: collisions guaranteed (500 keys, 4×64 cells) — the
+    // estimate must only ever move UP
+    val narrow = Sketches.cmsProbe(
+      Sketches.cmsBuild(counts, "key", "n", d = 4, w = 64),
+      counts, "key", d = 4, w = 64)
+    assert(narrow.join(counts, "key").filter(col("n_cms") < col("n")).isEmpty,
+      "CMS underestimated — min-of-sums can only overcount")
+    assert(narrow.join(counts, "key").filter(col("n_cms") > col("n")).count() > 0,
+      "a 4x64 sketch of 500 keys with no collisions means the hash is broken")
+  }
+
+  test("CMS cells are invariant to input partitioning") {
+    import spark.implicits._
+    val counts = (0 until 300).map(i => (s"k$i", i.toLong + 1)).toDF("key", "n")
+    val a = Sketches.cmsBuild(counts.repartition(3), "key", "n")
+      .orderBy("__j", "__b").collect().toSeq
+    val b = Sketches.cmsBuild(counts.repartition(11), "key", "n")
+      .orderBy("__j", "__b").collect().toSeq
+    assert(a == b, "cell sums must be partition-order-free")
+  }
+
   test("the bottom-k selection pre-prunes map-side (WindowGroupLimit Partial)") {
     import spark.implicits._
     // a non-constant group key, so the window actually partitions

@@ -782,12 +782,22 @@ object SparkEntry {
         // replay keeps arrival order monotone in event time, so no pair is
         // ever dropped by state eviction and the finite replay lands on
         // exactly the batch interval join — the oracle.
-        val clicks = graft.streaming.StreamOps.eventsStreamBatched(s, dir)
+        // both sides of the self-join derive from ONE source stream — the
+        // dedup leg's lesson: a second eventsStreamBatched would plan, list,
+        // and scan the replay twice per trigger. The leg also consumes the
+        // replay in a single trigger (filesPerTrigger = 0): a stream-stream
+        // join pays per-trigger state-store commits on BOTH sides, the
+        // block's dominant fixed cost at fixture scale, and the cross-batch
+        // retention this single-trigger run no longer exercises is pinned
+        // by StreamJoinSpec's synthetic two-file replay.
+        val joinSrc = graft.streaming.StreamOps.eventsStreamBatched(s, dir,
+          filesPerTrigger = 0)
+        val clicks = joinSrc
           .filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("click_id"),
             col("event_time").as("click_time"))
           .withWatermark("click_time", "30 minutes")
-        val purchases = graft.streaming.StreamOps.eventsStreamBatched(s, dir)
+        val purchases = joinSrc
           .filter(col("event_type") === "purchase")
           .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
             micros(col("value")).as("p_val_us"), col("event_time").as("p_time"))

@@ -118,15 +118,21 @@ object StreamOps {
   }
 
   /** File-stream over the multi-batch replay: one fixture slice per
-    * micro-batch (see multiBatchDir).
+    * micro-batch (see multiBatchDir). `filesPerTrigger = 0` drops the
+    * trigger cap so the whole replay lands in ONE micro-batch — for legs
+    * whose cross-batch behavior is spec-proven elsewhere and whose
+    * per-trigger fixed cost (planning + state-store commits per stateful
+    * operator) would otherwise dominate a finite replay.
     */
-  def eventsStreamBatched(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+  def eventsStreamBatched(spark: SparkSession, dir: String, nFiles: Int = 4,
+                          filesPerTrigger: Int = 1): DataFrame = {
     val replay = multiBatchDir(spark, dir, nFiles)
-    decorate(spark.readStream.schema(eventsSchema(spark, replay))
-      .option("maxFilesPerTrigger", "1")
+    val rs = spark.readStream.schema(eventsSchema(spark, replay))
       .option("latestFirst", "false")
       .option("pathGlobFilter", "*.parquet")
-      .parquet(replay))
+    val capped = if (filesPerTrigger > 0)
+      rs.option("maxFilesPerTrigger", filesPerTrigger.toString) else rs
+    decorate(capped.parquet(replay))
   }
 
   /** Watermarked tumbling-window counts; late data beyond `lateness` dropped. */

@@ -1837,6 +1837,42 @@ object SparkEntry {
         .orderBy("incident_id")
     }),
 
+    // Pivot: per-user event-type counts as COLUMNS — the wide-format report
+    // shape. The type list is passed explicitly, which skips the extra
+    // distinct-values pass Spark otherwise runs AND makes the output schema
+    // static (at 100 TB an implicit pivot over an unbounded key is a
+    // driver-OOM trap; explicit values make the width a reviewed choice).
+    // na.fill pins absent combinations to 0 so no nullable numerics reach
+    // the driver compare. One partial-agg exchange, same as any groupBy.
+    "q_events_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    // Rollup: (event_type, week) totals plus per-type and grand subtotals
+    // in one pass — Spark expands the grouping sets BEFORE the exchange, so
+    // the three aggregation levels share a single shuffle (vs three queries
+    // or a union). Subtotal keys render as '(all)' on both engines; the
+    // week index is integer epoch-arithmetic (secs div 604800), tz-proof
+    // like every event query.
+    "q_events_rollup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"),
+        RangeJoin.floorDivCol(EventOps.epochSecNs(col("ts_ns")), 604800L)
+          .cast("string").as("wk"),
+        micros(col("value")).as("us"))
+      ev.rollup("event_type", "wk")
+        .agg(count(lit(1)).as("n"), sum("us").as("sum_value_micros"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("wk"), lit("(all)")).as("wk"),
+          col("n"), col("sum_value_micros"))
+        .orderBy("event_type", "wk")
+    }),
+
     // Sliding windows (width 600 s, slide 300 s) through Spark's native
     // window() expansion — each event lands in two overlapping windows.
     "q_events_sliding" -> ((s, dir) => {
@@ -5264,6 +5300,30 @@ object SparkEntry {
          |      THEN 1 ELSE 0 END) as bigint) AS n_above
          |FROM events e JOIN base b ON e.event_type = b.event_type
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The pivot replayed as CASE sums — a pivot is notation for exactly
+    // this aggregation.
+    "q_events_pivot" ->
+      """SELECT user_id,
+        |  cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS click,
+        |  cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) as bigint) AS error,
+        |  cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint) AS purchase,
+        |  cast(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) as bigint) AS signup,
+        |  cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Literal ROLLUP — same grouping sets, same '(all)' subtotal rendering,
+    // same integer week arithmetic.
+    "q_events_rollup" ->
+      s"""WITH e AS (SELECT event_type,
+         |    cast(cast(floor(epoch(ts)) as bigint) // 604800 AS varchar) AS wk,
+         |    ${microsSql("value")} AS us FROM events)
+         |SELECT coalesce(event_type, '(all)') AS event_type,
+         |  coalesce(wk, '(all)') AS wk,
+         |  cast(count(*) as bigint) AS n,
+         |  cast(sum(us) as bigint) AS sum_value_micros
+         |FROM e GROUP BY ROLLUP (event_type, wk)
+         |ORDER BY 1, 2""".stripMargin,
 
     // Literal ASOF LEFT JOIN — DuckDB's native backward-inclusive as-of is
     // the semantics AsOfJoin.backward implements (ties inclusive, latest

@@ -312,6 +312,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_events_pivot: explicit values → no distinct-values job, two-stage agg") {
+    val p = plan("q_events_pivot")
+    // Spark's pivot plans (user, type) pre-aggregation + pivotfirst over
+    // user: exchange 2 carries only |users|·|types| rows. An IMPLICIT pivot
+    // would additionally run a separate collect job for the distinct type
+    // values before this plan even exists — the explicit list keeps the
+    // whole query one job, which is what this pins (pivotfirst sees the
+    // five literals).
+    assert(p.contains("pivotfirst(event_type") && p.contains("click, error"),
+      "the explicit pivot value list vanished from the plan")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2,
+      s"expected the pre-agg + pivot exchanges, saw $hashEx")
+  }
+
+  test("q_events_rollup: grouping sets expand before one shared exchange") {
+    val p = plan("q_events_rollup")
+    assert(p.contains("Expand"), "rollup lost its grouping-set expansion")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"all three aggregation levels must share one exchange, saw $hashEx")
+  }
+
   test("q_events_dpp: the dim join prunes the fact scan via dynamic partition pruning") {
     val p = plan("q_events_dpp")
     val scan = p.linesIterator.find(l =>

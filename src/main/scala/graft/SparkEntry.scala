@@ -2500,6 +2500,37 @@ object SparkEntry {
 
     // G5/G6 — BFS flood from never-queried seeds + reached-set edge stats
     // (t_vector/e1_steath_vector.py:41–54, 89–116).
+    // PageRank over the persisted kNN edge artifact: three synchronous
+    // rounds of rank flow in SCALED-INTEGER arithmetic (start 10^12, damping
+    // 85/100 via integer div) — truncating division makes every round
+    // bit-replayable in SQL, where a double-summed rank would drift with
+    // partition fold order. Per round: one join of the bucketed edge scan
+    // (src-partitioned, no edge-side exchange — the GraphAnn layout) with
+    // the |V|-row rank frame, one partial-agg exchange on dst. The kNN
+    // graph has no dangling nodes (every node carries 2M out-edges), so no
+    // sink-mass term. Headroom: ranks stay ≤ ~10^12, contrib sums ≤
+    // |V|·10^12 — the 85× multiply overflows past |V| ≈ 10^5·10^12/85,
+    // i.e. ~10^17 total mass; at larger |V| drop the start scale.
+    "graph_pagerank" -> ((s, dir) => {
+      val (e0, _) = KnnGraph.read(s, graphArtifactDir(s, dir))
+      val e = e0.select("src", "dst")
+      val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+      val nodes = Tables.embeddings(s, dir).select("vec_id")
+      var rank = nodes.withColumn("r", lit(1000000000000L))
+      (1 to 3).foreach { _ =>
+        val contrib = e.join(deg, "src")
+          .join(rank.withColumnRenamed("vec_id", "src"), "src")
+          .select(col("dst").as("vec_id"), expr("r div od").as("c"))
+          .groupBy("vec_id").agg(sum("c").as("c"))
+        rank = nodes.join(contrib, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            expr("cast(150000000000 as bigint) + (85 * coalesce(c, 0)) div 100")
+              .as("r"))
+      }
+      rank.select(col("vec_id"), col("r").as("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("vec_id")).limit(20)
+    }),
+
     "graph_bfs_reach" -> ((s, dir) => {
       import s.implicits._
       val emb   = Tables.embeddings(s, dir)
@@ -5913,6 +5944,27 @@ object SparkEntry {
            |     JOIN after a USING (query_id, neighbor_id)) AS n_common,
            |  (SELECT count(distinct query_id) FROM raw17 WHERE rank <= 10) AS n_queries,
            |  cast(10 as bigint) AS k""".stripMargin),
+
+    // Unrolled integer PageRank over graphCtes' edges — truncating division
+    // and bigint sums make each round's ranks identical to the engine's.
+    "graph_pagerank" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (SELECT n.vec_id,
+           |    cast(150000000000 + (85 * coalesce(s.c, 0)) // 100 as bigint) AS r
+           |  FROM qc n LEFT JOIN (
+           |    SELECT e.dst AS vec_id, cast(sum($prev.r // d.od) as bigint) AS c
+           |    FROM edges e JOIN deg d ON d.src = e.src
+           |    JOIN $prev ON $prev.vec_id = e.src GROUP BY 1) s
+           |  ON s.vec_id = n.vec_id)""".stripMargin
+      graphCtes + ",\n" +
+        s"""deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+           |r0 AS (SELECT vec_id, cast(1000000000000 as bigint) AS r FROM qc),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")},
+           |${round("r2", "r3")}
+           |SELECT vec_id, r AS rank_scaled FROM r3
+           |ORDER BY r DESC, vec_id LIMIT 20""".stripMargin
+    },
 
     "graph_bfs_reach" ->
       (graphCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +

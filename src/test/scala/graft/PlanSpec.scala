@@ -312,6 +312,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("graph_pagerank: rank flow stays keyed — no nested loop in any round") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a PageRank round degraded to a nested loop")
+    assert(p.contains("Scan parquet") || p.contains("FileScan"),
+      "the edge side should come from the persisted bucketed artifact")
+  }
+
   test("q_events_pivot: explicit values → no distinct-values job, two-stage agg") {
     val p = plan("q_events_pivot")
     // Spark's pivot plans (user, type) pre-aggregation + pivotfirst over

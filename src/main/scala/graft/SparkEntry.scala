@@ -1765,6 +1765,47 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    // Runtime Bloom-filter join pruning — the ROW-level sibling of
+    // q_events_dpp's partition-level prune, and the regime that matters at
+    // 100 TB: both sides too big to broadcast (modeled by zeroing the
+    // broadcast threshold), so Catalyst's InjectRuntimeFilter builds a
+    // Bloom filter from the dim's selective filter ('1-URGENT' keeps ~1/5
+    // of orders) and pushes `might_contain(l_orderkey)` into the fact scan
+    // — non-matching fact rows die at the scan instead of riding the
+    // shuffle. The rule keys on SIZE ESTIMATES (a hint can't trigger it),
+    // so the frame materializes eagerly under the scoped confs and the
+    // plan — gated by PlanSpec for might_contain — is fixed before they
+    // restore. The oracle is the plain filtered join: the Bloom filter has
+    // false positives but the join itself stays exact, so pruning never
+    // changes a row.
+    "q_bloom_join" -> ((s, dir) => {
+      val prev = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        .map(k => k -> s.conf.getOption(k))
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      try {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+        val l = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+        val res = GraftCache.track(
+          l.join(o, col("l_orderkey") === col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n"),
+              sum(micros(col("l_quantity"))).as("sum_qty_us"))
+            .orderBy("l_returnflag"))
+        res.count() // plan + execute NOW, while the shuffle-join regime holds
+        res
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
     // Skew-salted shuffle join (SkewJoin): events ⋈ per-type baseline on
     // event_type — 5 distinct keys over 100k rows, the each-key-is-a-hot-key
     // shape where hash partitioning would funnel ~20% of the fact through
@@ -5319,6 +5360,15 @@ object SparkEntry {
          |FROM (SELECT cast(ts AS date) AS day, event_type, value FROM events) f
          |JOIN dim ON f.day = dim.day
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The Bloom-pruned join replays as the plain filtered join — runtime
+    // filtering only drops rows the join would drop anyway.
+    "q_bloom_join" ->
+      s"""SELECT l.l_returnflag, count(*) AS n,
+         |  ${sumMicrosSql("l.l_quantity")} AS sum_qty_us
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderpriority = '1-URGENT'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The salted join replays as the PLAIN join — salting only reshapes the
     // shuffle, never the row set; micros cross-multiply keeps "above

@@ -274,6 +274,14 @@ class PlanSpec extends AnyFunSuite {
       "IVFADC search should be the grouped broadcast kernel at fixture scale")
   }
 
+  test("q_bloom_join: the runtime Bloom filter reaches the fact scan") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain"),
+      "no runtime Bloom filter on the fact side — every non-matching row " +
+        "rides the shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_events_skew_join: the join runs on (key, salt) in the merge regime") {
     val p = plan("q_events_skew_join")
     assert(!p.contains("CartesianProduct"), "salted join degraded to a cartesian")

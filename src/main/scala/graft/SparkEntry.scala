@@ -1970,6 +1970,45 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, dir) =>
       streamTrio(s, dir)("dedup").orderBy("event_id")),
 
+    // Streaming ingestion through Spark's NATIVE parquet file sink — the
+    // stream-to-lake path every production pipeline runs: the event stream
+    // lands day-partitioned under a checkpointed _spark_metadata log (the
+    // sink's exactly-once contract: a re-run after failure re-lists only
+    // committed files, never double-counts a batch). The replay is consumed
+    // in one trigger (the multi-trigger watermark mechanics live in the
+    // block's legs); the rollup over the landed files must equal the raw
+    // table's — the same oracle as q_events_incremental, because a correct
+    // ingest IS the table, re-laid-out.
+    "q_stream_sink" -> ((s, dir) => {
+      val n = streamSinkSeq.incrementAndGet()
+      val base = replayCkptBase(n)
+      val outDir = new java.io.File(base, "sinkout").getAbsolutePath
+      withStreamShufflePartitions(s, 4) {
+        val q = graft.streaming.StreamOps
+          .eventsStreamBatched(s, dir, filesPerTrigger = 0)
+          .withColumn("day", date_add(lit("1970-01-01").cast("date"),
+            expr("cast(if(ts_ns >= 0, ts_ns div 86400000000000, " +
+              "-((-ts_ns + 86400000000000 - 1) div 86400000000000)) as int)")))
+          .select(col("day"), col("event_type"), micros(col("value")).as("us"))
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", new java.io.File(base, "sinkckpt").getAbsolutePath)
+          .outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      GraftCache.onClear(() => rmTree(base))
+      val res = GraftCache.track(
+        s.read.parquet(outDir)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n"), sum("us").as("sum_value_micros"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("sum_value_micros"))
+          .orderBy("day"))
+      res.count() // materialize before the sink dir can be cleared
+      res
+    }),
+
     // Stream-stream interval join (the fifth replay leg): the sink holds the
     // raw (click, purchase) pairs; the registered result aggregates them per
     // user. The oracle replays the pair set as the plain batch interval join
@@ -5342,6 +5381,12 @@ object SparkEntry {
          |FROM events
          |WHERE cast(ts AS date) BETWEEN date '2024-01-08' AND date '2024-01-14'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // A correct streaming ingest lands exactly the raw table.
+    "q_stream_sink" ->
+      s"""SELECT strftime(cast(ts AS date), '%Y-%m-%d') AS day,
+         |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The incremental artifact's content IS the raw table when maintenance
     // is correct — the full-table rollup is the oracle.

@@ -1853,6 +1853,30 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Forward as-of (AsOfJoin.forward): each click picks up the user's NEXT
+    // purchase at-or-after it — the time-to-conversion funnel metric. Same
+    // single-exchange union+window plan as the backward join, with the
+    // running last over preceding rows flipped to a running first over
+    // following rows. Delay sums are exact integer micros; the oracle
+    // computes the same "earliest at-or-after" by min() over an inequality
+    // join (tiny per-user pair counts at any fixture scale).
+    "q_events_funnel" -> ((s, dir) => {
+      val clicks = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns"), col("event_id"))
+      val purchases = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_ns").agg(count(lit(1)).as("__np"))
+        .select(col("user_id"), col("ts_ns"), col("ts_ns").as("p_ts"))
+      AsOfJoin.forward(clicks, purchases, "user_id", "ts_ns", Seq("p_ts"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(col("p_ts").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+          coalesce(sum(expr("(p_ts - ts_ns) div 1000")), lit(0L))
+            .as("sum_delay_us"))
+        .orderBy("user_id")
+    }),
+
     // Interval containment via the bin-bucketed range join (RangeJoin):
     // every 20th error event opens a 1800 s incident window; each incident
     // counts the events it contains. The bin key turns what Spark would
@@ -5465,6 +5489,22 @@ object SparkEntry {
          |FROM events e ASOF LEFT JOIN dim d
          |  ON e.user_id = d.user_id AND e.ts >= d.ts
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // "Earliest purchase at-or-after each click" as min() over the
+    // inequality join; delays in exact epoch micros.
+    "q_events_funnel" ->
+      """WITH c AS (SELECT user_id, event_id, ts FROM events
+        |    WHERE event_type = 'click'),
+        |  p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |  nx AS (SELECT c.user_id, c.event_id, c.ts AS ct, min(p.ts) AS pt
+        |    FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts
+        |    GROUP BY 1, 2, 3)
+        |SELECT user_id, count(*) AS n_clicks,
+        |  cast(sum(CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+        |    AS n_converted,
+        |  cast(coalesce(sum(epoch_us(pt) - epoch_us(ct)), 0) as bigint)
+        |    AS sum_delay_us
+        |FROM nx GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The bin-bucketed range join replays as the plain containment
     // inequality join — binning only reshapes the physical plan, never the

@@ -53,7 +53,25 @@ object AsOfJoin {
     * (encode known-missing as a sentinel upstream).
     */
   def backward(fact: DataFrame, dim: DataFrame, key: String, time: String,
-               dimCols: Seq[String]): DataFrame = {
+               dimCols: Seq[String]): DataFrame =
+    joinImpl(fact, dim, key, time, dimCols, forward = false)
+
+  /** Forward as-of: each fact row picks up the EARLIEST dim row with the
+    * same key and `dim.time >= fact.time` (inclusive) — "next event after"
+    * semantics (time-to-next-purchase funnels, next-maintenance-window
+    * lookups). Same single-exchange union form as `backward`, with the
+    * running `last` over preceding rows replaced by a running `first` over
+    * following rows; fact sorts before dim at equal timestamps so the tie
+    * stays inclusive. Same cost, same skew caveat, same dim-tie
+    * pre-aggregation requirement.
+    */
+  def forward(fact: DataFrame, dim: DataFrame, key: String, time: String,
+              dimCols: Seq[String]): DataFrame =
+    joinImpl(fact, dim, key, time, dimCols, forward = true)
+
+  private def joinImpl(fact: DataFrame, dim: DataFrame, key: String,
+                       time: String, dimCols: Seq[String],
+                       forward: Boolean): DataFrame = {
     require(dimCols.nonEmpty, "as-of join with no dim columns is a no-op")
     val factCols = fact.columns.filterNot(_ == key).filterNot(_ == time)
     require(factCols.intersect(dimCols).isEmpty,
@@ -62,23 +80,32 @@ object AsOfJoin {
     val dimTyped = dim.schema.fields.map(f => f.name -> f.dataType).toMap
     val factTyped = fact.schema.fields.map(f => f.name -> f.dataType).toMap
 
+    // tag ordering makes the equal-timestamp case inclusive in both
+    // directions: backward wants dim BEFORE fact in the ascending sort,
+    // forward wants fact before dim
+    val (dimTag, factTag) = if (forward) (1, 0) else (0, 1)
     val dimSide = dim.select(
-      col(key) +: col(time) +: lit(0).as("__tag") +:
+      col(key) +: col(time) +: lit(dimTag).as("__tag") +:
         (dimCols.map(col) ++
           factCols.map(c => lit(null).cast(factTyped(c)).as(c))): _*)
     val factSide = fact.select(
-      col(key) +: col(time) +: lit(1).as("__tag") +:
+      col(key) +: col(time) +: lit(factTag).as("__tag") +:
         (dimCols.map(c => lit(null).cast(dimTyped(c)).as(c)) ++
           factCols.map(col)): _*)
 
-    // dim sorts before fact at the same timestamp → inclusive (>=) semantics
-    val w = Window.partitionBy(key).orderBy(col(time), col("__tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Window.partitionBy(key).orderBy(col(time), col("__tag"))
+    val (w, pick) =
+      if (forward)
+        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          (c: String) => first(col(c), ignoreNulls = true))
+      else
+        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          (c: String) => last(col(c), ignoreNulls = true))
     val carried = dimSide.unionByName(factSide)
       .select(
         col(key) +: col(time) +: col("__tag") +:
-          (dimCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) ++
+          (dimCols.map(c => pick(c).over(w).as(c)) ++
             factCols.map(col)): _*)
-    carried.filter(col("__tag") === 1).drop("__tag")
+    carried.filter(col("__tag") === factTag).drop("__tag")
   }
 }

@@ -69,6 +69,44 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
   }
 
+  test("forward matches the earliest-at-or-after definition") {
+    val got = AsOfJoin.forward(fact, dim, "k", "t", Seq("v"))
+      .select("fid", "v").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val expected = Map(
+      1L -> Some(100L),  // a@5  → dim a@10
+      2L -> Some(100L),  // a@10 → dim a@10 (inclusive tie)
+      3L -> None,        // a@17 has no later dim row
+      4L -> Some(40L),   // a@3  → dim a@4
+      5L -> Some(990L),  // b@10 → dim b@99
+      6L -> None,        // b@100 past every dim row
+      7L -> None)        // key c has no dim rows
+    assert(got == expected)
+  }
+
+  test("forward agrees with the theta-join argmin on a keyed-random corpus") {
+    import spark.implicits._
+    val f = spark.range(1500).select(
+      (col("id") % 23).cast("string").as("k"),
+      (conv(substring(md5(concat(lit("ff"), col("id"))), 1, 12), 16, 10)
+        .cast("long") % 50000L).as("t"),
+      col("id").as("fid"))
+    val d = spark.range(200).select(
+      (col("id") % 23).cast("string").as("k"),
+      (conv(substring(md5(concat(lit("fd"), col("id"))), 1, 12), 16, 10)
+        .cast("long") % 50000L).as("t"),
+      (col("id") * 3L).as("v"))
+      .groupBy("k", "t").agg(max("v").as("v"))
+    val fast = AsOfJoin.forward(f, d, "k", "t", Seq("v")).select("fid", "v")
+    val brute = f.as("f").join(d.as("d"),
+        col("f.k") === col("d.k") && col("d.t") >= col("f.t"), "left")
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("fid").orderBy(col("d.t").asc_nulls_last)))
+      .filter(col("__rk") === 1).select(col("fid"), col("v"))
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+  }
+
   test("plan is join-free: one hash exchange on the key, no nested loop") {
     val p = AsOfJoin.backward(fact, dim, "k", "t", Seq("v"))
       .queryExecution.executedPlan.toString

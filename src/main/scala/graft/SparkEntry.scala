@@ -1853,6 +1853,29 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Semi-structured extraction: the events fixture's `props` column is a
+    // JSON payload. from_json with an explicit DDL schema is the
+    // scale-correct idiom — typed, codegen'd, and pushdown-friendly, where
+    // get_json_object re-parses per access and an inferred schema costs a
+    // full pre-pass. Malformed documents surface as a null struct (Spark's
+    // PERMISSIVE default) and are COUNTED (`n_bad`) instead of silently
+    // dropped — at 100 TB silently-vanishing corrupt rows are how ingest
+    // bugs hide; the fixture is all-valid so n_bad = 0 is itself asserted
+    // by the oracle.
+    "q_events_json" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val k = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+        .getField("k").cast("long")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"),
+          coalesce(sum("k"), lit(0L)).as("sum_k"),
+          countDistinct("k").as("n_distinct_k"))
+        .orderBy("event_type")
+    }),
+
     // Forward as-of (AsOfJoin.forward): each click picks up the user's NEXT
     // purchase at-or-after it — the time-to-conversion funnel metric. Same
     // single-exchange union+window plan as the backward join, with the
@@ -5489,6 +5512,17 @@ object SparkEntry {
          |FROM events e ASOF LEFT JOIN dim d
          |  ON e.user_id = d.user_id AND e.ts >= d.ts
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // JSON extraction replayed through DuckDB's JSON operators; the
+    // engine's typed-null malformed path mirrors SQL NULL arithmetic.
+    "q_events_json" ->
+      """WITH j AS (SELECT event_type,
+        |    cast(props->>'$.k' AS bigint) AS k FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  cast(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) as bigint) AS n_bad,
+        |  cast(coalesce(sum(k), 0) as bigint) AS sum_k,
+        |  count(DISTINCT k) AS n_distinct_k
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // "Earliest purchase at-or-after each click" as min() over the
     // inequality join; delays in exact epoch micros.

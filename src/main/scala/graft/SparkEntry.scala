@@ -1853,6 +1853,27 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // The skew-safe bucketed as-of (AsOfJoin.backwardBucketed, one-day
+    // time slices): identical semantics to q_events_asof_join through the
+    // (key, bucket)-partitioned window + bucket-tail carry pass — the plan
+    // a key with a one-task-exceeding history needs. Same oracle: bucketing
+    // must never change a row.
+    "q_events_asof_bucketed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "ts_ns", "event_id")
+      val dim = Tables.events(s, dir)
+        .filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts_ns")
+        .agg(max(micros(col("value"))).as("signup_val_us"))
+      AsOfJoin.backwardBucketed(ev, dim, "user_id", "ts_ns",
+          Seq("signup_val_us"), bucketWidth = 86400000000000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("signup_val_us").isNotNull, 1L).otherwise(0L))
+            .as("n_matched"),
+          coalesce(sum("signup_val_us"), lit(0L)).as("sm_signup"))
+        .orderBy("user_id")
+    }),
+
     // Semi-structured extraction: the events fixture's `props` column is a
     // JSON payload. from_json with an explicit DDL schema is the
     // scale-correct idiom — typed, codegen'd, and pushdown-friendly, where
@@ -4098,6 +4119,17 @@ object SparkEntry {
       |   OR (end_es + 1800) * 1000 < wm.wm_ms
       |ORDER BY user_id, start_es""".stripMargin
       .replace("__SUMV__", sumMicrosSql("value"))
+  private lazy val asofJoinOracle: String =
+    s"""WITH dim AS (SELECT user_id, ts, max(${microsSql("value")}) AS sv
+       |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+       |SELECT e.user_id, count(*) AS n_events,
+       |  cast(sum(CASE WHEN d.sv IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+       |    AS n_matched,
+       |  cast(coalesce(sum(d.sv), 0) as bigint) AS sm_signup
+       |FROM events e ASOF LEFT JOIN dim d
+       |  ON e.user_id = d.user_id AND e.ts >= d.ts
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The stream-stream join leg's pair set — the plain batch interval join
     * (clicks ⋈ purchases of the same user within the following 2 h).
     */
@@ -5502,16 +5534,11 @@ object SparkEntry {
     // the semantics AsOfJoin.backward implements (ties inclusive, latest
     // dim wins, unmatched keep nulls). ts orders identically to the
     // engine's ts_ns (the fixture is micros-precision on both read paths).
-    "q_events_asof_join" ->
-      s"""WITH dim AS (SELECT user_id, ts, max(${microsSql("value")}) AS sv
-         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
-         |SELECT e.user_id, count(*) AS n_events,
-         |  cast(sum(CASE WHEN d.sv IS NOT NULL THEN 1 ELSE 0 END) as bigint)
-         |    AS n_matched,
-         |  cast(coalesce(sum(d.sv), 0) as bigint) AS sm_signup
-         |FROM events e ASOF LEFT JOIN dim d
-         |  ON e.user_id = d.user_id AND e.ts >= d.ts
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_events_asof_join" -> asofJoinOracle,
+
+    // The bucketed (skew-safe) plan must land on the identical rows —
+    // bucketing only reshapes the window partitioning.
+    "q_events_asof_bucketed" -> asofJoinOracle,
 
     // JSON extraction replayed through DuckDB's JSON operators; the
     // engine's typed-null malformed path mirrors SQL NULL arithmetic.

@@ -69,6 +69,79 @@ object AsOfJoin {
               dimCols: Seq[String]): DataFrame =
     joinImpl(fact, dim, key, time, dimCols, forward = true)
 
+  /** Skew-safe backward as-of: identical semantics to `backward`, but the
+    * running window partitions by `(key, time div bucketWidth)` instead of
+    * the key alone, so a key whose history exceeds one task splits across
+    * time-slice buckets — the failure mode `backward` documents, closed.
+    * A second pass over BUCKET TAILS (one row per non-empty (key, bucket)
+    * of the dim side — thousands of rows where the data had billions)
+    * computes each bucket's carry-in: the latest dim values from any
+    * earlier bucket. Final value = within-bucket running last, else the
+    * carry-in. Cost: the same single big exchange (now on (key, bucket)),
+    * plus a per-key window over the tiny tail frame and a co-partitioned
+    * carry join. Choose bucketWidth so a hot key's rows per bucket fit a
+    * task; AsOfJoinSpec pins parity with `backward` across widths,
+    * including degenerate ones.
+    */
+  def backwardBucketed(fact: DataFrame, dim: DataFrame, key: String,
+                       time: String, dimCols: Seq[String],
+                       bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be positive")
+    require(dimCols.nonEmpty, "as-of join with no dim columns is a no-op")
+    val factCols = fact.columns.filterNot(_ == key).filterNot(_ == time)
+    require(factCols.intersect(dimCols).isEmpty,
+      s"dim columns ${dimCols.intersect(factCols).mkString(",")} collide with fact columns")
+    val dimTyped = dim.schema.fields.map(f => f.name -> f.dataType).toMap
+    val factTyped = fact.schema.fields.map(f => f.name -> f.dataType).toMap
+    val bkt = RangeJoin.floorDivCol(col(time), bucketWidth).as("__bkt")
+
+    val dimSide = dim.select(
+      col(key) +: col(time) +: bkt +: lit(0).as("__tag") +:
+        (dimCols.map(col) ++
+          factCols.map(c => lit(null).cast(factTyped(c)).as(c))): _*)
+    val factSide = fact.select(
+      col(key) +: col(time) +: bkt +: lit(1).as("__tag") +:
+        (dimCols.map(c => lit(null).cast(dimTyped(c)).as(c)) ++
+          factCols.map(col)): _*)
+
+    // pass 1: running last WITHIN each (key, bucket) slice
+    val w = Window.partitionBy(col(key), col("__bkt"))
+      .orderBy(col(time), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = dimSide.unionByName(factSide)
+      .select(
+        col(key) +: col(time) +: col("__bkt") +: col("__tag") +:
+          (dimCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) ++
+            factCols.map(col)): _*)
+
+    // pass 2: per-bucket dim tails (latest dim values inside each bucket) —
+    // max of a (time, value) struct picks the latest row's value, well-
+    // defined because callers pre-aggregate dim to one row per (key, time)
+    val tailAgg = dimSide.groupBy(col(key), col("__bkt"))
+      .agg(max(struct(col(time) +: dimCols.map(col): _*)).as("__t"))
+      .select(col(key) +: col("__bkt") +:
+        dimCols.map(c => col("__t").getField(c).as(s"__tail_$c")): _*)
+
+    // carry-in per bucket = latest tail among STRICTLY EARLIER buckets; the
+    // bucket spine is every bucket either side touches, so fact-only
+    // buckets still receive their carry
+    val spine = dimSide.select(col(key), col("__bkt"))
+      .union(factSide.select(col(key), col("__bkt"))).distinct()
+    val cw = Window.partitionBy(key).orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = spine.join(tailAgg, Seq(key, "__bkt"), "left")
+      .select(col(key) +: col("__bkt") +:
+        dimCols.map(c =>
+          last(col(s"__tail_$c"), ignoreNulls = true).over(cw).as(s"__in_$c")): _*)
+
+    within.join(carry, Seq(key, "__bkt"))
+      .select(
+        col(key) +: col(time) +: col("__tag") +:
+          (dimCols.map(c => coalesce(col(c), col(s"__in_$c")).as(c)) ++
+            factCols.map(col)): _*)
+      .filter(col("__tag") === 1).drop("__tag")
+  }
+
   private def joinImpl(fact: DataFrame, dim: DataFrame, key: String,
                        time: String, dimCols: Seq[String],
                        forward: Boolean): DataFrame = {

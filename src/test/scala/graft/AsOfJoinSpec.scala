@@ -107,6 +107,42 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
   }
 
+  test("bucketed backward is row-identical to backward at every width") {
+    import spark.implicits._
+    val f = spark.range(3000).select(
+      (col("id") % 11).cast("string").as("k"),
+      (conv(substring(md5(concat(lit("bf"), col("id"))), 1, 12), 16, 10)
+        .cast("long") % 100000L).as("t"),
+      col("id").as("fid"))
+    val d = spark.range(400).select(
+      (col("id") % 11).cast("string").as("k"),
+      (conv(substring(md5(concat(lit("bd"), col("id"))), 1, 12), 16, 10)
+        .cast("long") % 100000L).as("t"),
+      (col("id") * 5L).as("v"))
+      .groupBy("k", "t").agg(max("v").as("v"))
+    val plain = AsOfJoin.backward(f, d, "k", "t", Seq("v")).select("fid", "v")
+    // widths spanning: many tiny buckets, a realistic slice, one giant
+    // bucket (degenerates to the plain form), and a non-divisor width
+    for (w <- Seq(10L, 1000L, 7777L, 1000000L)) {
+      val b = AsOfJoin.backwardBucketed(f, d, "k", "t", Seq("v"), w)
+        .select("fid", "v")
+      assert(b.exceptAll(plain).isEmpty && plain.exceptAll(b).isEmpty,
+        s"width $w diverged from the plain backward join")
+    }
+    // the hand-built edge fixture too (no-dim keys, ties, pre-dim facts)
+    val pb = AsOfJoin.backward(fact, dim, "k", "t", Seq("v")).select("fid", "v")
+    val bb = AsOfJoin.backwardBucketed(fact, dim, "k", "t", Seq("v"), 6L)
+      .select("fid", "v")
+    assert(bb.exceptAll(pb).isEmpty && pb.exceptAll(bb).isEmpty)
+  }
+
+  test("bucketed backward's big window partitions by (key, bucket)") {
+    val p = AsOfJoin.backwardBucketed(fact, dim, "k", "t", Seq("v"), 6L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__bkt"), "the time-slice bucket vanished from the plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("plan is join-free: one hash exchange on the key, no nested loop") {
     val p = AsOfJoin.backward(fact, dim, "k", "t", Seq("v"))
       .queryExecution.executedPlan.toString

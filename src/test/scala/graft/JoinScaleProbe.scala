@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
   * - skew salted: 1.16–1.98 s vs plain 2.07–2.81 s (~1.7× warm) with 90%
   *   of 5M rows on one key — census + ×32 dim replication included; the
   *   plain join's hot task holds 4.5M rows, the salted peak ~140k.
+  * - as-of under the same 90%-hot-key shape: plain `backward` 12.4–14.6 s
+  *   (ONE task sorts the hot key's 4.5M-row history, 31 cores idle) vs
+  *   `backwardBucketed` 2.8–4.8 s warm (~4.5×) at 64 time-slice buckets —
+  *   and the plain path's hot task grows linearly with the key's history
+  *   while the bucketed path's grows with rows-per-slice, so the gap is
+  *   unbounded at 100 TB.
   */
 object JoinScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -76,6 +82,29 @@ object JoinScaleProbe {
     time(s"asof union+window 1/25") {
       AsOfJoin.backward(sFact, sDim, "k", "t", Seq("v"))
         .agg(count(lit(1)), sum("v")).collect()
+    }
+
+    // ---- as-of under key skew: plain (one task per key) vs bucketed -----
+    val hotFact = spark.range(n).select(
+      when(col("id") % 10 =!= 0, lit("hot"))
+        .otherwise(concat(lit("c"), (col("id") % 97).cast("string"))).as("k"),
+      hashT("hf", 1000000000L).as("t"), col("id").as("fid")).cache()
+    val hotDim = spark.range(n / 50).select(
+      when(col("id") % 10 =!= 0, lit("hot"))
+        .otherwise(concat(lit("c"), (col("id") % 97).cast("string"))).as("k"),
+      hashT("hd", 1000000000L).as("t"), (col("id") * 7L).as("v"))
+      .groupBy("k", "t").agg(max("v").as("v")).cache()
+    println(s"asof-skew: fact ${hotFact.count()} dim ${hotDim.count()} (90% one key)")
+    (1 to 3).foreach { p =>
+      time(s"asof plain hot p$p") {
+        AsOfJoin.backward(hotFact, hotDim, "k", "t", Seq("v"))
+          .agg(count(lit(1)), sum("v")).collect()
+      }
+      time(s"asof bucketed hot p$p") {
+        AsOfJoin.backwardBucketed(hotFact, hotDim, "k", "t", Seq("v"),
+            bucketWidth = 1000000000L / 64)
+          .agg(count(lit(1)), sum("v")).collect()
+      }
     }
 
     // ---- range ----------------------------------------------------------

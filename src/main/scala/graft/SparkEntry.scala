@@ -2648,6 +2648,30 @@ object SparkEntry {
 
     // G5/G6 — BFS flood from never-queried seeds + reached-set edge stats
     // (t_vector/e1_steath_vector.py:41–54, 89–116).
+    // Triangle counting over the kNN graph's MUTUAL edges — the classic
+    // two-equi-join formulation (order nodes a<b<c; wedges ab⋈bc close via
+    // ac), which is also the distributed-scale shape: every join is a hash
+    // join on a node id, candidate wedges bounded by Σ deg², and the
+    // ordering kills the 6× duplicate counting up front. Per-node
+    // participation (each corner +1 per triangle) for the top-10 most
+    // clustered nodes.
+    "graph_triangles" -> ((s, dir) => {
+      val (e0, _) = KnnGraph.read(s, graphArtifactDir(s, dir))
+      val e = e0.select("src", "dst")
+      val mutual = e.as("x").join(e.as("y"),
+          col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+        .select(col("x.src").as("a"), col("x.dst").as("b"))
+        .filter(col("a") < col("b")).distinct()
+      val tri = mutual.as("ab")
+        .join(mutual.as("bc"), col("ab.b") === col("bc.a"))
+        .join(mutual.as("ac"),
+          col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+        .select(col("ab.a"), col("ab.b"), col("bc.b").as("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("vec_id")).limit(10)
+    }),
+
     // PageRank over the persisted kNN edge artifact: three synchronous
     // rounds of rank flow in SCALED-INTEGER arithmetic (start 10^12, damping
     // 85/100 via integer div) — truncating division makes every round
@@ -6140,6 +6164,21 @@ object SparkEntry {
            |     JOIN after a USING (query_id, neighbor_id)) AS n_common,
            |  (SELECT count(distinct query_id) FROM raw17 WHERE rank <= 10) AS n_queries,
            |  cast(10 as bigint) AS k""".stripMargin),
+
+    // Same a<b<c wedge-close over graphCtes' mutual edges.
+    "graph_triangles" ->
+      (graphCtes + ",\n" +
+        """mutual AS (SELECT DISTINCT e1.src AS a, e1.dst AS b FROM edges e1
+          |  JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+          |  WHERE e1.src < e1.dst),
+          |tri AS (SELECT ab.a, ab.b, bc.b AS c FROM mutual ab
+          |  JOIN mutual bc ON ab.b = bc.a
+          |  JOIN mutual ac ON ac.a = ab.a AND ac.b = bc.b),
+          |corners AS (SELECT a AS vec_id FROM tri
+          |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+          |SELECT vec_id, cast(count(*) as bigint) AS n_triangles
+          |FROM corners GROUP BY 1
+          |ORDER BY n_triangles DESC, vec_id LIMIT 10""".stripMargin),
 
     // Unrolled integer PageRank over graphCtes' edges — truncating division
     // and bigint sums make each round's ranks identical to the engine's.

@@ -320,6 +320,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("graph_triangles: wedge-close stays equi-keyed, no nested loop") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the triangle joins degraded to a nested loop")
+  }
+
   test("graph_pagerank: rank flow stays keyed — no nested loop in any round") {
     val p = plan("graph_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -3345,6 +3345,30 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // The SAME bottom-k estimator through the typed-Aggregator path
+    // (BottomKAgg): state is a bounded sorted array per group per task,
+    // reduce a binary-search insert, merge a sorted-merge-dedup — an
+    // ordinary partial/final aggregate with NO window and NO sort, one
+    // exchange of ≤ k rows per (group, upstream task). The window form
+    // (profile_distinct_kmv) and this one must land on identical numbers —
+    // same oracle — which pins the Aggregator's merge/dedup correctness
+    // from the driver side on top of SketchSpec's unit gates.
+    "profile_distinct_kmv_agg" -> ((s, dir) => {
+      val bk = udaf(new graft.functions.BottomKAgg(64),
+        org.apache.spark.sql.Encoders.scalaLong)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"))
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"),
+          bk(graft.functions.Sketches.hash48(col("user_id"))).as("__bk"))
+        .select(col("event_type"), col("n_exact"),
+          size(col("__bk")).cast("long").as("n_kept"),
+          when(size(col("__bk")) < 64, size(col("__bk")).cast("long"))
+            .otherwise(expr("(63 * 281474976710656) div element_at(__bk, 64)"))
+            .as("est_distinct"))
+        .orderBy("event_type")
+    }),
+
     "profile_quantiles" -> ((s, dir) => {
       val h = Tables.documents(s, dir)
         .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
@@ -4143,6 +4167,26 @@ object SparkEntry {
       |   OR (end_es + 1800) * 1000 < wm.wm_ms
       |ORDER BY user_id, start_es""".stripMargin
       .replace("__SUMV__", sumMicrosSql("value"))
+  private lazy val kmvOracle: String =
+    """WITH h AS (SELECT DISTINCT event_type,
+      |    list_reduce(list_transform(
+      |      string_split(substring(md5(cast(user_id AS varchar)), 1, 12), ''),
+      |      x -> cast(strpos('0123456789abcdef', x) - 1 AS bigint)),
+      |      (a, b) -> a * 16 + b) AS hv
+      |  FROM events),
+      |r AS (SELECT event_type, hv,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk FROM h),
+      |s AS (SELECT event_type, cast(count(*) as bigint) AS n_kept,
+      |    max(CASE WHEN rk = 64 THEN hv END) AS hk
+      |  FROM r WHERE rk <= 64 GROUP BY 1),
+      |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
+      |  GROUP BY 1)
+      |SELECT s.event_type, x.n_exact, s.n_kept,
+      |  cast(CASE WHEN s.n_kept < 64 THEN s.n_kept
+      |    ELSE (63 * 281474976710656) // s.hk END as bigint) AS est_distinct
+      |FROM s JOIN x ON s.event_type = x.event_type
+      |ORDER BY 1""".stripMargin
+
   private lazy val asofJoinOracle: String =
     s"""WITH dim AS (SELECT user_id, ts, max(${microsSql("value")}) AS sv
        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
@@ -5131,25 +5175,10 @@ object SparkEntry {
     // (Horner fold = conv base 16), same bottom-k selection, same integer
     // division — the sketch is deterministic, so this is an exact compare
     // of an approximate algorithm.
-    "profile_distinct_kmv" ->
-      """WITH h AS (SELECT DISTINCT event_type,
-        |    list_reduce(list_transform(
-        |      string_split(substring(md5(cast(user_id AS varchar)), 1, 12), ''),
-        |      x -> cast(strpos('0123456789abcdef', x) - 1 AS bigint)),
-        |      (a, b) -> a * 16 + b) AS hv
-        |  FROM events),
-        |r AS (SELECT event_type, hv,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk FROM h),
-        |s AS (SELECT event_type, cast(count(*) as bigint) AS n_kept,
-        |    max(CASE WHEN rk = 64 THEN hv END) AS hk
-        |  FROM r WHERE rk <= 64 GROUP BY 1),
-        |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
-        |  GROUP BY 1)
-        |SELECT s.event_type, x.n_exact, s.n_kept,
-        |  cast(CASE WHEN s.n_kept < 64 THEN s.n_kept
-        |    ELSE (63 * 281474976710656) // s.hk END as bigint) AS est_distinct
-        |FROM s JOIN x ON s.event_type = x.event_type
-        |ORDER BY 1""".stripMargin,
+    "profile_distinct_kmv" -> kmvOracle,
+
+    // The Aggregator path must land on the window path's exact numbers.
+    "profile_distinct_kmv_agg" -> kmvOracle,
 
     // Histogram-cumsum exact quantiles, quantile_disc semantics from first
     // principles (smallest value with cum ≥ ceil(p·n)) — no engine

@@ -45,6 +45,27 @@ class SketchSpec extends AnyFunSuite {
     assert(a == b, s"$a != $b — the bottom-k merge must be order-free")
   }
 
+  test("BottomKAgg: insert/merge keep the k smallest distinct, any order") {
+    val a = new graft.functions.BottomKAgg(4)
+    val buf = Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L, 9L, 5L).foldLeft(a.zero)(a.reduce)
+    assert(buf.toSeq == Seq(1L, 2L, 3L, 5L), s"got ${buf.toSeq}")
+    // merge: overlapping halves, duplicates across sides, truncation to k
+    val left = Seq(10L, 4L, 6L).foldLeft(a.zero)(a.reduce)
+    val right = Seq(4L, 1L, 11L, 6L).foldLeft(a.zero)(a.reduce)
+    assert(a.merge(left, right).toSeq == Seq(1L, 4L, 6L, 10L))
+    assert(a.merge(right, left).toSeq == Seq(1L, 4L, 6L, 10L),
+      "merge must be commutative")
+    assert(a.merge(a.zero, left).toSeq == left.toSeq)
+  }
+
+  test("Aggregator path lands on the window path's exact estimates") {
+    val dir = TestSpark.sf0001
+    val win = SparkEntry.queries("profile_distinct_kmv")(spark, dir).collect()
+    val agg = SparkEntry.queries("profile_distinct_kmv_agg")(spark, dir).collect()
+    assert(win.nonEmpty && win.length == agg.length)
+    win.zip(agg).foreach { case (w, g) => assert(w == g, s"$w != $g") }
+  }
+
   test("CMS never underestimates, and is exact when the table is collision-free") {
     import spark.implicits._
     val counts = (0 until 500).map(i => (s"k$i", (i % 17 + 1).toLong))

@@ -19,8 +19,12 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * at plan time into the expression's embedded constant.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(e.injectFunction)
+    // conf-gated (spark.graft.rangeJoin.binWidth > 0): naive interval
+    // theta-joins rewrite to the bin-bucketed equi-join instead of a BNLJ
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -1982,6 +1982,24 @@ object SparkEntry {
         .orderBy("event_type", "wk")
     }),
 
+    // Cube: all four grouping sets of (event_type, week) — rollup's
+    // lattice completed with the per-week-across-types subtotal the
+    // hierarchy form can't express. Same single-shared-exchange Expand
+    // plan, same '(all)' rendering.
+    "q_events_cube" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"),
+        RangeJoin.floorDivCol(EventOps.epochSecNs(col("ts_ns")), 604800L)
+          .cast("string").as("wk"),
+        micros(col("value")).as("us"))
+      ev.cube("event_type", "wk")
+        .agg(count(lit(1)).as("n"), sum("us").as("sum_value_micros"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("wk"), lit("(all)")).as("wk"),
+          col("n"), col("sum_value_micros"))
+        .orderBy("event_type", "wk")
+    }),
+
     // Sliding windows (width 600 s, slide 300 s) through Spark's native
     // window() expansion — each event lands in two overlapping windows.
     "q_events_sliding" -> ((s, dir) => {
@@ -5581,6 +5599,18 @@ object SparkEntry {
          |  cast(count(*) as bigint) AS n,
          |  cast(sum(us) as bigint) AS sum_value_micros
          |FROM e GROUP BY ROLLUP (event_type, wk)
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Literal CUBE — the full grouping-set lattice.
+    "q_events_cube" ->
+      s"""WITH e AS (SELECT event_type,
+         |    cast(cast(floor(epoch(ts)) as bigint) // 604800 AS varchar) AS wk,
+         |    ${microsSql("value")} AS us FROM events)
+         |SELECT coalesce(event_type, '(all)') AS event_type,
+         |  coalesce(wk, '(all)') AS wk,
+         |  cast(count(*) as bigint) AS n,
+         |  cast(sum(us) as bigint) AS sum_value_micros
+         |FROM e GROUP BY CUBE (event_type, wk)
          |ORDER BY 1, 2""".stripMargin,
 
     // Literal ASOF LEFT JOIN — DuckDB's native backward-inclusive as-of is

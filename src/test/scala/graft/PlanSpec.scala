@@ -357,6 +357,14 @@ class PlanSpec extends AnyFunSuite {
       s"all three aggregation levels must share one exchange, saw $hashEx")
   }
 
+  test("q_events_cube: the full lattice shares one exchange too") {
+    val p = plan("q_events_cube")
+    assert(p.contains("Expand"), "cube lost its grouping-set expansion")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"all four grouping sets must share one exchange, saw $hashEx")
+  }
+
   test("q_events_dpp: the dim join prunes the fact scan via dynamic partition pruning") {
     val p = plan("q_events_dpp")
     val scan = p.linesIterator.find(l =>

@@ -136,6 +136,31 @@ object Bench {
     }
     val totalNorm = normMed.sum
     val nPasses = all.size
+    // Full per-query map as its own artifact: the driver's captured JSON
+    // line is tail-truncated most rounds, which hides the alphabetically
+    // early half of the surface (all ann_*/dedup_*/h_* lines) from
+    // cross-round per-query comparison. Everything the line carries —
+    // median, min, every raw sample, calibration — goes to a file the
+    // judge and ab_bench can read whole.
+    val perQueryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PERQUERY",
+      "bench_per_query.json")
+    val medMap = med.toMap
+    val perQuery = selected.map { case (name, _) =>
+      val samples = byPass.map(_(name))
+      s""""$name":{"median":${medMap(name)},"min":${samples.min},""" +
+        s""""samples":[${samples.mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val perQueryDoc =
+      s"""{"sf":"$sfDir","passes":$nPasses,""" +
+        s""""calib_secs":[${calib.mkString(",")}],""" +
+        s""""quiet_calib":$quietCalib,""" +
+        s""""pass_totals":[${passTotals.mkString(",")}],""" +
+        s""""total_median":$total,"total_min":$totalMin,"value_norm":$totalNorm,""" +
+        s""""queries":$perQuery}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(perQueryPath),
+      perQueryDoc.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"bench_per_query write failed: $e") }
     println(s"""{"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","passes":$nPasses,""" +
       s""""pass_totals":[${passTotals.mkString(",")}],""" +
       s""""calib_secs":[${calib.mkString(",")}],""" +

@@ -1884,9 +1884,13 @@ object SparkEntry {
     // bugs hide; the fixture is all-valid so n_bad = 0 is itself asserted
     // by the oracle.
     "q_events_json" -> ((s, dir) => {
-      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-      val k = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
-        .getField("k").cast("long")
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      // LongType in the DDL schema, not IntegerType+cast: with int32 a k
+      // beyond 2^31 becomes a PERMISSIVE null (counted in n_bad, dropped
+      // from sum_k) while the oracle's bigint cast would sum it — the typed
+      // range must match the oracle's.
+      val k = from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+        .getField("k")
       Tables.events(s, dir)
         .select(col("event_type"), k.as("k"))
         .groupBy("event_type")
@@ -1943,6 +1947,34 @@ object SparkEntry {
         .groupBy("incident_id")
         .agg(count(lit(1)).as("n_events"),
           coalesce(sum("val_us"), lit(0L)).as("sm_value"))
+        .orderBy("incident_id")
+    }),
+
+    // Interval OVERLAP via the dedup-free bin join (RangeJoin
+    // .intervalOverlap): 6 h error-incident windows × 3 h ad-exposure
+    // windows, per incident the overlapping-exposure count and total
+    // overlap duration. Both interval sides replicate to their covered
+    // bins; the pair survives only in the bin of max(start) — covered by
+    // both sides whenever they overlap — so no distinct pass ever touches
+    // the |pairs|-sized join output. Overlap sums are exact integer micros
+    // (ts_ns is µs-grained, so `div 1000` is lossless); the oracle replays
+    // the overlap predicate as DuckDB's native IEJoin.
+    "q_events_interval_overlap" -> ((s, dir) => {
+      val incLenNs = 21600L * 1000000000L
+      val expLenNs = 10800L * 1000000000L
+      val ev = Tables.events(s, dir)
+      val inc = ev.filter(col("event_type") === "error" && col("event_id") % 5 === 0)
+        .select(col("event_id").as("incident_id"),
+          col("ts_ns").as("i_start"), (col("ts_ns") + incLenNs).as("i_end"))
+      val exposure = ev.filter(col("event_type") === "view" && col("event_id") % 10 === 0)
+        .select(col("event_id").as("exposure_id"),
+          col("ts_ns").as("x_start"), (col("ts_ns") + expLenNs).as("x_end"))
+      RangeJoin.intervalOverlap(inc, exposure, "i_start", "i_end",
+          "x_start", "x_end", binWidth = incLenNs)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_exposures"),
+          sum(expr("(least(i_end, x_end) - greatest(i_start, x_start)) div 1000"))
+            .as("sum_overlap_us"))
         .orderBy("incident_id")
     }),
 
@@ -2731,14 +2763,14 @@ object SparkEntry {
       if (nSeeds == 0) Seq((0L, 0L, 0.0)).toDF("n_seeds", "n_reached", "avg_internal_edge")
       else {
         val reached = KnnGraph.bfs(e, seeds).cache()
-        val inner = e.join(reached.withColumnRenamed("vec_id", "src"), Seq("src"), "left_semi")
-          .join(reached.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
-        // ordered fold (sorted by src,dst) — bit-reproducible, oracle-equal
-        val avgLen = inner.agg(coalesce(
-          aggregate(
-            transform(array_sort(collect_list(struct(col("src"), col("dst"), col("dist")))),
-              x => x.getField("dist")),
-            lit(0.0), (a, x) => a + x) / count(lit(1)), lit(0.0))).head().getDouble(0)
+        // exact integer nano-sum (same construction as graph_cluster_stats):
+        // associative + fold-order-free, so the mean is bit-reproducible with
+        // bounded per-task state — no collect_list buffer of the edge set.
+        val aggRow = KnnGraph.internalEdgeStats(e, reached).head()
+        val nInner = aggRow.getLong(1)
+        val avgLen =
+          if (nInner == 0L) 0.0
+          else aggRow.getLong(0).toDouble / 1.0e9 / nInner.toDouble
         val nReached = reached.count()
         reached.unpersist() // all consumers ran; a bare cache() outlives clear()
         Seq((nSeeds, nReached, avgLen)).toDF("n_seeds", "n_reached", "avg_internal_edge")
@@ -5662,6 +5694,22 @@ object SparkEntry {
          |  ON e.ts >= i.t0 AND e.ts < i.t0 + INTERVAL 1800 SECOND
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // The bin-bucketed interval-overlap join replays as the plain overlap
+    // inequality pair (max(start) < min(end)); binning and the
+    // meet-in-one-bin rule only reshape the physical plan.
+    "q_events_interval_overlap" ->
+      """WITH inc AS (SELECT event_id AS incident_id, epoch_us(ts) AS i_s,
+        |    epoch_us(ts) + 21600000000 AS i_e FROM events
+        |  WHERE event_type = 'error' AND event_id % 5 = 0),
+        |expo AS (SELECT event_id AS exposure_id, epoch_us(ts) AS x_s,
+        |    epoch_us(ts) + 10800000000 AS x_e FROM events
+        |  WHERE event_type = 'view' AND event_id % 10 = 0)
+        |SELECT i.incident_id, count(*) AS n_exposures,
+        |  cast(sum(least(i.i_e, x.x_e) - greatest(i.i_s, x.x_s)) as bigint)
+        |    AS sum_overlap_us
+        |FROM inc i JOIN expo x ON i.i_s < x.x_e AND x.x_s < i.i_e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, value, ts,
         |             cast(floor(epoch(ts)) as bigint) AS es FROM events),
@@ -6271,8 +6319,8 @@ object SparkEntry {
           |SELECT
           |  (SELECT count(*) FROM qc WHERE query_count = 0) AS n_seeds,
           |  (SELECT count(*) FROM reach) AS n_reached,
-          |  coalesce((SELECT list_reduce(list_prepend(0.0, list(dist ORDER BY src, dst)), (a, b) -> a + b)
-          |              / count(*) FROM inner_edges), 0.0) AS avg_internal_edge""".stripMargin),
+          |  coalesce((SELECT cast(sum(cast(floor(dist * 1000000000.0 + 0.5) as bigint)) as double)
+          |              / 1.0e9 / cast(count(*) as double) FROM inner_edges), 0.0) AS avg_internal_edge""".stripMargin),
 
     // G6 — seed components via a recursive CTE carrying the seed id; min per
     // node = the engine's min-label propagation fixpoint.

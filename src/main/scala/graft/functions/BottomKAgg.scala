@@ -18,6 +18,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * Duplicate inputs are dropped on insert (bottom-k of DISTINCT values is
   * what the KMV estimator needs), so callers can feed raw hashes without a
   * distinct pre-pass.
+  *
+  * Input contract: hashes must be NON-NULL. The typed Long encoder coerces
+  * a null input column to 0L, which would count as a real minimum value;
+  * kmvDistinct instead drops null hashes. Filter nulls before aggregating
+  * (as kmvDistinct does) so the two paths agree on null-bearing columns.
   */
 final class BottomKAgg(k: Int)
     extends Aggregator[Long, Array[Long], Array[Long]] {

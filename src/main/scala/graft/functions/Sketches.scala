@@ -85,14 +85,24 @@ object Sketches {
       .select(col(key), explode(sequence(lit(0), lit(d - 1))).as("__j"))
       .withColumn("__b", GraftCols.md5Mod(
         concat(col("__j").cast("string"), lit("#"), col(key)), w))
-      .join(broadcast(cms), Seq("__j", "__b"))
+      // LEFT join: a probe key absent from the build (empty cells) must
+      // estimate 0, not silently vanish from the output — an inner join is
+      // only safe when probes come from the build itself.
+      .join(broadcast(cms), Seq("__j", "__b"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
       .groupBy(key).agg(min("__c").as("n_cms"))
 
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
                   k: Int = 64): DataFrame = {
     require(k >= 2, s"k=$k: the bottom-k estimator needs k >= 2")
     val g = groupCols.map(col)
-    val hashed = df.select(g :+ hash48(value).as("__hv"): _*).distinct()
+    // Null values hash to a null __hv, which would sort FIRST under the
+    // ascending window and occupy rank 1 — biasing n_kept/est_distinct and
+    // silently diverging from the typed BottomKAgg path (which has a
+    // non-null input contract, see BottomKAgg's scaladoc). NULL is not a
+    // distinct value to either estimator: drop it here.
+    val hashed = df.select(g :+ hash48(value).as("__hv"): _*)
+      .filter(col("__hv").isNotNull).distinct()
     val global = Window.partitionBy(g: _*).orderBy("__hv")
     hashed
       .withColumn("__rk", row_number().over(global)).filter(col("__rk") <= k)

@@ -250,4 +250,21 @@ object KnnGraph {
     }
     visited
   }
+
+  /** Exact mean of the edge lengths internal to `reached` (both endpoints
+    * reached), as one (sum_nanos, n) row — the fold-order-free integer
+    * nano-sum construction `graph_cluster_stats` uses, so the mean is
+    * bit-reproducible with bounded per-task aggregation state. Replaces the
+    * round-13 `aggregate(array_sort(collect_list(...)))` fold, whose single
+    * aggregation buffer held EVERY internal edge (single-task OOM at 100×).
+    */
+  def internalEdgeStats(edgesDf: DataFrame, reached: DataFrame): DataFrame = {
+    val inner = edgesDf
+      .join(reached.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+      .join(reached.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+    inner.agg(
+      coalesce(sum(floor(col("dist").cast("double") * lit(1.0e9) + lit(0.5))), lit(0L))
+        .as("sum_nanos"),
+      count(lit(1)).as("n"))
+  }
 }

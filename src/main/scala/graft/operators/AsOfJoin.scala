@@ -91,6 +91,9 @@ object AsOfJoin {
     val factCols = fact.columns.filterNot(_ == key).filterNot(_ == time)
     require(factCols.intersect(dimCols).isEmpty,
       s"dim columns ${dimCols.intersect(factCols).mkString(",")} collide with fact columns")
+    for (reserved <- Seq("__tag", "__bkt"))
+      require(!fact.columns.contains(reserved) && !dim.columns.contains(reserved),
+        s"column $reserved is reserved by the as-of join's working frame")
     val dimTyped = dim.schema.fields.map(f => f.name -> f.dataType).toMap
     val factTyped = fact.schema.fields.map(f => f.name -> f.dataType).toMap
     val bkt = RangeJoin.floorDivCol(col(time), bucketWidth).as("__bkt")
@@ -149,6 +152,8 @@ object AsOfJoin {
     val factCols = fact.columns.filterNot(_ == key).filterNot(_ == time)
     require(factCols.intersect(dimCols).isEmpty,
       s"dim columns ${dimCols.intersect(factCols).mkString(",")} collide with fact columns")
+    require(!fact.columns.contains("__tag") && !dim.columns.contains("__tag"),
+      "column __tag is reserved by the as-of join's working frame")
 
     val dimTyped = dim.schema.fields.map(f => f.name -> f.dataType).toMap
     val factTyped = fact.schema.fields.map(f => f.name -> f.dataType).toMap

@@ -58,4 +58,40 @@ object RangeJoin {
       .filter(col(time) >= col(start) && col(time) < col(end))
       .drop("__bin")
   }
+
+  /** Interval-overlap join: `left` intervals `[lStart, lEnd)` matched to the
+    * `right` intervals `[rStart, rEnd)` they overlap (both end-exclusive,
+    * long columns) — sessions × incident windows, ad exposures × conversion
+    * windows. Same bin strategy as `pointInInterval`, with both sides
+    * replicated to their covered bins; a qualifying pair shares every bin
+    * their intersection covers, so the join keeps only the bin of
+    * `max(lStart, rStart)` — overlap means `max(start) < min(end)`, so that
+    * bin is covered by BOTH intervals and the pair meets in exactly one
+    * bin: dedup-free by construction, no distinct pass over the output.
+    * Empty intervals match nothing and are dropped. Output = all
+    * overlapping (left ⋈ right) pairs, both sides' columns.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String, binWidth: Long,
+                      keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth=$binWidth must be positive")
+    val overlapCols = left.columns.toSet
+      .intersect(right.columns.toSet) -- keys
+    require(overlapCols.isEmpty,
+      s"non-key columns ${overlapCols.mkString(",")} exist on both sides — rename first")
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      "column __bin is reserved by the range join's working frame")
+    def binned(df: DataFrame, start: String, end: String) =
+      df.filter(col(end) > col(start))
+        .withColumn("__bin", explode(sequence(
+          floorDivCol(col(start), binWidth),
+          floorDivCol(col(end) - lit(1L), binWidth))))
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd),
+        (keys :+ "__bin").toSeq)
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("__bin") ===
+        floorDivCol(greatest(col(lStart), col(rStart)), binWidth))
+      .drop("__bin")
+  }
 }

@@ -376,6 +376,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the 9-row day dim must broadcast")
   }
 
+  test("graph_bfs_reach's internal-edge mean is a bounded nano-sum — no collect_list buffer") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Seq((1L, 2L, 0.5), (2L, 3L, 0.25)).toDF("src", "dst", "dist")
+    val reached = Seq(1L, 2L, 3L).toDF("vec_id")
+    val p = graft.graph.KnnGraph.internalEdgeStats(e, reached)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("collect_list"),
+      "the edge-length fold must be the integer nano-sum, not a collect_list " +
+        "buffer of every component-internal edge (single-task OOM at 100×)")
+    assert(!p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"),
+      s"nano-sum must stay a codegen HashAggregate: $p")
+    assert(p.contains("HashAggregate"), "expected the partial/final hash aggregate")
+  }
+
   test("profile_quantiles: the ordered window sees the histogram, not rows") {
     val p = plan("profile_quantiles")
     // the window input must be the (source, n_chars) aggregate — a Window

@@ -66,4 +66,51 @@ class RangeJoinSpec extends AnyFunSuite {
       s"range join degraded to a nested loop:\n$p")
     assert(p.contains("__bin"), "the bin key vanished from the join")
   }
+
+  // interval-overlap: a second interval family with lengths straddling the
+  // bin width in both directions, plus empty / touching / containing shapes
+  private def intervalsB = {
+    import spark.implicits._
+    Seq(
+      (11L, 5L, 8L),       // inside iid 1
+      (12L, 90L, 110L),    // crosses the W=100 boundary, overlaps 2 and 3
+      (13L, 10L, 50L),     // touches iid 1 end-to-start (NO overlap: half-open)
+      (14L, 0L, 1000L),    // contains everything non-empty below 1000
+      (15L, 700L, 700L),   // empty — matches nothing, even vs 14
+      (16L, 299L, 300L))   // single tick at iid 3's last instant
+      .toDF("jid", "s2", "e2")
+  }
+
+  test("intervalOverlap pair set equals the theta join, with no duplicate pairs") {
+    val binned = RangeJoin.intervalOverlap(intervals, intervalsB,
+      "s", "e", "s2", "e2", binWidth = 100L).select("iid", "jid")
+    val brute = intervals.filter(col("e") > col("s"))
+      .join(intervalsB.filter(col("e2") > col("s2")),
+        col("s") < col("e2") && col("s2") < col("e"))
+      .select("iid", "jid")
+    assert(binned.exceptAll(brute).isEmpty && brute.exceptAll(binned).isEmpty,
+      "overlap pair set diverged from the theta join")
+    assert(binned.count() == binned.distinct().count(),
+      "a pair met in more than one bin — the max(start) rule broke")
+  }
+
+  test("intervalOverlap stays a bin-keyed equi-join, never a nested loop") {
+    val p = RangeJoin.intervalOverlap(intervals, intervalsB,
+        "s", "e", "s2", "e2", binWidth = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval-overlap join degraded to a nested loop:\n$p")
+    assert(p.contains("__bin"), "the bin key vanished from the join")
+  }
+
+  test("intervalOverlap honors extra equi-keys and negative times") {
+    import spark.implicits._
+    val a = Seq(("u1", -150L, -90L, 1L), ("u2", -150L, -90L, 2L))
+      .toDF("u", "s", "e", "iid")
+    val b = Seq(("u1", -100L, -50L, 10L)).toDF("u", "s2", "e2", "jid")
+    val got = RangeJoin.intervalOverlap(a, b, "s", "e", "s2", "e2",
+        binWidth = 100L, keys = Seq("u"))
+      .select("iid").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L), s"keyed/negative overlap broke: ${got.toSeq}")
+  }
 }

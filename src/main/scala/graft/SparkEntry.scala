@@ -2056,6 +2056,20 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // The skew-safe sessionizer (EventOps.sessionStatsBucketed): identical
+    // rows to q_events_sessions under the SAME oracle, but the event-level
+    // window partitions by (user, 6 h time-slice) + a bucket-frame stitch
+    // pass — a hot user's history splits across tasks instead of landing on
+    // one (the sessionizer analog of AsOfJoin.backwardBucketed). 6 h ≫ the
+    // 1800 s gap, so most sessions stitch zero or one boundary.
+    "q_events_sessions_bucketed" -> ((s, dir) => {
+      EventOps.sessionStatsBucketed(Tables.events(s, dir), gapSec = 1800,
+          bucketSec = 21600L)
+        .select("user_id", "session_seq", "n_events", "start_es", "end_es",
+          "sum_value_micros", "duration_sec")
+        .orderBy("user_id", "session_seq")
+    }),
+
     // The shared four-leg replay's own reported line: alphabetically FIRST
     // among q_stream_* in the bench's sorted order, so it — not whichever
     // leg happens to sort first — pays the memoized concurrent replay
@@ -4217,6 +4231,23 @@ object SparkEntry {
       |   OR (end_es + 1800) * 1000 < wm.wm_ms
       |ORDER BY user_id, start_es""".stripMargin
       .replace("__SUMV__", sumMicrosSql("value"))
+  /** Shared by q_events_sessions and q_events_sessions_bucketed: the two
+    * engines' physical shapes (one window per user vs per (user, slice) +
+    * stitch) must land on the SAME logical sessionization.
+    */
+  private lazy val batchSessionsOracle: String =
+    """WITH e AS (SELECT user_id, event_id, value, ts,
+      |             cast(floor(epoch(ts)) as bigint) AS es FROM events),
+      |s AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+      |                     THEN 1 ELSE 0 END AS ns
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s2 AS (SELECT *, cast(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS UNBOUNDED PRECEDING) as bigint) AS session_seq FROM s)
+      |SELECT user_id, session_seq, count(*) AS n_events, min(es) AS start_es,
+      |  max(es) AS end_es, __SUMV__ AS sum_value_micros,
+      |  max(es) - min(es) AS duration_sec
+      |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      .replace("__SUMV__", sumMicrosSql("value"))
   private lazy val kmvOracle: String =
     """WITH h AS (SELECT DISTINCT event_type,
       |    list_reduce(list_transform(
@@ -5710,19 +5741,11 @@ object SparkEntry {
         |FROM inc i JOIN expo x ON i.i_s < x.x_e AND x.x_s < i.i_e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_events_sessions" ->
-      """WITH e AS (SELECT user_id, event_id, value, ts,
-        |             cast(floor(epoch(ts)) as bigint) AS es FROM events),
-        |s AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
-        |                     THEN 1 ELSE 0 END AS ns
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s2 AS (SELECT *, cast(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS UNBOUNDED PRECEDING) as bigint) AS session_seq FROM s)
-        |SELECT user_id, session_seq, count(*) AS n_events, min(es) AS start_es,
-        |  max(es) AS end_es, __SUMV__ AS sum_value_micros,
-        |  max(es) - min(es) AS duration_sec
-        |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-        .replace("__SUMV__", sumMicrosSql("value")),
+    "q_events_sessions" -> batchSessionsOracle,
+
+    // The bucketed sessionizer must be indistinguishable from the plain one
+    // at the logical level — same oracle, verbatim.
+    "q_events_sessions_bucketed" -> batchSessionsOracle,
 
     // event-closed sessions (the batch grid minus each user's last) PLUS
     // final sessions flushed by the event-time timeout: last + gap behind

@@ -93,4 +93,68 @@ object EventOps {
         max(epochSecNs(col("ts_ns"))).as("end_es"),
         sum(micros(col("value"))).as("sum_value_micros"))
       .withColumn("duration_sec", col("end_es") - col("start_es"))
+
+  /** Skew-safe sessionizer: row-identical to `sessionStats`, but the big
+    * event-level window partitions by `(user_id, es div bucketSec)` instead
+    * of the user alone — `sessionize`'s partitionBy(user_id) puts a hot
+    * user's ENTIRE history on one task, the same failure mode
+    * AsOfJoin.backwardBucketed closes for as-of joins, closed here with the
+    * same (key, time-slice) + carry construction.
+    *
+    * Pass 1 sessionizes WITHIN each (user, bucket) slice. Pass 2 stitches
+    * across slice boundaries on a bucket-level frame (one row per non-empty
+    * (user, bucket) — thousands of rows where the data had billions): a
+    * slice's first local session merges with the previous non-empty slice's
+    * last session iff the boundary gap `head_es − prev_tail_es ≤ gapSec`,
+    * and the per-user running sum of `local_sessions − merged` over STRICTLY
+    * EARLIER slices is the slice's global numbering offset — so
+    * `session_seq = offset + local_seq − merged` reproduces `sessionize`'s
+    * numbering exactly, including sessions chaining across 3+ slices (each
+    * merged slice contributes 0 net new sessions). The final per-session
+    * aggregate is an ordinary hash groupBy — min/max/count/integer-micros
+    * sums are associative, so sessions spanning slices aggregate exactly.
+    *
+    * Cost: the same single big exchange (now on (user, bucket)), plus a
+    * per-user window over the tiny bucket frame and a co-partitioned
+    * stitch join. Choose bucketSec so a hot user's rows per slice fit a
+    * task; GroupedRankSpec-style parity across widths (including degenerate
+    * ones) is pinned by EventSessionBucketedSpec.
+    */
+  def sessionStatsBucketed(df: DataFrame, gapSec: Int, bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, s"bucketSec=$bucketSec must be positive")
+    val esCol = epochSecNs(col("ts_ns"))
+    val base = df.withColumn("__es", esCol)
+      .withColumn("__bkt",
+        floor(col("__es").cast("decimal(38,0)") / lit(bucketSec)).cast("long"))
+    val wIn = Window.partitionBy(col("user_id"), col("__bkt"))
+      .orderBy(microsNs(col("ts_ns")), col("event_id"))
+    val local = base
+      .withColumn("__prev", lag(col("__es"), 1).over(wIn))
+      .withColumn("__brk",
+        when(col("__prev").isNull || (col("__es") - col("__prev")) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("__lseq",
+        sum(col("__brk")).over(wIn.rowsBetween(Window.unboundedPreceding, 0)))
+    val wB = Window.partitionBy("user_id").orderBy("__bkt")
+    val stitched = local.groupBy(col("user_id"), col("__bkt"))
+      .agg(min(col("__es")).as("__head"), max(col("__es")).as("__tail"),
+        max(col("__lseq")).as("__k"))
+      .withColumn("__ptail", lag(col("__tail"), 1).over(wB))
+      .withColumn("__m",
+        when(col("__ptail").isNotNull && (col("__head") - col("__ptail")) <= gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("__off", coalesce(
+        sum(col("__k") - col("__m")).over(wB.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    local.join(stitched.select("user_id", "__bkt", "__m", "__off"),
+        Seq("user_id", "__bkt"))
+      .withColumn("session_seq", col("__off") + col("__lseq") - col("__m"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("__es")).as("start_es"),
+        max(col("__es")).as("end_es"),
+        sum(micros(col("value"))).as("sum_value_micros"))
+      .withColumn("duration_sec", col("end_es") - col("start_es"))
+  }
 }

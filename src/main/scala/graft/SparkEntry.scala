@@ -3433,6 +3433,22 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Deterministic bottom-k-sample quantile sketch over the CONTINUOUS
+    // value column — the domain where profile_quantiles' exact histogram is
+    // wrong (|distinct| ≈ |rows|: the histogram IS the data). The k rows
+    // with smallest md5(row-key) hashes are a uniform sample (bounded state:
+    // k pairs per group, DKW error ε ≈ 0.1 at k = 256 independent of group
+    // size, spec-pinned); quantiles are the sample's order statistics at
+    // integer per-mille ranks, so the whole estimator replays bit-exactly in
+    // SQL. Below k rows the sample is the group and the answer exact —
+    // sf0.001's ~200-row types exercise that branch, sf0.01+ the sampled one.
+    "profile_quantiles_sketch" -> ((s, dir) => {
+      graft.functions.Sketches.quantileSketch(
+          Tables.events(s, dir), Seq("event_type"), col("value"),
+          rowKey = col("event_id"), k = 256)
+        .orderBy("event_type", "q_pm")
+    }),
+
     "profile_quantiles" -> ((s, dir) => {
       val h = Tables.documents(s, dir)
         .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
@@ -5275,6 +5291,31 @@ object SparkEntry {
         |  min(CASE WHEN s.cum >= ceil(0.99 * cast(t.n AS double)) THEN s.n_chars END) AS p99
         |FROM cum s JOIN tot t USING (source)
         |GROUP BY s.source, t.n ORDER BY 1""".stripMargin,
+
+    // The bottom-k-sample quantile sketch replayed literally: same 48-bit
+    // md5-prefix row hash (Horner fold), same k-smallest selection, same
+    // integer per-mille rank — exact compare of an approximate algorithm,
+    // like the KMV replay above.
+    "profile_quantiles_sketch" ->
+      """WITH h AS (SELECT event_type, value,
+        |    list_reduce(list_transform(
+        |      string_split(substring(md5(cast(event_id AS varchar)), 1, 12), ''),
+        |      x -> cast(strpos('0123456789abcdef', x) - 1 AS bigint)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM events WHERE value IS NOT NULL),
+        |sel AS (SELECT event_type, value, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv, value) AS rk
+        |  FROM h),
+        |ranked AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM sel WHERE rk <= 256),
+        |qs AS (SELECT unnest([100, 500, 900, 990]) AS q_pm)
+        |SELECT r.event_type, q.q_pm, cast(r.m as bigint) AS n_sample,
+        |  cast(floor(r.value * 1000000.0 + 0.5) as bigint) AS est_value_micros
+        |FROM ranked r JOIN qs q
+        |  ON r.rn = greatest(1, (cast(q.q_pm as bigint) * r.m + 999) // 1000)
+        |ORDER BY 1, 2""".stripMargin,
 
     "dedup_exact_groups" ->
       """SELECT md5(text) AS text_hash, count(*) AS n, min(doc_id) AS keep_id

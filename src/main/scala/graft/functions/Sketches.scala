@@ -92,6 +92,57 @@ object Sketches {
       .withColumn("__c", coalesce(col("__c"), lit(0L)))
       .groupBy(key).agg(min("__c").as("n_cms"))
 
+  /** Per-`group` quantile estimates of a CONTINUOUS `value` from a
+    * deterministic bottom-k ROW sample — the quantile analog of the KMV
+    * work, for the domain where the exact-histogram trick is wrong
+    * (|distinct values| ≈ |rows|, so the histogram IS the data).
+    *
+    * The k rows with the smallest 48-bit md5 hashes of `rowKey` (a
+    * row-unique key) are a uniform without-replacement sample of the group,
+    * chosen by value-independent coin flips — deterministic, mergeable
+    * ("union then keep k smallest", the same partial/final WindowGroupLimit
+    * prune kmvDistinct rides), and replayable bit-exactly in SQL. The
+    * q-quantile estimate is the sample's order statistic at rank
+    * `max(1, ceil(q·m))` (m = kept rows, integer per-mille math — no float
+    * rank arithmetic to diverge between engines); when the group holds ≤ k
+    * rows the sample is the group and the estimate is EXACT.
+    *
+    * Error bound (DKW inequality): P(any quantile's true rank off by more
+    * than ε·n) ≤ 2·exp(−2kε²) — k = 256 gives ε ≈ 0.1 at 98% confidence,
+    * INDEPENDENT of group size; SketchSpec pins the bound empirically.
+    * State per group is k (value, hash) pairs, ever.
+    *
+    * Output: (groupCols*, q_pm, n_sample, est_value_micros) — one row per
+    * group × requested per-mille quantile; the estimate is an actual sample
+    * value in exact integer micros (never an interpolation, so it survives
+    * every read path).
+    */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String], value: Column,
+                     rowKey: Column, k: Int = 256,
+                     qsPerMille: Seq[Int] = Seq(100, 500, 900, 990)): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(qsPerMille.nonEmpty && qsPerMille.forall(q => q >= 1 && q <= 1000),
+      s"per-mille quantiles must be in [1, 1000]: $qsPerMille")
+    val g = groupCols.map(col)
+    val hashed = df
+      .select(g :+ value.as("__v") :+ hash48(rowKey).as("__hv"): _*)
+      .filter(col("__hv").isNotNull && col("__v").isNotNull)
+    val sel = Window.partitionBy(g: _*).orderBy(col("__hv"), col("__v"))
+    val sample = hashed
+      .withColumn("__rk", row_number().over(sel)).filter(col("__rk") <= k)
+    val ranked = sample
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(g: _*).orderBy(col("__v"), col("__hv"))))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy(g: _*)))
+    ranked
+      .withColumn("q_pm", explode(array(qsPerMille.map(lit(_)): _*)))
+      .filter(col("__rn") ===
+        greatest(lit(1L), expr("(cast(q_pm as bigint) * __m + 999) div 1000")))
+      .select(g ++ Seq(col("q_pm"), col("__m").as("n_sample"),
+        floor(col("__v").cast("double") * lit(1000000.0) + lit(0.5))
+          .as("est_value_micros")): _*)
+  }
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
                   k: Int = 64): DataFrame = {
     require(k >= 2, s"k=$k: the bottom-k estimator needs k >= 2")

@@ -110,4 +110,61 @@ class SketchSpec extends AnyFunSuite {
       s"no map-side top-k prune — a billion-distinct group would ship its " +
         s"whole distinct set into one sort task:\n$p")
   }
+
+  // ---- quantileSketch ----
+
+  test("quantile sketch is EXACT when the group holds at most k rows") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("g", i.toLong, i / 100.0)).toDF("g", "rid", "v")
+    val got = Sketches.quantileSketch(df, Seq("g"), col("v"), col("rid"),
+        k = 256, qsPerMille = Seq(100, 500, 900, 990))
+      .orderBy("q_pm").collect()
+    // n = 100 ≤ k: est(q) = ceil(q·100)-th smallest = q·100/100.0 exactly
+    val want = Seq(100 -> 100000L, 500 -> 500000L, 900 -> 900000L, 990 -> 990000L)
+    assert(got.map(r => (r.getInt(1), r.getLong(3))).toSeq == want,
+      s"sub-k group must answer exactly: ${got.mkString(",")}")
+    assert(got.forall(_.getLong(2) == 100L), "n_sample must be the group size")
+  }
+
+  test("quantile sketch honors the DKW bound on a 20k-row continuous column") {
+    import spark.implicits._
+    // strictly increasing continuous values: true rank of value v is v·n
+    val n = 20000
+    val df = spark.range(n).select(lit("g").as("g"), col("id").as("rid"),
+      (col("id").cast("double") / n).as("v"))
+    val got = Sketches.quantileSketch(df, Seq("g"), col("v"), col("rid"), k = 256)
+      .collect().map(r => (r.getInt(1), r.getLong(3)))
+    // deterministic hashes → a fixed assertion, not a flaky one. DKW at
+    // k=256: ε = 0.1 with prob ≥ 98%; assert within 0.12 for slack.
+    got.foreach { case (qpm, estMicros) =>
+      val trueQ = qpm / 1000.0
+      val estQ = estMicros / 1.0e6 // value == its own quantile by construction
+      assert(math.abs(estQ - trueQ) < 0.12,
+        s"q=$qpm: estimate $estQ beyond the DKW ε for k=256")
+    }
+    assert(got.length == 4)
+  }
+
+  test("quantile sketch is invariant to input partitioning") {
+    import spark.implicits._
+    val df = spark.range(5000).select(lit("g").as("g"), col("id").as("rid"),
+      (col("id").cast("double") * 0.37).as("v"))
+    val a = Sketches.quantileSketch(df.repartition(3), Seq("g"), col("v"), col("rid"))
+      .orderBy("q_pm").collect().toSeq
+    val b = Sketches.quantileSketch(df.repartition(17), Seq("g"), col("v"), col("rid"))
+      .orderBy("q_pm").collect().toSeq
+    assert(a == b, s"$a != $b — the bottom-k row sample must be order-free")
+  }
+
+  test("quantile sketch selection pre-prunes map-side like the KMV path") {
+    import spark.implicits._
+    val df = spark.range(5000).select(
+      (col("id") % 3).cast("string").as("g"), col("id").as("rid"),
+      col("id").cast("double").as("v"))
+    val p = Sketches.quantileSketch(df, Seq("g"), col("v"), col("rid"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"no map-side sample prune — a huge group would ship every row into " +
+        s"one sort task:\n$p")
+  }
 }

@@ -48,6 +48,56 @@ object SkewJoin {
     rows.toSeq.map(_.get(0))
   }
 
+  /** Sampled heavy-key census for EXTREME key cardinality — the regime where
+    * `heavyKeys`' full census (one shuffle of |distinct keys| rows) stops
+    * being cheap because |distinct keys| ≈ |rows|. Rows whose 48-bit
+    * md5(rowKey) falls below `sampleRate`·2^48 form a deterministic uniform
+    * sample (value-independent coin flips — the same keyed-hash device as
+    * the sketches, so reruns and retries see the same sample); the census
+    * then runs over the sample alone, shuffling ~`sampleRate`·N rows
+    * regardless of key cardinality.
+    *
+    * The threshold is a SHARE, not an absolute count (at unknown scale a
+    * row threshold means nothing): returns keys holding at least
+    * `minShare`·`safety` of the SAMPLE's rows. Pigeonhole caps the
+    * candidates at 1/(minShare·safety) before any data is seen, so the
+    * driver collect is bounded by construction. `safety` < 1 guards false
+    * NEGATIVES — a key with true share ≥ minShare misses only if its sample
+    * share dips below minShare·safety, probability ≤ exp(−s·minShare·(1−safety)²/2)
+    * (Chernoff; s = sample rows — at s = 10⁴, f = 5%, safety = ½ that is
+    * e^−62). False positives are harmless: an extra heavy key only
+    * replicates a few more dim rows in `innerSalted`.
+    *
+    * Size `sampleRate` so s ≈ rate·N lands in 10⁴–10⁶: enough for the
+    * Chernoff bound, small enough that the census shuffle is noise.
+    */
+  def heavyKeysSampled(fact: DataFrame, key: String, rowKey: Column,
+                       minShare: Double, sampleRate: Double,
+                       safety: Double = 0.5, maxHeavy: Int = 1024): Seq[Any] = {
+    require(minShare > 0.0 && minShare <= 1.0, s"minShare=$minShare")
+    require(sampleRate > 0.0 && sampleRate <= 1.0, s"sampleRate=$sampleRate")
+    require(safety > 0.0 && safety <= 1.0, s"safety=$safety")
+    val bound = math.ceil(sampleRate * 281474976710656.0).toLong // 2^48
+    val census = fact
+      .filter(graft.functions.Sketches.hash48(rowKey) < bound)
+      .groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+      .persist() // two tiny reads (total + filter) of one sample-sized frame
+    try {
+      val total = census.agg(coalesce(sum("__cnt"), lit(0L)))
+        .first().getLong(0)
+      if (total == 0L) Seq.empty
+      else {
+        val cutoff = math.max(1L, math.ceil(total * minShare * safety).toLong)
+        val rows = census.filter(col("__cnt") >= cutoff)
+          .select(col(key)).take(maxHeavy + 1)
+        require(rows.length <= maxHeavy,
+          s"more than $maxHeavy sampled keys exceed share ${minShare * safety} " +
+            "— raise minShare (near-uniform keys do not need salting)")
+        rows.toSeq.map(_.get(0))
+      }
+    } finally census.unpersist()
+  }
+
   /** Inner equi-join `fact ⋈ dim` on `key` with heavy fact keys salted.
     *
     * `saltBy` must be a row-unique (or near-unique) fact column — the salt is

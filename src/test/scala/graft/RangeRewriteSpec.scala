@@ -70,4 +70,88 @@ class RangeRewriteSpec extends AnyFunSuite {
         naive.withColumn("k", col("pid") % 3).filter(col("k") === col("iid") % 3).count())
     }
   }
+
+  // ---- v2: more point types, outer joins ----
+
+  test("v2: INT point columns fire the rewrite, rows unchanged") {
+    import spark.implicits._
+    val pI = (0 until 2000).map(i => (i.toLong, (i * 13) % 5000)).toDF("pid", "t")
+    val ivI = Seq((1L, 0, 40), (2L, 95, 210), (3L, 400, 4000), (5L, 4990, 5200))
+      .toDF("iid", "s", "e")
+    val naiveI = pI.join(ivI, col("t") >= col("s") && col("t") < col("e"))
+    val expected = naiveI.select("pid", "iid").collect().toSet
+    withWidth(100L) {
+      val p = naiveI.queryExecution.executedPlan.toString
+      assert(p.contains("__binp") && !p.contains("BroadcastNestedLoopJoin"),
+        s"int-typed containment must fire the rewrite:\n$p")
+      assert(naiveI.select("pid", "iid").collect().toSet == expected,
+        "the int rewrite changed the row set")
+    }
+  }
+
+  test("v2: TIMESTAMP point columns fire with µs-exact bins, rows unchanged") {
+    import spark.implicits._
+    // sub-second bounds: a seconds-truncating normalization would merge
+    // them; micros must not
+    val pT = (0L until 3000L).map(i => (i, (i * 137) % 2000000L))
+      .toDF("pid", "us").select(col("pid"), timestamp_micros(col("us")).as("t"))
+    val ivT = Seq((1L, 0L, 400000L), (2L, 399999L, 400001L), (3L, 1500000L, 1900000L))
+      .toDF("iid", "s_us", "e_us")
+      .select(col("iid"), timestamp_micros(col("s_us")).as("s"),
+        timestamp_micros(col("e_us")).as("e"))
+    val naiveT = pT.join(ivT, col("t") >= col("s") && col("t") < col("e"))
+    val expected = naiveT.select("pid", "iid").collect().toSet
+    assert(expected.nonEmpty)
+    withWidth(500000L) { // 0.5 s bins, in MICROseconds
+      val p = naiveT.queryExecution.executedPlan.toString
+      assert(p.contains("__binp") && !p.contains("BroadcastNestedLoopJoin"),
+        s"timestamp containment must fire the rewrite:\n$p")
+      assert(naiveT.select("pid", "iid").collect().toSet == expected,
+        "the timestamp rewrite changed the row set")
+    }
+  }
+
+  test("v2: LEFT join with points preserved fires; unmatched points null-extend once") {
+    val naiveL = points.join(intervals,
+      col("t") >= col("s") && col("t") < col("e"), "left")
+    val expected = naiveL.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    withWidth(100L) {
+      val p = naiveL.queryExecution.executedPlan.toString
+      assert(p.contains("__binp"), s"left-outer containment must fire:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop survived:\n$p")
+      val got = naiveL.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == expected,
+        "left-outer rewrite changed the multiset (duplicate or lost null-extensions?)")
+    }
+  }
+
+  test("v2: LEFT join preserving the INTERVAL side must NOT fire (bin copies would duplicate)") {
+    val df = intervals.join(points,
+      col("t") >= col("s") && col("t") < col("e"), "left")
+    withWidth(100L) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("__binp"),
+        "a left join preserving the exploded side would null-extend once per bin copy")
+    }
+  }
+
+  test("v2: RIGHT join with points preserved fires and matches the naive rows") {
+    val naiveR = intervals.join(points,
+      col("t") >= col("s") && col("t") < col("e"), "right")
+    val expected = naiveR.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    withWidth(100L) {
+      val p = naiveR.queryExecution.executedPlan.toString
+      assert(p.contains("__binp"), s"right-outer containment must fire:\n$p")
+      val got = naiveR.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == expected, "right-outer rewrite changed the multiset")
+    }
+  }
 }

@@ -77,4 +77,42 @@ class SkewJoinSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("raise the"))
   }
+
+  test("sampled census finds exactly the exact census's heavy keys at 1/100 the shuffle") {
+    import spark.implicits._
+    // high-cardinality corpus: 500k rows, 30% on "whale", 10% on "shark",
+    // the rest on ~300k UNIQUE keys — the regime where the full census
+    // shuffles |distinct| ≈ |rows| and sampling is the point
+    val n = 500000
+    val fact = spark.range(n).select(col("id").as("row_id"),
+      when(col("id") % 10 < 3, lit("whale"))
+        .when(col("id") % 10 < 4, lit("shark"))
+        .otherwise(concat(lit("u"), col("id"))).as("k"))
+    val exact = SkewJoin.heavyKeys(fact, "k",
+      heavyThreshold = (0.05 * n).toLong).map(_.toString).toSet
+    val sampled = SkewJoin.heavyKeysSampled(fact, "k", col("row_id"),
+      minShare = 0.05, sampleRate = 0.01).map(_.toString).toSet
+    assert(exact == Set("whale", "shark"), s"exact census broke: $exact")
+    assert(sampled.contains("whale") && sampled.contains("shark"),
+      s"sampled census missed a true heavy key: $sampled")
+    // safety=0.5 admits keys down to ~2.5% sample share — no unique key
+    // (share 1/500k) can come close, so no false positives either
+    assert(sampled == exact, s"sampled census over-admitted: $sampled")
+  }
+
+  test("sampled census: pigeonhole candidate bound and empty-sample behavior") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a"), (2L, "b")).toDF("row_id", "k")
+    // a sample rate low enough to keep nothing → no heavy keys, no throw
+    assert(SkewJoin.heavyKeysSampled(tiny, "k", col("row_id"),
+      minShare = 0.5, sampleRate = 1e-12).isEmpty)
+    // near-uniform keys at a threshold everything passes → the guard trips
+    val uni = spark.range(1000).select(col("id").as("row_id"),
+      concat(lit("k"), col("id") % 40).as("k"))
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.heavyKeysSampled(uni, "k", col("row_id"),
+        minShare = 0.001, sampleRate = 1.0, maxHeavy = 8)
+    }
+    assert(e.getMessage.contains("raise minShare"))
+  }
 }

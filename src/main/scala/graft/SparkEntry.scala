@@ -229,6 +229,32 @@ object SparkEntry {
         expr("cast(if(ts_ns >= 0, ts_ns div 86400000000000, " +
           "-((-ts_ns + 86400000000000 - 1) div 86400000000000)) as int)")))
 
+  /** Z-ORDERED events artifact: rows range-partitioned and sorted by the
+    * Morton interleave of (user_id, hour-index) — Delta/Iceberg's OPTIMIZE
+    * ZORDER BY as a plain parquet layout choice. Every file (and row group)
+    * then spans a narrow min/max range on BOTH filter columns, so a
+    * selective predicate on either prunes at the parquet-statistics level;
+    * a single-column sort gives that to one column only. ZOrderSpec pins
+    * the locality property quantitatively; ZOrderScaleProbe measures the
+    * row-group-skipping win at 5M rows.
+    */
+  private def eventsZorderDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/eventszorder") {
+      val k = ArtifactIO.contentKey(s"$dir|zorder|v1",
+        new java.io.File(s"$dir/events.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_eventszorder_$k")
+      ArtifactIO.publishDir(out, valid = o => new java.io.File(o, "_SUCCESS").isFile) { staging =>
+        val hourNs = 3600L * 1000000000L
+        Tables.events(s, dir)
+          .withColumn("__z", graft.functions.ZOrder.morton2(
+            col("user_id"), expr(s"ts_ns div $hourNs")))
+          .repartitionByRange(8, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+          .write.mode("overwrite").parquet(staging.getAbsolutePath)
+      }
+    }
+
   private def eventsByDateDir(s: SparkSession, dir: String): String =
     GraftCache.memoAny(s"$dir/eventsbydate") {
       val k = ArtifactIO.contentKey(s"$dir|bydate|v2", // v2: floor-day arithmetic
@@ -1948,6 +1974,119 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           coalesce(sum("val_us"), lit(0L)).as("sm_value"))
         .orderBy("incident_id")
+    }),
+
+    // Rank-family window breadth: ntile/percent_rank/cume_dist over a
+    // total per-type order (ts, event_id — tie-free, so every rank is
+    // deterministic), folded to quartile rows. percent_rank and cume_dist
+    // are exact small rationals; the micros render makes their IEEE
+    // division bit-identical across engines. One window exchange, then an
+    // ordinary partial agg — nothing here needs more than Spark's built-in
+    // rank machinery, which is the point: the breadth is free.
+    "q_events_window_funcs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts_ns"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("value"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .groupBy("event_type", "quartile")
+        .agg(count(lit(1)).as("n"),
+          sum(micros(col("pr"))).as("sum_pr_us"),
+          sum(micros(col("cd"))).as("sum_cd_us"),
+          sum(micros(col("value"))).as("sum_value_micros"))
+        .orderBy("event_type", "quartile")
+    }),
+
+    // Z-order layout: the 2-D selective slice (a user range × a time range)
+    // served COLD from the Morton-clustered artifact — the layout, not a
+    // partition scheme, is what narrows every file's min/max on BOTH
+    // columns so parquet statistics prune row groups for either predicate.
+    // Row set provably identical to the raw table (clustering only moves
+    // rows); the oracle replays the slice over raw events.
+    "q_events_zorder" -> ((s, dir) => {
+      val t1 = 1704844800L * 1000000000L // 2024-01-10
+      val t2 = 1705276800L * 1000000000L // 2024-01-15
+      s.read.parquet(eventsZorderDir(s, dir))
+        .filter(col("user_id") < 8 && col("ts_ns") >= t1 && col("ts_ns") < t2)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(micros(col("value"))), lit(0L)).as("sum_value_micros"))
+        .orderBy("event_type")
+    }),
+
+    // The v2 OPTIMIZER-RULE path under the driver gate: the query writes
+    // the naive LEFT theta-join (`events LEFT JOIN incidents ON
+    // containment`) and RangeJoinRewrite — conf-scoped like q_bloom_join's
+    // runtime-filter confs — turns it into the bin equi-join with the
+    // un-exploded point side preserved, so unmatched events null-extend
+    // exactly once. Same eager materialization while the scoped conf holds;
+    // the oracle replays the plain LEFT inequality join.
+    "q_events_range_left" -> ((s, dir) => {
+      import graft.plans.RangeJoinRewrite
+      val winNs = 1800L * 1000000000L
+      val prev = s.conf.getOption(RangeJoinRewrite.ConfKey)
+      RangeJoinRewrite.install(s)
+      s.conf.set(RangeJoinRewrite.ConfKey, winNs.toString)
+      try {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts_ns"), col("event_type"))
+        val inc = Tables.events(s, dir)
+          .filter(col("event_type") === "error" && col("event_id") % 20 === 0)
+          .select(col("event_id").as("incident_id"),
+            col("ts_ns").as("start_ns"), (col("ts_ns") + winNs).as("end_ns"))
+        val res = GraftCache.track(
+          ev.join(inc,
+              col("ts_ns") >= col("start_ns") && col("ts_ns") < col("end_ns"),
+              "left")
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col("incident_id").isNotNull, 1L).otherwise(0L))
+                .as("n_in_incident"),
+              countDistinct("incident_id").as("n_incidents"))
+            .orderBy("event_type"))
+        res.count() // plan + execute NOW, while the rewrite conf holds
+        res
+      } finally prev match {
+        case Some(v) => s.conf.set(RangeJoinRewrite.ConfKey, v)
+        case None    => s.conf.unset(RangeJoinRewrite.ConfKey)
+      }
+    }),
+
+    // SCD2 (slowly-changing-dimension type 2) point-in-time enrichment —
+    // the batch-dim pattern every warehouse runs: each signup's value
+    // becomes the user's attribute valid [ts, next signup ts), built with
+    // ONE lead() window over the (tiny) change log; purchases then join
+    // point-in-time via the KEYED bin range join (keys = user_id), the
+    // physical alternative to the as-of union+window when the dim is a
+    // materialized validity table. The open tail stays NULL-ended logically
+    // (matches everything after the last change); the engine closes it at
+    // max(ts)+1 via a broadcast scalar frame only because the bin sequence
+    // needs a finite end — no point lies beyond max(ts), so the row set is
+    // unchanged, and the oracle keeps the NULL-ended form.
+    "q_events_scd2" -> ((s, dir) => {
+      val dayNs = 86400L * 1000000000L
+      val ev = Tables.events(s, dir)
+      val mx = ev.agg((max("ts_ns") + lit(1L)).as("__mx"))
+      val dim = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts_ns").as("valid_from"))
+        .agg(max(micros(col("value"))).as("attr_us"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("valid_from")))
+        .crossJoin(broadcast(mx))
+        .withColumn("valid_to", coalesce(col("valid_to"), col("__mx")))
+        .drop("__mx")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"), micros(col("value")).as("p_val_us"))
+      RangeJoin.pointInInterval(purchases, dim, "ts_ns",
+          "valid_from", "valid_to", binWidth = dayNs, keys = Seq("user_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum("attr_us").as("sum_attr_us"),
+          sum("p_val_us").as("sum_p_us"))
+        .orderBy("user_id")
     }),
 
     // Interval OVERLAP via the dedup-free bin join (RangeJoin
@@ -5764,6 +5903,64 @@ object SparkEntry {
          |  cast(coalesce(sum(${microsSql("e.value")}), 0) as bigint) AS sm_value
          |FROM inc i JOIN events e
          |  ON e.ts >= i.t0 AND e.ts < i.t0 + INTERVAL 1800 SECOND
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Standard-SQL rank family replays verbatim: both engines share ntile's
+    // remainder-to-early-buckets rule and the (rank−1)/(n−1), rank/n
+    // definitions; the tie-free order makes them deterministic.
+    "q_events_window_funcs" ->
+      s"""WITH r AS (SELECT event_type, value,
+         |    ntile(4) OVER w AS quartile,
+         |    percent_rank() OVER w AS pr,
+         |    cume_dist() OVER w AS cd
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+         |SELECT event_type, quartile, count(*) AS n,
+         |  ${sumMicrosSql("pr")} AS sum_pr_us,
+         |  ${sumMicrosSql("cd")} AS sum_cd_us,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Layout never changes rows: the z-ordered slice replays as the same
+    // slice over the raw table.
+    "q_events_zorder" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events
+         |WHERE user_id < 8 AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The rewrite-path LEFT containment join replays as the plain LEFT
+    // inequality join — the rule only reshapes the physical plan, and the
+    // preserved point side must null-extend exactly once per unmatched row.
+    "q_events_range_left" ->
+      """WITH inc AS (SELECT event_id AS incident_id, ts AS t0 FROM events
+        |  WHERE event_type = 'error' AND event_id % 20 = 0)
+        |SELECT e.event_type, count(*) AS n_rows,
+        |  cast(sum(CASE WHEN i.incident_id IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+        |    AS n_in_incident,
+        |  cast(count(DISTINCT i.incident_id) as bigint) AS n_incidents
+        |FROM events e LEFT JOIN inc i
+        |  ON e.ts >= i.t0 AND e.ts < i.t0 + INTERVAL 1800 SECOND
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SCD2 replay: the same one-window validity build, with the open tail
+    // kept NULL-ended (the engine's max(ts)+1 close admits exactly the same
+    // points — none lie beyond max(ts)).
+    "q_events_scd2" ->
+      s"""WITH sg AS (SELECT user_id, ts, max(${microsSql("value")}) AS attr_us
+         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+         |dim AS (SELECT user_id, ts AS vfrom,
+         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vto, attr_us
+         |  FROM sg),
+         |p AS (SELECT user_id, ts, ${microsSql("value")} AS p_val_us
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT p.user_id, count(*) AS n_purchases,
+         |  cast(sum(d.attr_us) as bigint) AS sum_attr_us,
+         |  cast(sum(p.p_val_us) as bigint) AS sum_p_us
+         |FROM p JOIN dim d ON p.user_id = d.user_id
+         |  AND p.ts >= d.vfrom AND (d.vto IS NULL OR p.ts < d.vto)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The bin-bucketed interval-overlap join replays as the plain overlap

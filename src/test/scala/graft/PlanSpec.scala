@@ -376,6 +376,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the 9-row day dim must broadcast")
   }
 
+  test("q_events_range_left: the naive LEFT theta-join fires the rewrite, no nested loop") {
+    val p = plan("q_events_range_left")
+    assert(p.contains("__binp"),
+      "the optimizer rule's bin key is missing — the left containment join " +
+        "ran as a nested loop over |events|·|incidents|")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested loop survived the rewrite:\n$p")
+  }
+
+  test("q_events_scd2: the point-in-time join is keyed on (user, bin), never a nested loop") {
+    val p = plan("q_events_scd2")
+    val hashJoin = p.linesIterator.find(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("__bin"))
+    assert(hashJoin.nonEmpty,
+      s"the validity join must hash-join on (user_id, __bin):\n$p")
+    assert(hashJoin.get.contains("user_id"), s"lost the user key: ${hashJoin.get}")
+    assert(!p.contains("CartesianProduct"), "SCD2 join degraded to a cartesian")
+    // the only nested loop allowed is the 1-row max(ts) scalar attach (a
+    // broadcast parameter frame, Cross by construction) — the containment
+    // join itself must never be one
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("Cross"),
+        s"a non-scalar nested loop crept into the SCD2 plan: $l")
+    }
+  }
+
   test("graph_bfs_reach's internal-edge mean is a bounded nano-sum — no collect_list buffer") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

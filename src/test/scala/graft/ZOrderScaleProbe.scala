@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.ZOrder
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures what the z-order layout is FOR: parquet row-group statistics
+  * pruning under 2-D selective predicates, at a scale where row groups are
+  * plural. Run: `Test/runMain graft.ZOrderScaleProbe [nRows]` (default
+  * 5,000,000; row groups forced small so the 5M-row file carries hundreds).
+  *
+  * Three layouts of the same table (user 0..2047 × time 0..2^20, uniform):
+  * unsorted (insert order), lexicographic (user, t) sort, and Morton
+  * z-order — then a user-slice predicate, a time-slice predicate, and the
+  * 2-D intersection, each counted 3× per layout. Expectation: the lex sort
+  * wins on its primary column and does nothing for the time slice; z-order
+  * prunes BOTH; unsorted prunes neither.
+  */
+object ZOrderScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // small row groups: the pruning unit must be plural at probe scale
+      .config("spark.hadoop.parquet.block.size", (1 << 20).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$tag%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+    }
+    def hashT(seed: String, m: Long) =
+      conv(substring(md5(concat(lit(seed), col("id"))), 1, 12), 16, 10)
+        .cast("long") % m
+
+    val base = spark.range(n).select(
+      hashT("u", 2048L).as("user_id"),
+      hashT("t", 1L << 20).as("t"),
+      col("id").as("payload"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_probe")
+      .toFile.getAbsolutePath
+    time("write unsorted") {
+      base.coalesce(8).write.parquet(s"$tmp/unsorted")
+    }
+    time("write lex (user, t)") {
+      base.repartitionByRange(8, col("user_id"), col("t"))
+        .sortWithinPartitions("user_id", "t").write.parquet(s"$tmp/lex")
+    }
+    time("write zorder") {
+      base.withColumn("__z", ZOrder.morton2(col("user_id"), col("t")))
+        .repartitionByRange(8, col("__z")).sortWithinPartitions("__z")
+        .drop("__z").write.parquet(s"$tmp/zorder")
+    }
+
+    val preds = Seq(
+      "user slice (1/64)" -> (col("user_id") >= 512L && col("user_id") < 544L),
+      "time slice (1/64)" -> (col("t") >= (1L << 14) * 20 && col("t") < (1L << 14) * 21),
+      "2-D slice (1/4096)" -> (col("user_id") >= 512L && col("user_id") < 544L &&
+        col("t") >= (1L << 14) * 20 && col("t") < (1L << 14) * 21))
+    for ((layout, path) <- Seq("unsorted" -> "unsorted", "lex" -> "lex",
+        "zorder" -> "zorder"); (ptag, pred) <- preds) {
+      var cnt = 0L
+      (1 to 3).foreach { p =>
+        time(s"$layout $ptag p$p") {
+          cnt = spark.read.parquet(s"$tmp/$path").filter(pred).count()
+        }
+      }
+      println(s"  -> $layout / $ptag rows: $cnt")
+    }
+    spark.stop()
+  }
+}

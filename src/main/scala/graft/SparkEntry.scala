@@ -235,8 +235,13 @@ object SparkEntry {
     * then spans a narrow min/max range on BOTH filter columns, so a
     * selective predicate on either prunes at the parquet-statistics level;
     * a single-column sort gives that to one column only. ZOrderSpec pins
-    * the locality property quantitatively; ZOrderScaleProbe measures the
-    * row-group-skipping win at 5M rows.
+    * the locality property quantitatively; ZOrderScaleProbe counts the
+    * row-group-skipping win at 5M rows. The fixture's VARYING bit widths
+    * are balanced here (user_id 11 bits vs ~10 varying hour bits — the
+    * hour index's constant high bits never affect the ordering); columns
+    * with skewed domains must normalize through ZOrder.zBucket first, or
+    * the wide column owns the code's high bits and the layout degenerates
+    * to a 1-D sort (the probe demonstrates that failure deliberately).
     */
   private def eventsZorderDir(s: SparkSession, dir: String): String =
     GraftCache.memoAny(s"$dir/eventszorder") {

@@ -34,8 +34,31 @@ object ZOrder {
   /** 64-bit Morton code of two non-negative ints/longs < 2^31 (x in the
     * even bits, y in the odd). Monotone in each coordinate along the curve's
     * axes, which is what keeps per-file min/max ranges tight on both.
+    *
+    * The inputs must occupy COMPARABLE bit widths: the curve alternates
+    * bits, so a 20-bit column interleaved with an 11-bit one contributes
+    * all of the code's high bits and the sort degenerates to a 1-D sort on
+    * the wide column (ZOrderScaleProbe demonstrates exactly this failure —
+    * user-slice pruning power collapses to zero). Normalize skewed domains
+    * through `zBucket` first; constant high bits (e.g. an epoch-hour index
+    * whose top bits never vary within the dataset) are harmless — identical
+    * across rows, they do not affect the ordering.
     */
   def morton2(x: Column, y: Column): Column =
     spreadBits(x.cast("long"))
       .bitwiseOR(shiftleft(spreadBits(y.cast("long")), 1))
+
+  /** Scale a non-negative column with known domain [0, maxExclusive) onto
+    * [0, 2^bits): `(c · 2^bits) div maxExclusive`, exact decimal arithmetic
+    * (codegen'd), monotone, endpoints tight. This is the per-column
+    * range-bucketing Delta's OPTIMIZE ZORDER applies before interleaving —
+    * it is what makes two columns of wildly different domains contribute
+    * bits at the same rate.
+    */
+  def zBucket(c: Column, maxExclusive: Long, bits: Int): Column = {
+    require(maxExclusive > 0, s"maxExclusive=$maxExclusive")
+    require(bits >= 1 && bits <= 31, s"bits=$bits")
+    floor(c.cast("decimal(38,0)") * lit(1L << bits) / lit(maxExclusive))
+      .cast("long")
+  }
 }

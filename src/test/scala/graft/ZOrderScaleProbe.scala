@@ -48,8 +48,16 @@ object ZOrderScaleProbe {
       base.repartitionByRange(8, col("user_id"), col("t"))
         .sortWithinPartitions("user_id", "t").write.parquet(s"$tmp/lex")
     }
-    time("write zorder") {
+    time("write zorder (raw, unbalanced)") {
+      // DELIBERATE pitfall demo: t has 20 bits to user's 11, so t's high
+      // bits own the code's high bits and the sort degenerates to ~1-D on t
       base.withColumn("__z", ZOrder.morton2(col("user_id"), col("t")))
+        .repartitionByRange(8, col("__z")).sortWithinPartitions("__z")
+        .drop("__z").write.parquet(s"$tmp/zorder_raw")
+    }
+    time("write zorder (zBucket-normalized)") {
+      base.withColumn("__z", ZOrder.morton2(col("user_id"),
+          ZOrder.zBucket(col("t"), 1L << 20, 11)))
         .repartitionByRange(8, col("__z")).sortWithinPartitions("__z")
         .drop("__z").write.parquet(s"$tmp/zorder")
     }
@@ -68,6 +76,45 @@ object ZOrderScaleProbe {
         }
       }
       println(s"  -> $layout / $ptag rows: $cnt")
+    }
+
+    // The DETERMINISTIC measure (wall clock at 5M × 3 columns is task-
+    // overhead-bound): per layout, how many row groups' footer min/max
+    // ranges survive each predicate — the exact unit parquet's statistics
+    // pruning skips. This is the number that scales to 100 TB.
+    import scala.jdk.CollectionConverters._
+    def rowGroups(path: String): Seq[(Long, Long, Long, Long)] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      new java.io.File(path).listFiles().toSeq
+        .filter(f => f.getName.endsWith(".parquet"))
+        .flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+            def mm(name: String): (Long, Long) = {
+              val s = b.getColumns.asScala
+                .find(_.getPath.toDotString == name).get.getStatistics
+              (s.genericGetMin.asInstanceOf[Number].longValue,
+                s.genericGetMax.asInstanceOf[Number].longValue)
+            }
+            val (ul, uh) = mm("user_id"); val (tl, th) = mm("t")
+            (ul, uh, tl, th)
+          } finally r.close()
+        }
+    }
+    val uLo = 512L; val uHi = 544L
+    val tLo = (1L << 14) * 20; val tHi = (1L << 14) * 21
+    for ((layout, path) <- Seq("unsorted" -> "unsorted", "lex" -> "lex",
+        "zorder_raw" -> "zorder_raw", "zorder" -> "zorder")) {
+      val rgs = rowGroups(s"$tmp/$path")
+      def surv(f: ((Long, Long, Long, Long)) => Boolean) = rgs.count(f)
+      val u = surv { case (ul, uh, _, _) => uh >= uLo && ul < uHi }
+      val t = surv { case (_, _, tl, th) => th >= tLo && tl < tHi }
+      val both = surv { case (ul, uh, tl, th) =>
+        uh >= uLo && ul < uHi && th >= tLo && tl < tHi }
+      println(f"$layout%-11s row groups: ${rgs.size}%4d total | " +
+        f"user slice survives $u%4d | time slice $t%4d | 2-D $both%4d")
     }
     spark.stop()
   }

@@ -3593,6 +3593,44 @@ object SparkEntry {
         .orderBy("event_type", "q_pm")
     }),
 
+    // Bloom filter AS DATA (Sketches.bloomBuild): the engine-portable
+    // complement to q_bloom_join's in-plan runtime filter — an m-bit
+    // membership filter materialized as (word, bits) rows you can persist
+    // next to the data and broadcast into any later job's semi-join
+    // reduction. Dim = every 5th user with an error event; probes = all
+    // users. The whole structure is md5-keyed integer bit math (63-bit
+    // words so no engine ever touches the sign bit), so the oracle rebuilds
+    // EVERY bit and both engines agree on the exact set-bit count, the
+    // candidate set, and the false-positive count (0 at sf0.01's n·d/m;
+    // ~9 of 1200 at sf0.1 — a real, replayed FP population). n_false_neg
+    // is structurally zero — a Bloom miss is proof of absence, which is
+    // what makes the pre-filter row-set-safe.
+    "profile_bloom" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.filter(col("event_type") === "error" && col("user_id") % 5 === 0)
+        .select("user_id").distinct()
+      val probes = ev.select("user_id").distinct()
+      val bloom = GraftCache.track(
+        graft.functions.Sketches.bloomBuild(dim, "user_id", mBits = 4096, d = 3))
+      val verdicts = graft.functions.Sketches
+        .bloomMightContain(bloom, probes, "user_id", mBits = 4096, d = 3)
+      val setBits = bloom.agg(
+        coalesce(sum(expr("bit_count(__bits)")), lit(0)).cast("long").as("n_set_bits"))
+      verdicts
+        .join(dim.withColumn("__m", lit(1L)), Seq("user_id"), "left")
+        .select(col("might_contain"), coalesce(col("__m"), lit(0L)).as("is_member"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum("is_member").as("n_members"),
+          sum("might_contain").as("n_might"),
+          sum(when(col("might_contain") === 1 && col("is_member") === 0, 1L)
+            .otherwise(0L)).as("n_false_pos"),
+          sum(when(col("might_contain") === 0 && col("is_member") === 1, 1L)
+            .otherwise(0L)).as("n_false_neg"))
+        .crossJoin(broadcast(setBits))
+        .select("n_probes", "n_members", "n_might", "n_false_pos",
+          "n_false_neg", "n_set_bits")
+    }),
+
     "profile_quantiles" -> ((s, dir) => {
       val h = Tables.documents(s, dir)
         .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
@@ -5420,6 +5458,43 @@ object SparkEntry {
 
     // The Aggregator path must land on the window path's exact numbers.
     "profile_distinct_kmv_agg" -> kmvOracle,
+
+    // Every Bloom bit rebuilt literally: same keyed md5-mod positions, same
+    // 63-bit words, same bit_or/bit_count/min-over-probes — an exact
+    // compare of the whole filter, its candidate set, and its
+    // false-positive population.
+    "profile_bloom" -> {
+      val pos = md5ModSql("cast(j AS varchar) || '#' || cast(user_id AS varchar)", 4096)
+      s"""WITH dim AS (SELECT DISTINCT user_id FROM events
+         |    WHERE event_type = 'error' AND user_id % 5 = 0),
+         |probes AS (SELECT DISTINCT user_id FROM events),
+         |js AS (SELECT * FROM (VALUES (0), (1), (2)) j(j)),
+         |dpos AS (SELECT DISTINCT $pos AS pos
+         |  FROM (SELECT user_id, j FROM dim, js) t(user_id, j)),
+         |bloom AS (SELECT pos // 63 AS word,
+         |    cast(bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) as bigint) AS bits
+         |  FROM dpos GROUP BY 1),
+         |ppos AS (SELECT user_id, j, $pos AS pos
+         |  FROM (SELECT user_id, j FROM probes, js) t(user_id, j)),
+         |hits AS (SELECT pp.user_id,
+         |    CASE WHEN (coalesce(b.bits, 0) &
+         |          (CAST(1 AS BIGINT) << CAST(pp.pos % 63 AS INT))) != 0
+         |      THEN 1 ELSE 0 END AS hit
+         |  FROM ppos pp LEFT JOIN bloom b ON b.word = pp.pos // 63),
+         |verd AS (SELECT user_id, min(hit) AS might FROM hits GROUP BY 1),
+         |sb AS (SELECT cast(coalesce(sum(bit_count(bits)), 0) as bigint) AS nsb
+         |  FROM bloom)
+         |SELECT cast(count(*) as bigint) AS n_probes,
+         |  cast(sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+         |    AS n_members,
+         |  cast(sum(v.might) as bigint) AS n_might,
+         |  cast(sum(CASE WHEN v.might = 1 AND d.user_id IS NULL THEN 1 ELSE 0 END)
+         |    as bigint) AS n_false_pos,
+         |  cast(sum(CASE WHEN v.might = 0 AND d.user_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    as bigint) AS n_false_neg,
+         |  (SELECT nsb FROM sb) AS n_set_bits
+         |FROM verd v LEFT JOIN dim d ON d.user_id = v.user_id""".stripMargin
+    },
 
     // Histogram-cumsum exact quantiles, quantile_disc semantics from first
     // principles (smallest value with cum ≥ ceil(p·n)) — no engine

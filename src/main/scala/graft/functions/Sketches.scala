@@ -92,6 +92,62 @@ object Sketches {
       .withColumn("__c", coalesce(col("__c"), lit(0L)))
       .groupBy(key).agg(min("__c").as("n_cms"))
 
+  /** Bloom filter AS DATA: an m-bit membership filter materialized as
+    * ≤ m/64 (word, bits) rows — persistable to parquet, broadcastable,
+    * mergeable by `bit_or` over word, and md5-keyed so a SQL oracle replays
+    * every bit. This is the engine-PORTABLE complement to
+    * InjectRuntimeFilter's in-plan Bloom (q_bloom_join): that one lives and
+    * dies inside a single query's physical plan; this one is a table — build
+    * it once from a dim's keys, persist it next to the data, and any later
+    * job (or any other engine) pre-filters its fact side before the real
+    * join. Semi-join reduction with the filter as a first-class artifact.
+    *
+    * d hash probes per key via the keyed md5-mod (positions j#key mod m).
+    * False-positive rate ≈ (1 − e^(−d·n/m))^d — size m ≈ 10·n bits for ~1%
+    * at d = 3. No false negatives, ever (spec-pinned): a miss is PROOF of
+    * absence, which is what makes the pre-filter row-set-safe — the exact
+    * join afterwards only removes false positives.
+    */
+  def bloomBuild(keys: DataFrame, key: String, mBits: Int = 4096,
+                 d: Int = 3): DataFrame = {
+    require(mBits >= 63, s"mBits=$mBits")
+    require(d >= 1, s"d=$d")
+    // 63 bits per word — the sign bit stays clear so every mask, word, and
+    // bit_count is identical in engines that error on 1<<63 (DuckDB) and
+    // engines that wrap it (the JVM). The format is ours; 1/64 of the
+    // packing density is the price of bit-exact portability.
+    keys
+      .select(explode(sequence(lit(0), lit(d - 1))).as("__j"), col(key))
+      .select(GraftCols.md5Mod(
+        concat(col("__j").cast("string"), lit("#"), col(key)), mBits).as("__pos"))
+      .distinct()
+      .select(expr("__pos div 63").as("__word"),
+        expr("shiftleft(cast(1 as bigint), cast(pmod(__pos, 63) as int))")
+          .as("__mask"))
+      .groupBy("__word").agg(expr("bit_or(__mask)").as("__bits"))
+  }
+
+  /** Membership verdicts for `probes`' DISTINCT keys against a bloomBuild
+    * filter (same key expression, m, d): (key, might_contain ∈ {0, 1}).
+    * The filter side broadcasts — ≤ m/64 rows by construction. A key is a
+    * candidate iff ALL d probed bits are set; absent words count as zero
+    * bits (the left join + coalesce, same discipline as cmsProbe).
+    */
+  def bloomMightContain(bloom: DataFrame, probes: DataFrame, key: String,
+                        mBits: Int = 4096, d: Int = 3): DataFrame =
+    probes.select(col(key)).distinct()
+      .select(col(key), explode(sequence(lit(0), lit(d - 1))).as("__j"))
+      .withColumn("__pos", GraftCols.md5Mod(
+        concat(col("__j").cast("string"), lit("#"), col(key)), mBits))
+      .withColumn("__word", expr("__pos div 63"))
+      .withColumn("__mask",
+        expr("shiftleft(cast(1 as bigint), cast(pmod(__pos, 63) as int))"))
+      .join(broadcast(bloom), Seq("__word"), "left")
+      .withColumn("__hit",
+        when(coalesce(col("__bits"), lit(0L)).bitwiseAND(col("__mask")) =!= 0L, 1L)
+          .otherwise(0L))
+      .groupBy(key).agg(min(col("__hit")).as("might_contain"))
+
   /** Per-`group` quantile estimates of a CONTINUOUS `value` from a
     * deterministic bottom-k ROW sample — the quantile analog of the KMV
     * work, for the domain where the exact-histogram trick is wrong

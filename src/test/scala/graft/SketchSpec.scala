@@ -111,6 +111,49 @@ class SketchSpec extends AnyFunSuite {
         s"whole distinct set into one sort task:\n$p")
   }
 
+  // ---- bloomBuild / bloomMightContain ----
+
+  test("bloom: NO false negatives ever; false positives bounded near theory") {
+    import spark.implicits._
+    val members = (0 until 300).map(i => s"m$i").toDF("k")
+    val outsiders = (0 until 3000).map(i => s"x$i").toDF("k")
+    val bloom = Sketches.bloomBuild(members, "k", mBits = 4096, d = 3)
+    val vm = Sketches.bloomMightContain(bloom, members, "k", 4096, 3)
+    assert(vm.filter(col("might_contain") =!= 1L).isEmpty,
+      "a member missed — a Bloom false negative is a correctness bug, not noise")
+    val fp = Sketches.bloomMightContain(bloom, outsiders, "k", 4096, 3)
+      .filter(col("might_contain") === 1L).count()
+    // theory: (1 − e^(−d·n/m))^d ≈ 0.0077 at n=300, m=4096, d=3 → ~23 of
+    // 3000; deterministic hashes make the bound a fixed assertion
+    assert(fp < 120, s"$fp false positives of 3000 — far beyond the FP model")
+  }
+
+  test("bloom words are invariant to input partitioning and never touch the sign bit") {
+    import spark.implicits._
+    val keys = spark.range(2000).select(concat(lit("k"), col("id")).as("k"))
+    val a = Sketches.bloomBuild(keys.repartition(3), "k").orderBy("__word")
+      .collect().toSeq
+    val b = Sketches.bloomBuild(keys.repartition(17), "k").orderBy("__word")
+      .collect().toSeq
+    assert(a == b, "bit_or merge must be partition-order-free")
+    assert(a.forall(_.getLong(1) >= 0L),
+      "a sign bit got set — the 63-bit word contract (DuckDB errors on 1<<63) broke")
+  }
+
+  test("bloom pre-filter + exact join is row-identical to the plain join") {
+    import spark.implicits._
+    val dim = (0 until 50).map(i => (s"u${i * 7}", i.toLong)).toDF("k", "attr")
+    val fact = (0 until 5000).map(i => (s"u$i", i.toLong)).toDF("k", "v")
+    val plain = fact.join(dim, "k").select("k", "v", "attr").collect().toSet
+    val candidates = Sketches.bloomMightContain(
+        Sketches.bloomBuild(dim.select("k"), "k"), fact.select("k"), "k")
+      .filter(col("might_contain") === 1L).select("k")
+    val reduced = fact.join(candidates, "k") // superset: FPs still present
+      .join(dim, "k").select("k", "v", "attr").collect().toSet
+    assert(reduced == plain,
+      "semi-join reduction changed the row set — the exact join must erase FPs")
+  }
+
   // ---- quantileSketch ----
 
   test("quantile sketch is EXACT when the group holds at most k rows") {

@@ -376,6 +376,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the 9-row day dim must broadcast")
   }
 
+  test("q_events_zorder: both 2-D predicates reach the clustered scan as pushed filters") {
+    val p = plan("q_events_zorder")
+    val scan = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("graft_eventszorder"))
+    assert(scan.nonEmpty, s"no z-ordered artifact scan in the plan:\n$p")
+    assert(scan.get.contains("LessThan(user_id,8"),
+      s"the user predicate must reach the scan (row-group pruning needs it): ${scan.get}")
+    assert(scan.get.contains("GreaterThanOrEqual(ts_ns"),
+      s"the time predicate must reach the scan: ${scan.get}")
+  }
+
+  test("q_events_interval_overlap: the overlap join is bin-keyed, never a nested loop") {
+    val p = plan("q_events_interval_overlap")
+    assert(p.contains("__bin"), "the overlap join lost its bin key")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval overlap degraded to a nested loop:\n$p")
+  }
+
   test("q_events_range_left: the naive LEFT theta-join fires the rewrite, no nested loop") {
     val p = plan("q_events_range_left")
     assert(p.contains("__binp"),

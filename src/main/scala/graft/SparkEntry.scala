@@ -2911,6 +2911,24 @@ object SparkEntry {
         .orderBy(col("rank_scaled").desc, col("vec_id")).limit(20)
     }),
 
+    // UNDIRECTED components via alternating large-star/small-star
+    // (KnnGraph.componentsUndirected) — the O(log² n)-round CC algorithm.
+    // `components`' min-label propagation pays one round per hop of graph
+    // DIAMETER: fine on the small-world kNN graph, unusable on a
+    // high-diameter one (CcScaleProbe: a 100k-node path closes in ~a dozen
+    // star rounds where propagation's 60-round cap trips at <0.1% done).
+    // Per-round state is the edge LIST — no per-node neighborhood buffer
+    // ever materializes (the hash-to-min algorithm's root cluster would be
+    // the whole component in one row: the collect_list trap again).
+    "graph_components_undirected" -> ((s, dir) => {
+      val nodes = Tables.embeddings(s, dir).select("vec_id")
+      val cc = KnnGraph.componentsUndirected(edges(s, dir).select("src", "dst"))
+      nodes.join(cc, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("comp"))
+        .groupBy("comp").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("comp")
+    }),
+
     "graph_bfs_reach" -> ((s, dir) => {
       import s.implicits._
       val emb   = Tables.embeddings(s, dir)
@@ -6648,6 +6666,28 @@ object SparkEntry {
            |SELECT vec_id, r AS rank_scaled FROM r3
            |ORDER BY r DESC, vec_id LIMIT 20""".stripMargin
     },
+
+    // Undirected CC replay: labels propagate from LOCAL MINIMA only (a node
+    // smaller than all its undirected neighbors) — the component min is a
+    // local min and reaches its whole component, and nothing else can beat
+    // it, so min-per-node over this restricted label set IS the component
+    // min while keeping the recursive CTE's pair count |V|·|local minima|,
+    // not |V|².
+    "graph_components_undirected" ->
+      (graphCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, ue AS (SELECT src AS u, dst AS v FROM edges
+          |    UNION SELECT dst AS u, src AS v FROM edges),
+          |lm AS (SELECT n.vec_id AS s FROM qc n WHERE NOT EXISTS (
+          |    SELECT 1 FROM ue WHERE ue.u = n.vec_id AND ue.v < n.vec_id)),
+          |reach(node, l) AS (
+          |    SELECT s, s FROM lm
+          |    UNION
+          |    SELECT ue.v, r.l FROM reach r JOIN ue ON ue.u = r.node),
+          |lbl AS (SELECT node AS vec_id, min(l) AS comp FROM reach GROUP BY 1)
+          |SELECT comp, cast(count(*) as bigint) AS n_nodes
+          |FROM (SELECT q.vec_id, coalesce(lbl.comp, q.vec_id) AS comp
+          |      FROM qc q LEFT JOIN lbl ON lbl.vec_id = q.vec_id)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "graph_bfs_reach" ->
       (graphCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +

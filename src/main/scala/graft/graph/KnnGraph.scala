@@ -184,6 +184,72 @@ object KnnGraph {
     labels
   }
 
+  /** UNDIRECTED connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    * O(log² n)-ROUND algorithm, vs `components`' min-label propagation whose
+    * round count is the graph DIAMETER. On the kNN graph (small-world,
+    * diameter ~log n) both are fine; on a high-diameter graph (a path, a
+    * lineage chain, a road network) label propagation needs one round per
+    * hop and never finishes at scale — CcScaleProbe shows the stars close a
+    * 100k-node path in ~a dozen rounds where propagation's cap trips.
+    *
+    * State per round is the EDGE LIST (rows, never a per-node buffer):
+    *   large-star: ∀u, ∀v ∈ N(u) with v > u → emit {v, min(N⁺(u))}
+    *   small-star: ∀u, m = min(N⁺(u)) → emit {v, m} ∀v ∈ N(u), v ≤ u; {u, m}
+    * alternated to the exact fixpoint (edge set unchanged), at which the
+    * edges form stars rooted at component minima. Labels: min(self,
+    * neighbors). Edges are treated as undirected regardless of input
+    * direction; CcSpec pins parity against a union-find ground truth on
+    * adversarial shapes (paths, cycles, stars, random graphs).
+    */
+  /** Rounds the last componentsUndirected call took to converge — probe
+    * introspection only (CcScaleProbe's round-count evidence), not API.
+    */
+  @volatile private[graft] var lastStarRounds: Int = -1
+
+  def componentsUndirected(edgesDf: DataFrame, maxIter: Int = 60): DataFrame = {
+    def canon(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      Seq(least(u, v).as("a"), greatest(u, v).as("b"))
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+    def mins(s: DataFrame): DataFrame =
+      s.groupBy("u").agg(min("v").as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+    var e = edgesDf
+      .select(canon(col("src").cast("long"), col("dst").cast("long")): _*)
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val sL = sym(e)
+      val ls = sL.join(mins(sL), "u").filter(col("v") > col("u"))
+        .select(canon(col("v"), col("m")): _*)
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      val sS = sym(ls)
+      val mS = mins(sS)
+      val ss = sS.join(mS, "u").filter(col("v") <= col("u"))
+        .select(canon(col("v"), col("m")): _*)
+        .union(mS.select(canon(col("u"), col("m")): _*))
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      // exact fixpoint: the canonical edge set is unchanged by a full round
+      done = ss.exceptAll(e).isEmpty && e.exceptAll(ss).isEmpty
+      e = ss
+      i += 1
+    }
+    require(done,
+      s"componentsUndirected hit maxIter=$maxIter without converging; raise the cap")
+    lastStarRounds = i
+    // stars: every non-root node carries exactly its root as the smaller
+    // endpoint; roots label themselves
+    val nodes = e.select(col("a").as("vec_id"))
+      .union(e.select(col("b").as("vec_id"))).distinct()
+    nodes.join(e.select(col("b").as("vec_id"), col("a").as("__root")),
+        Seq("vec_id"), "left")
+      .groupBy("vec_id")
+      .agg(coalesce(min(col("__root")), col("vec_id")).as("comp"))
+  }
+
   /** Bucket count of the persisted edge table. 32 matches the engine's
     * shuffle-partition count so a bucketed SMJ probe side exchanges into
     * exactly the bucket layout; at a real deployment both knobs scale

@@ -260,6 +260,36 @@ object SparkEntry {
       }
     }
 
+  /** SMB (sort-merge-bucket) join substrate: two per-user rollups written as
+    * BUCKETED, bucket-SORTED tables on the join key. Joining them is the
+    * zero-exchange, zero-sort join — both sides' layouts already satisfy the
+    * SortMergeJoin's distribution AND ordering requirements, so the join
+    * reads bucket files straight into the merge. At 100 TB this is the
+    * fact-fact join discipline: pay the layout once at write time, never
+    * shuffle either side again (the graph artifact already does this for
+    * one side; this is the both-sides form).
+    */
+  private def eventsSmbDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/eventssmb") {
+      val k = ArtifactIO.contentKey(s"$dir|smb|v1",
+        new java.io.File(s"$dir/events.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_eventssmb_$k")
+      ArtifactIO.publishDir(out, valid = o =>
+        new java.io.File(o, "purch/_SUCCESS").isFile &&
+          new java.io.File(o, "clicks/_SUCCESS").isFile) { staging =>
+        val ev = Tables.events(s, dir)
+        ArtifactIO.writeBucketed(
+          ev.filter(col("event_type") === "purchase")
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("n_p"), sum(micros(col("value"))).as("sum_p_us")),
+          s"${staging.getAbsolutePath}/purch", "user_id", KnnGraph.EdgeBuckets)
+        ArtifactIO.writeBucketed(
+          ev.filter(col("event_type") === "click")
+            .groupBy("user_id").agg(count(lit(1)).as("n_c")),
+          s"${staging.getAbsolutePath}/clicks", "user_id", KnnGraph.EdgeBuckets)
+      }
+    }
+
   private def eventsByDateDir(s: SparkSession, dir: String): String =
     GraftCache.memoAny(s"$dir/eventsbydate") {
       val k = ArtifactIO.contentKey(s"$dir|bydate|v2", // v2: floor-day arithmetic
@@ -1979,6 +2009,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           coalesce(sum("val_us"), lit(0L)).as("sm_value"))
         .orderBy("incident_id")
+    }),
+
+    // The SMB join (eventsSmbDir): both sides bucketed AND bucket-sorted on
+    // user_id, so the SortMergeJoin needs NO exchange and NO sort on either
+    // side — the scans' declared layouts already satisfy its distribution
+    // and ordering requirements (PlanSpec-gated). Broadcast is disabled in
+    // scope because at fixture scale the tiny dims would auto-broadcast and
+    // the demonstration would measure nothing; at the scale this join
+    // exists for, both sides are far over any broadcast threshold.
+    "q_events_smb_join" -> ((s, dir) => {
+      val smb = eventsSmbDir(s, dir)
+      val confs = Seq(
+        // force the merge join (tiny fixture dims would auto-broadcast)
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        // honor the buckets' SORTED BY: off by default since Spark 3
+        // because multi-file buckets would need a merge-sort read;
+        // writeBucketed guarantees ONE file per bucket, the case the
+        // ordering is sound for — this is what deletes the Sort nodes
+        "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val p = ArtifactIO.readBucketed(s, s"$smb/purch",
+          "user_id BIGINT, n_p BIGINT, sum_p_us BIGINT", "user_id", KnnGraph.EdgeBuckets)
+        val c = ArtifactIO.readBucketed(s, s"$smb/clicks",
+          "user_id BIGINT, n_c BIGINT", "user_id", KnnGraph.EdgeBuckets)
+        val res = GraftCache.track(
+          p.join(c, "user_id")
+            .select("user_id", "n_p", "sum_p_us", "n_c")
+            .orderBy("user_id"))
+        res.count() // plan + execute while the SMB regime holds
+        res
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
     }),
 
     // Rank-family window breadth: ntile/percent_rank/cume_dist over a
@@ -6002,6 +6068,17 @@ object SparkEntry {
          |FROM inc i JOIN events e
          |  ON e.ts >= i.t0 AND e.ts < i.t0 + INTERVAL 1800 SECOND
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The SMB join's rows are layout-independent: the oracle computes the
+    // same per-user rollups and joins them plainly.
+    "q_events_smb_join" ->
+      s"""WITH p AS (SELECT user_id, count(*) AS n_p,
+         |    ${sumMicrosSql("value")} AS sum_p_us
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |c AS (SELECT user_id, count(*) AS n_c
+         |  FROM events WHERE event_type = 'click' GROUP BY 1)
+         |SELECT p.user_id, p.n_p, p.sum_p_us, c.n_c
+         |FROM p JOIN c USING (user_id) ORDER BY 1""".stripMargin,
 
     // Standard-SQL rank family replays verbatim: both engines share ntile's
     // remainder-to-early-buckets rule and the (rank−1)/(n−1), rank/n

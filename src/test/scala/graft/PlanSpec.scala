@@ -376,6 +376,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the 9-row day dim must broadcast")
   }
 
+  test("q_events_smb_join: zero-exchange, zero-sort merge join over bucket-sorted scans") {
+    val p = plan("q_events_smb_join")
+    assert(p.contains("SortMergeJoin"), "the SMB join lost its merge join")
+    assert(p.contains("Bucketed: true"), "a side lost its bucketed scan")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"an exchange crept under the SMB join — the bucket layout must satisfy " +
+        s"the join's distribution:\n$p")
+    // per-partition sorts render as "Sort [...], false, 0"; the only sort
+    // allowed is the final global orderBy ("true, 0" over rangepartitioning)
+    val partSorts = p.linesIterator.count(l => l.contains("Sort [") && l.contains(", false, 0"))
+    assert(partSorts == 0,
+      s"$partSorts per-partition sorts crept in — the buckets' SORTED BY must feed " +
+        s"the merge directly:\n$p")
+  }
+
   test("q_events_zorder: both 2-D predicates reach the clustered scan as pushed filters") {
     val p = plan("q_events_zorder")
     val scan = p.linesIterator.find(l =>

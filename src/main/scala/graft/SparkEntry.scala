@@ -2351,6 +2351,60 @@ object SparkEntry {
       res
     }),
 
+    // Streaming MERGE (upsert) into a day-partitioned parquet lake table via
+    // foreachBatch — the OTHER stream-to-lake path (q_stream_sink is
+    // append-only; this one is keyed). Each micro-batch: read back ONLY the
+    // day partitions the batch touches, union, keep the latest state per
+    // event_id, and rewrite exactly those partitions under
+    // partitionOverwriteMode=dynamic. The source re-delivers every event
+    // (duplicate delivery) and the 4-file replay splits days ACROSS
+    // micro-batches, so both upsert hazards are exercised: same-key
+    // duplicates must collapse and a later batch must not clobber an
+    // earlier batch's rows in a shared day. The merged frame is persisted
+    // and counted BEFORE the overwrite touches the files it was read from —
+    // plain parquet has no snapshot isolation (the gap Delta/Iceberg's
+    // commit protocols close; this is the honest no-table-format form).
+    // Upsert correctness means the final table IS the distinct event set —
+    // the oracle is the raw-table rollup.
+    "q_stream_upsert" -> ((s, dir) => {
+      val n = streamSinkSeq.incrementAndGet()
+      val base = replayCkptBase(n)
+      val target = new java.io.File(base, "upsert").getAbsolutePath
+      val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        withStreamShufflePartitions(s, 4) {
+          val dayIdx = expr("cast(if(ts_ns >= 0, ts_ns div 86400000000000, " +
+            "-((-ts_ns + 86400000000000 - 1) div 86400000000000)) as int)")
+          val src = graft.streaming.StreamOps.eventsStreamBatched(s, dir)
+            .withColumn("__dup", explode(array(lit(0), lit(1)))).drop("__dup")
+            .select(col("event_id"), col("ts_ns"),
+              date_add(lit("1970-01-01").cast("date"), dayIdx).as("day"),
+              col("event_type"), micros(col("value")).as("us"))
+          val q = src.writeStream
+            .foreachBatch(graft.streaming.StreamOps.upsertBatch(target) _)
+            .option("checkpointLocation",
+              new java.io.File(base, "upsertckpt").getAbsolutePath)
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        }
+      } finally prevMode match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      GraftCache.onClear(() => rmTree(base))
+      val res = GraftCache.track(
+        s.read.option("basePath", target).parquet(target)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n"), sum("us").as("sum_value_micros"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("sum_value_micros"))
+          .orderBy("day"))
+      res.count() // materialize before the target dir can be cleared
+      res
+    }),
+
     // Stream-stream interval join (the fifth replay leg): the sink holds the
     // raw (click, purchase) pairs; the registered result aggregates them per
     // user. The oracle replays the pair set as the plain batch interval join
@@ -5941,6 +5995,13 @@ object SparkEntry {
 
     // A correct streaming ingest lands exactly the raw table.
     "q_stream_sink" ->
+      s"""SELECT strftime(cast(ts AS date), '%Y-%m-%d') AS day,
+         |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Upsert correctness: duplicates collapsed, shared-day batches merged,
+    // nothing lost — the final table is exactly the distinct event set.
+    "q_stream_upsert" ->
       s"""SELECT strftime(cast(ts AS date), '%Y-%m-%d') AS day,
          |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

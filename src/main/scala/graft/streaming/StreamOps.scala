@@ -60,6 +60,54 @@ object StreamOps {
   def multiBatchDir(spark: SparkSession, dir: String, nFiles: Int = 4): String =
     multiBatchTableDir(spark, dir, "events", Seq("ts", "event_id"), nFiles)
 
+  /** foreachBatch body for a keyed MERGE (upsert) into a day-partitioned
+    * parquet table at `target` — schema (event_id, ts_ns, day DATE,
+    * event_type, us). Per batch: read back ONLY the day partitions the
+    * batch touches, union, keep the LATEST state per event_id (max by
+    * (ts_ns, day, event_type, us) — total and deterministic), rewrite
+    * exactly those partitions. REQUIRES the session conf
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` for the duration
+    * (the caller scopes it): static mode would truncate untouched days.
+    *
+    * The merged frame is persisted and counted BEFORE the overwrite touches
+    * the files it was read from — plain parquet has no snapshot isolation
+    * (the gap Delta/Iceberg commit protocols close); the pin is the honest
+    * no-table-format substitute. UpsertSpec drives conflicting-key and
+    * shared-day batches through this directly.
+    */
+  def upsertBatch(target: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val ss = batch.sparkSession
+    require(ss.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        .exists(_.equalsIgnoreCase("dynamic")),
+      "upsertBatch needs partitionOverwriteMode=dynamic in scope")
+    val cols = Seq("event_id", "ts_ns", "day", "event_type", "us")
+    val days = batch.select("day").distinct()
+    val tDir = new java.io.File(target)
+    val hasData = tDir.isDirectory && {
+      val fs = tDir.listFiles(); fs != null && fs.exists(_.getName.startsWith("day="))
+    }
+    val touched =
+      if (hasData)
+        ss.read.option("basePath", target).parquet(target)
+          .join(broadcast(days), "day")
+          .select(cols.map(col): _*)
+      else batch.select(cols.map(col): _*).limit(0)
+    val merged = batch.select(cols.map(col): _*)
+      .unionByName(touched)
+      .groupBy("event_id")
+      .agg(max(struct(col("ts_ns"), col("day"), col("event_type"), col("us")))
+        .as("__r"))
+      .select(col("event_id"), col("__r.ts_ns").as("ts_ns"),
+        col("__r.day").as("day"), col("__r.event_type").as("event_type"),
+        col("__r.us").as("us"))
+      .persist()
+    merged.count() // pin before overwriting the files it reads
+    merged.write.mode("overwrite").partitionBy("day").parquet(target)
+    merged.unpersist()
+    ()
+  }
+
   /** General form of the replay builder: split ANY fixture table into
     * `nFiles` parquet files contiguous in `orderCols` with strictly
     * increasing modification times. `events` replays in event time;

@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The foreachBatch MERGE's hazards, driven batch by batch with CONFLICTING
+  * keys (the fixture replay's duplicates are identical, so the update path
+  * needs its own gate): a later batch must update keys it shares with the
+  * table, preserve the rest of a shared day, insert new days, and leave
+  * untouched days' FILES alone (dynamic overwrite, not truncate-and-write).
+  */
+class UpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def row(id: Long, ts: Long, day: String, t: String, us: Long) =
+    (id, ts, java.sql.Date.valueOf(day), t, us)
+
+  private def df(rows: Seq[(Long, Long, java.sql.Date, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts_ns", "day", "event_type", "us")
+  }
+
+  test("update, preserve, insert, and file-identity across three batches") {
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_upsert_spec").toFile.getAbsolutePath
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val up = StreamOps.upsertBatch(target) _
+      up(df(Seq(
+        row(1, 100, "2024-01-01", "click", 10),
+        row(2, 110, "2024-01-01", "view", 20),
+        row(3, 120, "2024-01-02", "click", 30))), 0)
+      // batch 2: UPDATE key 1 (later ts, new value), INSERT key 4 same day,
+      // key 2 untouched but in a touched day, day 2024-01-02 untouched
+      val day2Files = new java.io.File(s"$target/day=2024-01-02")
+        .listFiles().map(f => (f.getName, f.lastModified())).toSet
+      up(df(Seq(
+        row(1, 200, "2024-01-01", "click", 99),
+        row(4, 130, "2024-01-01", "view", 40))), 1)
+      // batch 3: new day only
+      up(df(Seq(row(5, 140, "2024-01-03", "error", 50))), 2)
+
+      val got = spark.read.option("basePath", target).parquet(target)
+        .select("event_id", "ts_ns", "us").orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq((1L, 200L, 99L), (2L, 110L, 20L), (3L, 120L, 30L),
+        (4L, 130L, 40L), (5L, 140L, 50L)),
+        s"merge semantics broke: $got")
+      // dynamic overwrite: the untouched day's files were never rewritten
+      val day2After = new java.io.File(s"$target/day=2024-01-02")
+        .listFiles().map(f => (f.getName, f.lastModified())).toSet
+      assert(day2After == day2Files,
+        "an untouched day partition was rewritten — static-overwrite semantics leaked in")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  test("upsertBatch refuses to run outside the dynamic-overwrite scope") {
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_upsert_spec2").toFile.getAbsolutePath
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        StreamOps.upsertBatch(target)(
+          df(Seq(row(1, 100, "2024-01-01", "click", 10))), 0)
+      }
+      assert(e.getMessage.contains("dynamic"))
+    } finally prev.foreach(v =>
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+  }
+}

@@ -219,22 +219,40 @@ object KnnGraph {
     var e = edgesDf
       .select(canon(col("src").cast("long"), col("dst").cast("long")): _*)
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    // per-round convergence probe: one scalar aggregate (count + two exact
+    // decimal sums + a keyed mix) instead of two exceptAll passes — the
+    // EXACT set compare runs only when the cheap signature repeats, i.e.
+    // normally once, on the converged round
+    def sig(df: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val zero = java.math.BigDecimal.ZERO
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(col("a").cast("decimal(38,0)")), lit(zero)),
+        coalesce(sum((col("a") * lit(1000003L) + col("b")).cast("decimal(38,0)")),
+          lit(zero))).head()
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+    }
+    var cur = sig(e)
     var i = 0
     var done = false
     while (!done && i < maxIter) {
       val sL = sym(e)
+      // ls is consumed twice inside the same round (mins + join) but the
+      // round's OUTPUT (ss) is checkpointed, so lineage depth stays one
+      // round either way — no checkpoint here, one less materialization
       val ls = sL.join(mins(sL), "u").filter(col("v") > col("u"))
         .select(canon(col("v"), col("m")): _*)
-        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+        .filter(col("a") =!= col("b")).distinct()
       val sS = sym(ls)
       val mS = mins(sS)
       val ss = sS.join(mS, "u").filter(col("v") <= col("u"))
         .select(canon(col("v"), col("m")): _*)
         .union(mS.select(canon(col("u"), col("m")): _*))
         .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      val ns = sig(ss)
       // exact fixpoint: the canonical edge set is unchanged by a full round
-      done = ss.exceptAll(e).isEmpty && e.exceptAll(ss).isEmpty
+      done = ns == cur && ss.exceptAll(e).isEmpty && e.exceptAll(ss).isEmpty
       e = ss
+      cur = ns
       i += 1
     }
     require(done,

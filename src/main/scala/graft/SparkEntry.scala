@@ -290,6 +290,29 @@ object SparkEntry {
       }
     }
 
+  /** TableLog demo table: version 1 = events before the incremental cut
+    * day, version 2 = the full table (a non-overlapping append). Built once
+    * per fixture content under ArtifactIO's staged-publish discipline so
+    * concurrent builders can't double-commit.
+    */
+  private def eventsTimetravelDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/eventstt") {
+      val k = ArtifactIO.contentKey(s"$dir|timetravel|v1",
+        new java.io.File(s"$dir/events.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_eventstt_$k")
+      ArtifactIO.publishDir(out,
+        valid = o => graft.sources.TableLog.headVersion(o.getAbsolutePath) == 2) { staging =>
+        val cut = lit(IncrCutDay).cast("date")
+        val withDay = eventsWithDay(s, dir)
+          .select(col("event_id"), col("ts_ns"), col("event_type"),
+            micros(col("value")).as("us"), col("day"))
+        graft.sources.TableLog.overwrite(
+          withDay.filter(col("day") < cut), staging.getAbsolutePath)
+        graft.sources.TableLog.append(
+          withDay.filter(col("day") >= cut), staging.getAbsolutePath)
+      }
+    }
+
   private def eventsByDateDir(s: SparkSession, dir: String): String =
     GraftCache.memoAny(s"$dir/eventsbydate") {
       val k = ArtifactIO.contentKey(s"$dir|bydate|v2", // v2: floor-day arithmetic
@@ -2009,6 +2032,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           coalesce(sum("val_us"), lit(0L)).as("sm_value"))
         .orderBy("incident_id")
+    }),
+
+    // Time travel over the manifest-log table (sources.TableLog): version 1
+    // holds the bootstrap days, version 2 the full table; BOTH versions are
+    // read back and summarized in one result. Data files are immutable and
+    // commits only ever add manifests, so every historical version stays
+    // exactly reproducible — the snapshot-isolation/time-travel pair plain
+    // parquet overwrites can't give (TableLogSpec pins isolation under
+    // racing commits; this query pins version-content correctness under
+    // the driver's oracle).
+    "q_events_timetravel" -> ((s, dir) => {
+      val table = eventsTimetravelDir(s, dir)
+      Seq(1, 2).map { v =>
+        graft.sources.TableLog.read(s, table, Some(v))
+          .agg(count(lit(1)).as("n_events"),
+            coalesce(sum("us"), lit(0L)).as("sum_value_micros"),
+            countDistinct("day").as("n_days"))
+          .select(lit(v).as("version"), col("n_events"),
+            col("sum_value_micros"), col("n_days"))
+      }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
     // The SMB join (eventsSmbDir): both sides bucketed AND bucket-sorted on
@@ -6129,6 +6172,20 @@ object SparkEntry {
          |FROM inc i JOIN events e
          |  ON e.ts >= i.t0 AND e.ts < i.t0 + INTERVAL 1800 SECOND
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Version 1 is the pre-cut subset, version 2 the whole table — both
+    // reproducible from raw events with/without the cut filter.
+    "q_events_timetravel" ->
+      s"""SELECT 1 AS version, count(*) AS n_events,
+         |  ${sumMicrosSql("value")} AS sum_value_micros,
+         |  count(DISTINCT cast(ts AS date)) AS n_days
+         |FROM events WHERE cast(ts AS date) < DATE '2024-01-20'
+         |UNION ALL
+         |SELECT 2 AS version, count(*) AS n_events,
+         |  ${sumMicrosSql("value")} AS sum_value_micros,
+         |  count(DISTINCT cast(ts AS date)) AS n_days
+         |FROM events
+         |ORDER BY version""".stripMargin,
 
     // The SMB join's rows are layout-independent: the oracle computes the
     // same per-user rollups and joins them plainly.

@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.nio.file.{Files, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal manifest-log table format: SNAPSHOT ISOLATION and TIME TRAVEL
+  * over plain parquet — the two properties raw `mode("overwrite")` paths
+  * lack (and the reason Delta/Iceberg exist; StreamOps.upsertBatch documents
+  * exactly this gap and works around it with a persist pin).
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     data/c<version>-<pid>-<uuid>/part-*.parquet   — IMMUTABLE, never edited
+  *     _log/v00001.json, v00002.json, …              — one manifest per commit
+  * }}}
+  * A manifest is the COMPLETE list of live data directories at that version.
+  * Commits never mutate data files — a commit writes new data dirs, derives
+  * the next manifest from the previous one (keep + add − drop), and
+  * publishes it ATOMICALLY AND EXCLUSIVELY to the next version number via a
+  * hard link (POSIX rename would silently replace a racing winner's
+  * manifest). A taken version fails the publish, so racing writers
+  * serialize by retrying against the refreshed head: optimistic
+  * concurrency, no lost updates (TableLogSpec races 8 appenders and counts
+  * 8 surviving commits).
+  *
+  * Readers resolve ONE manifest (head or a pinned `version`) and read only
+  * the files it lists — a reader is immune to any commit that lands
+  * mid-query, and any historical version stays exactly reproducible until
+  * compaction/vacuum (not implemented: retention policy is a deployment
+  * decision; nothing here ever deletes).
+  *
+  * What this deliberately leaves out (and where the real formats earn their
+  * complexity): column stats/data skipping in the manifest, schema
+  * evolution, and multi-table transactions.
+  */
+object TableLog {
+
+  private def logDir(table: String)  = new java.io.File(table, "_log")
+  private def dataDir(table: String) = new java.io.File(table, "data")
+
+  private def manifestFile(table: String, v: Int) =
+    new java.io.File(logDir(table), f"v$v%05d.json")
+
+  /** Highest committed version, 0 if none. */
+  def headVersion(table: String): Int = {
+    val fs = logDir(table).listFiles()
+    if (fs == null) 0
+    else fs.iterator.flatMap(f =>
+      """^v(\d{5})\.json$""".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .foldLeft(0)(math.max)
+  }
+
+  /** Live data directories (relative to the table root) at `version`. */
+  def manifest(table: String, version: Int): Seq[String] = {
+    require(version >= 1, s"version=$version")
+    val f = manifestFile(table, version)
+    require(f.isFile, s"no committed version $version at $table")
+    val s = new String(Files.readAllBytes(f.toPath), "UTF-8")
+    """"([^"]+)"""".r.findAllMatchIn(s).map(_.group(1)).toSeq
+  }
+
+  /** Write `df` as a new immutable data directory; returns its relative
+    * path. Not yet visible — only a committed manifest exposes it.
+    */
+  private def writeData(df: DataFrame, table: String, version: Int): String = {
+    val rel = s"data/c$version-${ProcessHandle.current().pid()}-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    df.write.parquet(new java.io.File(table, rel).getAbsolutePath)
+    rel
+  }
+
+  /** Publish `files` as the next version after `base`. Returns the committed
+    * version, or -1 if another writer took it first (caller retries with a
+    * refreshed head — the data dir written for the attempt stays orphaned
+    * and invisible, exactly like a failed Delta commit's files).
+    */
+  private def tryCommit(table: String, base: Int, files: Seq[String]): Int = {
+    logDir(table).mkdirs()
+    val v = base + 1
+    val body = files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    val tmp = new java.io.File(logDir(table),
+      s".tmp-${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID.toString.take(8)}")
+    Files.write(tmp.toPath, body.getBytes("UTF-8"))
+    // Publication must be atomic AND exclusive. A rename (ATOMIC_MOVE) is
+    // atomic but POSIX rename() silently REPLACES an existing target — two
+    // racing committers would both "win" v and one manifest would vanish
+    // (last-writer-wins, the lost update this log exists to prevent;
+    // TableLogSpec's racing-appenders test catches exactly that). A hard
+    // LINK is the atomic no-overwrite publish: the content is already
+    // complete in tmp, and createLink fails with EEXIST if v was taken.
+    try {
+      Files.createLink(manifestFile(table, v).toPath, tmp.toPath)
+      v
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.FileSystemException => -1
+    } finally Files.deleteIfExists(tmp.toPath)
+  }
+
+  /** Commit `df` against the head via optimistic retry. `keep` filters the
+    * previous manifest's entries into the next one (identity = append;
+    * `_ => false` = full overwrite).
+    */
+  private def commit(df: DataFrame, table: String,
+                     keep: String => Boolean): Int = {
+    var v = -1
+    while (v < 0) {
+      val base = headVersion(table)
+      val prev = if (base == 0) Seq.empty else manifest(table, base)
+      val add = writeData(df, table, base + 1)
+      v = tryCommit(table, base, prev.filter(keep) :+ add)
+    }
+    v
+  }
+
+  /** Full overwrite: the new version holds only `df`. */
+  def overwrite(df: DataFrame, table: String): Int = commit(df, table, _ => false)
+
+  /** Append: the new version holds everything the head held, plus `df`. */
+  def append(df: DataFrame, table: String): Int = commit(df, table, _ => true)
+
+  /** Read `version` (default: head). The manifest is resolved HERE, once —
+    * the returned frame keeps reading these exact files whatever commits
+    * land afterwards.
+    */
+  def read(spark: SparkSession, table: String,
+           version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(headVersion(table))
+    require(v >= 1, s"$table has no committed version")
+    val dirs = manifest(table, v)
+      .map(rel => new java.io.File(table, rel).getAbsolutePath)
+    spark.read.parquet(dirs: _*)
+  }
+}

@@ -2448,6 +2448,46 @@ object SparkEntry {
       res
     }),
 
+    // The SAME streaming MERGE through the manifest log
+    // (StreamOps.upsertBatchLog + sources.TableLog.overwritePartitions —
+    // Delta's replaceWhere shape): immutable data dirs + a manifest swap per
+    // micro-batch, so the read-merge-replace loop needs NO persist pin and
+    // NO overwrite-mode conf, and every batch's commit stays a readable
+    // VERSION (the upsert's whole history is time-travelable; UpsertSpec
+    // reads the intermediate states back). Same merge semantics, same
+    // oracle as q_events... as q_stream_upsert.
+    "q_stream_upsert_log" -> ((s, dir) => {
+      val n = streamSinkSeq.incrementAndGet()
+      val base = replayCkptBase(n)
+      val table = new java.io.File(base, "upsertlog").getAbsolutePath
+      withStreamShufflePartitions(s, 4) {
+        val dayIdx = expr("cast(if(ts_ns >= 0, ts_ns div 86400000000000, " +
+          "-((-ts_ns + 86400000000000 - 1) div 86400000000000)) as int)")
+        val src = graft.streaming.StreamOps.eventsStreamBatched(s, dir)
+          .withColumn("__dup", explode(array(lit(0), lit(1)))).drop("__dup")
+          .select(col("event_id"), col("ts_ns"),
+            date_add(lit("1970-01-01").cast("date"), dayIdx).as("day"),
+            col("event_type"), micros(col("value")).as("us"))
+        val q = src.writeStream
+          .foreachBatch(graft.streaming.StreamOps.upsertBatchLog(table) _)
+          .option("checkpointLocation",
+            new java.io.File(base, "upsertlogckpt").getAbsolutePath)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      GraftCache.onClear(() => rmTree(base))
+      val res = GraftCache.track(
+        graft.sources.TableLog.read(s, table)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n"), sum("us").as("sum_value_micros"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("sum_value_micros"))
+          .orderBy("day"))
+      res.count() // materialize before the table dir can be cleared
+      res
+    }),
+
     // Stream-stream interval join (the fifth replay leg): the sink holds the
     // raw (click, purchase) pairs; the registered result aggregates them per
     // user. The oracle replays the pair set as the plain batch interval join
@@ -6045,6 +6085,13 @@ object SparkEntry {
     // Upsert correctness: duplicates collapsed, shared-day batches merged,
     // nothing lost — the final table is exactly the distinct event set.
     "q_stream_upsert" ->
+      s"""SELECT strftime(cast(ts AS date), '%Y-%m-%d') AS day,
+         |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The log-backed merge must land on the identical distinct event set —
+    // the storage protocol never changes the rows.
+    "q_stream_upsert_log" ->
       s"""SELECT strftime(cast(ts AS date), '%Y-%m-%d') AS day,
          |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -120,6 +120,61 @@ object TableLog {
   /** Append: the new version holds everything the head held, plus `df`. */
   def append(df: DataFrame, table: String): Int = commit(df, table, _ => true)
 
+  /** Partition tag of a manifest entry ("path|tag"), if any. Untagged
+    * entries (plain append/overwrite data) carry no partition semantics and
+    * survive every partition-level commit.
+    */
+  private def entryTag(e: String): Option[String] = {
+    val i = e.indexOf('|')
+    if (i < 0) None else Some(e.substring(i + 1))
+  }
+  private def entryPath(e: String): String = {
+    val i = e.indexOf('|')
+    if (i < 0) e else e.substring(0, i)
+  }
+
+  /** Partition-level overwrite — Delta's `replaceWhere` shape: the new
+    * version replaces exactly the `partCol` values present in `df` and
+    * keeps every other entry. ONE write job (partitionBy under the commit's
+    * data dir); each written partition subdir becomes a TAGGED manifest
+    * entry, so later partition commits drop precisely the entries they
+    * supersede. `partCol` must be string-rendered stable (dates render as
+    * yyyy-MM-dd); it is duplicated into a `__pt` directory column at write
+    * so the DATA files keep the original column (manifest readers never
+    * parse directory names).
+    *
+    * Because data files are immutable and visibility is one manifest swap,
+    * a read-merge-replace loop over this needs NO persist pin: the
+    * read-back reads old dirs, the write creates new dirs, and nothing a
+    * reader resolved ever changes underneath it — the isolation the raw
+    * dynamic-overwrite upsert (StreamOps.upsertBatch) has to fake with a
+    * persist-before-overwrite.
+    */
+  def overwritePartitions(df: DataFrame, table: String, partCol: String): Int = {
+    import org.apache.spark.sql.functions.col
+    var v = -1
+    while (v < 0) {
+      val base = headVersion(table)
+      val prev = if (base == 0) Seq.empty else manifest(table, base)
+      val rel = s"data/c${base + 1}-${ProcessHandle.current().pid()}-" +
+        java.util.UUID.randomUUID.toString.take(8)
+      val abs = new java.io.File(table, rel)
+      df.withColumn("__pt", col(partCol).cast("string"))
+        .write.partitionBy("__pt").parquet(abs.getAbsolutePath)
+      val written = abs.listFiles((f: java.io.File) =>
+        f.isDirectory && f.getName.startsWith("__pt="))
+      val adds = written.toSeq.map { d =>
+        val tag = java.net.URLDecoder.decode(
+          d.getName.stripPrefix("__pt="), "UTF-8")
+        s"$rel/${d.getName}|$tag"
+      }
+      val replaced = adds.map(entryTag(_).get).toSet
+      val keep = prev.filter(e => entryTag(e).forall(t => !replaced.contains(t)))
+      v = tryCommit(table, base, keep ++ adds)
+    }
+    v
+  }
+
   /** Read `version` (default: head). The manifest is resolved HERE, once —
     * the returned frame keeps reading these exact files whatever commits
     * land afterwards.
@@ -129,7 +184,7 @@ object TableLog {
     val v = version.getOrElse(headVersion(table))
     require(v >= 1, s"$table has no committed version")
     val dirs = manifest(table, v)
-      .map(rel => new java.io.File(table, rel).getAbsolutePath)
+      .map(e => new java.io.File(table, entryPath(e)).getAbsolutePath)
     spark.read.parquet(dirs: _*)
   }
 }

@@ -75,13 +75,30 @@ object StreamOps {
     * no-table-format substitute. UpsertSpec drives conflicting-key and
     * shared-day batches through this directly.
     */
+  private val UpsertCols = Seq("event_id", "ts_ns", "day", "event_type", "us")
+
+  /** Latest state per event_id over batch ∪ touched — max by the full tuple
+    * is total and deterministic (duplicates are identical; a true update
+    * wins on ts_ns).
+    */
+  private def mergeLatest(batch: DataFrame, touched: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    batch.select(UpsertCols.map(col): _*)
+      .unionByName(touched)
+      .groupBy("event_id")
+      .agg(max(struct(col("ts_ns"), col("day"), col("event_type"), col("us")))
+        .as("__r"))
+      .select(col("event_id"), col("__r.ts_ns").as("ts_ns"),
+        col("__r.day").as("day"), col("__r.event_type").as("event_type"),
+        col("__r.us").as("us"))
+  }
+
   def upsertBatch(target: String)(batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
     val ss = batch.sparkSession
     require(ss.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         .exists(_.equalsIgnoreCase("dynamic")),
       "upsertBatch needs partitionOverwriteMode=dynamic in scope")
-    val cols = Seq("event_id", "ts_ns", "day", "event_type", "us")
     val days = batch.select("day").distinct()
     val tDir = new java.io.File(target)
     val hasData = tDir.isDirectory && {
@@ -91,20 +108,37 @@ object StreamOps {
       if (hasData)
         ss.read.option("basePath", target).parquet(target)
           .join(broadcast(days), "day")
-          .select(cols.map(col): _*)
-      else batch.select(cols.map(col): _*).limit(0)
-    val merged = batch.select(cols.map(col): _*)
-      .unionByName(touched)
-      .groupBy("event_id")
-      .agg(max(struct(col("ts_ns"), col("day"), col("event_type"), col("us")))
-        .as("__r"))
-      .select(col("event_id"), col("__r.ts_ns").as("ts_ns"),
-        col("__r.day").as("day"), col("__r.event_type").as("event_type"),
-        col("__r.us").as("us"))
-      .persist()
+          .select(UpsertCols.map(col): _*)
+      else batch.select(UpsertCols.map(col): _*).limit(0)
+    val merged = mergeLatest(batch, touched).persist()
     merged.count() // pin before overwriting the files it reads
     merged.write.mode("overwrite").partitionBy("day").parquet(target)
     merged.unpersist()
+    ()
+  }
+
+  /** The same keyed MERGE through the manifest log (graft.sources.TableLog)
+    * instead of raw dynamic overwrite — what the table formats buy:
+    *   - NO persist pin: data files are immutable, the read-back reads old
+    *     dirs, the write creates new dirs, visibility is one manifest swap;
+    *   - every micro-batch's commit is a retained VERSION — the upsert's
+    *     whole history stays time-travelable (UpsertSpec reads the
+    *     intermediate states back);
+    *   - no partitionOverwriteMode footgun (static mode can't truncate
+    *     what a manifest controls).
+    * Same merge semantics as `upsertBatch`, same oracle.
+    */
+  def upsertBatchLog(table: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val days = batch.select("day").distinct()
+    val touched =
+      if (graft.sources.TableLog.headVersion(table) >= 1)
+        graft.sources.TableLog.read(batch.sparkSession, table)
+          .join(broadcast(days), "day")
+          .select(UpsertCols.map(col): _*)
+      else batch.select(UpsertCols.map(col): _*).limit(0)
+    graft.sources.TableLog.overwritePartitions(
+      mergeLatest(batch, touched), table, "day")
     ()
   }
 

@@ -61,6 +61,40 @@ class UpsertSpec extends AnyFunSuite {
     }
   }
 
+  test("log-backed merge: same final state, no conf, and the history stays readable") {
+    import graft.sources.TableLog
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_upsert_log_spec").toFile.getAbsolutePath
+    val up = StreamOps.upsertBatchLog(table) _
+    up(df(Seq(
+      row(1, 100, "2024-01-01", "click", 10),
+      row(2, 110, "2024-01-01", "view", 20),
+      row(3, 120, "2024-01-02", "click", 30))), 0)
+    up(df(Seq(
+      row(1, 200, "2024-01-01", "click", 99),
+      row(4, 130, "2024-01-01", "view", 40))), 1)
+    up(df(Seq(row(5, 140, "2024-01-03", "error", 50))), 2)
+
+    val got = TableLog.read(spark, table)
+      .select("event_id", "ts_ns", "us").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 200L, 99L), (2L, 110L, 20L), (3L, 120L, 30L),
+      (4L, 130L, 40L), (5L, 140L, 50L)), s"log merge semantics broke: $got")
+    // every micro-batch's commit is a retained version: v1 is the
+    // PRE-UPDATE state (event 1 still at us=10, events 4/5 absent)
+    assert(TableLog.headVersion(table) == 3)
+    val v1 = TableLog.read(spark, table, Some(1))
+      .select("event_id", "us").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(v1 == Seq((1L, 10L), (2L, 20L), (3L, 30L)),
+      s"the upsert's history drifted — v1 must be the pre-update state: $v1")
+    val v2 = TableLog.read(spark, table, Some(2))
+      .select("event_id", "us").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(v2 == Seq((1L, 99L), (2L, 20L), (3L, 30L), (4L, 40L)),
+      s"v2 must show the update applied but day 3 absent: $v2")
+  }
+
   test("upsertBatch refuses to run outside the dynamic-overwrite scope") {
     val target = java.nio.file.Files
       .createTempDirectory("graft_upsert_spec2").toFile.getAbsolutePath

@@ -179,6 +179,42 @@ object TableLog {
     * the returned frame keeps reading these exact files whatever commits
     * land afterwards.
     */
+  /** Compaction: rewrite the head's content as one fresh overwrite commit.
+    * Purely a file-count/layout optimization — the new version is
+    * row-identical to the head, and history BEFORE it stays readable until
+    * `vacuum` reclaims it.
+    */
+  def compact(spark: SparkSession, table: String): Int =
+    overwrite(read(spark, table), table)
+
+  /** Retention: drop every manifest BELOW `keepFromVersion` and delete every
+    * data directory no retained manifest references. This is the ONLY
+    * operation that deletes anything; after it, time travel to a vacuumed
+    * version fails loudly (`read` requires a manifest) while every retained
+    * version — and any reader that already resolved one — is untouched,
+    * because retained manifests' data dirs are exactly what is kept.
+    * Returns the number of data directories reclaimed.
+    */
+  def vacuum(table: String, keepFromVersion: Int): Int = {
+    val head = headVersion(table)
+    require(keepFromVersion >= 1 && keepFromVersion <= head,
+      s"keepFromVersion=$keepFromVersion outside [1, $head]")
+    val live: Set[String] = (keepFromVersion to head).iterator
+      .flatMap(v => manifest(table, v).map(entryPath))
+      .map(_.stripPrefix("data/").takeWhile(_ != '/')).toSet
+    val reclaimed = Option(dataDir(table).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !live.contains(d.getName))
+    reclaimed.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(d)
+    }
+    (1 until keepFromVersion).foreach(v =>
+      Files.deleteIfExists(manifestFile(table, v).toPath))
+    reclaimed.length
+  }
+
   def read(spark: SparkSession, table: String,
            version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(headVersion(table))

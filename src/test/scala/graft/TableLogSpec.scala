@@ -59,6 +59,27 @@ class TableLogSpec extends AnyFunSuite {
       s"an append was lost or duplicated: $got")
   }
 
+  test("compact + vacuum: retention reclaims exactly the unreferenced history") {
+    val t = tmpTable()
+    TableLog.overwrite(df(1, 2), t) // v1 -> c1
+    TableLog.overwrite(df(3), t)    // v2 -> c2 (c1 now unreferenced by v2+)
+    TableLog.append(df(4), t)       // v3 -> c2 + c3
+    val pinned = TableLog.read(spark, t, Some(3))
+    val reclaimed = TableLog.vacuum(t, keepFromVersion = 2)
+    assert(reclaimed == 1, s"exactly v1's data dir should go, got $reclaimed")
+    // retained versions and already-resolved readers are untouched
+    assert(TableLog.read(spark, t, Some(2)).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(pinned.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    // vacuumed history fails loudly, not silently-empty
+    val e = intercept[IllegalArgumentException] { TableLog.read(spark, t, Some(1)) }
+    assert(e.getMessage.contains("no committed version 1"))
+    // compact rewrites the head row-identically as a fresh version
+    val v = TableLog.compact(spark, t)
+    assert(v == 4)
+    assert(TableLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    assert(TableLog.manifest(t, v).size == 1, "compaction must leave one data dir")
+  }
+
   test("orphaned data from lost races stays invisible") {
     val t = tmpTable()
     TableLog.overwrite(df(1), t)

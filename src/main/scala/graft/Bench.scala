@@ -19,9 +19,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    // Bench measures the engine as it would run at scale: distributed
-    // decimal-sum stats instead of the oracle's single-reducer ordered folds.
-    System.setProperty("graft.scale.mode", "true")
+    // No parity/scale mode split anymore: every statistic the oracle checks
+    // is an integer nano/micro-sum, distributed and fold-order-free — Bench
+    // times exactly the plans Verify checks.
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -136,6 +136,31 @@ object Bench {
     }
     val totalNorm = normMed.sum
     val nPasses = all.size
+    // STORM-GATED headline (`value_quiet`): the r14 face-value median ran
+    // 1.94× the sf0.1 convention purely because passes 2–3 saw a 2–3×
+    // ambient storm (calib 0.375/0.295 vs 0.13 quiet; q_events_cube sampled
+    // 62.6 s against a 0.55 s min) — one more stormy window and the
+    // headline breaches the 2× bar while the engine is flat. Policy: each
+    // pass gets a calib VERDICT (quiet iff calib ≤ the gate, default 0.2 s
+    // ≈ 1.5× the quiet reading); `value_quiet` sums per-query MEDIANS over
+    // quiet passes only — storm passes are excluded from the statistic, not
+    // from the artifact (every raw sample still ships in `samples`). If NO
+    // pass was quiet even after the storm guard bought its extra passes,
+    // `value_quiet` falls back to the summed per-query minima (the most
+    // storm-robust statistic available) and `quiet_policy` says so loudly
+    // rather than laundering a stormy median as a quiet one.
+    val verdicts = calib.map(c => if (c <= calibGate) "quiet" else "storm").toVector
+    val quietIdx = verdicts.zipWithIndex.collect { case ("quiet", i) => i }
+    val quietPolicy =
+      if (quietIdx.nonEmpty) s"median_over_${quietIdx.size}_quiet_of_$nPasses"
+      else "NO_QUIET_PASS_fallback_summed_minima"
+    val valueQuiet =
+      if (quietIdx.nonEmpty)
+        selected.map { case (name, _) =>
+          median(quietIdx.map(i => byPass(i)(name)))
+        }.sum
+      else mins.map(_._2).sum
+    val verdictsJson = verdicts.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full per-query map as its own artifact: the driver's captured JSON
     // line is tail-truncated most rounds, which hides the alphabetically
     // early half of the surface (all ann_*/dedup_*/h_* lines) from
@@ -153,9 +178,13 @@ object Bench {
     val perQueryDoc =
       s"""{"sf":"$sfDir","passes":$nPasses,""" +
         s""""calib_secs":[${calib.mkString(",")}],""" +
+        s""""calib_verdicts":$verdictsJson,""" +
+        s""""calib_gate":$calibGate,""" +
         s""""quiet_calib":$quietCalib,""" +
+        s""""quiet_policy":"$quietPolicy",""" +
         s""""pass_totals":[${passTotals.mkString(",")}],""" +
-        s""""total_median":$total,"total_min":$totalMin,"value_norm":$totalNorm,""" +
+        s""""total_median":$total,"total_min":$totalMin,""" +
+        s""""value_quiet":$valueQuiet,"value_norm":$totalNorm,""" +
         s""""queries":$perQuery}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(perQueryPath),
       perQueryDoc.getBytes("UTF-8"))
@@ -164,8 +193,10 @@ object Bench {
     println(s"""{"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","passes":$nPasses,""" +
       s""""pass_totals":[${passTotals.mkString(",")}],""" +
       s""""calib_secs":[${calib.mkString(",")}],""" +
+      s""""calib_verdicts":$verdictsJson,"calib_gate":$calibGate,""" +
+      s""""quiet_policy":"$quietPolicy",""" +
       s""""quiet_calib":$quietCalib,"value_norm":$totalNorm,""" +
-      s""""value_min":$totalMin,""" +
+      s""""value_min":$totalMin,"value_quiet":$valueQuiet,""" +
       s""""metric":"total_median","value":$total,"unit":"sec"}""")
     spark.stop()
   }

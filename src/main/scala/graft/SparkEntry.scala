@@ -92,14 +92,9 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Ann.bruteCosine(emb.filter(col("vec_id") < 100), emb, 10, kernel = "fold")
     }
-  /** Oracle runs (Verify) keep bit-parity stats; Bench opts into the
-    * distributed scale mode via the `graft.scale.mode` system property.
-    */
-  private def parityMode: Boolean =
-    !sys.props.get("graft.scale.mode").exists(_.equalsIgnoreCase("true"))
   private def ai(s: SparkSession, dir: String) =
     GraftCache.memo(s"$dir/ai") {
-      KnnGraph.accessibility(Tables.embeddings(s, dir), edges(s, dir), parity = parityMode)
+      KnnGraph.accessibility(Tables.embeddings(s, dir), edges(s, dir))
     }
   /** Verified MinHash-LSH near-dup pairs of the documents table at τ=0.5 —
     * a derived artifact of (corpus, τ) exactly like the kNN graph, memoized
@@ -369,17 +364,15 @@ object SparkEntry {
     * scale dir — same publish discipline as the IVF index:
     * fixture-fingerprint key, staging build, one atomic rename; an existing
     * valid artifact is reused without rewriting (write-once across JVMs,
-    * not per session). The COMPUTE MODE is part of the key: the persisted
-    * ai doubles are parity-fold vs distributed-sum dependent, so a
-    * scale-mode bench writing first must not serve a parity-mode verify
-    * (and vice versa) — without the key the artifact's correctness depended
-    * on which process ran first on the machine. Shared by graph_cold_read
+    * not per session). The ai statistic is one integer-nano-sum form in
+    * every run mode now (no parity/scale split), so the artifact key needs
+    * no mode tag — the `v3` bump retires any mode-tagged artifact a
+    * pre-round-15 JVM left on the machine. Shared by graph_cold_read
     * and every graph-traversal ANN consumer.
     */
   private def graphArtifactDir(s: SparkSession, dir: String): String =
     GraftCache.memoAny(s"$dir/graphdir") {
-      val mode = if (parityMode) "parity" else "scale"
-      val k = ArtifactIO.contentKey(s"$dir|m=$M|mode=$mode|v2", // v2: bucketed edge layout
+      val k = ArtifactIO.contentKey(s"$dir|m=$M|v3", // v3: nano-sum ai, no mode tag
         new java.io.File(s"$dir/embeddings.parquet"))
       val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_knngraph_$k")
       ArtifactIO.publishDir(out, valid = o =>
@@ -3887,12 +3880,16 @@ object SparkEntry {
   private def sumNanosSql(expr: String): String =
     s"cast(sum(cast(floor(($expr) * 1000000000.0 + 0.5) as bigint)) as bigint)"
 
-  /** vec_id-ordered double fold aggregates — DuckDB mirror of the parity-mode
-    * μ/σ in Attacks.insertGen (and the orderedMean pattern of graphCtes):
-    * deterministic left-to-right double sums, bit-identical on both engines.
+  /** Mean from an integer nano-sum: `cast(s as double) / 1e9 / cast(n as
+    * double)` — the exact double-division sequence Attacks.insertGen and
+    * KnnGraph.accessibility perform on their bigint sums, so μ (and any
+    * expression built from repeated μ, e.g. σ² = q/1e9/n − μ·μ) is
+    * bit-identical across engines. Repeating the expression instead of
+    * aliasing keeps the SQL free of lateral-alias semantics; identical
+    * double expressions yield identical doubles.
     */
-  private def foldSumSql(expr: String): String =
-    s"list_reduce(list_prepend(0.0, list($expr ORDER BY vec_id)), (a, b) -> a + b)"
+  private def nanoMeanSql(sumExpr: String, nExpr: String): String =
+    s"(cast($sumExpr as double) / 1.0e9 / cast($nExpr as double))"
 
 
   /** TabularMark embed replay: P12 interval bipartition as a recursive CTE
@@ -4010,10 +4007,10 @@ object SparkEntry {
        |  FROM edges ed GROUP BY ed.src),
        |mets AS (SELECT b.vec_id, b.bidir_edges, a.avg_edge_len FROM bidir b JOIN ael a ON a.vec_id = b.vec_id),
        |gstats AS (SELECT
-       |    list_reduce(list_prepend(0.0, list(cast(bidir_edges as double) ORDER BY vec_id)), (a, b) -> a + b) / count(*) AS mu_e,
-       |    list_reduce(list_prepend(0.0, list(cast(bidir_edges as double) * cast(bidir_edges as double) ORDER BY vec_id)), (a, b) -> a + b) / count(*) AS msq_e,
-       |    list_reduce(list_prepend(0.0, list(avg_edge_len ORDER BY vec_id)), (a, b) -> a + b) / count(*) AS mu_d,
-       |    list_reduce(list_prepend(0.0, list(avg_edge_len * avg_edge_len ORDER BY vec_id)), (a, b) -> a + b) / count(*) AS msq_d
+       |    cast(sum(bidir_edges) as double) / cast(count(bidir_edges) as double) AS mu_e,
+       |    cast(sum(bidir_edges * bidir_edges) as double) / cast(count(bidir_edges) as double) AS msq_e,
+       |    cast(${sumNanosSql("avg_edge_len")} as double) / 1.0e9 / cast(count(avg_edge_len) as double) AS mu_d,
+       |    cast(${sumNanosSql("avg_edge_len * avg_edge_len")} as double) / 1.0e9 / cast(count(avg_edge_len) as double) AS msq_d
        |  FROM mets),
        |ai AS MATERIALIZED (SELECT m.vec_id,
        |    0.5 * ((m.avg_edge_len - g.mu_d) / sqrt(greatest(g.msq_d - g.mu_d * g.mu_d, 0.0))) -
@@ -4538,11 +4535,11 @@ object SparkEntry {
          |        ELSE w.embedding[i] END) AS embedding
          |  FROM semb w JOIN mrun m ON m.vec_id = w.vec_id, sdims sd),
          |${scpwClassifySql("smemb", "sm")},
-         |sspd AS (SELECT dim, fsum / cnt AS mu,
-         |    sqrt(greatest(fsq / cnt - (fsum / cnt) * (fsum / cnt), 0.0)) AS sg
+         |sspd AS (SELECT dim, ${nanoMeanSql("fsum", "cnt")} AS mu,
+         |    sqrt(greatest(${nanoMeanSql("fsq", "cnt")} - ${nanoMeanSql("fsum", "cnt")} * ${nanoMeanSql("fsum", "cnt")}, 0.0)) AS sg
          |  FROM (SELECT i.dim AS dim,
-         |      list_reduce(list_prepend(0.0, list(cast(w.embedding[i.dim] as double) ORDER BY w.vec_id)), (a, b) -> a + b) AS fsum,
-         |      list_reduce(list_prepend(0.0, list(cast(w.embedding[i.dim] as double) * cast(w.embedding[i.dim] as double) ORDER BY w.vec_id)), (a, b) -> a + b) AS fsq,
+         |      ${sumNanosSql("cast(w.embedding[i.dim] as double)")} AS fsum,
+         |      ${sumNanosSql("cast(w.embedding[i.dim] as double) * cast(w.embedding[i.dim] as double)")} AS fsq,
          |      count(*) AS cnt
          |    FROM semb w CROSS JOIN (SELECT unnest(range(1, ${D + 1})) AS dim) i
          |    GROUP BY i.dim)),
@@ -5143,23 +5140,22 @@ object SparkEntry {
 
     // K5/A12 — synthetic rows replayed in SQL: per-column μ/σ aggregates plus
     // the identical md5 Box–Muller draw per (row, dim); float32-cast before
-    // the 4-decimal round on both sides. μ/σ double sums may differ in final
-    // ulps across engines, but the float32 quantization absorbs them.
-    // μ/σ as vec_id-ordered double folds — the exact arithmetic of
-    // Attacks.insertGen's parity mode (σ = sqrt(E[v²] − μ²) over the same
-    // fold sums), so the synthetic float32 values replay bit-for-bit.
+    // the 4-decimal round on both sides. μ/σ from exact integer nano-sums —
+    // the arithmetic of Attacks.insertGen (σ = sqrt(E[v²] − μ²) over the
+    // same bigint sums and double divisions), so the synthetic float32
+    // values replay bit-for-bit with no ordered fold on either engine.
     "attack_insert" ->
       s"""WITH base AS (SELECT
-         |    ${foldSumSql("cast(embedding[1] as double)")} AS fs0,
-         |    ${foldSumSql("(cast(embedding[1] as double)) * (cast(embedding[1] as double))")} AS fq0,
-         |    ${foldSumSql(s"cast(embedding[$D] as double)")} AS fs63,
-         |    ${foldSumSql(s"(cast(embedding[$D] as double)) * (cast(embedding[$D] as double))")} AS fq63,
+         |    ${sumNanosSql("cast(embedding[1] as double)")} AS fs0,
+         |    ${sumNanosSql("(cast(embedding[1] as double)) * (cast(embedding[1] as double))")} AS fq0,
+         |    ${sumNanosSql(s"cast(embedding[$D] as double)")} AS fs63,
+         |    ${sumNanosSql(s"(cast(embedding[$D] as double)) * (cast(embedding[$D] as double))")} AS fq63,
          |    count(*) AS n, max(vec_id) AS maxid
          |  FROM embeddings),
-         |st AS (SELECT (fs0 / n) AS mu0,
-         |    sqrt(greatest(fq0 / n - (fs0 / n) * (fs0 / n), 0.0)) AS s0,
-         |    (fs63 / n) AS mu63,
-         |    sqrt(greatest(fq63 / n - (fs63 / n) * (fs63 / n), 0.0)) AS s63,
+         |st AS (SELECT ${nanoMeanSql("fs0", "n")} AS mu0,
+         |    sqrt(greatest(${nanoMeanSql("fq0", "n")} - ${nanoMeanSql("fs0", "n")} * ${nanoMeanSql("fs0", "n")}, 0.0)) AS s0,
+         |    ${nanoMeanSql("fs63", "n")} AS mu63,
+         |    sqrt(greatest(${nanoMeanSql("fq63", "n")} - ${nanoMeanSql("fs63", "n")} * ${nanoMeanSql("fs63", "n")}, 0.0)) AS s63,
          |    n, maxid
          |  FROM base),
          |ins AS (SELECT maxid + 1 + unnest(range(0, cast(ceil(n * 0.2) as bigint))) AS vec_id,
@@ -7034,11 +7030,11 @@ object SparkEntry {
            |        ELSE w.embedding[i] END) AS embedding
            |  FROM $wm w JOIN mrun m ON m.vec_id = w.vec_id, sdim$x sd),
            |${classifyCtes(s"memb$x", s"x$x")},
-           |spd$x AS (SELECT dim, fsum / cnt AS mu,
-           |    sqrt(greatest(fsq / cnt - (fsum / cnt) * (fsum / cnt), 0.0)) AS sg
+           |spd$x AS (SELECT dim, ${nanoMeanSql("fsum", "cnt")} AS mu,
+           |    sqrt(greatest(${nanoMeanSql("fsq", "cnt")} - ${nanoMeanSql("fsum", "cnt")} * ${nanoMeanSql("fsum", "cnt")}, 0.0)) AS sg
            |  FROM (SELECT i.dim AS dim,
-           |      list_reduce(list_prepend(0.0, list(cast(w.embedding[i.dim] as double) ORDER BY w.vec_id)), (a, b) -> a + b) AS fsum,
-           |      list_reduce(list_prepend(0.0, list(cast(w.embedding[i.dim] as double) * cast(w.embedding[i.dim] as double) ORDER BY w.vec_id)), (a, b) -> a + b) AS fsq,
+           |      ${sumNanosSql("cast(w.embedding[i.dim] as double)")} AS fsum,
+           |      ${sumNanosSql("cast(w.embedding[i.dim] as double) * cast(w.embedding[i.dim] as double)")} AS fsq,
            |      count(*) AS cnt
            |    FROM $wm w CROSS JOIN (SELECT unnest(range(1, ${D + 1})) AS dim) i
            |    GROUP BY i.dim)),

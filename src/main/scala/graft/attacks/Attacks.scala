@@ -251,52 +251,36 @@ object Attacks {
     * UDF — memoized per frame like nRows, so the insert column scan runs
     * once per attacked table, not once per p cell.
     *
-    * Two stat modes (same convention as KnnGraph.accessibility): parity
-    * (oracle runs) computes per-dim μ/σ as vec_id-ordered double folds —
-    * bit-replayable in DuckDB as `list(v ORDER BY vec_id)` folds, which the
-    * robustness-grid oracle needs because the synthetic values' float32
-    * quantization (and hence their content ids and hidden bits) is sensitive
-    * to stat ulps; scale mode (Bench) keeps the distributed avg/stddev_pop
-    * aggregates, which a 1000-executor cluster needs because an N-element
-    * collect_list per dim is a single-reducer bottleneck.
+    * Per-dim μ/σ are computed from EXACT integer nano-sums (the same
+    * construction as KnnGraph.accessibility and graph_cluster_stats):
+    * Σ floor(v·1e9 + 0.5) and Σ floor(v²·1e9 + 0.5) as bigints, then
+    * μ = s/1e9/n, σ = sqrt(max(q/1e9/n − μ², 0)) in double. Integer sums
+    * are associative and fold-order-free, so the stats are bit-reproducible
+    * under any partitioning with bounded per-task aggregation state — an
+    * ordinary distributed HashAggregate, D result rows driver-side — and
+    * the DuckDB grid oracles replay the identical sums and double ops
+    * bit-for-bit. There is no separate parity/scale regime: this IS the
+    * production shape.
     */
-  private def parityStats: Boolean =
-    !sys.props.get("graft.scale.mode").exists(_.equalsIgnoreCase("true"))
-
   private def insertGen(df: DataFrame, d: Int, seed: String):
       (Long, org.apache.spark.sql.expressions.UserDefinedFunction) = {
     val (maxId, stats) = insertStats.computeIfAbsent(df, dd => {
       val mx = dd.agg(max(col("vec_id"))).head().getLong(0)
-      val st =
-        // PARITY-MODE MEMORY BOUND: this branch collects per-position
-        // sorted (vec_id, value) lists — D driver-side arrays of N entries,
-        // i.e. the whole dataset (~12 bytes·N·D) — because bit-exact
-        // fold-order μ/σ requires replaying the oracle's vec_id-ordered
-        // sequential sums. That is a FIXTURE-FIDELITY regime by definition:
-        // parityStats is only on for verify-scale runs (sf ≤ 0.1, N·D ≤
-        // ~10⁷ values ≈ tens of MB). Scale mode (the else branch) is the
-        // production shape — distributed avg/stddev_pop, nothing driver-side
-        // but D aggregate rows — and any corpus too big for this collect
-        // must run with parityStats off, same probe-style bound as the
-        // other parity/scale splits (cf. Scpw's 65536-capped pool).
-        if (parityStats)
-          dd.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-            .groupBy("pos")
-            .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
-            .collect().map { r =>
-              val vs    = r.getSeq[org.apache.spark.sql.Row](1)
-              val n     = vs.length.toDouble
-              val sum   = vs.foldLeft(0.0)((a, x) => a + x.getFloat(1).toDouble)
-              val sumsq = vs.foldLeft(0.0) { (a, x) =>
-                val v = x.getFloat(1).toDouble; a + v * v
-              }
-              val mu = sum / n
-              r.getInt(0) -> (mu, math.sqrt(math.max(sumsq / n - mu * mu, 0.0)))
-            }.toMap
-        else
-          dd.select(posexplode(col("embedding")).as(Seq("pos", "v")))
-            .groupBy("pos").agg(avg("v").as("mu"), stddev_pop("v").as("sigma"))
-            .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      def nano(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1.0e9) + lit(0.5))
+      val st = dd
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("pos"), col("v").cast("double").as("v"))
+        .groupBy("pos")
+        .agg(sum(nano(col("v"))).as("s"),
+          sum(nano(col("v") * col("v"))).as("q"),
+          count(lit(1)).as("n"))
+        .collect().map { r =>
+          val n  = r.getLong(3).toDouble
+          val mu = r.getLong(1).toDouble / 1.0e9 / n
+          val sg = math.sqrt(math.max(r.getLong(2).toDouble / 1.0e9 / n - mu * mu, 0.0))
+          r.getInt(0) -> (mu, sg)
+        }.toMap
       (mx, st)
     })
     val mus    = Array.tabulate(d)(stats(_)._1)

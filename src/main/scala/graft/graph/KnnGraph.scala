@@ -79,39 +79,39 @@ object KnnGraph {
     * Returns (vec_id, ai).
     *
     * Population stats use μ = Σx/n, σ = sqrt(max(Σx²/n − μ², 0)) with the
-    * sums folded in vec_id order — fixed-order double arithmetic is
-    * bit-reproducible under any partitioning and identical to the DuckDB
-    * ordered-list fold (np.nanstd's subtract-then-square form differs only
-    * in final ulps; the graph itself is already a documented stand-in).
-    * Two stat modes behind `parity`:
-    *  - parity=true (oracle runs): population means via a single ordered
-    *    fold — collect_list of all N rows in ONE aggregation buffer. Bit-
-    *    identical to the DuckDB ordered-list fold, but a single-reducer
-    *    O(N) array: correct only while N fits one buffer.
-    *  - parity=false (scale runs, Bench): distributed decimal-sum means —
-    *    exact partial aggregation on every executor, no collect_list
-    *    anywhere. Value-identical to ~1e-12 (the decimal quantum); gives up
-    *    bit (not value) parity, which only the oracle comparison needs.
+    * sums carried as EXACT integers — bidir_edges is already integral, and
+    * avg_edge_len (and its square) is quantized to floor(x·1e9 + 0.5) nanos
+    * before summing, the same construction as internalEdgeStats and
+    * graph_cluster_stats. Integer sums are associative and fold-order-free,
+    * so the means are bit-reproducible under ANY partitioning with bounded
+    * per-task aggregation state (ordinary partial HashAggregate — no
+    * collect_list buffer, no single reducer), and the DuckDB oracle replays
+    * the identical integer sums and double divisions bit-for-bit. The 1e-9
+    * quantum is far below the metric's information content (the graph is
+    * already a documented stand-in for the reference's seed-dependent FAISS
+    * HNSW level-0 lists; np.nanstd differs in final ulps regardless).
     */
-  def accessibility(df: DataFrame, edgesDf: DataFrame, parity: Boolean = true): DataFrame = {
+  def accessibility(df: DataFrame, edgesDf: DataFrame): DataFrame = {
     val metrics = bidirectionalEdges(df, edgesDf)
       .join(avgEdgeLength(df, edgesDf), "vec_id")
     val dOk = when(isnan(col("avg_edge_len")), lit(null)).otherwise(col("avg_edge_len"))
-    val e   = col("bidir_edges").cast("double")
-    def orderedMean(c: org.apache.spark.sql.Column) =
-      aggregate(
-        transform(array_sort(collect_list(struct(col("vec_id"), c.as("v")))),
-          x => x.getField("v")),
-        lit(0.0), (a, x) => a + x) / count(c)
-    def decimalMean(c: org.apache.spark.sql.Column) =
-      (sum(c.cast("decimal(38,12)")) / count(c)).cast("double")
-    val mean: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      if (parity) orderedMean else decimalMean
+    val eL  = col("bidir_edges")
+    def nano(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") * lit(1.0e9) + lit(0.5))
     val stats = metrics.agg(
-      mean(e).as("mu_e"),
-      mean(e * e).as("msq_e"),
-      mean(dOk).as("mu_d"),
-      mean(dOk * dOk).as("msq_d"))
+      sum(eL).as("s_e"),
+      sum(eL * eL).as("q_e"),
+      count(eL).as("n_e"),
+      sum(nano(dOk)).as("s_d"),
+      sum(nano(dOk * dOk)).as("q_d"),
+      count(dOk).as("n_d"))
+      .withColumn("mu_e", col("s_e").cast("double") / col("n_e").cast("double"))
+      .withColumn("msq_e", col("q_e").cast("double") / col("n_e").cast("double"))
+      .withColumn("mu_d",
+        col("s_d").cast("double") / lit(1.0e9) / col("n_d").cast("double"))
+      .withColumn("msq_d",
+        col("q_d").cast("double") / lit(1.0e9) / col("n_d").cast("double"))
+      .select("mu_e", "msq_e", "mu_d", "msq_d")
     metrics.crossJoin(broadcast(stats))
       .withColumn("sd_e", sqrt(greatest(col("msq_e") - col("mu_e") * col("mu_e"), lit(0.0))))
       .withColumn("sd_d", sqrt(greatest(col("msq_d") - col("mu_d") * col("mu_d"), lit(0.0))))

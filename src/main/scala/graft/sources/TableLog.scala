@@ -27,12 +27,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Readers resolve ONE manifest (head or a pinned `version`) and read only
   * the files it lists — a reader is immune to any commit that lands
   * mid-query, and any historical version stays exactly reproducible until
-  * compaction/vacuum (not implemented: retention policy is a deployment
-  * decision; nothing here ever deletes).
+  * `vacuum` reclaims it (the one deleting operation; `compact` only adds a
+  * rewritten version). Partition-tagged entries give readers MANIFEST-level
+  * pruning (`readWhere`) and make version pairs diffable row-level for free
+  * (`changeFeed`).
+  *
+  * PORTABILITY: the exclusive publish uses a POSIX hard link (createLink
+  * fails with EEXIST on a taken version). Object stores have no link — the
+  * equivalent primitive there is conditional put (S3 If-None-Match, GCS
+  * x-goog-if-generation-match: 0, Azure If-None-Match: *), a one-call swap
+  * in tryCommit; everything else here is plain immutable-object I/O.
   *
   * What this deliberately leaves out (and where the real formats earn their
-  * complexity): column stats/data skipping in the manifest, schema
-  * evolution, and multi-table transactions.
+  * complexity): per-file column min/max stats in the manifest (partition
+  * tags prune at directory grain; finer skipping stays with parquet
+  * row-group stats), schema evolution, and multi-table transactions.
   */
 object TableLog {
 
@@ -42,12 +51,18 @@ object TableLog {
   private def manifestFile(table: String, v: Int) =
     new java.io.File(logDir(table), f"v$v%05d.json")
 
-  /** Highest committed version, 0 if none. */
+  /** Highest committed version, 0 if none. The match is `v(\d+)` — NOT a
+    * fixed five digits: manifestFile's %05d zero-padding widens to six
+    * digits at version 100000, and a five-digit-only regex would pin the
+    * head at 99999 forever (every commit would then retry the same taken
+    * version — an infinite loop, not a wrap). Zero-padded names still sort
+    * correctly for ls aesthetics; resolution is numeric here regardless.
+    */
   def headVersion(table: String): Int = {
     val fs = logDir(table).listFiles()
     if (fs == null) 0
     else fs.iterator.flatMap(f =>
-      """^v(\d{5})\.json$""".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      """^v(\d+)\.json$""".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
       .foldLeft(0)(math.max)
   }
 
@@ -89,14 +104,34 @@ object TableLog {
     // TableLogSpec's racing-appenders test catches exactly that). A hard
     // LINK is the atomic no-overwrite publish: the content is already
     // complete in tmp, and createLink fails with EEXIST if v was taken.
+    // ONLY FileAlreadyExistsException means "version taken" (EEXIST — the
+    // contention this protocol expects). Every other failure — a filesystem
+    // without hard-link support, permissions, ENOSPC — is a PERSISTENT
+    // error that retrying cannot fix: swallowing it as -1 would spin the
+    // optimistic loop forever, writing a fresh orphan data directory per
+    // iteration (an unbounded disk-fill). Those propagate to the caller.
     try {
       Files.createLink(manifestFile(table, v).toPath, tmp.toPath)
       v
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.FileSystemException => -1
+      case _: java.nio.file.FileAlreadyExistsException => -1
     } finally Files.deleteIfExists(tmp.toPath)
   }
+
+  /** Contention bound for the optimistic-commit loops. Losing a race means
+    * ANOTHER writer committed (system-wide progress), so livelock needs this
+    * many consecutive losses — far beyond plausible single-table writer
+    * counts. The bound turns a pathological storm (or a future bug that
+    * makes tryCommit always lose) into a clean error instead of an
+    * orphan-dir-per-iteration disk fill.
+    */
+  private val MaxCommitAttempts = 64
+
+  private def exhausted(table: String): Nothing =
+    throw new IllegalStateException(
+      s"TableLog commit on $table lost $MaxCommitAttempts consecutive " +
+        "optimistic races — contention storm or a stuck head; aborting " +
+        "rather than filling the disk with orphaned attempt directories")
 
   /** Commit `df` against the head via optimistic retry. `keep` filters the
     * previous manifest's entries into the next one (identity = append;
@@ -105,7 +140,10 @@ object TableLog {
   private def commit(df: DataFrame, table: String,
                      keep: String => Boolean): Int = {
     var v = -1
+    var tries = 0
     while (v < 0) {
+      if (tries >= MaxCommitAttempts) exhausted(table)
+      tries += 1
       val base = headVersion(table)
       val prev = if (base == 0) Seq.empty else manifest(table, base)
       val add = writeData(df, table, base + 1)
@@ -153,7 +191,10 @@ object TableLog {
   def overwritePartitions(df: DataFrame, table: String, partCol: String): Int = {
     import org.apache.spark.sql.functions.col
     var v = -1
+    var tries = 0
     while (v < 0) {
+      if (tries >= MaxCommitAttempts) exhausted(table)
+      tries += 1
       val base = headVersion(table)
       val prev = if (base == 0) Seq.empty else manifest(table, base)
       val rel = s"data/c${base + 1}-${ProcessHandle.current().pid()}-" +
@@ -166,6 +207,19 @@ object TableLog {
       val adds = written.toSeq.map { d =>
         val tag = java.net.URLDecoder.decode(
           d.getName.stripPrefix("__pt="), "UTF-8")
+        // The manifest is quote-delimited and entries are path|tag, so a
+        // tag containing either delimiter would corrupt the NEXT parse
+        // (a '"' truncates the entry; a '|' splits the tag). Rather than
+        // invent an escaping scheme the readers must all share, reject the
+        // value — partition keys are dates/ids in every sane layout, and a
+        // loud error beats a silently-mangled manifest. A NULL partition
+        // value is allowed and becomes the __HIVE_DEFAULT_PARTITION__ tag
+        // (Spark's directory rendering): deliberate and CONSISTENT — the
+        // same null maps to the same tag at every commit, so
+        // replace-where semantics hold for the null partition too.
+        require(!tag.contains('"') && !tag.contains('|'),
+          s"partition value '$tag' contains a manifest delimiter " +
+            "(\" or |) — unsupported as a TableLog partition key")
         s"$rel/${d.getName}|$tag"
       }
       val replaced = adds.map(entryTag(_).get).toSet
@@ -194,16 +248,29 @@ object TableLog {
     * version — and any reader that already resolved one — is untouched,
     * because retained manifests' data dirs are exactly what is kept.
     * Returns the number of data directories reclaimed.
+    *
+    * CONCURRENCY: an unreferenced dir is not necessarily garbage — it may
+    * be a RACING WRITER's just-written, not-yet-committed attempt (or a
+    * commit that landed after this vacuum read the head); deleting it makes
+    * the racing commit publish a manifest whose data is gone. `graceMs` is
+    * the Delta-style answer: only dirs whose mtime is older than the grace
+    * window are reclaimed, so any in-flight attempt younger than the window
+    * survives. The default 0 reclaims everything unreferenced and is safe
+    * ONLY when the caller guarantees no concurrent writers (the
+    * maintenance-window discipline); production callers should pass a
+    * window comfortably above their longest write job.
     */
-  def vacuum(table: String, keepFromVersion: Int): Int = {
+  def vacuum(table: String, keepFromVersion: Int, graceMs: Long = 0L): Int = {
     val head = headVersion(table)
     require(keepFromVersion >= 1 && keepFromVersion <= head,
       s"keepFromVersion=$keepFromVersion outside [1, $head]")
     val live: Set[String] = (keepFromVersion to head).iterator
       .flatMap(v => manifest(table, v).map(entryPath))
       .map(_.stripPrefix("data/").takeWhile(_ != '/')).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val reclaimed = Option(dataDir(table).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && !live.contains(d.getName))
+      .filter(d => d.isDirectory && !live.contains(d.getName) &&
+        d.lastModified() < cutoff)
     reclaimed.foreach { d =>
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
@@ -222,5 +289,70 @@ object TableLog {
     val dirs = manifest(table, v)
       .map(e => new java.io.File(table, entryPath(e)).getAbsolutePath)
     spark.read.parquet(dirs: _*)
+  }
+
+  /** The data directories a tag-predicate read resolves to — MANIFEST-LEVEL
+    * partition pruning, the data-skipping the manifest's partition tags
+    * (overwritePartitions) already paid for at commit time. Tagged entries
+    * whose tag fails `tagPred` are pruned BEFORE Spark ever lists or opens
+    * them — at 100 TB the difference between "scan the day you asked for"
+    * and "list every live directory of the table". UNTAGGED entries (plain
+    * append/overwrite commits) carry no partition semantics, so a tag
+    * predicate cannot prune them: they are always kept — conservative,
+    * never wrong. Exposed (not just readWhere-internal) so specs and
+    * operational tooling can assert exactly what a predicate scans.
+    */
+  def pruneDirs(table: String, tagPred: String => Boolean,
+                version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(headVersion(table))
+    require(v >= 1, s"$table has no committed version")
+    manifest(table, v).filter(e => entryTag(e).forall(tagPred)).map(entryPath)
+  }
+
+  /** Read only the partitions whose tag satisfies `tagPred` at `version`
+    * (default head). Equivalent to `read(...).filter(partCol pred)` when
+    * every live entry is tagged (the overwritePartitions-maintained case),
+    * but the pruning happens in the MANIFEST — pruned directories are never
+    * listed, never footer-read, never scanned. The returned frame still
+    * contains every row of the kept directories; callers keep their row
+    * filter for correctness (tags are string-rendered partition VALUES, one
+    * per directory — the filter is then a no-op row-wise but guards mixed
+    * tagged/untagged tables).
+    */
+  def readWhere(spark: SparkSession, table: String, tagPred: String => Boolean,
+                version: Option[Int] = None): DataFrame = {
+    val dirs = pruneDirs(table, tagPred, version)
+      .map(p => new java.io.File(table, p).getAbsolutePath)
+    require(dirs.nonEmpty,
+      s"readWhere pruned every entry of $table — no partition matches")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Row-level change feed between two committed versions: what `vB` added
+    * (`_change_type = 'insert'`) and removed (`'delete'`) relative to `vA`;
+    * an update surfaces as its delete+insert pair. Immutable data dirs +
+    * complete manifests make this nearly free to RESOLVE: only directories
+    * present in exactly one manifest are read at all (a version that
+    * touched 2 of 10 000 partitions diffs by reading 4 dirs), and the
+    * except-both-ways is computed over just those rows — so a pure
+    * compaction between the versions (same content, new layout) yields an
+    * EMPTY feed rather than a spurious full-table rewrite, and a no-op
+    * commit diffs for free. exceptAll is multiset difference: duplicate
+    * rows are netted per-occurrence, not set-collapsed.
+    */
+  def changeFeed(spark: SparkSession, table: String, vA: Int, vB: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val a = manifest(table, vA).map(entryPath).toSet
+    val b = manifest(table, vB).map(entryPath).toSet
+    def rd(dirs: Set[String]): DataFrame =
+      if (dirs.nonEmpty)
+        spark.read.parquet(dirs.toSeq.sorted
+          .map(p => new java.io.File(table, p).getAbsolutePath): _*)
+      else read(spark, table, Some(vB)).limit(0)
+    val added   = rd(b -- a)
+    val dropped = rd(a -- b)
+    added.exceptAll(dropped).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        dropped.exceptAll(added).withColumn("_change_type", lit("delete")))
   }
 }

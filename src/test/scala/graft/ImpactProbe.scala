@@ -8,7 +8,6 @@ import org.apache.spark.sql.functions._
   * like BenchProbe). */
 object ImpactProbe {
   def main(args: Array[String]): Unit = {
-    System.setProperty("graft.scale.mode", "true")
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -38,7 +37,7 @@ object ImpactProbe {
     val bits = Tvp.bitsDf(spark, WM)
     val rsC  = t("carriersRs ckpt")(Tvp.carriersRs(cl, bits, Strength, key.seed).localCheckpoint())
     val edges = t("edges")(KnnGraph.edges(emb, 8, Some(raw)))
-    val aiDf  = t("accessibility")(KnnGraph.accessibility(emb, edges, parity = false).persist())
+    val aiDf  = t("accessibility")(KnnGraph.accessibility(emb, edges).persist())
     t("ai count")(aiDf.count())
     val tvC  = t("carriersAi ckpt")(Tvp.carriersAi(cl, bits, Strength, 0.1, aiDf).localCheckpoint())
     val scC  = t("scpw carriers ckpt")(Scpw.carriers(emb, WM, Strength, scpwKey).localCheckpoint())

@@ -436,6 +436,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("wm_accessibility's population stats are distributed nano-sums — no collect_list buffer") {
+    // the r14 parity-mode orderedMean was a collect_list of ALL N rows in
+    // one aggregation buffer (single-reducer O(N) array, the last unbounded
+    // fold left in the engine); the oracle now replays integer nano-sums,
+    // so the SAME distributed plan serves Verify and Bench — gate the
+    // buffer out of the executed plan so it can't come back
+    // (the per-node avg_edge_len fold keeps its collect_list — that buffer
+    // is bounded by the out-degree 2M=16 and grouped by src; the gate is on
+    // GLOBAL aggregates, where the buffer would be the whole corpus)
+    val p = plan("wm_accessibility")
+    p.linesIterator.filter(_.contains("collect_list")).foreach { l =>
+      assert(!l.contains("keys=[]"),
+        "accessibility's μ/σ must be integer nano-sums, not a collect_list " +
+          s"of every node in one global aggregation buffer (single-task OOM at 100×): $l")
+    }
+    assert(p.contains("HashAggregate"), "expected the partial/final hash aggregate")
+  }
+
   test("graph_bfs_reach's internal-edge mean is a bounded nano-sum — no collect_list buffer") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -80,6 +80,105 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.manifest(t, v).size == 1, "compaction must leave one data dir")
   }
 
+  test("headVersion survives the five-digit rollover (v100000 is found)") {
+    val t = tmpTable()
+    TableLog.overwrite(df(1), t)
+    // simulate a table whose history crossed 99999: the %05d rendering
+    // naturally widens to six digits, so resolution must match v(\d+), not
+    // exactly five digits — a 5-digit-only match would pin the head at
+    // 99999 and every subsequent commit would retry the same taken version
+    val body = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_log", "v00001.json"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_log", "v100000.json"), body)
+    assert(TableLog.headVersion(t) == 100000,
+      "six-digit manifest invisible — head stuck below the rollover")
+    assert(TableLog.read(spark, t, Some(100000)).count() == 1)
+    assert(TableLog.append(df(2), t) == 100001, "commit past the rollover")
+  }
+
+  test("readWhere prunes at the manifest: fewer dirs resolved, same rows as a filter") {
+    import spark.implicits._
+    val t = tmpTable()
+    val d = Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+      .toDF("id", "day")
+    TableLog.overwritePartitions(d, t, "day")
+    val all = TableLog.manifest(t, TableLog.headVersion(t))
+    assert(all.size == 3, s"expected one tagged entry per day: $all")
+    val pruned = TableLog.pruneDirs(t, _ == "2024-01-02")
+    assert(pruned.size == 1,
+      s"a day-equality predicate must resolve ONE directory, got $pruned")
+    val rows = TableLog.readWhere(spark, t, _ == "2024-01-02")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(2L), s"pruned read returned $rows")
+    // untagged entries carry no partition semantics — a tag predicate must
+    // keep them (conservative, never wrong), not silently drop their rows
+    TableLog.append(df(99), t)
+    val withUntagged = TableLog.pruneDirs(t, _ == "2024-01-02")
+    assert(withUntagged.size == 2,
+      "the untagged append must survive every tag predicate")
+  }
+
+  test("changeFeed nets row-level inserts/deletes; compaction diffs empty") {
+    import spark.implicits._
+    val t = tmpTable()
+    val v1 = TableLog.overwritePartitions(
+      Seq((1L, "d1"), (2L, "d2")).toDF("id", "day"), t, "day")
+    // replace d2 (2 -> 20) and add d3: the feed must show exactly that
+    val v2 = TableLog.overwritePartitions(
+      Seq((20L, "d2"), (3L, "d3")).toDF("id", "day"), t, "day")
+    val feed = TableLog.changeFeed(spark, t, v1, v2)
+      .select("_change_type", "id").as[(String, Long)].collect().sorted.toSeq
+    assert(feed == Seq(("delete", 2L), ("insert", 3L), ("insert", 20L)),
+      s"wrong net change set: $feed")
+    // d1 was untouched: its dir is in both manifests, so the feed never
+    // even reads it — and a pure compaction (same content, new layout)
+    // must diff EMPTY, not as a spurious full-table rewrite
+    val v3 = TableLog.compact(spark, t)
+    assert(TableLog.changeFeed(spark, t, v2, v3).count() == 0,
+      "content-identical compaction produced a non-empty change feed")
+    // and across the compaction boundary the net diff is still v1->v2's
+    val across = TableLog.changeFeed(spark, t, v1, v3)
+      .select("_change_type", "id").as[(String, Long)].collect().sorted.toSeq
+    assert(across == feed, s"diff across a compaction drifted: $across")
+  }
+
+  test("vacuum honors the grace window: young unreferenced dirs survive") {
+    val t = tmpTable()
+    TableLog.overwrite(df(1), t)
+    TableLog.overwrite(df(2), t) // v1's dir now unreferenced by keepFrom=2
+    assert(TableLog.vacuum(t, keepFromVersion = 2, graceMs = 3600L * 1000) == 0,
+      "a dir younger than the grace window was reclaimed — a racing " +
+        "writer's in-flight attempt would die exactly like this")
+    assert(TableLog.vacuum(t, keepFromVersion = 2) == 1,
+      "past the window (grace 0 = maintenance mode) it must be reclaimed")
+  }
+
+  test("partition values containing manifest delimiters are rejected loudly") {
+    import spark.implicits._
+    val t = tmpTable()
+    val e = intercept[IllegalArgumentException] {
+      TableLog.overwritePartitions(
+        Seq((1L, "a|b")).toDF("id", "day"), t, "day")
+    }
+    assert(e.getMessage.contains("manifest delimiter"))
+    val e2 = intercept[IllegalArgumentException] {
+      TableLog.overwritePartitions(
+        Seq((1L, "a\"b")).toDF("id", "day"), t, "day")
+    }
+    assert(e2.getMessage.contains("manifest delimiter"))
+    // a NULL partition value is legal and round-trips as the Hive default
+    // tag, consistently replace-able
+    val d = Seq((1L, Option.empty[String]), (2L, Some("d1"))).toDF("id", "day")
+    TableLog.overwritePartitions(d, t, "day")
+    val d2 = Seq((10L, Option.empty[String])).toDF("id", "day")
+    TableLog.overwritePartitions(d2, t, "day")
+    val got = TableLog.read(spark, t).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 10L),
+      s"null-partition replace-where must swap the null partition only: $got")
+  }
+
   test("orphaned data from lost races stays invisible") {
     val t = tmpTable()
     TableLog.overwrite(df(1), t)

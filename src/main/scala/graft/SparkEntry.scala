@@ -286,25 +286,86 @@ object SparkEntry {
     }
 
   /** TableLog demo table: version 1 = events before the incremental cut
-    * day, version 2 = the full table (a non-overlapping append). Built once
-    * per fixture content under ArtifactIO's staged-publish discipline so
-    * concurrent builders can't double-commit.
+    * day, version 2 = the full table (a non-overlapping partition-level
+    * append). Both commits go through `overwritePartitions`, so every
+    * manifest entry carries its day TAG — version contents are identical
+    * to the plain overwrite+append history (the day sets are disjoint),
+    * but readers get manifest-level pruning (readWhere) and version pairs
+    * diff row-level (changeFeed) on top. Built once per fixture content
+    * under ArtifactIO's staged-publish discipline so concurrent builders
+    * can't double-commit.
     */
   private def eventsTimetravelDir(s: SparkSession, dir: String): String =
     GraftCache.memoAny(s"$dir/eventstt") {
-      val k = ArtifactIO.contentKey(s"$dir|timetravel|v1",
+      val k = ArtifactIO.contentKey(s"$dir|timetravel|v2", // v2: day-tagged commits
         new java.io.File(s"$dir/events.parquet"))
       val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_eventstt_$k")
       ArtifactIO.publishDir(out,
-        valid = o => graft.sources.TableLog.headVersion(o.getAbsolutePath) == 2) { staging =>
+        valid = o => graft.sources.TableLog.headVersion(o.getAbsolutePath) == 3) { staging =>
         val cut = lit(IncrCutDay).cast("date")
         val withDay = eventsWithDay(s, dir)
           .select(col("event_id"), col("ts_ns"), col("event_type"),
             micros(col("value")).as("us"), col("day"))
-        graft.sources.TableLog.overwrite(
-          withDay.filter(col("day") < cut), staging.getAbsolutePath)
-        graft.sources.TableLog.append(
-          withDay.filter(col("day") >= cut), staging.getAbsolutePath)
+        graft.sources.TableLog.overwritePartitions(
+          withDay.filter(col("day") < cut), staging.getAbsolutePath, "day")
+        graft.sources.TableLog.overwritePartitions(
+          withDay.filter(col("day") >= cut), staging.getAbsolutePath, "day")
+        // v3: replace the prune day with its click rows only — a
+        // partition-level delete, so a version pair exists whose change
+        // feed carries BOTH ops (q_events_changefeed)
+        graft.sources.TableLog.overwritePartitions(
+          withDay.filter(col("day") === lit(TtPruneDay).cast("date") &&
+            col("event_type") === "click"),
+          staging.getAbsolutePath, "day")
+      }
+    }
+
+  /** CDC replay fixture: the events table as FIVE parquet micro-batch files
+    * with strictly increasing mtimes — four upsert slices time-contiguous
+    * in (ts_ns, event_id) with op='U', then one tombstone batch (op='D')
+    * deleting every event_id ≡ 0 (mod 37), each tombstone carrying its
+    * key's day (the partition-pruned read-back contract). Built once per
+    * fixture content, same staged-publish discipline as the other replay
+    * artifacts.
+    */
+  private def eventsCdcReplayDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/eventscdc") {
+      val k = ArtifactIO.contentKey(s"$dir|cdc|v1",
+        new java.io.File(s"$dir/events.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_eventscdc_$k")
+      ArtifactIO.publishDir(out, valid = o =>
+        Option(o.listFiles((f: java.io.File) => f.getName.endsWith(".parquet")))
+          .map(_.length).getOrElse(0) == 5) { staging =>
+        val base = eventsWithDay(s, dir)
+          .select(col("event_id"), col("ts_ns"), col("day"),
+            col("event_type"), micros(col("value")).as("us"))
+        val n = base.count()
+        val w = org.apache.spark.sql.expressions.Window.orderBy("ts_ns", "event_id")
+        val ranked = base.withColumn("__rn", row_number().over(w))
+          .withColumn("__b", (((col("__rn") - 1) * 4) / lit(n)).cast("int"))
+        val raw = new java.io.File(staging, "raw")
+        (0 until 4).foreach { b =>
+          ranked.filter(col("__b") === b).drop("__rn", "__b")
+            .select(lit("U").as("op"), col("event_id"), col("ts_ns"),
+              col("day"), col("event_type"), col("us"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new java.io.File(raw, s"b$b").getAbsolutePath)
+        }
+        base.filter(pmod(col("event_id"), lit(37)) === 0)
+          .select(lit("D").as("op"), col("event_id"), col("ts_ns"),
+            col("day"), col("event_type"), col("us"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(raw, "b4").getAbsolutePath)
+        val t0 = System.currentTimeMillis() - 5 * 10000L
+        (0 until 5).foreach { b =>
+          val part = new java.io.File(raw, s"b$b")
+            .listFiles((f: java.io.File) =>
+              f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(staging, f"batch_$b%03d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(t0 + b * 5000L) // file source lists oldest-first
+        }
+        rmTree(new java.io.File(raw.getAbsolutePath))
       }
     }
 
@@ -335,6 +396,9 @@ object SparkEntry {
     * raw table.
     */
   private[graft] val IncrCutDay = "2024-01-20"
+  /** Day the manifest-pruned TableLog read targets (inside the fixture's
+    * 2024-01-01..30 span at every sf). */
+  private[graft] val TtPruneDay = "2024-01-05"
   private def eventsIncrementalDir(s: SparkSession, dir: String): String =
     GraftCache.memoAny(s"$dir/eventsincr") {
       val k = ArtifactIO.contentKey(s"$dir|incr|v1",
@@ -2047,6 +2111,43 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    // CHANGE FEED between TableLog versions: v1→v3 spans a partition-level
+    // append (the days ≥ the cut arrive in v2) and a partition-level
+    // delete (v3 rewrites the prune day keeping only its click rows), so
+    // the feed carries BOTH ops. Immutable dirs + complete manifests make
+    // the diff nearly free: only dirs present in exactly ONE of the two
+    // manifests are read, and rows rewritten identically (the click rows)
+    // are netted out by the except-both-ways — the feed is the NET change,
+    // not a file-rewrite echo (TableLogSpec pins a pure compaction diffing
+    // EMPTY). The oracle replays the version definitions over raw events.
+    "q_events_changefeed" -> ((s, dir) => {
+      val table = eventsTimetravelDir(s, dir)
+      graft.sources.TableLog.changeFeed(s, table, 1, 3)
+        .groupBy("_change_type", "event_type")
+        .agg(count(lit(1)).as("n"), sum("us").as("sum_value_micros"))
+        .orderBy("_change_type", "event_type")
+    }),
+
+    // MANIFEST-LEVEL partition pruning over the same TableLog table: the
+    // day-equality read resolves through readWhere, so every non-matching
+    // directory is pruned from the MANIFEST — never listed, never
+    // footer-read, never scanned (TableLogSpec pins the resolved-dir count
+    // at exactly one per matching day; at 100 TB this is the difference
+    // between scanning the day you asked for and listing the whole table).
+    // The row filter stays on top as the mixed tagged/untagged guard —
+    // a no-op row-wise here, free either way. Oracle: the raw events
+    // rollup for that day.
+    "q_events_timetravel_pruned" -> ((s, dir) => {
+      val table = eventsTimetravelDir(s, dir)
+      // version 2 = the full table (v3 is the changefeed demo's
+      // partition-level delete) — pruning composes with time travel
+      graft.sources.TableLog.readWhere(s, table, _ == TtPruneDay, Some(2))
+        .filter(col("day") === lit(TtPruneDay).cast("date"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("us").as("sum_value_micros"))
+        .orderBy("event_type")
+    }),
+
     // The SMB join (eventsSmbDir): both sides bucketed AND bucket-sorted on
     // user_id, so the SortMergeJoin needs NO exchange and NO sort on either
     // side — the scans' declared layouts already satisfy its distribution
@@ -2477,6 +2578,51 @@ object SparkEntry {
           .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
             col("n"), col("sum_value_micros"))
           .orderBy("day"))
+      res.count() // materialize before the table dir can be cleared
+      res
+    }),
+
+    // CDC-COMPLETE streaming MERGE: the five-batch CDC replay (four upsert
+    // slices, then a tombstone batch deleting every event_id ≡ 0 mod 37)
+    // through the manifest-log path. The delete is handled IN the commit:
+    // every touched day rides overwritePartitions' alsoReplace, so even a
+    // fully-tombstoned day is one dropped manifest entry in the same
+    // atomic version — and the tombstone batch itself stays a readable
+    // VERSION of the history, which the result exposes: version 4 is the
+    // pre-delete table (the full event set), version 5 (head) the
+    // post-delete one. Oracle: the raw rollup, minus the deleted keys for
+    // v5. UpsertSpec drives delete-then-reinsert and the emptied-day case
+    // through BOTH paths (raw dynamic-overwrite and log) directly.
+    "q_stream_merge_cdc" -> ((s, dir) => {
+      val n = streamSinkSeq.incrementAndGet()
+      val base = replayCkptBase(n)
+      val table = new java.io.File(base, "cdclog").getAbsolutePath
+      withStreamShufflePartitions(s, 4) {
+        val replay = eventsCdcReplayDir(s, dir)
+        val src = s.readStream
+          .schema(s.read.option("pathGlobFilter", "*.parquet").parquet(replay).schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("latestFirst", "false")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(replay)
+        val q = src.writeStream
+          .foreachBatch(graft.streaming.StreamOps.upsertBatchLogCdc(table) _)
+          .option("checkpointLocation",
+            new java.io.File(base, "cdcckpt").getAbsolutePath)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      GraftCache.onClear(() => rmTree(base))
+      val res = GraftCache.track(
+        Seq(4, 5).map { v =>
+          graft.sources.TableLog.read(s, table, Some(v))
+            .groupBy("day")
+            .agg(count(lit(1)).as("n"), sum("us").as("sum_value_micros"))
+            .select(lit(v).as("version"),
+              date_format(col("day"), "yyyy-MM-dd").as("day"),
+              col("n"), col("sum_value_micros"))
+        }.reduce(_.unionByName(_)).orderBy("version", "day"))
       res.count() // materialize before the table dir can be cleared
       res
     }),
@@ -6092,6 +6238,18 @@ object SparkEntry {
          |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // v4 = every event (the four upsert slices merged, duplicates
+    // collapsed); v5 = minus the tombstoned keys (event_id ≡ 0 mod 37).
+    "q_stream_merge_cdc" ->
+      s"""SELECT 4 AS version, strftime(cast(ts AS date), '%Y-%m-%d') AS day,
+         |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events GROUP BY 2
+         |UNION ALL
+         |SELECT 5 AS version, strftime(cast(ts AS date), '%Y-%m-%d') AS day,
+         |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events WHERE event_id % 37 <> 0 GROUP BY 2
+         |ORDER BY 1, 2""".stripMargin,
+
     // The incremental artifact's content IS the raw table when maintenance
     // is correct — the full-table rollup is the oracle.
     "q_events_incremental" ->
@@ -6229,6 +6387,30 @@ object SparkEntry {
          |  count(DISTINCT cast(ts AS date)) AS n_days
          |FROM events
          |ORDER BY version""".stripMargin,
+
+    // v1→v3 net change = (insert: every day ≥ the cut) + (delete: the
+    // prune day's non-click rows); the identically-rewritten click rows
+    // net out.
+    "q_events_changefeed" ->
+      s"""SELECT 'insert' AS _change_type, event_type, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events WHERE cast(ts AS date) >= DATE '$IncrCutDay'
+         |GROUP BY 2
+         |UNION ALL
+         |SELECT 'delete' AS _change_type, event_type, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events
+         |WHERE cast(ts AS date) = DATE '$TtPruneDay' AND event_type <> 'click'
+         |GROUP BY 2
+         |ORDER BY 1, 2""".stripMargin,
+
+    // The pruned read is row-identical to a plain day filter over raw
+    // events — manifest pruning only changes WHICH directories get read.
+    "q_events_timetravel_pruned" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events WHERE cast(ts AS date) = DATE '$TtPruneDay'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The SMB join's rows are layout-independent: the oracle computes the
     // same per-user rollups and joins them plainly.

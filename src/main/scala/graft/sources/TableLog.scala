@@ -188,8 +188,20 @@ object TableLog {
     * dynamic-overwrite upsert (StreamOps.upsertBatch) has to fake with a
     * persist-before-overwrite.
     */
-  def overwritePartitions(df: DataFrame, table: String, partCol: String): Int = {
+  /** `alsoReplace`: extra partition TAGS to drop from the previous manifest
+    * even when `df` holds no rows for them — replace-where semantics with
+    * an (possibly) empty source per named partition. This is how a
+    * partition BECOMES empty under a merge: a micro-batch that tombstones
+    * a day's last row writes no directory for that day, so without the
+    * explicit drop the stale entry would survive (exactly the raw
+    * dynamic-overwrite gap upsertBatchCdc has to patch with an out-of-band
+    * directory delete).
+    */
+  def overwritePartitions(df: DataFrame, table: String, partCol: String,
+                          alsoReplace: Set[String] = Set.empty): Int = {
     import org.apache.spark.sql.functions.col
+    alsoReplace.foreach(t => require(!t.contains('"') && !t.contains('|'),
+      s"partition value '$t' contains a manifest delimiter (\" or |)"))
     var v = -1
     var tries = 0
     while (v < 0) {
@@ -222,7 +234,7 @@ object TableLog {
             "(\" or |) — unsupported as a TableLog partition key")
         s"$rel/${d.getName}|$tag"
       }
-      val replaced = adds.map(entryTag(_).get).toSet
+      val replaced = adds.map(entryTag(_).get).toSet ++ alsoReplace
       val keep = prev.filter(e => entryTag(e).forall(t => !replaced.contains(t)))
       v = tryCommit(table, base, keep ++ adds)
     }

@@ -69,6 +69,18 @@ object StreamOps {
     * `spark.sql.sources.partitionOverwriteMode=dynamic` for the duration
     * (the caller scopes it): static mode would truncate untouched days.
     *
+    * CONTRACT (all merge paths here — plain and CDC, raw and log):
+    * (event_id → day) is IMMUTABLE. The read-back is partition-pruned by
+    * the batch's DAYS, so an update whose day differs from the key's
+    * stored row never sees that row — the table would end with two rows
+    * for one key. This is the standard MERGE-pushdown bargain (a
+    * Delta/Iceberg MERGE scans only what its ON-predicate pruning reaches
+    * too); a feed whose keys can migrate partitions must name the OLD
+    * partition in the change row, which this schema (one day per row)
+    * deliberately does not model. Day-stable keys are the normal CDC case:
+    * the partition value derives from the event's creation time, not its
+    * mutable attributes.
+    *
     * The merged frame is persisted and counted BEFORE the overwrite touches
     * the files it was read from — plain parquet has no snapshot isolation
     * (the gap Delta/Iceberg commit protocols close); the pin is the honest
@@ -139,6 +151,86 @@ object StreamOps {
       else batch.select(UpsertCols.map(col): _*).limit(0)
     graft.sources.TableLog.overwritePartitions(
       mergeLatest(batch, touched), table, "day")
+    ()
+  }
+
+  /** CDC-complete micro-batch schema: a leading `op` column over UpsertCols
+    * — 'U' (upsert: insert or update by event_id) or 'D' (tombstone:
+    * delete the key; the row carries the key's day so the read-back stays
+    * partition-pruned — see the day-immutability contract above). Within
+    * one micro-batch a tombstone beats any same-key upsert (deletes apply
+    * after the merge); a LATER batch's upsert re-inserts the key —
+    * delete-then-reinsert is UpsertSpec-pinned on both paths.
+    */
+  private def cdcSplit(batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    (batch.filter(col("op") === "U").select(UpsertCols.map(col): _*),
+      batch.filter(col("op") === "D").select("event_id").distinct(),
+      batch.select("day").distinct())
+  }
+
+  /** CDC MERGE through raw dynamic partition overwrite. Deletes expose the
+    * raw path's second gap (after the missing snapshot isolation): dynamic
+    * overwrite only rewrites partitions PRESENT in the output, so a day
+    * whose every row was tombstoned writes nothing and the stale partition
+    * directory would simply survive. With no manifest to drop an entry
+    * from, the only fix is an out-of-band directory delete — exactly the
+    * filesystem mutation table formats exist to retire (upsertBatchLogCdc
+    * needs none of this: the emptied day is one dropped manifest entry).
+    */
+  def upsertBatchCdc(target: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val ss = batch.sparkSession
+    require(ss.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        .exists(_.equalsIgnoreCase("dynamic")),
+      "upsertBatchCdc needs partitionOverwriteMode=dynamic in scope")
+    val (ups, dels, days) = cdcSplit(batch)
+    val tDir = new java.io.File(target)
+    val hasData = tDir.isDirectory && {
+      val fs = tDir.listFiles(); fs != null && fs.exists(_.getName.startsWith("day="))
+    }
+    val touched =
+      if (hasData)
+        ss.read.option("basePath", target).parquet(target)
+          .join(broadcast(days), "day")
+          .select(UpsertCols.map(col): _*)
+      else ups.limit(0)
+    val merged = mergeLatest(ups, touched)
+      .join(dels, Seq("event_id"), "left_anti").persist()
+    merged.count() // pin before overwriting the files it reads
+    merged.write.mode("overwrite").partitionBy("day").parquet(target)
+    val daysTouched = days.select(col("day").cast("string"))
+      .collect().map(_.getString(0)).toSet // bounded: days per micro-batch
+    val daysWithRows = merged.select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    (daysTouched -- daysWithRows).foreach { d =>
+      deleteRec(new java.io.File(target, s"day=$d"))
+    }
+    merged.unpersist()
+    ()
+  }
+
+  /** CDC MERGE through the manifest log: same semantics as upsertBatchCdc,
+    * but an emptied day is handled IN the commit — every touched day rides
+    * `alsoReplace`, so a day with no surviving rows is one dropped
+    * manifest entry in the same atomic version (no out-of-band delete, no
+    * persist pin), and the tombstone batch itself stays a readable
+    * version of the table's history.
+    */
+  def upsertBatchLogCdc(table: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val (ups, dels, days) = cdcSplit(batch)
+    val touched =
+      if (graft.sources.TableLog.headVersion(table) >= 1)
+        graft.sources.TableLog.read(batch.sparkSession, table)
+          .join(broadcast(days), "day")
+          .select(UpsertCols.map(col): _*)
+      else ups.limit(0)
+    val merged = mergeLatest(ups, touched).join(dels, Seq("event_id"), "left_anti")
+    val daysTouched = days.select(col("day").cast("string"))
+      .collect().map(_.getString(0)).toSet // bounded: days per micro-batch
+    graft.sources.TableLog.overwritePartitions(
+      merged, table, "day", alsoReplace = daysTouched)
     ()
   }
 

@@ -39,6 +39,15 @@ object SparkEntry {
   private val GraphEntries = 4
   private val GraphBeam    = 16
   private val GraphRounds  = 4
+  // Layered graph-ANN (GraphAnn.layeredSearch): a 1-in-RepMod keyed-md5 rep
+  // layer descended with a narrow beam, then a base refine at HALF the flat
+  // search's beam width — ann_graph_recall_layered gauges the equal-recall
+  // claim against ann_graph_recall's flat beam-16 numbers.
+  private val RepMod     = 8
+  private val RepBeam    = 8
+  private val RepRounds  = 2
+  private val BaseBeam   = 10 // must cover top-k=10; 10 vs the flat 16
+  private val BaseRounds = 2
   // text_surprisal_topk's bounded vocabulary broadcast: K = 16 keeps the
   // fixture's 31-type vocab split across both scoring paths (15 tail types)
   // so the smoothed-tail rule is oracle-exercised, not just documented
@@ -255,6 +264,33 @@ object SparkEntry {
       }
     }
 
+  /** THREE-column Z-order layout (ZOrder.morton3): user × hour × value
+    * band, the generalization q_events_zorder's 2-D layout cedes — a value
+    * predicate gets pruning power the 2-D code cannot give it, at a
+    * bounded cost to user/time locality (each column keeps ~1/3 of its
+    * resolution instead of ~1/2; ZOrderScaleProbe quantifies the trade and
+    * where a further column would stop paying). The value coordinate is
+    * floor(value) — integral, 0..~560 ≈ 10 bits, comparable to the other
+    * coordinates' varying widths.
+    */
+  private def eventsZorder3Dir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/eventszorder3") {
+      val k = ArtifactIO.contentKey(s"$dir|zorder3|v1",
+        new java.io.File(s"$dir/events.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_eventszorder3_$k")
+      ArtifactIO.publishDir(out, valid = o => new java.io.File(o, "_SUCCESS").isFile) { staging =>
+        val hourNs = 3600L * 1000000000L
+        Tables.events(s, dir)
+          .withColumn("__z", graft.functions.ZOrder.morton3(
+            col("user_id"), expr(s"ts_ns div $hourNs"),
+            floor(col("value")).cast("long")))
+          .repartitionByRange(8, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+          .write.mode("overwrite").parquet(staging.getAbsolutePath)
+      }
+    }
+
   /** SMB (sort-merge-bucket) join substrate: two per-user rollups written as
     * BUCKETED, bucket-SORTED tables on the join key. Joining them is the
     * zero-exchange, zero-sort join — both sides' layouts already satisfy the
@@ -444,6 +480,49 @@ object SparkEntry {
           new java.io.File(o, "ai/_SUCCESS").isFile) { staging =>
         KnnGraph.write(staging.getAbsolutePath, edges(s, dir), ai(s, dir))
       }
+    }
+
+  /** The rep layer: the 1-in-RepMod keyed-md5 corpus sample (a per-row
+    * predicate, not a LIMIT — closed-form, so the oracle replays membership
+    * row-by-row with the shared Horner md5-mod).
+    */
+  private def repsOf(emb: DataFrame): DataFrame =
+    emb.filter(graft.functions.GraftCols.md5Mod(
+      concat(col("vec_id").cast("string"), lit("|grep")), RepMod) === 0L)
+
+  /** The LAYERED graph-ANN artifact: the rep layer's own kNN edge table,
+    * persisted bucketed by src exactly like the base graph — at scale the
+    * coarse layer is a table 8× smaller than the base graph that phase-1
+    * rounds join against with no edge-side exchange. The base layer is the
+    * existing graphArtifactDir; together they are HNSW's hierarchy as two
+    * write-once parquet tables.
+    */
+  private def graphLayeredDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/graphlayered") {
+      val k = ArtifactIO.contentKey(s"$dir|m=$M|rep=$RepMod|v1",
+        new java.io.File(s"$dir/embeddings.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_graphrep_$k")
+      ArtifactIO.publishDir(out, valid = o =>
+        new java.io.File(o, "repedges/_SUCCESS").isFile) { staging =>
+        ArtifactIO.writeBucketed(
+          KnnGraph.edges(repsOf(Tables.embeddings(s, dir)), M)
+            .select(col("src"), col("dst"), col("dist")),
+          s"${staging.getAbsolutePath}/repedges", "src", KnnGraph.EdgeBuckets)
+      }
+    }
+
+  private def graphAnnLayeredShared(s: SparkSession, dir: String): DataFrame =
+    GraftCache.memo(s"$dir/graphannlayered") {
+      val emb = Tables.embeddings(s, dir)
+      val (baseEdges, _) = KnnGraph.read(s, graphArtifactDir(s, dir))
+      val repEdges = ArtifactIO.readBucketed(s,
+        s"${graphLayeredDir(s, dir)}/repedges",
+        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
+      GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
+        embBucketed(s, dir), repEdges, baseEdges,
+        GraphAnn.entryPoints(repsOf(emb), GraphEntries),
+        k = 10, repBeam = RepBeam, baseBeam = BaseBeam,
+        repRounds = RepRounds, baseRounds = BaseRounds)
     }
 
   /** The corpus as a BUCKETED-by-vec_id table — the edge artifact's layout
@@ -2224,6 +2303,24 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // The 3-D selective slice (user range × time range × value band) served
+    // COLD from the Morton-3 clustered artifact: all three predicates prune
+    // at the parquet row-group-statistics level because the layout keeps
+    // every file's min/max narrow on ALL THREE columns. Row set provably
+    // identical to the raw table (clustering only moves rows); the oracle
+    // replays the slice over raw events.
+    "q_events_zorder3" -> ((s, dir) => {
+      val t1 = 1704844800L * 1000000000L // 2024-01-10
+      val t2 = 1705276800L * 1000000000L // 2024-01-15
+      s.read.parquet(eventsZorder3Dir(s, dir))
+        .filter(col("user_id") < 8 && col("ts_ns") >= t1 && col("ts_ns") < t2 &&
+          col("value") >= 100.0 && col("value") < 200.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(micros(col("value"))), lit(0L)).as("sum_value_micros"))
+        .orderBy("event_type")
+    }),
+
     // The v2 OPTIMIZER-RULE path under the driver gate: the query writes
     // the naive LEFT theta-join (`events LEFT JOIN incidents ON
     // containment`) and RangeJoinRewrite — conf-scoped like q_bloom_join's
@@ -2901,6 +2998,34 @@ object SparkEntry {
     // sizes beam/rounds at scale, itself oracle-exact.
     "ann_graph_recall" -> ((s, dir) => {
       val g = graphAnnShared(s, dir)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(g, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
+        .orderBy("query_id")
+    }),
+
+    // LAYERED graph-ANN (GraphAnn.layeredSearch): coarse descend over the
+    // persisted rep-layer kNN graph (1-in-8 keyed-md5 sample, beam 8 ×
+    // 2 rounds), then a base refine at beam 8 × 2 rounds starting from the
+    // per-query coarse beam — HNSW's hierarchy as two write-once bucketed
+    // tables. Every round of BOTH phases replays as unrolled SQL.
+    "ann_graph_topk_layered" -> ((s, dir) => {
+      graphAnnLayeredShared(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("dist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // The layered gauge: recall@10 vs the exact fold-L2 ground truth —
+    // read against ann_graph_recall's flat numbers, this is the
+    // equal-recall-at-half-the-beam-width claim, itself oracle-exact.
+    "ann_graph_recall_layered" -> ((s, dir) => {
+      val g = graphAnnLayeredShared(s, dir)
         .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
       rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10)
         .select(col("query_id"), col("neighbor_id"))
@@ -4173,28 +4298,74 @@ object SparkEntry {
     * (dist ASC, node ASC). Requires a `$qv(query_id, qe)` CTE; emits
     * gb0..gb$GraphRounds, the last being the final beam.
     */
-  private def graphSearchCtes(qv: String): String = {
+  private def graphSearchCtes(qv: String): String =
+    s"""gent AS (SELECT vec_id AS node FROM embeddings
+       |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
+       |""".stripMargin +
+      graphSearchCtesOver(qv, "g", "edges",
+        s"SELECT q.query_id, e.node FROM $qv q, gent e",
+        GraphBeam, GraphRounds)
+
+  /** Parameterized unrolled-beam generator (shared by the flat and layered
+    * replays): emits ${pfx}p0..${pfx}p$rounds / ${pfx}s.. / ${pfx}b.., the
+    * last ${pfx}b$rounds being the final beam. `pairs0` is the round-0
+    * (query_id, node) SQL — a shared entry cross join for the flat search,
+    * the previous phase's final beam for a layered refine (the beam block
+    * itself re-truncates to this phase's width; re-scoring is identical
+    * because fold-L2 is a pure function).
+    */
+  private def graphSearchCtesOver(qv: String, pfx: String, edgesCte: String,
+                                  pairs0: String, beam: Int, rounds: Int): String = {
     val d2 = "(cast(q.qe[i] as double) - cast(b.embedding[i] as double))"
     def scored(i: Int, pairs: String) =
-      s"""gs$i AS (SELECT p.query_id, p.node,
+      s"""${pfx}s$i AS (SELECT p.query_id, p.node,
          |    sqrt(list_reduce(list_transform(range(1, ${D + 1}), i -> $d2 * $d2), (x, y) -> x + y)) AS dist
          |  FROM $pairs p JOIN $qv q ON q.query_id = p.query_id
          |  JOIN embeddings b ON b.vec_id = p.node),
-         |gb$i AS (SELECT query_id, node, dist FROM (
+         |${pfx}b$i AS (SELECT query_id, node, dist FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
-         |    FROM gs$i) WHERE rn <= $GraphBeam)""".stripMargin
+         |    FROM ${pfx}s$i) WHERE rn <= $beam)""".stripMargin
     val entry =
-      s"""gent AS (SELECT vec_id AS node FROM embeddings
-         |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
-         |gp0 AS (SELECT q.query_id, e.node FROM $qv q, gent e),
-         |${scored(0, "gp0")}""".stripMargin
-    val rounds = (1 to GraphRounds).map { i =>
-      s"""gp$i AS (SELECT query_id, node FROM gb${i - 1}
+      s"""${pfx}p0 AS ($pairs0),
+         |${scored(0, s"${pfx}p0")}""".stripMargin
+    val rnds = (1 to rounds).map { i =>
+      s"""${pfx}p$i AS (SELECT query_id, node FROM ${pfx}b${i - 1}
          |  UNION
-         |  SELECT b.query_id, e.dst AS node FROM gb${i - 1} b JOIN edges e ON e.src = b.node),
-         |${scored(i, s"gp$i")}""".stripMargin
+         |  SELECT b.query_id, e.dst AS node FROM ${pfx}b${i - 1} b JOIN $edgesCte e ON e.src = b.node),
+         |${scored(i, s"${pfx}p$i")}""".stripMargin
     }
-    (entry +: rounds).mkString(",\n")
+    (entry +: rnds).mkString(",\n")
+  }
+
+  /** The layered traversal's full replay: rep membership (Horner md5-mod,
+    * the engine's GraftCols.md5Mod), the rep layer's OWN kNN edges (same
+    * rank-then-re-rank derivation as the base graph, restricted to reps),
+    * the rep-sampled entry set, phase 1 unrolled over `redges`, phase 2
+    * unrolled over `edges` seeded by phase 1's final beam.
+    */
+  private def layeredSearchCtes(qv: String): String = {
+    val dd = "(cast(a.embedding[i] as double) - cast(b.embedding[i] as double))"
+    s"""reps AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|grep'", RepMod.toString)} = 0),
+       |rknn0 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    sqrt(list_reduce(list_transform(range(1, ${D + 1}), i -> $dd * $dd), (x, y) -> x + y)) AS dist
+       |  FROM reps a, reps b),
+       |rknn AS MATERIALIZED (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+       |    FROM rknn0)
+       |  WHERE rank <= ${2 * M + 1}),
+       |redges AS MATERIALIZED (SELECT * FROM (
+       |    SELECT query_id AS src, neighbor_id AS dst, dist,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS r2
+       |    FROM rknn WHERE neighbor_id <> query_id) WHERE r2 <= ${2 * M}),
+       |rent AS (SELECT vec_id AS node FROM reps
+       |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
+       |""".stripMargin +
+      graphSearchCtesOver(qv, "lr", "redges",
+        s"SELECT q.query_id, e.node FROM $qv q, rent e", RepBeam, RepRounds) +
+      ",\n" +
+      graphSearchCtesOver(qv, "lb", "edges",
+        s"SELECT query_id, node FROM lrb$RepRounds", BaseBeam, BaseRounds)
   }
 
   /** PQ codebook + assignment CTEs (embed_pq's semantics): `cb` = the 16
@@ -6449,6 +6620,17 @@ object SparkEntry {
          |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // The 3-D slice is layout-independent row-wise: the oracle adds the
+    // value band to the same raw-events replay.
+    "q_events_zorder3" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events
+         |WHERE user_id < 8 AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+         |  AND value >= 100.0 AND value < 200.0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The rewrite-path LEFT containment join replays as the plain LEFT
     // inequality join — the rule only reshapes the physical plan, and the
     // preserved point side must null-extend exactly once per unmatched row.
@@ -6842,6 +7024,34 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
            |  FROM gb$GraphRounds) WHERE rn <= 10
            |ORDER BY query_id, rank""".stripMargin),
+
+    // Layered traversal: both phases replayed as unrolled SQL — the rep
+    // layer's kNN edges rebuilt from the md5-mod membership, phase 2
+    // seeded by phase 1's final beam.
+    "ann_graph_topk_layered" ->
+      (graphCtes + ",\n" +
+        s"""gq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+           |${layeredSearchCtes("gq")}
+           |SELECT query_id, node AS neighbor_id, dist, cast(rn as bigint) AS rank FROM (
+           |  SELECT query_id, node, dist,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+           |  FROM lbb$BaseRounds) WHERE rn <= 10
+           |ORDER BY query_id, rank""".stripMargin),
+
+    "ann_graph_recall_layered" ->
+      (graphCtes + ",\n" +
+        s"""gq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+           |${layeredSearchCtes("gq")},
+           |lk AS (SELECT query_id, node AS neighbor_id FROM (
+           |    SELECT query_id, node,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+           |    FROM lbb$BaseRounds) WHERE rn <= 10),
+           |lbk AS (SELECT query_id, neighbor_id FROM raw17 WHERE query_id < 100 AND rank <= 10)
+           |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
+           |  cast(count(i.neighbor_id) as double) / count(*) AS recall
+           |FROM lbk b LEFT JOIN lk i
+           |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin),
 
     // Graph-ANN recall@10 vs the exact fold-L2 top-10 (raw17 ranks).
     "ann_graph_recall" ->

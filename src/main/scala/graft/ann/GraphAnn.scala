@@ -75,6 +75,60 @@ object GraphAnn {
       .select(col("query_id"), col("node").as("neighbor_id"), col("dist"), col("rank"))
   }
 
+  /** Two-phase LAYERED beam search — HNSW's actual hierarchy idea in batch
+    * form (the r13 GraphAnnScaleProbe finding: what beam search needs at
+    * 1M+ nodes is rep-layer NAVIGABILITY, not a wider base beam). Phase 1
+    * descends a COARSE layer: `repEdges` is a kNN graph over a keyed-md5
+    * 1-in-`RepMod` corpus sample, so its edges are long-range and a narrow
+    * beam localizes each query's neighborhood in few rounds over few
+    * nodes. Phase 2 refines on the BASE edges starting from the coarse
+    * beam — PER-QUERY entry points, already near the answer, which is why
+    * the base beam can be half the flat search's width at equal recall
+    * (ann_graph_recall_layered is the gauge; the flat search pays its full
+    * beam width on every round because it starts from the one shared
+    * entry sample). Distances are the same pure fold-L2 either phase, so
+    * phase-1 scores carry into phase 2 unchanged and the whole traversal
+    * stays SQL-replayable as two unrolled round sequences.
+    *
+    * 100 TB shape: the rep layer is ~corpus/RepMod rows and its OWN
+    * bucketed artifact — phase-1 rounds join the frontier against a table
+    * 8× smaller (and far better connected) than the base graph, phase-2
+    * rounds run at HALF the frontier rows of the flat search; both layers'
+    * joins consume their bucket layouts (the GraphAnnSpec gate applies to
+    * each).
+    */
+  def layeredSearch(queries: DataFrame, corpus: DataFrame,
+                    repEdges: DataFrame, baseEdges: DataFrame,
+                    entries: DataFrame, k: Int,
+                    repBeam: Int, baseBeam: Int,
+                    repRounds: Int, baseRounds: Int): DataFrame = {
+    require(baseBeam >= k, s"base beam $baseBeam must cover the requested top-$k")
+    def score(cand: DataFrame): DataFrame = scoreCandidates(cand, corpus)
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("node"))
+    def topB(df: DataFrame, b: Int): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= b).drop("rn")
+    var beamDf = topB(score(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .crossJoin(broadcast(entries))), repBeam)
+      .localCheckpoint()
+    var r = 0
+    while (r < repRounds) {
+      beamDf = topB(beamDf.unionByName(score(
+        frontierCandidates(beamDf, repEdges))), repBeam).localCheckpoint()
+      r += 1
+    }
+    var refined = topB(beamDf, baseBeam).localCheckpoint()
+    r = 0
+    while (r < baseRounds) {
+      refined = topB(refined.unionByName(score(
+        frontierCandidates(refined, baseEdges))), baseBeam).localCheckpoint()
+      r += 1
+    }
+    refined
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"), col("dist"), col("rank"))
+  }
+
   /** One round's frontier expansion: neighbors of the beam not already IN
     * the beam; a node dropped in an earlier round may be re-scored — dist
     * is a pure function, so the result equals the oracle's simpler

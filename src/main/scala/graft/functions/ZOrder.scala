@@ -48,6 +48,33 @@ object ZOrder {
     spreadBits(x.cast("long"))
       .bitwiseOR(shiftleft(spreadBits(y.cast("long")), 1))
 
+  /** Spread the low 21 bits of a non-negative long so bit i lands at bit
+    * 3i — the 3-D analogue of spreadBits (the classic part-1-by-2 mask
+    * pyramid; 21 bits × 3 = 63, fitting a signed long).
+    */
+  def spreadBits3(c: Column): Column = {
+    val v0 = c.bitwiseAND(lit(0x1FFFFFL))
+    val v1 = v0.bitwiseOR(shiftleft(v0, 32)).bitwiseAND(lit(0x001F00000000FFFFL))
+    val v2 = v1.bitwiseOR(shiftleft(v1, 16)).bitwiseAND(lit(0x001F0000FF0000FFL))
+    val v3 = v2.bitwiseOR(shiftleft(v2, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    val v4 = v3.bitwiseOR(shiftleft(v3, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    v4.bitwiseOR(shiftleft(v4, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** 63-bit Morton code of THREE non-negative ints/longs < 2^21 (x in bits
+    * 0,3,6…, y in 1,4,7…, z in 2,5,8…). Each column keeps ~one third of
+    * its resolution — the locality trade grows with dimension count, which
+    * is why Z-ordering past 3–4 columns stops paying (each added column
+    * dilutes EVERY column's pruning power; ZOrderScaleProbe measures the
+    * 2-vs-3-column trade quantitatively). Inputs wider than 21 bits must
+    * normalize through `zBucket(c, max, bits ≤ 21)` first — the same
+    * comparable-bit-width requirement as morton2, one third tighter.
+    */
+  def morton3(x: Column, y: Column, z: Column): Column =
+    spreadBits3(x.cast("long"))
+      .bitwiseOR(shiftleft(spreadBits3(y.cast("long")), 1))
+      .bitwiseOR(shiftleft(spreadBits3(z.cast("long")), 2))
+
   /** Scale a non-negative column with known domain [0, maxExclusive) onto
     * [0, 2^bits): `(c · 2^bits) div maxExclusive`, exact decimal arithmetic
     * (codegen'd), monotone, endpoints tight. This is the per-column

@@ -129,6 +129,52 @@ object GraphAnnScaleProbe {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[gascale] R=$rounds%-2d B=$beam%-4d ${hits.toDouble / nExact}%10.4f $dt%9.2f ${dt / math.max(rounds, 1)}%9.2f")
     }
+
+    // LAYERED two-phase search (GraphAnn.layeredSearch): the rep layer as
+    // its OWN edge table — phase 1 beams over the 1024-rep kNN graph
+    // (tiny, long-range), phase 2 refines on the full base graph from the
+    // per-query coarse beam. Compared against the flat search at the SAME
+    // reduced base width: the claim under test is that per-query entries
+    // from the coarse layer buy back the recall a narrower flat beam
+    // loses. Flat controls at B=10 run here (the main sweep covers 16+).
+    import spark.implicits._
+    val repRows2 = corpus
+      .orderBy(md5(concat(lit("gsp|"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(nlist).select("vec_id", "embedding").collect()
+    val repIds2 = repRows2.map(_.getLong(0))
+    val cents2  = repRows2.map(_.getSeq[Float](1).toArray)
+    val repEdges2 = (for {
+      c <- cents2.indices
+      near <- cents2.indices.filter(_ != c)
+        .map(c2 => (graft.functions.VectorOps.l2(cents2(c), cents2(c2)), c2))
+        .sorted.take(mRep)
+    } yield (repIds2(c), repIds2(near._2), 0.0)).toSeq
+      .toDF("src", "dst", "dist").cache()
+    repEdges2.count()
+    val repEntries = GraphAnn.entryPoints(
+      corpus.join(broadcast(repIds2.toSeq.toDF("vec_id")), "vec_id"),
+      64, seed = "gsp-e").cache()
+    repEntries.count()
+    for ((beam, rounds) <- Seq((10, 8), (10, 12))) {
+      val t0 = System.nanoTime()
+      val res = GraphAnn.beamSearch(queries, corpus, edgesArt, entries,
+        k = 10, beam = beam, rounds = rounds)
+      val hits = res.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[gascale] flat    R=$rounds%-2d B=$beam%-4d ${hits.toDouble / nExact}%10.4f $dt%9.2f")
+    }
+    for ((rb, rr, bb, br) <- Seq((8, 4, 10, 4), (8, 4, 10, 8), (16, 4, 10, 8))) {
+      val t0 = System.nanoTime()
+      val res = GraphAnn.layeredSearch(queries, corpus, repEdges2, edgesArt,
+        repEntries, k = 10, repBeam = rb, baseBeam = bb,
+        repRounds = rr, baseRounds = br)
+      val hits = res.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[gascale] layered rep B=$rb%-3d R=$rr base B=$bb%-3d R=$br " +
+        f"${hits.toDouble / nExact}%10.4f $dt%9.2f")
+    }
     spark.stop()
   }
 }

@@ -55,6 +55,47 @@ class GraphAnnSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GraphAnn.beamSearch(queries, emb, edges, entries, k = 10, beam = 5, rounds = 1)
     }
+    intercept[IllegalArgumentException] {
+      GraphAnn.layeredSearch(queries, emb, edges, edges, entries,
+        k = 10, repBeam = 16, baseBeam = 5, repRounds = 1, baseRounds = 1)
+    }
+  }
+
+  test("layered search: deterministic ranking, and the coarse layer buys back narrow-beam recall") {
+    import graft.functions.GraftCols
+    val reps = emb.filter(GraftCols.md5Mod(
+      concat(col("vec_id").cast("string"), lit("|grep")), 8) === 0L).cache()
+    val repEdges = KnnGraph.edges(reps, 8).cache()
+    val repEntries = GraphAnn.entryPoints(reps, 4)
+    def runLayered() = GraphAnn.layeredSearch(queries, emb, repEdges, edges,
+        repEntries, k = 10, repBeam = 8, baseBeam = 10,
+        repRounds = 2, baseRounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val a = runLayered(); val b = runLayered()
+    assert(a == b, "two identical layered traversals must produce identical rows")
+    a.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4) == (1 to rows.length), s"ranks of query $q not consecutive")
+      assert(rows.map(_._3) == rows.map(_._3).sorted, s"dists of query $q not ascending")
+    }
+    // recall: layered at base beam 10 must at least match the FLAT search
+    // at the same narrow width (the per-query coarse entries are the whole
+    // point; at fixture size both are high — the strict claim is probed at
+    // 1M nodes in GraphAnnScaleProbe)
+    val exact = Knn.exact(queries, emb, 10, kernel = "fold")
+      .select("query_id", "neighbor_id").cache()
+    val nExact = exact.count().toDouble
+    def recallOf(df: org.apache.spark.sql.DataFrame) =
+      exact.join(df.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count() / nExact
+    val layered = recallOf(GraphAnn.layeredSearch(queries, emb, repEdges, edges,
+      repEntries, k = 10, repBeam = 8, baseBeam = 10, repRounds = 2, baseRounds = 2))
+    val flatNarrow = recallOf(GraphAnn.beamSearch(queries, emb, edges, entries,
+      k = 10, beam = 10, rounds = 4))
+    assert(layered >= flatNarrow - 1e-12,
+      s"layered (rep 8x2 + base 10x2) must not lose to the flat beam-10: " +
+        s"$layered vs $flatNarrow")
+    assert(layered > 0.8, s"layered recall collapsed at fixture size: $layered")
   }
 
   test("per-round frontier join consumes the bucketed edge artifact — no edge-side Exchange") {

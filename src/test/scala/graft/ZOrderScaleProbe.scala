@@ -38,6 +38,7 @@ object ZOrderScaleProbe {
     val base = spark.range(n).select(
       hashT("u", 2048L).as("user_id"),
       hashT("t", 1L << 20).as("t"),
+      hashT("v", 1024L).as("v"),
       col("id").as("payload"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_probe")
       .toFile.getAbsolutePath
@@ -61,6 +62,15 @@ object ZOrderScaleProbe {
         .repartitionByRange(8, col("__z")).sortWithinPartitions("__z")
         .drop("__z").write.parquet(s"$tmp/zorder")
     }
+    time("write zorder3 (user, t, v)") {
+      // the 2-vs-3-column trade: each column now keeps ~1/3 of its
+      // resolution instead of ~1/2 — v-slices gain pruning power the
+      // 2-D layout cannot give them, while user/t slices get WEAKER
+      base.withColumn("__z", ZOrder.morton3(col("user_id"),
+          ZOrder.zBucket(col("t"), 1L << 20, 11), col("v")))
+        .repartitionByRange(8, col("__z")).sortWithinPartitions("__z")
+        .drop("__z").write.parquet(s"$tmp/zorder3")
+    }
 
     val preds = Seq(
       "user slice (1/64)" -> (col("user_id") >= 512L && col("user_id") < 544L),
@@ -83,7 +93,7 @@ object ZOrderScaleProbe {
     // ranges survive each predicate — the exact unit parquet's statistics
     // pruning skips. This is the number that scales to 100 TB.
     import scala.jdk.CollectionConverters._
-    def rowGroups(path: String): Seq[(Long, Long, Long, Long)] = {
+    def rowGroups(path: String): Seq[(Long, Long, Long, Long, Long, Long)] = {
       val conf = spark.sparkContext.hadoopConfiguration
       new java.io.File(path).listFiles().toSeq
         .filter(f => f.getName.endsWith(".parquet"))
@@ -99,22 +109,29 @@ object ZOrderScaleProbe {
                 s.genericGetMax.asInstanceOf[Number].longValue)
             }
             val (ul, uh) = mm("user_id"); val (tl, th) = mm("t")
-            (ul, uh, tl, th)
+            val (vl, vh) = mm("v")
+            (ul, uh, tl, th, vl, vh)
           } finally r.close()
         }
     }
     val uLo = 512L; val uHi = 544L
     val tLo = (1L << 14) * 20; val tHi = (1L << 14) * 21
+    val vLo = 320L; val vHi = 336L // 1/64 of the 1024-wide v domain
     for ((layout, path) <- Seq("unsorted" -> "unsorted", "lex" -> "lex",
-        "zorder_raw" -> "zorder_raw", "zorder" -> "zorder")) {
+        "zorder_raw" -> "zorder_raw", "zorder" -> "zorder",
+        "zorder3" -> "zorder3")) {
       val rgs = rowGroups(s"$tmp/$path")
-      def surv(f: ((Long, Long, Long, Long)) => Boolean) = rgs.count(f)
-      val u = surv { case (ul, uh, _, _) => uh >= uLo && ul < uHi }
-      val t = surv { case (_, _, tl, th) => th >= tLo && tl < tHi }
-      val both = surv { case (ul, uh, tl, th) =>
+      def surv(f: ((Long, Long, Long, Long, Long, Long)) => Boolean) = rgs.count(f)
+      val u = surv { case (ul, uh, _, _, _, _) => uh >= uLo && ul < uHi }
+      val t = surv { case (_, _, tl, th, _, _) => th >= tLo && tl < tHi }
+      val v = surv { case (_, _, _, _, vl, vh) => vh >= vLo && vl < vHi }
+      val both = surv { case (ul, uh, tl, th, _, _) =>
         uh >= uLo && ul < uHi && th >= tLo && tl < tHi }
+      val all3 = surv { case (ul, uh, tl, th, vl, vh) =>
+        uh >= uLo && ul < uHi && th >= tLo && tl < tHi &&
+          vh >= vLo && vl < vHi }
       println(f"$layout%-11s row groups: ${rgs.size}%4d total | " +
-        f"user slice survives $u%4d | time slice $t%4d | 2-D $both%4d")
+        f"user $u%4d | time $t%4d | v $v%4d | 2-D $both%4d | 3-D $all3%4d")
     }
     spark.stop()
   }

@@ -57,6 +57,8 @@ object DocsGen {
       val raw   = Files.readString(p).replace("\\\"", "\"")
       val total = """"metric":"total_median","value":([0-9.Ee+-]+)""".r
         .findFirstMatchIn(raw).map(_.group(1).toDouble)
+      val quiet = """"value_quiet":([0-9.Ee+-]+)""".r
+        .findFirstMatchIn(raw).map(_.group(1).toDouble)
       val sf = """"sf":"[^"]*sf([0-9.]+)"""".r
         .findFirstMatchIn(raw).map(_.group(1))
       // the driver's capture may truncate the head of Bench's JSON line —
@@ -65,14 +67,15 @@ object DocsGen {
         if (raw.contains(""""queries":{"""))
           Some(SparkEntry.queries.keys.count(k => raw.contains(s""""$k":""")))
         else None
-      (round, total, sf, nBenchQ)
+      (round, total, quiet, sf, nBenchQ)
     }
 
     val benchLine = bench match {
-      case Some((round, Some(total), sf, nq)) =>
-        f"- Latest bench: `BENCH_r$round%02d.json` — **$total%.1f s** total median over " +
-          s"${nq.map(n => s"$n queries").getOrElse("the queries registered at bench time")} " +
-          s"at sf${sf.getOrElse("?")} (local[32], median of 3 cold-cache passes)."
+      case Some((round, Some(total), quiet, sf, nq)) =>
+        f"- Latest bench: `BENCH_r$round%02d.json` — **$total%.1f s** total median" +
+          quiet.map(q => f" ($q%.1f s storm-gated `value_quiet`)").getOrElse("") +
+          s" over ${nq.map(n => s"$n queries").getOrElse("the queries registered at bench time")} " +
+          s"at sf${sf.getOrElse("?")} (local[32], cold-cache passes)."
       case _ => "- Latest bench: (no BENCH_r*.json found)."
     }
     val block =

@@ -2207,6 +2207,33 @@ object SparkEntry {
         .orderBy("_change_type", "event_type")
     }),
 
+    // INCREMENTAL VIEW MAINTENANCE off the change feed — the consumer side
+    // of CDC: a per-type rollup maintained from version 1's state plus the
+    // v1→v3 feed's deltas (insert = +1/+us, delete = −1/−us), never
+    // re-reading the unchanged partitions. full_outer + coalesce so types
+    // born or emptied by the feed are handled; zero-count groups drop out.
+    // At 100 TB this is how derived tables stay current: the feed reads
+    // only changed dirs, the apply touches only changed groups. Oracle:
+    // the maintained rollup must equal the DIRECT rollup of the v3
+    // definition over raw events.
+    "q_events_changefeed_apply" -> ((s, dir) => {
+      val table = eventsTimetravelDir(s, dir)
+      val base = graft.sources.TableLog.read(s, table, Some(1))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n0"), sum("us").as("us0"))
+      val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+      val delta = graft.sources.TableLog.changeFeed(s, table, 1, 3)
+        .groupBy("event_type")
+        .agg(sum(sign).as("dn"), sum(sign * col("us")).as("dus"))
+      base.join(delta, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("us0"), lit(0L)) + coalesce(col("dus"), lit(0L)))
+            .as("sum_value_micros"))
+        .filter(col("n") =!= 0L)
+        .orderBy("event_type")
+    }),
+
     // MANIFEST-LEVEL partition pruning over the same TableLog table: the
     // day-equality read resolves through readWhere, so every non-matching
     // directory is pruned from the MANIFEST — never listed, never
@@ -6574,6 +6601,15 @@ object SparkEntry {
          |WHERE cast(ts AS date) = DATE '$TtPruneDay' AND event_type <> 'click'
          |GROUP BY 2
          |ORDER BY 1, 2""".stripMargin,
+
+    // The maintained rollup must equal the direct rollup of v3's content:
+    // every event except the prune day's non-click rows.
+    "q_events_changefeed_apply" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events
+         |WHERE NOT (cast(ts AS date) = DATE '$TtPruneDay' AND event_type <> 'click')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The pruned read is row-identical to a plain day filter over raw
     // events — manifest pruning only changes WHICH directories get read.

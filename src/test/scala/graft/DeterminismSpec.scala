@@ -75,4 +75,50 @@ class DeterminismSpec extends AnyFunSuite {
       assert(collectSorted(Attacks.insert(v.select("vec_id", "embedding"), 0.2, 64, "42")).sameElements(ref))
     }
   }
+  test("native fold expressions: bit-identical to the HOF forms and the array kernels") {
+    import spark.implicits._
+    import graft.functions.VectorOps
+    // the native FoldL2/FoldDot expressions replaced the interpreted
+    // higher-order-function forms in every scoring join; the contract is
+    // BIT equality — same fold order, same double ops — against both the
+    // HOF twins (evaluated in the same plan) and the mapPartitions array
+    // kernels (evaluated driver-side)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      Array.fill(64)((rnd.nextFloat() - 0.5f) * 100f),
+      Array.fill(64)((rnd.nextFloat() - 0.5f) * 100f)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      VectorOps.l2Col($"a", $"b").as("l2n"),
+      VectorOps.l2ColHof($"a", $"b").as("l2h"),
+      VectorOps.dotCol($"a", $"b").as("dn"),
+      VectorOps.dotColHof($"a", $"b").as("dh")).collect()
+    // the reference fold kernel: DOUBLE-subtraction sequential accumulation
+    // (Ann.sqDistFold / Knn's "fold" kernel / the DuckDB lambda fold) — NOT
+    // VectorOps.l2, whose float-subtraction is the fast-kernel variant
+    def l2Fold(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      math.sqrt(s)
+    }
+    got.zip(rows).foreach { case (r, (a, b)) =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), "l2 native != HOF")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(l2Fold(a, b)), "l2 native != fold kernel")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), "dot native != HOF")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(VectorOps.dot(a, b)), "dot native != kernel")
+    }
+    // a non-float array input must fail at ANALYSIS, never read garbage
+    val dd = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      dd.select(VectorOps.l2Col($"a", $"b")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<float>"))
+  }
+
 }

@@ -191,4 +191,23 @@ class GraphAnnSpec extends AnyFunSuite {
       assert(a == b && a.nonEmpty, "bucketed and plain corpus scoring diverge")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("the scoring fold is the native codegen expression — no HOF fallback in the hot path") {
+    // l2Col is FoldL2Expr now: the fold must render as graft_fold_l2 inside
+    // a whole-stage-codegen region ("*(n)" operator prefix), not as the
+    // interpreted aggregate(zip_with(...)) HOF pair whose lambda runs per
+    // element per row and breaks the generated pipeline
+    val cand = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("vec_id").as("node"))
+    val df = GraphAnn.scoreCandidates(cand, emb)
+    df.collect() // AQE finalizes THIS df's plan only when IT executes
+    // (a .count() would plan a different query and leave this one initial)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_fold_l2"), s"scoring lost the native fold:\n$p")
+    assert(!p.contains("zip_with"),
+      s"the interpreted HOF form crept back into the scoring join:\n$p")
+    val foldLine = p.linesIterator.find(_.contains("graft_fold_l2")).get
+    assert(foldLine.contains("*("),
+      s"the native fold fell out of whole-stage codegen: $foldLine")
+  }
 }

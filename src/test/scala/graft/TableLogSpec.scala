@@ -141,6 +141,16 @@ class TableLogSpec extends AnyFunSuite {
     val across = TableLog.changeFeed(spark, t, v1, v3)
       .select("_change_type", "id").as[(String, Long)].collect().sorted.toSeq
     assert(across == feed, s"diff across a compaction drifted: $across")
+    // IVM contract: old state + feed == new state, as MULTISETS — the feed
+    // is sufficient to maintain any derived table without re-reading the
+    // unchanged partitions (q_events_changefeed_apply is the query form)
+    val f = TableLog.changeFeed(spark, t, v1, v2)
+    val applied = TableLog.read(spark, t, Some(v1))
+      .unionByName(f.filter(col("_change_type") === "insert").drop("_change_type"))
+      .exceptAll(f.filter(col("_change_type") === "delete").drop("_change_type"))
+    val direct = TableLog.read(spark, t, Some(v2))
+    assert(applied.exceptAll(direct).isEmpty && direct.exceptAll(applied).isEmpty,
+      "base ∪ inserts − deletes must equal the direct read of the target version")
   }
 
   test("vacuum honors the grace window: young unreferenced dirs survive") {

@@ -1804,6 +1804,25 @@ object SparkEntry {
       Dedup.nearDupClustersFromPairs(nearDupPairsShared(s, dir))
         .orderBy("doc_id")),
 
+    // Near-dup CANONICALIZATION — the keep-rule a cleaning pipeline
+    // actually wants: per near-dup cluster keep the HIGHEST-QUALITY member
+    // (not the arbitrary smallest doc_id), ties to the lower id. One
+    // argmax aggregate over the shared cluster frame — max(struct(q_us,
+    // −doc_id)) is the exact (quality DESC, doc_id ASC) ranking with no
+    // window and no per-cluster buffer.
+    "dedup_keep_best" -> ((s, dir) => {
+      val q = Tables.documents(s, dir)
+        .select(col("doc_id"), micros(TextOps.qualityScore(col("text"))).as("q_us"))
+      Dedup.nearDupClustersFromPairs(nearDupPairsShared(s, dir))
+        .join(q, "doc_id")
+        .groupBy("canonical_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("q_us"), (-col("doc_id")).as("nid"))).as("__b"))
+        .select(col("canonical_id"), col("n_members"),
+          (-col("__b.nid")).as("kept_doc"), col("__b.q_us").as("kept_q_us"))
+        .orderBy("canonical_id")
+    }),
+
     // The corpus-cleaning pipeline END-TO-END — the composition a
     // training-data user actually runs: quality filter → exact dedup →
     // minhash near-dup drop (keep the smaller doc_id) → benchmark
@@ -3670,6 +3689,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("lang", "split")
+    }),
+
+    // Quality-WEIGHTED sampling (priority sampling, Duffield–Lund–Thorup
+    // JACM '07): priority = quality/u over a keyed-md5 uniform, sample =
+    // the k largest — the quality-weighted corpus-mixing draw of a
+    // pretraining pipeline, with the subset-sum estimator max(w, τ)
+    // spec-pinned (SampleSpec). Chosen over Efraimidis–Spirakis' u^(1/w)
+    // because ES needs pow (libm-lane-dependent across engines) while this
+    // is ONE IEEE division per row — so the oracle checks the sampled SET
+    // itself, not just its size. Plan: map-side priorities, then
+    // TakeOrderedAndProject (per-partition top-k + driver merge — no
+    // global sort at any corpus size).
+    "sample_weighted_priority" -> ((s, dir) => {
+      graft.text.Sample.priorityTopK(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+          "doc_id", TextOps.qualityScore(col("text")), k = 100, seed = "wsamp")
+        .select(col("rank").cast("long"), col("doc_id"), col("lang"),
+          micros(col("__w")).as("w_us"))
+        .orderBy("rank")
     }),
 
     // Sequence packing (concatenate-then-chunk): docs in doc_id order packed
@@ -5701,6 +5739,21 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
     },
 
+    // Priority = w/u is one IEEE division over the replayed quality score
+    // and the shared 52-bit md5 uniform — the sampled set reproduces
+    // row-for-row, rank-for-rank.
+    "sample_weighted_priority" ->
+      s"""WITH p AS (SELECT doc_id, lang,
+         |    ${TextOps.qualityScoreSql("text")} AS w,
+         |    ${TextOps.qualityScoreSql("text")} /
+         |      (cast(cast('0x' || substr(md5('wsamp|' || cast(doc_id as varchar)), 1, 13) as bigint) as double)
+         |        / 4503599627370496.0) AS pri
+         |  FROM documents)
+         |SELECT rank, doc_id, lang, w_us FROM (
+         |  SELECT doc_id, lang, ${microsSql("w")} AS w_us,
+         |    row_number() OVER (ORDER BY pri DESC, doc_id) AS rank
+         |  FROM p) WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
     "pack_sequences" ->
       """WITH t AS (SELECT source, doc_id,
         |    cast(len(string_split(text, ' ')) as bigint) AS tk FROM documents),
@@ -6157,6 +6210,30 @@ object SparkEntry {
           |  SELECT e.dst, r.comp FROM reach r JOIN medges e ON e.src = r.vec_id)
           |SELECT vec_id AS doc_id, min(comp) AS canonical_id
           |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Same cluster CTE + the replayed quality score; the keep rule is
+    // rank 1 by (quality DESC, doc_id ASC) per cluster.
+    "dedup_keep_best" ->
+      (s"WITH RECURSIVE ${minhashPairsCtes("documents", "m", 0.5)},\n" +
+        s"""medges AS (SELECT a AS src, b AS dst FROM mpairs
+           |  UNION ALL SELECT b AS src, a AS dst FROM mpairs),
+           |reach(vec_id, comp) AS (
+           |  SELECT src, src FROM medges
+           |  UNION
+           |  SELECT e.dst, r.comp FROM reach r JOIN medges e ON e.src = r.vec_id),
+           |comps AS (SELECT vec_id AS doc_id, min(comp) AS canonical_id
+           |  FROM reach GROUP BY 1),
+           |cq AS (SELECT c.canonical_id, c.doc_id,
+           |    ${microsSql(TextOps.qualityScoreSql("d.text"))} AS q_us
+           |  FROM comps c JOIN documents d ON d.doc_id = c.doc_id)
+           |SELECT canonical_id, n_members, kept_doc, kept_q_us FROM (
+           |  SELECT canonical_id,
+           |    count(*) OVER (PARTITION BY canonical_id) AS n_members,
+           |    doc_id AS kept_doc, q_us AS kept_q_us,
+           |    row_number() OVER (PARTITION BY canonical_id
+           |      ORDER BY q_us DESC, doc_id) AS rn
+           |  FROM cq) WHERE rn = 1
+           |ORDER BY canonical_id""".stripMargin),
 
     // The full cleaning pipeline: every stage replayed (quality formula,
     // min-per-md5 exact dedup, the parameterized minhash chain over the

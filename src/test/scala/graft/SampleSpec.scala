@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.Hashing
+import graft.text.Sample
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Priority sampling's contracts: the sampled set is exactly the k largest
+  * w/u priorities (cross-checked against an independent driver-side
+  * computation of the same keyed draws), membership is partition-invariant,
+  * and the Duffield–Lund–Thorup estimator Σ max(w_i, τ) over the sample
+  * recovers the population's total weight.
+  */
+class SampleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val n = 2000
+  private val k = 200
+  private def pop = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, 1.0 + (i % 10))).toDF("id", "w")
+  }
+
+  test("the sample IS the k largest priorities (column vs driver draw agree bit-for-bit)") {
+    val got = Sample.priorityTopK(pop, "id", col("w"), k, "spec")
+      .select("rank", "id", "__pri")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // independent reference: the same draws via Hashing.unitUniform
+    val ref = (0 until n).map { i =>
+      val w = 1.0 + (i % 10)
+      (i.toLong, w / Hashing.unitUniform(s"spec|$i"))
+    }.sortBy { case (id, pri) => (-pri, id) }.take(k)
+    assert(got.length == k)
+    got.zip(ref).zipWithIndex.foreach { case (((rank, id, pri), (rid, rpri)), idx) =>
+      assert(rank == idx + 1, s"rank drift at $idx")
+      assert(id == rid, s"membership drift at rank ${idx + 1}: $id vs $rid")
+      assert(java.lang.Double.doubleToLongBits(pri) ==
+        java.lang.Double.doubleToLongBits(rpri),
+        s"column and driver priorities differ at rank ${idx + 1}")
+    }
+  }
+
+  test("membership is partition-invariant") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sample.priorityTopK(df, "id", col("w"), k, "spec")
+        .select("id").collect().map(_.getLong(0)).toSeq
+    val ref = ids(pop)
+    assert(ids(pop.repartition(13)) == ref && ids(pop.coalesce(1)) == ref,
+      "repartitioning changed the sampled set — the draw leaked partition order")
+  }
+
+  test("the subset-sum estimator Σ max(w, τ) recovers the total weight") {
+    val trueTotal = (0 until n).map(i => 1.0 + (i % 10)).sum
+    val t = Sample.tau(pop, "id", col("w"), k, "spec")
+    assert(t > 0.0, "k < n must yield a positive threshold")
+    val est = Sample.priorityTopK(pop, "id", col("w"), k, "spec")
+      .select(greatest(col("__w"), lit(t)).as("e"))
+      .agg(sum("e")).head().getDouble(0)
+    // DLT: unbiased with near-optimal variance; at k=200 of n=2000 a 15%
+    // band is ~4 sigma for this weight mix — a failure here means the
+    // estimator (not the luck) broke
+    assert(math.abs(est - trueTotal) / trueTotal < 0.15,
+      s"estimate $est vs true $trueTotal drifted beyond the 15% band")
+    // weight-0 rows are never sampled (documented: priority 0)
+    import spark.implicits._
+    val withZero = pop.withColumn("w", when(col("id") < 1000, 0.0).otherwise(col("w")))
+    val z = Sample.priorityTopK(withZero, "id", col("w"), k, "spec")
+      .filter(col("id") < 1000).count()
+    assert(z == 0, "a zero-weight row was sampled")
+  }
+
+  test("the plan is TakeOrderedAndProject — no global sort") {
+    val df = Sample.priorityTopK(pop.repartition(8), "id", col("w"), k, "spec")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k must be per-partition + driver merge, not a global sort:\n$p")
+  }
+}

@@ -3691,6 +3691,57 @@ object SparkEntry {
         .orderBy("lang", "split")
     }),
 
+    // TEMPERATURE-FLATTENED source mixing — the multinomial data-mixing
+    // recipe of the GPT-3/PaLM pipelines: sample k docs with per-source
+    // quotas ∝ n_s^α, α = 0.5. sqrt IS α=0.5 and is IEEE
+    // correctly-rounded (bit-identical across engines), which is exactly
+    // why this temperature is the oracle-checkable one — a general pow(n,
+    // α) key would be libm-lane-dependent. Quotas via largest-remainder
+    // apportionment computed driver-side over |sources| rows (the same
+    // arithmetic replayed in SQL); membership = the per-source keyed-md5
+    // rank ≤ quota, so the sampled SET is content-deterministic. The
+    // per-source rank window is |sources| partitions — fine while quotas
+    // are k-bounded and sources are few (the data-mixing case); a
+    // single-source crawl at 100 TB would run the same membership rule
+    // through the two-pass hash-histogram top-k instead.
+    "sample_mixture_sqrt" -> ((s, dir) => {
+      val k = 120.0
+      val docs = Tables.documents(s, dir)
+      // |sources| rows driver-side; W folds in source order (bounded fold —
+      // the ael-style acceptable one), every double op mirrored in SQL
+      val rows = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), math.sqrt(r.getLong(1).toDouble)))
+      val bigW = rows.foldLeft(0.0)((a, r) => a + r._3)
+      val base = rows.map { case (src, n, w) =>
+        (src, n, math.floor(k * w / bigW).toLong, k * w / bigW - math.floor(k * w / bigW))
+      }
+      val rem = (k - base.map(_._3).sum).toInt
+      val extras = base.sortBy { case (src, _, _, frac) => (-frac, src) }
+        .take(rem).map(_._1).toSet
+      import s.implicits._
+      val quotaDf = base.map { case (src, n, b, _) =>
+        (src, n, b + (if (extras.contains(src)) 1L else 0L))
+      }.toSeq.toDF("source", "n_docs", "quota")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(md5(concat(lit("mix|"), col("doc_id").cast("string"))), col("doc_id"))
+      val sampled = docs.select(col("source"), col("doc_id"))
+        .withColumn("__rn", row_number().over(w))
+        .join(broadcast(quotaDf.select("source", "quota")), "source")
+        .filter(col("__rn") <= col("quota"))
+      quotaDf.join(
+          sampled.groupBy("source").agg(count(lit(1)).as("n_sampled"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+            sum("doc_id").as("sum_doc_ids")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("quota"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("first_doc"), lit(-1L)).as("first_doc"),
+          coalesce(col("last_doc"), lit(-1L)).as("last_doc"),
+          coalesce(col("sum_doc_ids"), lit(-1L)).as("sum_doc_ids"))
+        .orderBy("source")
+    }),
+
     // Quality-WEIGHTED sampling (priority sampling, Duffield–Lund–Thorup
     // JACM '07): priority = quality/u over a keyed-md5 uniform, sample =
     // the k largest — the quality-weighted corpus-mixing draw of a
@@ -5738,6 +5789,35 @@ object SparkEntry {
          |FROM documents WHERE $strat < 100
          |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
     },
+
+    // sqrt + largest-remainder apportionment + keyed-md5 per-source ranks —
+    // every step exact or correctly-rounded, so quota AND membership
+    // replay; -1 sentinels keep the summary columns non-nullable.
+    "sample_mixture_sqrt" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs, sqrt(cast(n_docs as double)) AS w FROM c),
+        |tot AS (SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)), (a, b) -> a + b) AS bw FROM w),
+        |q0 AS (SELECT source, n_docs,
+        |    cast(floor(120.0 * w / bw) as bigint) AS base,
+        |    120.0 * w / bw - floor(120.0 * w / bw) AS frac
+        |  FROM w, tot),
+        |q1 AS (SELECT *, row_number() OVER (ORDER BY frac DESC, source) AS fr FROM q0),
+        |quota AS (SELECT source, n_docs,
+        |    base + (CASE WHEN fr <= (SELECT 120 - sum(base) FROM q0) THEN 1 ELSE 0 END) AS quota
+        |  FROM q1),
+        |rk AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('mix|' || cast(doc_id as varchar)), doc_id) AS rn
+        |  FROM documents),
+        |smp AS (SELECT r.source, r.doc_id FROM rk r JOIN quota q USING (source)
+        |  WHERE r.rn <= q.quota)
+        |SELECT q.source, q.n_docs, q.quota,
+        |  count(s.doc_id) AS n_sampled,
+        |  coalesce(min(s.doc_id), -1) AS first_doc,
+        |  coalesce(max(s.doc_id), -1) AS last_doc,
+        |  coalesce(cast(sum(s.doc_id) as bigint), -1) AS sum_doc_ids
+        |FROM quota q LEFT JOIN smp s ON s.source = q.source
+        |GROUP BY 1, 2, 3 ORDER BY q.source""".stripMargin,
 
     // Priority = w/u is one IEEE division over the replayed quality score
     // and the shared 52-bit md5 uniform — the sampled set reproduces

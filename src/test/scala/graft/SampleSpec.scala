@@ -69,6 +69,32 @@ class SampleSpec extends AnyFunSuite {
     assert(z == 0, "a zero-weight row was sampled")
   }
 
+  test("sqrt-temperature mixture: quotas apportion to exactly k and flatten the mix") {
+    // the registered query's apportionment arithmetic, driver-side: verify
+    // Σ quota == k for adversarial count mixes (incl. remainder ties) and
+    // that α = 0.5 actually FLATTENS — a source 100× larger gets only 10×
+    // the quota
+    def quotas(counts: Seq[(String, Long)], k: Double): Map[String, Long] = {
+      val rows = counts.sortBy(_._1).map { case (s, n) => (s, n, math.sqrt(n.toDouble)) }
+      val bigW = rows.foldLeft(0.0)((a, r) => a + r._3)
+      val base = rows.map { case (s, _, w) =>
+        (s, math.floor(k * w / bigW).toLong, k * w / bigW - math.floor(k * w / bigW))
+      }
+      val rem = (k - base.map(_._2).sum).toInt
+      val extras = base.sortBy { case (s, _, f) => (-f, s) }.take(rem).map(_._1).toSet
+      base.map { case (s, b, _) => s -> (b + (if (extras.contains(s)) 1L else 0L)) }.toMap
+    }
+    val q1 = quotas(Seq("a" -> 10000L, "b" -> 100L), 120)
+    assert(q1.values.sum == 120)
+    assert(q1("a").toDouble / q1("b") <= 11.0,
+      s"alpha=0.5 must flatten a 100x count gap to ~10x: $q1")
+    // remainder ties: equal counts split the remainder deterministically
+    val q2 = quotas(Seq("a" -> 7L, "b" -> 7L, "c" -> 7L), 100)
+    assert(q2.values.sum == 100, s"apportionment drifted under ties: $q2")
+    // degenerate: one source takes everything
+    assert(quotas(Seq("only" -> 5L), 120) == Map("only" -> 120L))
+  }
+
   test("the plan is TakeOrderedAndProject — no global sort") {
     val df = Sample.priorityTopK(pop.repartition(8), "id", col("w"), k, "spec")
     df.collect()

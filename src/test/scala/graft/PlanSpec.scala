@@ -436,6 +436,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r15 lake/sample queries keep their plan shapes") {
+    // manifest pruning: the day-equality read must resolve exactly ONE
+    // directory — the file index seeing more means pruning regressed to a
+    // scan-then-filter
+    val p1 = plan("q_events_timetravel_pruned")
+    assert(p1.contains("InMemoryFileIndex(1 paths)"),
+      s"readWhere must resolve one directory for a day-equality predicate:\n$p1")
+    // the change feed reads only changed dirs and nets via exceptAll —
+    // never a cartesian
+    val p2 = plan("q_events_changefeed")
+    assert(!p2.contains("CartesianProduct"), "changeFeed degraded to a cartesian")
+    // weighted sampling's top-k is per-partition + driver merge
+    val p3 = plan("sample_weighted_priority")
+    assert(p3.contains("TakeOrderedAndProject"),
+      s"the weighted sample must not globally sort the corpus:\n$p3")
+    // the mixture sampler broadcasts its |sources|-row quota table
+    val p4 = plan("sample_mixture_sqrt")
+    assert(!p4.contains("CartesianProduct"), "mixture sampler went cartesian")
+  }
+
   test("wm_accessibility's population stats are distributed nano-sums — no collect_list buffer") {
     // the r14 parity-mode orderedMean was a collect_list of ALL N rows in
     // one aggregation buffer (single-reducer O(N) array, the last unbounded

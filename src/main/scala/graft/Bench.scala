@@ -50,13 +50,17 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    // Fixed-work calibration measured before each pass: a 32-way parallel
-    // fold over 4×10⁸ longs. Pure compute on an otherwise-idle box takes a
-    // near-constant time, so the per-pass readings expose hypervisor-level
-    // ambient contention (this sandbox has measured ±10–20% drift, with
-    // occasional 2–4× storms) that per-query medians alone cannot
-    // distinguish from code regressions. Reported as `calib_secs` in the
-    // JSON line for round-over-round normalization.
+    // Fixed-work calibration: a 32-way parallel fold over 4×10⁸ longs. Pure
+    // compute on an otherwise-idle box takes a near-constant time, so the
+    // readings expose hypervisor-level ambient contention (this sandbox has
+    // measured ±10–20% drift, with occasional 2–4× storms) that per-query
+    // medians alone cannot distinguish from code regressions. Probes BRACKET
+    // every pass (r16 — the r15 once-per-pass probe had a mid-pass blind
+    // spot: pass 1 calibrated quiet at 0.174 s, a storm landed mid-pass, and
+    // the 687 s stormy total got labeled "quiet"): probe i is pass i's
+    // post-probe AND pass i+1's pre-probe, and a pass's verdict gates on
+    // max(pre, post). Reported as `calib_secs` (the full probe sequence,
+    // passes+1 readings) for round-over-round normalization.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       spark.range(400000000L).selectExpr("sum(id * 3 + 1)").collect()
@@ -85,18 +89,25 @@ object Bench {
     (1 to warmups).foreach(_ => runPass())
     calibrate() // discarded: absorb the gauge's own codegen/JIT compile so
     // calib(0) doesn't over-read by a code-constant on an otherwise quiet host
-    val all = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
-    (1 to passes).foreach { _ => calib += calibrate(); all += runPass() }
-    // STORM GUARD: r11's three measured passes all ran under ~2–2.5× ambient
-    // load (calib 0.26–0.33 vs ~0.13 quiet) and the headline median came out
-    // 1.7× the same-day cross-run floor. If NO pass saw a quiet host
-    // (min calib above the gate), buy up to maxExtra more passes — one quiet
-    // pass anchors the minima map and the normalized headline.
     val calibGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_GATE", "0.2").toDouble
     val maxExtra  = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "2").toInt
+    val all = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    calib += calibrate() // pre-probe of pass 1
+    (1 to passes).foreach { _ => all += runPass(); calib += calibrate() }
+    // Pass i (0-based) is bracketed by calib(i) and calib(i+1); quiet iff
+    // BOTH probes pass the gate. A storm that starts mid-pass trips the
+    // post-probe; one that starts AND ends inside a pass is caught by the
+    // minima clamp below.
+    def passQuiet(i: Int): Boolean =
+      math.max(calib(i), calib(i + 1)) <= calibGate
+    // STORM GUARD: r11's three measured passes all ran under ~2–2.5× ambient
+    // load (calib 0.26–0.33 vs ~0.13 quiet) and the headline median came out
+    // 1.7× the same-day cross-run floor. If NO pass was quiet under the
+    // bracketed verdict, buy up to maxExtra more passes — one quiet pass
+    // anchors the minima map and the normalized headline.
     var extra = 0
-    while (extra < maxExtra && calib.min > calibGate) {
-      calib += calibrate(); all += runPass(); extra += 1
+    while (extra < maxExtra && !(0 until all.size).exists(passQuiet)) {
+      all += runPass(); calib += calibrate(); extra += 1
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -127,10 +138,13 @@ object Bench {
     // summed. The calibration gauge is pure parallel compute, so the ratio
     // is a first-order estimate of how much ambient contention stretched
     // the pass; the normalized total is comparable across rounds without
-    // storm archaeology. The reference quiet reading (0.13 s on this box)
-    // is overridable for a different host via SPARK_GRAFT_QUIET_CALIB.
+    // storm archaeology. A pass's contention estimate is the MEAN of its
+    // bracketing probes (pre-only under-corrected r15's mid-pass storm by
+    // design). The reference quiet reading (0.13 s on this box) is
+    // overridable for a different host via SPARK_GRAFT_QUIET_CALIB.
     val quietCalib = sys.env.getOrElse("SPARK_GRAFT_QUIET_CALIB", "0.13").toDouble
-    val scales = calib.map(c => math.min(1.0, quietCalib / c)).toVector
+    val passCalib = (0 until all.size).map(i => (calib(i) + calib(i + 1)) / 2.0)
+    val scales = passCalib.map(c => math.min(1.0, quietCalib / c)).toVector
     val normMed = selected.map { case (name, _) =>
       median(byPass.zipWithIndex.map { case (m, i) => m(name) * scales(i) })
     }
@@ -141,25 +155,41 @@ object Bench {
     // ambient storm (calib 0.375/0.295 vs 0.13 quiet; q_events_cube sampled
     // 62.6 s against a 0.55 s min) — one more stormy window and the
     // headline breaches the 2× bar while the engine is flat. Policy: each
-    // pass gets a calib VERDICT (quiet iff calib ≤ the gate, default 0.2 s
-    // ≈ 1.5× the quiet reading); `value_quiet` sums per-query MEDIANS over
-    // quiet passes only — storm passes are excluded from the statistic, not
-    // from the artifact (every raw sample still ships in `samples`). If NO
-    // pass was quiet even after the storm guard bought its extra passes,
-    // `value_quiet` falls back to the summed per-query minima (the most
-    // storm-robust statistic available) and `quiet_policy` says so loudly
-    // rather than laundering a stormy median as a quiet one.
-    val verdicts = calib.map(c => if (c <= calibGate) "quiet" else "storm").toVector
+    // pass gets a calib VERDICT (quiet iff BOTH bracketing probes ≤ the
+    // gate, default 0.2 s ≈ 1.5× the quiet reading); `value_quiet` sums
+    // per-query MEDIANS over quiet passes only — storm passes are excluded
+    // from the statistic, not from the artifact (every raw sample still
+    // ships in `samples`). If NO pass was quiet even after the storm guard
+    // bought its extra passes, `value_quiet` falls back to the summed
+    // per-query minima (the most storm-robust statistic available) and
+    // `quiet_policy` says so loudly rather than laundering a stormy median
+    // as a quiet one.
+    //
+    // MINIMA CLAMP (r16): the bracketing probes still can't see a storm
+    // that starts AND ends inside one pass (r15's pass 1: probes 0.174 s,
+    // total 687 s — value_quiet came out ABOVE the face median). On a truly
+    // quiet pass the quiet-median sum sits within a few percent of the
+    // summed minima, so a quiet-median sum beyond clampTol× the minima is
+    // itself evidence the "quiet" passes were storm-hit: report the minima
+    // instead and say so in quiet_policy. value_quiet can therefore never
+    // exceed clampTol × value_min, whatever the storm does.
+    val clampTol = sys.env.getOrElse("SPARK_GRAFT_QUIET_CLAMP_TOL", "1.2").toDouble
+    val verdicts = (0 until nPasses)
+      .map(i => if (passQuiet(i)) "quiet" else "storm").toVector
     val quietIdx = verdicts.zipWithIndex.collect { case ("quiet", i) => i }
-    val quietPolicy =
-      if (quietIdx.nonEmpty) s"median_over_${quietIdx.size}_quiet_of_$nPasses"
-      else "NO_QUIET_PASS_fallback_summed_minima"
-    val valueQuiet =
+    val quietRaw =
       if (quietIdx.nonEmpty)
         selected.map { case (name, _) =>
           median(quietIdx.map(i => byPass(i)(name)))
         }.sum
-      else mins.map(_._2).sum
+      else totalMin
+    val (valueQuiet, quietPolicy) =
+      if (quietIdx.isEmpty)
+        (totalMin, "NO_QUIET_PASS_fallback_summed_minima")
+      else if (quietRaw > clampTol * totalMin)
+        (totalMin, f"CLAMPED_TO_MIN_quiet_median_$quietRaw%.1f_exceeded_${clampTol}x_minima")
+      else
+        (quietRaw, s"median_over_${quietIdx.size}_quiet_of_$nPasses")
     val verdictsJson = verdicts.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full per-query map as its own artifact: the driver's captured JSON
     // line is tail-truncated most rounds, which hides the alphabetically

@@ -4264,6 +4264,20 @@ object SparkEntry {
     s"cast(sum(cast(floor(($expr) * 1000000.0 + 0.5) as bigint)) as bigint)"
   private def microsSql(expr: String): String =
     s"cast(floor(($expr) * 1000000.0 + 0.5) as bigint)"
+  /** OVERFLOW BOUND (applies to every integer nano/micro-sum in the engine:
+    * this helper, KnnGraph.accessibility, Attacks.insertGen): each term is
+    * ≤ |v|ᵖ·10⁹, so a bigint sum of O(1)-magnitude values wraps around
+    * N ≈ 9.2·10⁹ rows PER AGGREGATION GROUP (Long.MaxValue / 10⁹) — and it
+    * wraps SILENTLY in Spark while DuckDB's sum promotes to HUGEINT and the
+    * outer bigint cast errors, i.e. a cross-engine divergence, not a shared
+    * wrong answer. The engine's nano-sum groups are per-dimension or
+    * per-cluster stats (≤ corpus rows per group), so the bound is ~9 billion
+    * rows per dim/cluster — beyond it, switch the accumulator to
+    * decimal(38,0) (`sum(cast(... as decimal(38,0)))`, which both engines
+    * carry exactly to 10³⁸) at ~2× aggregation cost. Kept bigint here
+    * deliberately: the fixtures are ≤ 10⁶ rows and bigint sums are the
+    * cheapest fold both engines replay bit-for-bit.
+    */
   private def sumNanosSql(expr: String): String =
     s"cast(sum(cast(floor(($expr) * 1000000000.0 + 0.5) as bigint)) as bigint)"
 
@@ -5821,12 +5835,13 @@ object SparkEntry {
 
     // Priority = w/u is one IEEE division over the replayed quality score
     // and the shared 52-bit md5 uniform — the sampled set reproduces
-    // row-for-row, rank-for-rank.
+    // row-for-row, rank-for-rank. The draw is (bits+1)/2^52 ∈ (0,1] (DLT
+    // requires u > 0; the integer +1 is exact pre-division in both engines).
     "sample_weighted_priority" ->
       s"""WITH p AS (SELECT doc_id, lang,
          |    ${TextOps.qualityScoreSql("text")} AS w,
          |    ${TextOps.qualityScoreSql("text")} /
-         |      (cast(cast('0x' || substr(md5('wsamp|' || cast(doc_id as varchar)), 1, 13) as bigint) as double)
+         |      (cast(cast('0x' || substr(md5('wsamp|' || cast(doc_id as varchar)), 1, 13) as bigint) + 1 as double)
          |        / 4503599627370496.0) AS pri
          |  FROM documents)
          |SELECT rank, doc_id, lang, w_us FROM (

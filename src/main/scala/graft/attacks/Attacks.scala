@@ -260,7 +260,9 @@ object Attacks {
     * ordinary distributed HashAggregate, D result rows driver-side — and
     * the DuckDB grid oracles replay the identical sums and double ops
     * bit-for-bit. There is no separate parity/scale regime: this IS the
-    * production shape.
+    * production shape. Overflow bound: the per-dimension bigint nano-sums
+    * wrap around ~9·10⁹ rows per dimension (see SparkEntry.sumNanosSql for
+    * the bound and the decimal(38,0) escape hatch beyond it).
     */
   private def insertGen(df: DataFrame, d: Int, seed: String):
       (Long, org.apache.spark.sql.expressions.UserDefinedFunction) = {

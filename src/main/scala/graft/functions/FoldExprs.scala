@@ -36,9 +36,10 @@ private[functions] object FoldExprs {
   * mapPartitions kernels) and the DuckDB `list_reduce(list_transform(...))`
   * lambda fold every oracle replays. KernelProperties pins equality against
   * the HOF form on random vectors; the full oracle surface re-proves it on
-  * every Verify run. Both inputs must be float arrays of equal length (the
-  * engine's embeddings are fixed-D); null in → null out (BinaryExpression
-  * null-intolerance, same as the HOF forms).
+  * every Verify run. Both inputs must be float arrays of EQUAL length with
+  * NO null elements — violations throw (r16; previously a short or
+  * null-holding array read garbage words silently). A null ARRAY still
+  * yields null (BinaryExpression null-intolerance, same as the HOF forms).
   */
 case class FoldL2Expr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -57,12 +58,35 @@ case class FoldL2Expr(left: Expression, right: Expression) extends BinaryExpress
 }
 
 object FoldL2Expr {
+  /** Equal-length and non-null-element guard shared by the fold kernels.
+    * Without it a shorter right array would silently read out-of-bounds
+    * UnsafeArrayData words and a null element would read as 0.0f — garbage
+    * distances with no exception. A malformed vector fails LOUDLY instead
+    * (deliberately diverging from the HOF forms' null-in-null-out only on
+    * inputs the engine defines as invalid: embeddings are fixed-D,
+    * null-free float arrays). The null check is one bitmap word read per
+    * element — measured noise next to getFloat + the fp arithmetic.
+    */
+  @inline private[functions] def checkPair(a: ArrayData, b: ArrayData, i: Int): Unit =
+    if (a.isNullAt(i) || b.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"graft fold kernel: null element at index $i — embeddings must be null-free")
+
+  private[functions] def checkLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft fold kernel: dimension mismatch ($n vs ${b.numElements()})")
+    n
+  }
+
   /** Static entry shared by interpreted eval and generated code. */
   def l2(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = checkLen(a, b)
     var s = 0.0
     var i = 0
     while (i < n) {
+      checkPair(a, b, i)
       val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
       s += d * d
       i += 1
@@ -97,10 +121,11 @@ case class FoldDotExpr(left: Expression, right: Expression) extends BinaryExpres
 
 object FoldDotExpr {
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = FoldL2Expr.checkLen(a, b)
     var s = 0.0
     var i = 0
     while (i < n) {
+      FoldL2Expr.checkPair(a, b, i)
       s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }

@@ -90,6 +90,10 @@ object KnnGraph {
     * quantum is far below the metric's information content (the graph is
     * already a documented stand-in for the reference's seed-dependent FAISS
     * HNSW level-0 lists; np.nanstd differs in final ulps regardless).
+    * Overflow bound: the bigint nano-sums wrap (silently in Spark, loudly in
+    * DuckDB) around ~9·10⁹ rows of O(1) values per group — see
+    * SparkEntry.sumNanosSql for the full bound and the decimal(38,0)
+    * escape hatch for corpora beyond it.
     */
   def accessibility(df: DataFrame, edgesDf: DataFrame): DataFrame = {
     val metrics = bidirectionalEdges(df, edgesDf)

@@ -356,11 +356,26 @@ object TableLog {
     import org.apache.spark.sql.functions.lit
     val a = manifest(table, vA).map(entryPath).toSet
     val b = manifest(table, vB).map(entryPath).toSet
+    // Empty-side schema donor: ANY live data dir of either endpoint — NOT
+    // `read(vB).limit(0)`, which throws on a zero-path parquet read when
+    // vB's manifest is itself empty (a pure-drop commit: alsoReplace
+    // tombstoning the table's last partition leaves an empty add-set AND an
+    // empty manifest). If neither endpoint references any data at all, scan
+    // retained versions head-down for one; a table whose every retained
+    // manifest is empty has no schema to diff against and fails loudly.
+    lazy val donor: java.io.File = (b ++ a).toSeq.sorted.headOption
+      .orElse((headVersion(table) to 1 by -1).iterator
+        .flatMap(v => manifest(table, v).map(entryPath).sorted.headOption)
+        .nextOption())
+      .map(p => new java.io.File(table, p))
+      .getOrElse(throw new IllegalStateException(
+        s"changeFeed($vA, $vB) on $table: no retained version references " +
+          "any data directory — no schema available for the empty side"))
     def rd(dirs: Set[String]): DataFrame =
       if (dirs.nonEmpty)
         spark.read.parquet(dirs.toSeq.sorted
           .map(p => new java.io.File(table, p).getAbsolutePath): _*)
-      else read(spark, table, Some(vB)).limit(0)
+      else spark.read.parquet(donor.getAbsolutePath).limit(0)
     val added   = rd(b -- a)
     val dropped = rd(a -- b)
     added.exceptAll(dropped).withColumn("_change_type", lit("insert"))

@@ -27,12 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Sample {
 
-  /** Keyed unit uniform in [0,1): first 52 md5 bits / 2^52 — the engine's
-    * standard draw (Hashing.unitUniform) as a codegen'd Column.
+  /** Keyed unit uniform in (0,1]: (first 52 md5 bits + 1) / 2^52. Priority
+    * sampling (DLT) divides by u, so the draw must EXCLUDE 0 — the engine's
+    * standard [0,1) draw (Hashing.unitUniform) would make the ~2⁻⁵²-rare
+    * all-zero prefix yield priority = w/0 = ∞ (an unconditionally-sampled
+    * row, violating the estimator's spec). The +1 shift is exact in both
+    * engines (integer add before the one IEEE division), so the sampled SET
+    * still replays bit-for-bit in DuckDB.
     */
   def unitCol(key: Column): Column =
-    conv(substring(md5(key), 1, 13), 16, 10).cast("long").cast("double") /
-      lit(4503599627370496.0)
+    (conv(substring(md5(key), 1, 13), 16, 10).cast("long") + lit(1L))
+      .cast("double") / lit(4503599627370496.0)
 
   /** The k highest-priority rows of `df`: (rank, original columns, weight,
     * priority). `idCol` must be unique per row (it keys the draw and breaks

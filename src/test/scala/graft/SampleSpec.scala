@@ -25,10 +25,14 @@ class SampleSpec extends AnyFunSuite {
     val got = Sample.priorityTopK(pop, "id", col("w"), k, "spec")
       .select("rank", "id", "__pri")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
-    // independent reference: the same draws via Hashing.unitUniform
+    // independent reference: the same (0,1] draws, driver-side — the 52-bit
+    // md5 prefix +1 over 2^52 (Sample.unitCol's shifted form of
+    // Hashing.unitUniform; DLT requires u > 0)
     val ref = (0 until n).map { i =>
       val w = 1.0 + (i % 10)
-      (i.toLong, w / Hashing.unitUniform(s"spec|$i"))
+      val bits = new java.math.BigInteger(
+        Hashing.md5Hex(s"spec|$i").substring(0, 13), 16).longValue()
+      (i.toLong, w / ((bits + 1).toDouble / 4503599627370496.0))
     }.sortBy { case (id, pri) => (-pri, id) }.take(k)
     assert(got.length == k)
     got.zip(ref).zipWithIndex.foreach { case (((rank, id, pri), (rid, rpri)), idx) =>

@@ -153,6 +153,28 @@ class TableLogSpec extends AnyFunSuite {
       "base ∪ inserts − deletes must equal the direct read of the target version")
   }
 
+  test("changeFeed survives a pure-drop commit (empty add-set, empty manifest)") {
+    import spark.implicits._
+    val t = tmpTable()
+    val v1 = TableLog.overwritePartitions(
+      Seq((1L, "d1"), (2L, "d1")).toDF("id", "day"), t, "day")
+    // tombstone the table's only partition: zero-row source + alsoReplace —
+    // the commit writes NO data dir and the new manifest is EMPTY (the
+    // r15 fallback read(vB).limit(0) threw on exactly this shape)
+    val v2 = TableLog.overwritePartitions(
+      Seq.empty[(Long, String)].toDF("id", "day"), t, "day",
+      alsoReplace = Set("d1"))
+    assert(TableLog.manifest(t, v2).isEmpty, "pure drop must empty the manifest")
+    val feed = TableLog.changeFeed(spark, t, v1, v2)
+      .select("_change_type", "id").as[(String, Long)].collect().sorted.toSeq
+    assert(feed == Seq(("delete", 1L), ("delete", 2L)),
+      s"pure-drop feed must be all deletes: $feed")
+    // and the reverse direction (resurrection from empty) is all inserts
+    val back = TableLog.changeFeed(spark, t, v2, v1)
+      .select("_change_type", "id").as[(String, Long)].collect().sorted.toSeq
+    assert(back == Seq(("insert", 1L), ("insert", 2L)), s"reverse feed: $back")
+  }
+
   test("vacuum honors the grace window: young unreferenced dirs survive") {
     val t = tmpTable()
     TableLog.overwrite(df(1), t)

@@ -333,7 +333,7 @@ object SparkEntry {
     */
   private def eventsTimetravelDir(s: SparkSession, dir: String): String =
     GraftCache.memoAny(s"$dir/eventstt") {
-      val k = ArtifactIO.contentKey(s"$dir|timetravel|v2", // v2: day-tagged commits
+      val k = ArtifactIO.contentKey(s"$dir|timetravel|v3", // v3: + ts_ns stats
         new java.io.File(s"$dir/events.parquet"))
       val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_eventstt_$k")
       ArtifactIO.publishDir(out,
@@ -342,17 +342,23 @@ object SparkEntry {
         val withDay = eventsWithDay(s, dir)
           .select(col("event_id"), col("ts_ns"), col("event_type"),
             micros(col("value")).as("us"), col("day"))
+        // every commit records per-directory ts_ns min/max into its
+        // manifest entries — the data-skipping demo (q_events_stats_pruned)
+        // prunes on a VALUE predicate over these, orthogonally to the tags
+        val stats = Seq("ts_ns")
         graft.sources.TableLog.overwritePartitions(
-          withDay.filter(col("day") < cut), staging.getAbsolutePath, "day")
+          withDay.filter(col("day") < cut), staging.getAbsolutePath, "day",
+          statsCols = stats)
         graft.sources.TableLog.overwritePartitions(
-          withDay.filter(col("day") >= cut), staging.getAbsolutePath, "day")
+          withDay.filter(col("day") >= cut), staging.getAbsolutePath, "day",
+          statsCols = stats)
         // v3: replace the prune day with its click rows only — a
         // partition-level delete, so a version pair exists whose change
         // feed carries BOTH ops (q_events_changefeed)
         graft.sources.TableLog.overwritePartitions(
           withDay.filter(col("day") === lit(TtPruneDay).cast("date") &&
             col("event_type") === "click"),
-          staging.getAbsolutePath, "day")
+          staging.getAbsolutePath, "day", statsCols = stats)
       }
     }
 
@@ -2268,6 +2274,32 @@ object SparkEntry {
       // partition-level delete) — pruning composes with time travel
       graft.sources.TableLog.readWhere(s, table, _ == TtPruneDay, Some(2))
         .filter(col("day") === lit(TtPruneDay).cast("date"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("us").as("sum_value_micros"))
+        .orderBy("event_type")
+    }),
+
+    // DATA SKIPPING on a VALUE predicate (TableLog per-dir column stats):
+    // every commit recorded ts_ns min/max into its manifest entries, so a
+    // time-RANGE predicate — not a partition-key equality — prunes at the
+    // manifest to exactly the directories whose committed [min,max] overlap
+    // the range. Here the 06:00–18:00 slice of one day resolves ONE
+    // directory out of the whole table (PlanSpec gates the file index at 1
+    // path) even though the predicate never mentions the partition column:
+    // Delta-style data skipping, one level above parquet row-group stats.
+    // Entries without stats are kept (conservative), and the row filter on
+    // top makes kept-but-partial dirs exact. Oracle: the same ts-range
+    // rollup over raw events.
+    "q_events_stats_pruned" -> ((s, dir) => {
+      val table = eventsTimetravelDir(s, dir)
+      val dayNs = java.time.LocalDate.parse(TtPruneDay).toEpochDay *
+        86400L * 1000000000L
+      val lo = dayNs + 6L * 3600 * 1000000000L
+      val hiEx = dayNs + 18L * 3600 * 1000000000L
+      // version 2 = the full table, as in q_events_timetravel_pruned
+      graft.sources.TableLog
+        .readWhereRange(s, table, "ts_ns", lo, hiEx - 1, Some(2))
+        .filter(col("ts_ns") >= lo && col("ts_ns") < hiEx)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("us").as("sum_value_micros"))
         .orderBy("event_type")
@@ -6789,6 +6821,18 @@ object SparkEntry {
       s"""SELECT event_type, count(*) AS n,
          |  ${sumMicrosSql("value")} AS sum_value_micros
          |FROM events WHERE cast(ts AS date) = DATE '$TtPruneDay'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Data skipping only changes WHICH directories get read — the result
+    // is the plain time-range rollup over raw events (ts_ns is the wall
+    // clock read as UTC, so the ns range [06:00, 18:00) is this timestamp
+    // range).
+    "q_events_stats_pruned" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events
+         |WHERE ts >= TIMESTAMP '$TtPruneDay 06:00:00'
+         |  AND ts < TIMESTAMP '$TtPruneDay 18:00:00'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The SMB join's rows are layout-independent: the oracle computes the

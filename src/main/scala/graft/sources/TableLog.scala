@@ -38,10 +38,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * x-goog-if-generation-match: 0, Azure If-None-Match: *), a one-call swap
   * in tryCommit; everything else here is plain immutable-object I/O.
   *
+  * Per-DIRECTORY column min/max stats (r16): commits can record long-encoded
+  * min/max for chosen columns into the manifest entry (`statsCols`), and
+  * `readWhereRange` prunes on VALUE predicates — Delta-style data skipping
+  * at the manifest, one grain coarser than Delta's per-file stats (a
+  * TableLog "add" is a directory, so the stats live at the same grain as
+  * the adds). Entries without stats for the queried column are always kept:
+  * conservative, never wrong, so stats can be adopted incrementally.
+  *
   * What this deliberately leaves out (and where the real formats earn their
-  * complexity): per-file column min/max stats in the manifest (partition
-  * tags prune at directory grain; finer skipping stays with parquet
-  * row-group stats), schema evolution, and multi-table transactions.
+  * complexity): per-FILE stats (directory grain here; finer skipping stays
+  * with parquet row-group stats), schema evolution, and multi-table
+  * transactions.
   */
 object TableLog {
 
@@ -97,26 +105,52 @@ object TableLog {
     val tmp = new java.io.File(logDir(table),
       s".tmp-${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID.toString.take(8)}")
     Files.write(tmp.toPath, body.getBytes("UTF-8"))
-    // Publication must be atomic AND exclusive. A rename (ATOMIC_MOVE) is
-    // atomic but POSIX rename() silently REPLACES an existing target — two
-    // racing committers would both "win" v and one manifest would vanish
-    // (last-writer-wins, the lost update this log exists to prevent;
-    // TableLogSpec's racing-appenders test catches exactly that). A hard
-    // LINK is the atomic no-overwrite publish: the content is already
-    // complete in tmp, and createLink fails with EEXIST if v was taken.
-    // ONLY FileAlreadyExistsException means "version taken" (EEXIST — the
-    // contention this protocol expects). Every other failure — a filesystem
-    // without hard-link support, permissions, ENOSPC — is a PERSISTENT
-    // error that retrying cannot fix: swallowing it as -1 would spin the
-    // optimistic loop forever, writing a fresh orphan data directory per
-    // iteration (an unbounded disk-fill). Those propagate to the caller.
+    // Publication must be atomic AND exclusive — see createExclusive for
+    // the primitive and its portability mapping. ONLY "version taken"
+    // (false) means retry. Every other failure — a filesystem without
+    // hard-link support, permissions, ENOSPC — is a PERSISTENT error that
+    // retrying cannot fix: swallowing it as -1 would spin the optimistic
+    // loop forever, writing a fresh orphan data directory per iteration
+    // (an unbounded disk-fill). Those propagate to the caller.
     try {
-      Files.createLink(manifestFile(table, v).toPath, tmp.toPath)
-      v
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => -1
+      if (createExclusive(manifestFile(table, v).toPath, tmp.toPath)) v else -1
     } finally Files.deleteIfExists(tmp.toPath)
   }
+
+  /** The EXCLUSIVE-PUBLISH seam: make `dst` exist with `src`'s (complete)
+    * content iff no `dst` exists; return false when the version was taken.
+    * Two implementations, selected by `graft.tablelog.publish`:
+    *
+    * - `hardlink` (default): POSIX createLink — atomic no-overwrite
+    *   publication; fails EEXIST if dst exists. A plain rename would
+    *   silently REPLACE a racing winner's manifest (last-writer-wins, the
+    *   lost update this log exists to prevent; TableLogSpec's
+    *   racing-appenders test catches exactly that).
+    * - `rename`: Files.move WITHOUT replace-existing — the portable shape
+    *   for stores with no link primitive. On an object store this line maps
+    *   one-for-one to CONDITIONAL PUT, where the store itself guarantees
+    *   the exclusive-or-fail semantics (S3 `If-None-Match: *`, GCS
+    *   `x-goog-if-generation-match: 0`, Azure `If-None-Match: *`). On a
+    *   LOCAL filesystem the no-replace check is check-then-rename (a
+    *   sub-millisecond race window POSIX leaves open), which is why
+    *   hardlink stays the local default — `rename` exists to prove the
+    *   protocol needs nothing link-specific (TableLogSpec races appenders
+    *   through it) and to document the object-store port.
+    *
+    * Both consume-or-keep `src` safely: the caller deletes any leftover.
+    */
+  private def createExclusive(dst: java.nio.file.Path,
+                              src: java.nio.file.Path): Boolean =
+    sys.props.getOrElse("graft.tablelog.publish", "hardlink") match {
+      case "hardlink" =>
+        try { Files.createLink(dst, src); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case "rename" =>
+        try { Files.move(src, dst); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case m => throw new IllegalArgumentException(
+        s"graft.tablelog.publish=$m — expected hardlink|rename")
+    }
 
   /** Contention bound for the optimistic-commit loops. Losing a race means
     * ANOTHER writer committed (system-wide progress), so livelock needs this
@@ -133,12 +167,30 @@ object TableLog {
         "optimistic races — contention storm or a stuck head; aborting " +
         "rather than filling the disk with orphaned attempt directories")
 
+  /** Whole-frame min/max stats for `statsCols`, one aggregate job (ignores
+    * nulls; an all-null column is omitted — conservative keep at read).
+    */
+  private def frameStats(df: DataFrame, statsCols: Seq[String]): Map[String, (Long, Long)] =
+    if (statsCols.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions.{max, min}
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(statLongCol(df, c)), max(statLongCol(df, c))))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      statsCols.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(2 * i)) None
+        else Some(c -> (r.getLong(2 * i), r.getLong(2 * i + 1)))
+      }.toMap
+    }
+
   /** Commit `df` against the head via optimistic retry. `keep` filters the
     * previous manifest's entries into the next one (identity = append;
-    * `_ => false` = full overwrite).
+    * `_ => false` = full overwrite). `statsCols` records per-directory
+    * min/max into the new entry for data skipping (readWhereRange).
     */
-  private def commit(df: DataFrame, table: String,
-                     keep: String => Boolean): Int = {
+  private def commit(df: DataFrame, table: String, keep: String => Boolean,
+                     statsCols: Seq[String]): Int = {
+    val stats = frameStats(df, statsCols)
     var v = -1
     var tries = 0
     while (v < 0) {
@@ -146,29 +198,81 @@ object TableLog {
       tries += 1
       val base = headVersion(table)
       val prev = if (base == 0) Seq.empty else manifest(table, base)
-      val add = writeData(df, table, base + 1)
+      val rel = writeData(df, table, base + 1)
+      val add = if (stats.isEmpty) rel else s"$rel||${renderStats(stats)}"
       v = tryCommit(table, base, prev.filter(keep) :+ add)
     }
     v
   }
 
   /** Full overwrite: the new version holds only `df`. */
-  def overwrite(df: DataFrame, table: String): Int = commit(df, table, _ => false)
+  def overwrite(df: DataFrame, table: String,
+                statsCols: Seq[String] = Nil): Int =
+    commit(df, table, _ => false, statsCols)
 
   /** Append: the new version holds everything the head held, plus `df`. */
-  def append(df: DataFrame, table: String): Int = commit(df, table, _ => true)
+  def append(df: DataFrame, table: String,
+             statsCols: Seq[String] = Nil): Int =
+    commit(df, table, _ => true, statsCols)
 
-  /** Partition tag of a manifest entry ("path|tag"), if any. Untagged
-    * entries (plain append/overwrite data) carry no partition semantics and
-    * survive every partition-level commit.
+  /** Manifest entry format: `path[|tag[|stats]]` — positional '|'-separated
+    * fields. Field 1 (tag) is the partition tag; empty means untagged (an
+    * append/overwrite with stats renders `path||stats`). Field 2 (stats) is
+    * `col:min:max` triples joined with ';', values long-encoded
+    * (statLongCol), column names URL-encoded. Pre-r16 entries have ≤ 2
+    * fields and parse identically (no stats → conservative keep).
+    */
+  private def entryFields(e: String): Array[String] = e.split("\\|", -1)
+
+  /** Partition tag of a manifest entry, if any. Untagged entries (plain
+    * append/overwrite data) carry no partition semantics and survive every
+    * partition-level commit.
     */
   private def entryTag(e: String): Option[String] = {
-    val i = e.indexOf('|')
-    if (i < 0) None else Some(e.substring(i + 1))
+    val f = entryFields(e)
+    if (f.length < 2 || f(1).isEmpty) None else Some(f(1))
   }
-  private def entryPath(e: String): String = {
-    val i = e.indexOf('|')
-    if (i < 0) e else e.substring(0, i)
+  private def entryPath(e: String): String = entryFields(e)(0)
+
+  /** Long-encoded per-column (min, max) stats of a manifest entry; empty for
+    * pre-stats entries and columns the commit didn't record.
+    */
+  def entryStats(e: String): Map[String, (Long, Long)] = {
+    val f = entryFields(e)
+    if (f.length < 3 || f(2).isEmpty) Map.empty
+    else f(2).split(';').iterator.map { triple =>
+      val Array(c, mn, mx) = triple.split(':')
+      java.net.URLDecoder.decode(c, "UTF-8") -> (mn.toLong, mx.toLong)
+    }.toMap
+  }
+
+  private def renderStats(stats: Map[String, (Long, Long)]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s"${java.net.URLEncoder.encode(c, "UTF-8")}:$mn:$mx"
+    }.mkString(";")
+
+  /** The column long-encoded for stats: integral as-is, DATE as epoch days,
+    * TIMESTAMP as epoch micros. Range predicates at read time use the SAME
+    * encoding (`pruneDirsRange` lo/hi). Doubles are deliberately excluded —
+    * the engine's convention is exact integer micros/nanos for any value a
+    * predicate ranges over (SparkEntry.micros), and IEEE bit-order tricks
+    * for negative doubles are a correctness trap.
+    */
+  private def statLongCol(df: DataFrame, c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, datediff, expr, lit}
+    import org.apache.spark.sql.types._
+    require(!c.contains('"') && !c.contains('|') && !c.contains(':') &&
+      !c.contains(';') && !c.contains('`'),
+      s"stats column name '$c' contains a manifest/encoding delimiter")
+    df.schema(c).dataType match {
+      case DateType      => datediff(col(c), lit("1970-01-01").cast("date")).cast("long")
+      case TimestampType => expr(s"unix_micros(`$c`)")
+      case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+      case t => throw new IllegalArgumentException(
+        s"stats column '$c' has unsupported type ${t.sql} — long-encodable " +
+          "(integral/date/timestamp) columns only; carry doubles as integer " +
+          "micros/nanos (the engine-wide convention) to make them skippable")
+    }
   }
 
   /** Partition-level overwrite — Delta's `replaceWhere` shape: the new
@@ -198,10 +302,29 @@ object TableLog {
     * directory delete).
     */
   def overwritePartitions(df: DataFrame, table: String, partCol: String,
-                          alsoReplace: Set[String] = Set.empty): Int = {
-    import org.apache.spark.sql.functions.col
+                          alsoReplace: Set[String] = Set.empty,
+                          statsCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max, min}
     alsoReplace.foreach(t => require(!t.contains('"') && !t.contains('|'),
       s"partition value '$t' contains a manifest delimiter (\" or |)"))
+    // Per-PARTITION min/max stats, one grouped aggregate job keyed by the
+    // SAME string cast the write derives directory names from (so keys
+    // match the manifest tags; null → Spark's default-partition rendering).
+    // Bounded driver state: one row per written partition.
+    val statsByTag: Map[String, Map[String, (Long, Long)]] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        val key = coalesce(col(partCol).cast("string"),
+          lit("__HIVE_DEFAULT_PARTITION__")).as("__pt_key")
+        val aggs = statsCols.flatMap(c =>
+          Seq(min(statLongCol(df, c)), max(statLongCol(df, c))))
+        df.groupBy(key).agg(aggs.head, aggs.tail: _*).collect().map { r =>
+          r.getString(0) -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+            if (r.isNullAt(1 + 2 * i)) None
+            else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+          }.toMap
+        }.toMap
+      }
     var v = -1
     var tries = 0
     while (v < 0) {
@@ -232,7 +355,9 @@ object TableLog {
         require(!tag.contains('"') && !tag.contains('|'),
           s"partition value '$tag' contains a manifest delimiter " +
             "(\" or |) — unsupported as a TableLog partition key")
-        s"$rel/${d.getName}|$tag"
+        val st = statsByTag.getOrElse(tag, Map.empty)
+        if (st.isEmpty) s"$rel/${d.getName}|$tag"
+        else s"$rel/${d.getName}|$tag|${renderStats(st)}"
       }
       val replaced = adds.map(entryTag(_).get).toSet ++ alsoReplace
       val keep = prev.filter(e => entryTag(e).forall(t => !replaced.contains(t)))
@@ -337,6 +462,48 @@ object TableLog {
       .map(p => new java.io.File(table, p).getAbsolutePath)
     require(dirs.nonEmpty,
       s"readWhere pruned every entry of $table — no partition matches")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** DATA SKIPPING on a VALUE predicate: the directories a closed-range
+    * predicate `lo ≤ statsCol ≤ hi` (in statLongCol's encoding — raw
+    * integral value, epoch days for DATE, epoch micros for TIMESTAMP) can
+    * possibly match at `version`. A directory is pruned iff its committed
+    * stats PROVE emptiness (`max < lo` or `min > hi`); entries without
+    * stats for the column are kept — conservative, never wrong, exactly
+    * the tag-pruning contract. This is Delta-style data skipping one level
+    * above parquet row-group stats: pruned directories are never listed,
+    * never footer-read. Null values can never satisfy a range predicate,
+    * so dirs holding only nulls for the column (stats omitted) being kept
+    * is conservative, and dirs pruned by their non-null range are safe
+    * even if they also hold nulls.
+    */
+  def pruneDirsRange(table: String, statsCol: String, lo: Long, hi: Long,
+                     version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(headVersion(table))
+    require(v >= 1, s"$table has no committed version")
+    manifest(table, v).filter { e =>
+      entryStats(e).get(statsCol) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true
+      }
+    }.map(entryPath)
+  }
+
+  /** Read only the directories whose committed stats admit
+    * `lo ≤ statsCol ≤ hi` at `version` (default head). Callers keep their
+    * row filter on top for exactness — the stats prune to the directories
+    * that CAN match; rows outside the range within a kept directory are
+    * the row filter's job (same contract as readWhere's tag guard).
+    */
+  def readWhereRange(spark: SparkSession, table: String, statsCol: String,
+                     lo: Long, hi: Long,
+                     version: Option[Int] = None): DataFrame = {
+    val dirs = pruneDirsRange(table, statsCol, lo, hi, version)
+      .map(p => new java.io.File(table, p).getAbsolutePath)
+    require(dirs.nonEmpty,
+      s"readWhereRange pruned every entry of $table — no directory can " +
+        s"hold $statsCol in [$lo, $hi]")
     spark.read.parquet(dirs: _*)
   }
 

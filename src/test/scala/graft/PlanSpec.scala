@@ -456,6 +456,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p4.contains("CartesianProduct"), "mixture sampler went cartesian")
   }
 
+  test("r16 data skipping: the ts-range read resolves exactly one directory") {
+    // the predicate is a VALUE range (ts_ns), not the partition key — the
+    // manifest's per-dir min/max stats must prune every other day's dir
+    // before Spark lists it; more paths in the file index means skipping
+    // regressed to scan-then-filter
+    val p = plan("q_events_stats_pruned")
+    assert(p.contains("InMemoryFileIndex(1 paths)"),
+      s"per-dir stats must resolve ONE directory for an intra-day ts range:\n$p")
+  }
+
   test("wm_accessibility's population stats are distributed nano-sums — no collect_list buffer") {
     // the r14 parity-mode orderedMean was a collect_list of ALL N rows in
     // one aggregation buffer (single-reducer O(N) array, the last unbounded

@@ -59,6 +59,65 @@ class TableLogSpec extends AnyFunSuite {
       s"an append was lost or duplicated: $got")
   }
 
+  test("racing appenders stay lossless through the rename publisher (object-store seam)") {
+    // the portable non-hardlink publish path: Files.move without
+    // replace-existing — the local stand-in for an object store's
+    // conditional put (S3 If-None-Match: *). Same contention contract:
+    // 8 racers, 8 surviving commits, EEXIST-only retries.
+    System.setProperty("graft.tablelog.publish", "rename")
+    try {
+      val t = tmpTable()
+      TableLog.overwrite(df(0), t)
+      val threads = (1 to 8).map { i =>
+        new Thread(() => { TableLog.append(df(i * 100L), t); () })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(TableLog.headVersion(t) == 9,
+        "8 racing appends over v1 must serialize to exactly v9 (rename path)")
+      val got = TableLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (Seq(0L) ++ (1 to 8).map(_ * 100L)),
+        s"an append was lost or duplicated through the rename publisher: $got")
+    } finally System.clearProperty("graft.tablelog.publish")
+  }
+
+  test("per-dir column stats: commits record min/max; range pruning skips provably-empty dirs") {
+    import spark.implicits._
+    val t = tmpTable()
+    // three day-partitions with disjoint value ranges, stats on v
+    TableLog.overwritePartitions(
+      Seq((10L, "d1"), (19L, "d1"), (20L, "d2"), (29L, "d2"), (30L, "d3"))
+        .toDF("v", "day"),
+      t, "day", statsCols = Seq("v"))
+    val entries = TableLog.manifest(t, 1)
+    val byTag = entries.map(e => e.split("\\|")(1) -> TableLog.entryStats(e)).toMap
+    assert(byTag("d1")("v") == (10L, 19L) && byTag("d2")("v") == (20L, 29L) &&
+      byTag("d3")("v") == (30L, 30L), s"stats drifted: $byTag")
+    // a range inside d2 prunes to one dir; reading it returns d2's rows
+    val pruned = TableLog.pruneDirsRange(t, "v", 21L, 28L)
+    assert(pruned.size == 1, s"range [21,28] must resolve ONE dir: $pruned")
+    val rows = TableLog.readWhereRange(spark, t, "v", 21L, 28L)
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(20L, 29L),
+      s"kept dir must surface ALL its rows (row filter is the caller's): $rows")
+    // boundary overlap keeps both adjacent dirs
+    assert(TableLog.pruneDirsRange(t, "v", 19L, 20L).size == 2)
+    // a stats-less append is always kept (conservative), never wrong
+    TableLog.append(Seq((1000L, "dX")).toDF("v", "day"), t)
+    assert(TableLog.pruneDirsRange(t, "v", 21L, 28L).size == 2,
+      "an entry without stats for the column must survive every range predicate")
+    // an unknown stats column keeps everything
+    assert(TableLog.pruneDirsRange(t, "nope", 0L, 1L).size == 4)
+    // date columns long-encode as epoch days
+    val t2 = tmpTable()
+    TableLog.overwrite(
+      Seq(("2024-01-05", 1L)).toDF("d0", "v")
+        .select(col("d0").cast("date").as("d"), col("v")),
+      t2, statsCols = Seq("d", "v"))
+    val st = TableLog.entryStats(TableLog.manifest(t2, 1).head)
+    val epochDay = java.time.LocalDate.parse("2024-01-05").toEpochDay
+    assert(st("d") == (epochDay, epochDay) && st("v") == (1L, 1L), s"$st")
+  }
+
   test("compact + vacuum: retention reclaims exactly the unreferenced history") {
     val t = tmpTable()
     TableLog.overwrite(df(1, 2), t) // v1 -> c1

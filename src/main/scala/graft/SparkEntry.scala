@@ -2802,6 +2802,62 @@ object SparkEntry {
       res
     }),
 
+    // THE CHANGE FEED AS A STREAMING SOURCE (StreamOps.changeFeedIvm): the
+    // CDC merge lands versions 1–5 of a TableLog table, a COMPACTION lands
+    // v6 before the consumer catches up, and then ONE streaming query
+    // maintains a per-type rollup from the change feed alone — each tick
+    // advances a cursor one version and applies that version's feed delta;
+    // the unchanged directories are never re-read after the v1 bootstrap.
+    // The cursor rides the maintained view's own TableLog commit (__v), so
+    // the consumer is restart-safe exactly-once with no second durability
+    // domain. The compaction's feed is EMPTY: v6's view rows equal v5's
+    // with only the cursor advanced — state passes through unchanged
+    // (ChangeFeedIvmSpec pins this and the restart case directly). The
+    // result is the view's OWN history — version k of the view is the
+    // maintained rollup after source version k — checked against the full
+    // recompute of every version in the oracle.
+    "q_stream_changefeed_ivm" -> ((s, dir) => {
+      val n = streamSinkSeq.incrementAndGet()
+      val base = replayCkptBase(n)
+      val table = new java.io.File(base, "ivmlog").getAbsolutePath
+      val view  = new java.io.File(base, "ivmview").getAbsolutePath
+      withStreamShufflePartitions(s, 4) {
+        val replay = eventsCdcReplayDir(s, dir)
+        def srcStream = s.readStream
+          .schema(s.read.option("pathGlobFilter", "*.parquet").parquet(replay).schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("latestFirst", "false")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(replay)
+        val qp = srcStream.writeStream
+          .foreachBatch(graft.streaming.StreamOps.upsertBatchLogCdc(table) _)
+          .option("checkpointLocation",
+            new java.io.File(base, "ivmpckpt").getAbsolutePath)
+          .start()
+        qp.processAllAvailable()
+        qp.stop()
+        graft.sources.TableLog.compact(s, table) // v6, mid-stream for the consumer
+        // consumer: the same 5-file replay is only the TICK CLOCK here —
+        // 5 ticks walk the cursor v1 (bootstrap) → v6
+        val qc = srcStream.writeStream
+          .foreachBatch(graft.streaming.StreamOps.changeFeedIvm(table, view) _)
+          .option("checkpointLocation",
+            new java.io.File(base, "ivmcckpt").getAbsolutePath)
+          .start()
+        qc.processAllAvailable()
+        qc.stop()
+      }
+      GraftCache.onClear(() => rmTree(base))
+      val res = GraftCache.track(
+        (1 to graft.sources.TableLog.headVersion(view)).map { v =>
+          graft.sources.TableLog.read(s, view, Some(v))
+            .select(col("__v").as("version"), col("event_type"), col("n"),
+              col("sum_value_micros"))
+        }.reduce(_.unionByName(_)).orderBy("version", "event_type"))
+      res.count() // materialize before the view dir can be cleared
+      res
+    }),
+
     // Stream-stream interval join (the fifth replay leg): the sink holds the
     // raw (click, purchase) pairs; the registered result aggregates them per
     // user. The oracle replays the pair set as the plain batch interval join
@@ -6650,6 +6706,29 @@ object SparkEntry {
          |SELECT 5 AS version, strftime(cast(ts AS date), '%Y-%m-%d') AS day,
          |  count(*) AS n, ${sumMicrosSql("value")} AS sum_value_micros
          |FROM events WHERE event_id % 37 <> 0 GROUP BY 2
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Full recompute of EVERY version the maintained view walked: versions
+    // 1–4 are the cumulative CDC quartile slices (row_number over
+    // (ts, event_id), bucket = (rn−1)·4 div n — the replay builder's exact
+    // arithmetic), v5 drops the tombstoned keys, and v6 (the compaction)
+    // must equal v5 with only the version label advanced — the empty feed
+    // passed the state through unchanged.
+    "q_stream_changefeed_ivm" ->
+      s"""WITH r AS (SELECT event_id, event_type, value,
+         |    ((row_number() OVER (ORDER BY ts, event_id) - 1) * 4)
+         |      // (SELECT count(*) FROM events) AS b
+         |  FROM events),
+         |cum AS (SELECT cast(k.range AS integer) AS version, r.event_type, r.value
+         |  FROM r JOIN range(1, 5) k ON r.b < k.range),
+         |post AS (SELECT event_type, value FROM events WHERE event_id % 37 <> 0)
+         |SELECT version, event_type, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM cum GROUP BY 1, 2
+         |UNION ALL
+         |SELECT cast(k.range AS integer) AS version, event_type, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM post, range(5, 7) k GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
 
     // The incremental artifact's content IS the raw table when maintenance

@@ -1,0 +1,70 @@
+package graft
+
+import graft.sources.TableLog
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The change-feed streaming consumer's contracts (StreamOps.changeFeedIvm):
+  * the maintained rollup equals the full recompute at EVERY source version,
+  * a compaction landing mid-stream yields an empty delta and passes the
+  * state through unchanged (only the cursor advances), and a tick with no
+  * new source version is a no-op — the cursor riding the view's own commit
+  * makes reprocessing idempotent (restart safety).
+  */
+class ChangeFeedIvmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp() = java.nio.file.Files
+    .createTempDirectory("graft_cfivm").toFile.getAbsolutePath
+
+  private def rows(xs: (String, Long)*) = {
+    import spark.implicits._
+    xs.toDF("event_type", "us")
+  }
+
+  private def tick(table: String, view: String): Unit =
+    StreamOps.changeFeedIvm(table, view)(spark.range(1).toDF(), 0L)
+
+  private def viewAt(view: String, v: Int): Map[String, (Long, Long)] =
+    TableLog.read(spark, view, Some(v))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_value_micros"))).toMap
+
+  private def recompute(table: String, v: Int): Map[String, (Long, Long)] =
+    TableLog.read(spark, table, Some(v))
+      .groupBy("event_type").agg(count(lit(1)), sum("us"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("the maintained view equals the full recompute at every version; compaction is a state-preserving no-op") {
+    val t = tmp(); val v = tmp()
+    TableLog.overwrite(rows("a" -> 10L, "a" -> 5L, "b" -> 7L), t)  // v1
+    tick(t, v) // bootstrap only (head == 1)
+    assert(TableLog.headVersion(v) == 1 && viewAt(v, 1) == recompute(t, 1))
+    TableLog.append(rows("b" -> 3L, "c" -> 100L), t)               // v2
+    TableLog.compact(spark, t)                                     // v3: empty feed
+    TableLog.overwrite(rows("c" -> 1L), t)                         // v4: types vanish
+    (1 to 3).foreach(_ => tick(t, v)) // cursor 1→2→3→4
+    assert(TableLog.headVersion(v) == 4, "each tick advances exactly one version")
+    (2 to 4).foreach { k =>
+      assert(viewAt(v, k) == recompute(t, k), s"view drifted at source version $k")
+    }
+    // the compaction step: rows identical to v2's, only __v advanced
+    assert(viewAt(v, 3) == viewAt(v, 2),
+      "a compaction's empty feed must pass the state through unchanged")
+    // types emptied by v4 are dropped, not kept at n=0
+    assert(viewAt(v, 4).keySet == Set("c"), s"stale groups survived: ${viewAt(v, 4)}")
+  }
+
+  test("a tick past the head is a no-op (restart/idempotence)") {
+    val t = tmp(); val v = tmp()
+    TableLog.overwrite(rows("a" -> 1L), t)
+    tick(t, v)
+    val head = TableLog.headVersion(v)
+    tick(t, v) // no new source version — must not commit
+    tick(t, v)
+    assert(TableLog.headVersion(v) == head,
+      "a tick with no new source version must leave the view untouched")
+    assert(viewAt(v, head) == recompute(t, 1))
+  }
+}

@@ -531,6 +531,64 @@ object SparkEntry {
         repRounds = RepRounds, baseRounds = BaseRounds)
     }
 
+  /** INCREMENTAL-INSERT artifact (GraphAnn.insertBatch): the corpus is split
+    * by a keyed-md5 1-in-InsMod predicate into an OLD corpus (whose layered
+    * artifact — base + rep kNN edges — is built from scratch) and a NEW
+    * batch inserted HNSW-style: layered search against the old artifact at
+    * insert beam 2M (efConstruction = out-degree cap), final beams become
+    * the new nodes' out-edges, touched neighbors re-trim to their best 2M.
+    * The artifact persists the OLD layers, both INCREMENTED layers (all
+    * bucketed by src — searches over them consume the layout exchange-free
+    * like the main graph), and the insert SUMMARY (per-src adjacency
+    * fingerprints of every new/re-trimmed list — what ann_graph_insert
+    * checks against the SQL replay of the whole procedure).
+    */
+  private val InsMod  = 16
+  private val InsBeam = 2 * M // efConstruction = outDeg: final beam IS the edge list
+  private def graphInsertDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/graphins") {
+      val k = ArtifactIO.contentKey(s"$dir|m=$M|ins=$InsMod|rep=$RepMod|v1",
+        new java.io.File(s"$dir/embeddings.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_graphins_$k")
+      ArtifactIO.publishDir(out, valid = o =>
+        Seq("inedges", "inrep", "summary").forall(d =>
+          new java.io.File(o, s"$d/_SUCCESS").isFile)) { staging =>
+        val emb = Tables.embeddings(s, dir)
+        val isNew = graft.functions.GraftCols.md5Mod(
+          concat(col("vec_id").cast("string"), lit("|gins")), InsMod) === 0L
+        val oldC = emb.filter(!isNew)
+        val newC = emb.filter(isNew)
+        val oldBase = KnnGraph.edges(oldC, M).select("src", "dst", "dist")
+          .localCheckpoint()
+        val oldRep = KnnGraph.edges(repsOf(oldC), M).select("src", "dst", "dist")
+          .localCheckpoint()
+        val isRep = graft.functions.GraftCols.md5Mod(
+          concat(col("vec_id").cast("string"), lit("|grep")), RepMod) === 0L
+        val (base, rep) = GraphAnn.insertBatch(newC, oldRep, oldBase,
+          GraphAnn.entryPoints(repsOf(oldC), GraphEntries), oldC, isRep,
+          outDeg = 2 * M, insBeam = InsBeam,
+          repRounds = RepRounds, baseRounds = BaseRounds)
+        ArtifactIO.writeBucketed(base.incremented,
+          s"${staging.getAbsolutePath}/inedges", "src", KnnGraph.EdgeBuckets)
+        ArtifactIO.writeBucketed(rep.incremented,
+          s"${staging.getAbsolutePath}/inrep", "src", KnnGraph.EdgeBuckets)
+        def fp(df: DataFrame, part: String): DataFrame =
+          df.groupBy("src").agg(
+            count(lit(1)).as("n_edges"),
+            sum(floor(col("dist") * lit(1.0e9) + lit(0.5)).cast("long"))
+              .as("sum_dist_nanos"),
+            sum("dst").as("sum_dst"))
+            .select(lit(part).as("part"), col("src"), col("n_edges"),
+              col("sum_dist_nanos"), col("sum_dst"))
+        fp(base.newEdges, "base_new")
+          .unionByName(fp(base.retrimmed, "base_trim"))
+          .unionByName(fp(rep.newEdges, "rep_new"))
+          .unionByName(fp(rep.retrimmed, "rep_trim"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${staging.getAbsolutePath}/summary")
+      }
+    }
+
   /** The corpus as a BUCKETED-by-vec_id table — the edge artifact's layout
     * treatment applied to graph search's OTHER per-round join (candidate
     * scoring): beam rounds then join candidates against the corpus with no
@@ -3171,6 +3229,49 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // INCREMENTAL INSERT into the layered artifact (GraphAnn.insertBatch —
+    // HNSW's add in batch form): a 1-in-16 keyed-md5 corpus slice joins the
+    // OLD artifact via layered search at insert beam 2M; new out-edges =
+    // final beams, touched neighbors re-trim to their best 2M (the shrink
+    // step), rep-member inserts repeat it on the rep layer from the phase-1
+    // beam. The result fingerprints every new and re-trimmed adjacency list
+    // (per-src count / Σdist-nanos / Σdst) — the oracle replays the ENTIRE
+    // procedure: old-corpus kNN layers, both unrolled search phases, both
+    // grouped re-ranks.
+    "ann_graph_insert" -> ((s, dir) => {
+      val art = graphInsertDir(s, dir)
+      s.read.parquet(s"$art/summary").orderBy("part", "src")
+    }),
+
+    // The insert acceptance gauge: probes (vec_id < 100) searched over the
+    // INCREMENTED artifact with the standard layered parameters — read
+    // beside ann_graph_recall_layered (the from-scratch rebuild's numbers),
+    // this is the "no rebuild needed" claim: batch-added nodes are reachable
+    // and recall holds. Itself oracle-exact (the incremented edge tables
+    // replay in SQL, then the same unrolled layered search runs over them).
+    "ann_graph_insert_recall" -> ((s, dir) => {
+      val art = graphInsertDir(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val inBase = ArtifactIO.readBucketed(s, s"$art/inedges",
+        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
+      val inRep = ArtifactIO.readBucketed(s, s"$art/inrep",
+        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
+      val g = GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
+        embBucketed(s, dir), inRep, inBase,
+        GraphAnn.entryPoints(repsOf(emb), GraphEntries),
+        k = 10, repBeam = RepBeam, baseBeam = BaseBeam,
+        repRounds = RepRounds, baseRounds = BaseRounds)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(g, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // ANN — approximate LSH join path. Deterministic variant: keyed md5
     // Box–Muller hyperplanes (float32-quantized, the attack_insert
     // technique) instead of spark.ml's seeded RNG — same bucket-join plan,
@@ -4584,6 +4685,84 @@ object SparkEntry {
       ",\n" +
       graphSearchCtesOver(qv, "lb", "edges",
         s"SELECT query_id, node FROM lrb$RepRounds", BaseBeam, BaseRounds)
+  }
+
+  /** The incremental-insert replay (no leading WITH): old-corpus split, the
+    * old artifact's TWO kNN layers rebuilt from scratch (same rank-then-
+    * re-rank derivation as graphCtes, restricted to the old corpus / old
+    * reps), both insert-search phases unrolled at beam InsBeam over the OLD
+    * layers, then the two grouped re-ranks: `nbase`/`nrep` are the new
+    * nodes' out-edges (final beams capped at 2M), `btrim`/`rtrim` the
+    * touched neighbors' re-trimmed adjacencies, `iedges`/`iredges` the full
+    * incremented layers.
+    */
+  private def insertCtes: String = {
+    val dd = "(cast(a.embedding[i] as double) - cast(b.embedding[i] as double))"
+    def knnLayer(pfx: String, corpus: String): String =
+      s"""${pfx}knn0 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    sqrt(list_reduce(list_transform(range(1, ${D + 1}), i -> $dd * $dd), (x, y) -> x + y)) AS dist
+         |  FROM $corpus a, $corpus b),
+         |${pfx}raw AS MATERIALIZED (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+         |    FROM ${pfx}knn0) WHERE rank <= ${2 * M + 1}),
+         |${pfx}edges AS MATERIALIZED (SELECT * FROM (
+         |    SELECT query_id AS src, neighbor_id AS dst, dist,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS r2
+         |    FROM ${pfx}raw WHERE neighbor_id <> query_id) WHERE r2 <= ${2 * M})""".stripMargin
+    s"""oldc AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|gins'", InsMod.toString)} <> 0),
+       |newc AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|gins'", InsMod.toString)} = 0),
+       |oreps AS MATERIALIZED (SELECT vec_id, embedding FROM oldc
+       |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|grep'", RepMod.toString)} = 0),
+       |${knnLayer("ob", "oldc")},
+       |${knnLayer("or", "oreps")},
+       |oent AS (SELECT vec_id AS node FROM oreps
+       |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
+       |nq AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe FROM newc),
+       |""".stripMargin +
+      graphSearchCtesOver("nq", "ir", "oredges",
+        "SELECT q.query_id, e.node FROM nq q, oent e", InsBeam, RepRounds) +
+      ",\n" +
+      graphSearchCtesOver("nq", "ib", "obedges",
+        s"SELECT query_id, node FROM irb$RepRounds", InsBeam, BaseRounds) +
+      ",\n" +
+      s"""nbase AS MATERIALIZED (SELECT query_id AS src, node AS dst, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+         |    FROM ibb$BaseRounds) WHERE rn <= ${2 * M}),
+         |btouch AS (SELECT DISTINCT dst AS src FROM nbase),
+         |btrim AS MATERIALIZED (SELECT src, dst, dist FROM (
+         |    SELECT u.src, u.dst, u.dist,
+         |      row_number() OVER (PARTITION BY u.src ORDER BY u.dist, u.dst) AS rn
+         |    FROM (SELECT e.src, e.dst, e.dist FROM obedges e JOIN btouch t ON e.src = t.src
+         |          UNION ALL
+         |          SELECT n.dst AS src, n.src AS dst, n.dist FROM nbase n) u)
+         |  WHERE rn <= ${2 * M}),
+         |nrq AS (SELECT vec_id FROM newc
+         |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|grep'", RepMod.toString)} = 0),
+         |nrep AS MATERIALIZED (SELECT query_id AS src, node AS dst, dist FROM (
+         |    SELECT b.query_id, b.node, b.dist,
+         |      row_number() OVER (PARTITION BY b.query_id ORDER BY b.dist, b.node) AS rn
+         |    FROM irb$RepRounds b JOIN nrq ON nrq.vec_id = b.query_id)
+         |  WHERE rn <= ${2 * M}),
+         |rtouch AS (SELECT DISTINCT dst AS src FROM nrep),
+         |rtrim AS MATERIALIZED (SELECT src, dst, dist FROM (
+         |    SELECT u.src, u.dst, u.dist,
+         |      row_number() OVER (PARTITION BY u.src ORDER BY u.dist, u.dst) AS rn
+         |    FROM (SELECT e.src, e.dst, e.dist FROM oredges e JOIN rtouch t ON e.src = t.src
+         |          UNION ALL
+         |          SELECT n.dst AS src, n.src AS dst, n.dist FROM nrep n) u)
+         |  WHERE rn <= ${2 * M}),
+         |iedges AS MATERIALIZED (
+         |  SELECT e.src, e.dst, e.dist FROM obedges e
+         |    LEFT JOIN btouch t ON e.src = t.src WHERE t.src IS NULL
+         |  UNION ALL SELECT src, dst, dist FROM btrim
+         |  UNION ALL SELECT src, dst, dist FROM nbase),
+         |iredges AS MATERIALIZED (
+         |  SELECT e.src, e.dst, e.dist FROM oredges e
+         |    LEFT JOIN rtouch t ON e.src = t.src WHERE t.src IS NULL
+         |  UNION ALL SELECT src, dst, dist FROM rtrim
+         |  UNION ALL SELECT src, dst, dist FROM nrep)""".stripMargin
   }
 
   /** PQ codebook + assignment CTEs (embed_pq's semantics): `cb` = the 16
@@ -7381,6 +7560,58 @@ object SparkEntry {
            |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
            |  cast(count(i.neighbor_id) as double) / count(*) AS recall
            |FROM lbk b LEFT JOIN lk i
+           |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin),
+
+    // The WHOLE insert procedure replayed: old-corpus kNN layers, both
+    // unrolled search phases at beam 2M over the old layers, the two
+    // grouped re-ranks — then the same per-src fingerprints.
+    "ann_graph_insert" ->
+      (s"WITH $insertCtes\n" +
+        s"""SELECT part, src, n_edges, sum_dist_nanos, sum_dst FROM (
+           |  SELECT 'base_new' AS part, src, count(*) AS n_edges,
+           |    cast(sum(cast(floor(dist * 1000000000.0 + 0.5) as bigint)) as bigint) AS sum_dist_nanos,
+           |    cast(sum(dst) as bigint) AS sum_dst FROM nbase GROUP BY 2
+           |  UNION ALL
+           |  SELECT 'base_trim', src, count(*),
+           |    cast(sum(cast(floor(dist * 1000000000.0 + 0.5) as bigint)) as bigint),
+           |    cast(sum(dst) as bigint) FROM btrim GROUP BY 2
+           |  UNION ALL
+           |  SELECT 'rep_new', src, count(*),
+           |    cast(sum(cast(floor(dist * 1000000000.0 + 0.5) as bigint)) as bigint),
+           |    cast(sum(dst) as bigint) FROM nrep GROUP BY 2
+           |  UNION ALL
+           |  SELECT 'rep_trim', src, count(*),
+           |    cast(sum(cast(floor(dist * 1000000000.0 + 0.5) as bigint)) as bigint),
+           |    cast(sum(dst) as bigint) FROM rtrim GROUP BY 2)
+           |ORDER BY part, src""".stripMargin),
+
+    // Recall over the INCREMENTED layers: the insert replay's iedges/
+    // iredges, then the standard layered search unrolled over them (entry
+    // sample from the FULL corpus' reps — new reps are entry-eligible),
+    // against the full-corpus exact top-10 (raw17).
+    "ann_graph_insert_recall" ->
+      (graphCtes + ",\n" + insertCtes + ",\n" +
+        s"""freps AS (SELECT vec_id FROM embeddings
+           |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|grep'", RepMod.toString)} = 0),
+           |fent AS (SELECT vec_id AS node FROM freps
+           |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
+           |gq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+           |""".stripMargin +
+        graphSearchCtesOver("gq", "jr", "iredges",
+          "SELECT q.query_id, e.node FROM gq q, fent e", RepBeam, RepRounds) +
+        ",\n" +
+        graphSearchCtesOver("gq", "jb", "iedges",
+          s"SELECT query_id, node FROM jrb$RepRounds", BaseBeam, BaseRounds) +
+        ",\n" +
+        s"""jk AS (SELECT query_id, node AS neighbor_id FROM (
+           |    SELECT query_id, node,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+           |    FROM jbb$BaseRounds) WHERE rn <= 10),
+           |jbk AS (SELECT query_id, neighbor_id FROM raw17 WHERE query_id < 100 AND rank <= 10)
+           |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
+           |  cast(count(i.neighbor_id) as double) / count(*) AS recall
+           |FROM jbk b LEFT JOIN jk i
            |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
            |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin),
 

@@ -129,6 +129,109 @@ object GraphAnn {
       .select(col("query_id"), col("node").as("neighbor_id"), col("dist"), col("rank"))
   }
 
+  /** INCREMENTAL INSERT — HNSW's add operation in batch form (r16). A corpus
+    * delta `newVecs` joins an EXISTING layered artifact without a rebuild:
+    *
+    *   1. every new vector runs the layered search against the OLD artifact
+    *      (coarse descend over `repEdgesOld`, refine over `baseEdgesOld`)
+    *      with an insert-time beam ≥ the out-degree cap — HNSW's
+    *      efConstruction ≥ M discipline: the final beam IS the candidate
+    *      list neighbors are selected from;
+    *   2. the new node's out-edges are its final beam's best `outDeg`
+    *      (dist ASC, node ASC — the engine's universal tie rule);
+    *   3. REVERSE edges: each selected neighbor n gains a candidate edge
+    *      n → q, and n's adjacency re-trims to its best `outDeg` over
+    *      {old edges of n} ∪ {reverse candidates} — HNSW's shrink step,
+    *      batched: all new nodes' reverse candidates land in ONE grouped
+    *      re-rank (no per-insert sequential dependency);
+    *   4. a new node that passes the rep-layer membership predicate repeats
+    *      2–3 on the rep layer using its PHASE-1 final beam (which holds
+    *      only rep nodes by construction).
+    *
+    * Batch semantics, documented trade: new nodes link only AGAINST THE
+    * EXISTING corpus — within-batch blindness (two new near-duplicates
+    * don't link to each other until a later batch or compaction re-inserts
+    * them), the standard bulk-add bargain every LSM-shaped ANN system
+    * makes; ann_graph_insert_recall gauges the effect against the
+    * from-scratch rebuild. Determinism: every step is (dist, id)-ordered
+    * and arrival-order-free, so the incremented artifact is a pure function
+    * of (old corpus, batch) — the whole procedure replays as SQL
+    * (graphSearchCtesOver + two grouped re-ranks).
+    *
+    * 100 TB shape: cost is |batch| searches (the read path's own economics)
+    * plus two grouped top-`outDeg` re-ranks over |batch|·outDeg reverse
+    * candidates — no rebuild, no global sort; the touched adjacency lists
+    * are ≤ |batch|·outDeg rows, so the artifact update is a partition-local
+    * upsert (TableLog.overwritePartitions by src bucket in a production
+    * loop).
+    */
+  final case class LayerInsert(newEdges: DataFrame, retrimmed: DataFrame,
+                               incremented: DataFrame)
+
+  /** One layer's steps 2–3: `finalBeam` is (query_id, node, dist) from the
+    * search over this layer's OLD edges; returns the new nodes' out-edges,
+    * the touched neighbors' re-trimmed adjacencies, and the full
+    * incremented edge table (untouched ∪ re-trimmed ∪ new), all shaped
+    * (src, dst, dist).
+    */
+  def insertLayer(finalBeam: DataFrame, oldEdges: DataFrame, outDeg: Int): LayerInsert = {
+    val wq = Window.partitionBy("query_id").orderBy(col("dist"), col("node"))
+    val ws = Window.partitionBy("src").orderBy(col("dist"), col("dst"))
+    val newEdges = finalBeam
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= outDeg)
+      .select(col("query_id").as("src"), col("node").as("dst"), col("dist"))
+    val reverse = newEdges.select(col("dst").as("src"), col("src").as("dst"), col("dist"))
+    val touched = reverse.select("src").distinct()
+    val retrimmed = oldEdges.select("src", "dst", "dist").join(touched, "src")
+      .unionByName(reverse)
+      .withColumn("rn", row_number().over(ws)).filter(col("rn") <= outDeg)
+      .drop("rn")
+    val incremented = oldEdges.select("src", "dst", "dist")
+      .join(touched, Seq("src"), "left_anti")
+      .unionByName(retrimmed)
+      .unionByName(newEdges)
+    LayerInsert(newEdges, retrimmed, incremented)
+  }
+
+  /** The full layered add: searches the old artifact once per new vector
+    * (both phases at `insBeam` ≥ outDeg width) and applies insertLayer to
+    * the base layer (every new node) and the rep layer (the `isRep` subset,
+    * from the phase-1 beam). Returns (base, rep) layer results.
+    */
+  def insertBatch(newVecs: DataFrame, repEdgesOld: DataFrame,
+                  baseEdgesOld: DataFrame, entries: DataFrame,
+                  corpusOld: DataFrame, isRep: org.apache.spark.sql.Column,
+                  outDeg: Int, insBeam: Int,
+                  repRounds: Int, baseRounds: Int): (LayerInsert, LayerInsert) = {
+    require(insBeam >= outDeg,
+      s"insert beam $insBeam must cover the out-degree cap $outDeg (efConstruction >= M)")
+    def score(cand: DataFrame): DataFrame = scoreCandidates(cand, corpusOld)
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("node"))
+    def topB(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= insBeam).drop("rn")
+    val q0 = newVecs.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      isRep.as("__rep"))
+    var beamDf = topB(score(
+      q0.select("query_id", "qe").crossJoin(broadcast(entries)))).localCheckpoint()
+    var r = 0
+    while (r < repRounds) {
+      beamDf = topB(beamDf.unionByName(score(
+        frontierCandidates(beamDf, repEdgesOld)))).localCheckpoint()
+      r += 1
+    }
+    val repBeamFinal = beamDf
+    var refined = beamDf
+    r = 0
+    while (r < baseRounds) {
+      refined = topB(refined.unionByName(score(
+        frontierCandidates(refined, baseEdgesOld)))).localCheckpoint()
+      r += 1
+    }
+    val repQueries = q0.filter(col("__rep")).select("query_id")
+    (insertLayer(refined, baseEdgesOld, outDeg),
+      insertLayer(repBeamFinal.join(repQueries, "query_id"), repEdgesOld, outDeg))
+  }
+
   /** One round's frontier expansion: neighbors of the beam not already IN
     * the beam; a node dropped in an earlier round may be re-scored — dist
     * is a pure function, so the result equals the oracle's simpler

@@ -98,6 +98,48 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(layered > 0.8, s"layered recall collapsed at fixture size: $layered")
   }
 
+  test("insertBatch: degree caps hold, no self/new-new edges, untouched adjacencies survive verbatim") {
+    import graft.functions.GraftCols
+    val isNew = GraftCols.md5Mod(
+      concat(col("vec_id").cast("string"), lit("|t16")), 8) === 0L
+    val oldC = emb.filter(!isNew).cache()
+    val newC = emb.filter(isNew)
+    val oldEdges = KnnGraph.edges(oldC, 8).select("src", "dst", "dist").cache()
+    val isRep = GraftCols.md5Mod(
+      concat(col("vec_id").cast("string"), lit("|grep")), 8) === 0L
+    val oldRep = KnnGraph.edges(oldC.filter(isRep), 8)
+      .select("src", "dst", "dist").cache()
+    val (base, rep) = GraphAnn.insertBatch(newC, oldRep, oldEdges,
+      GraphAnn.entryPoints(oldC.filter(isRep), 4), oldC, isRep,
+      outDeg = 16, insBeam = 16, repRounds = 2, baseRounds = 2)
+    val newIds = newC.select("vec_id").collect().map(_.getLong(0)).toSet
+    // every new node got edges, all pointing at OLD nodes, degree ≤ 16
+    val degs = base.newEdges.groupBy("src").agg(count(lit(1)).as("d")).collect()
+    assert(degs.map(_.getLong(0)).toSet == newIds, "a new node got no edges")
+    assert(degs.forall(_.getLong(1) <= 16), "out-degree cap violated")
+    assert(base.newEdges.filter(col("dst").isin(newIds.toSeq: _*)).count() == 0,
+      "batch insert must be blind within the batch (new→new edge found)")
+    assert(base.newEdges.filter(col("src") === col("dst")).count() == 0)
+    // re-trimmed lists keep the cap, and every reverse edge they admitted
+    // points at a new node
+    val trimDeg = base.retrimmed.groupBy("src").agg(count(lit(1)).as("d")).collect()
+    assert(trimDeg.forall(_.getLong(1) <= 16), "re-trim exceeded the cap")
+    // incremented = untouched ∪ retrimmed ∪ new, disjoint by src
+    val touched = base.retrimmed.select("src").distinct()
+    val untouched = oldEdges.join(touched, Seq("src"), "left_anti")
+    assert(base.incremented.count() ==
+      untouched.count() + base.retrimmed.count() + base.newEdges.count())
+    assert(untouched.exceptAll(
+      base.incremented.join(touched, Seq("src"), "left_anti")
+        .join(base.newEdges.select("src").distinct(), Seq("src"), "left_anti"))
+      .count() == 0, "an untouched adjacency list changed")
+    // rep layer: only rep-member new nodes, edges into old reps only
+    val repNewIds = rep.newEdges.select("src").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val repMembers = newC.filter(isRep).collect().map(_.getLong(0)).toSet
+    assert(repNewIds == repMembers, s"rep inserts $repNewIds != members $repMembers")
+  }
+
   test("per-round frontier join consumes the bucketed edge artifact — no edge-side Exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeExec}

@@ -291,6 +291,34 @@ object SparkEntry {
       }
     }
 
+  /** HILBERT-clustered events artifact (ZOrder.hilbert2): the same 2-D
+    * (user, hour) clustering as eventsZorderDir but along the CONTINUOUS
+    * curve — no Morton Z-seams, so a sort chunk is one connected blob and
+    * range slices keep strictly fewer surviving chunks (ZOrderSpec's
+    * survivor table quantifies where it wins and where the two tie). The
+    * hour coordinate is re-based to the fixture's first day so both
+    * coordinates genuinely occupy [0, 2^11) — Hilbert's rotations are NOT
+    * invariant to constant high bits the way Morton's plain interleave is,
+    * so the re-base is load-bearing, not cosmetic.
+    */
+  private def eventsHilbertDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/eventshilbert") {
+      val k = ArtifactIO.contentKey(s"$dir|hilbert|v1",
+        new java.io.File(s"$dir/events.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_eventshilbert_$k")
+      ArtifactIO.publishDir(out, valid = o => new java.io.File(o, "_SUCCESS").isFile) { staging =>
+        val hourNs = 3600L * 1000000000L
+        val baseNs = 1704067200L * 1000000000L // 2024-01-01, the fixture's floor
+        Tables.events(s, dir)
+          .withColumn("__h", graft.functions.ZOrder.hilbert2(
+            col("user_id"), expr(s"(ts_ns - ${baseNs}L) div $hourNs"), bits = 11))
+          .repartitionByRange(8, col("__h"))
+          .sortWithinPartitions("__h")
+          .drop("__h")
+          .write.mode("overwrite").parquet(staging.getAbsolutePath)
+      }
+    }
+
   /** SMB (sort-merge-bucket) join substrate: two per-user rollups written as
     * BUCKETED, bucket-SORTED tables on the join key. Joining them is the
     * zero-exchange, zero-sort join — both sides' layouts already satisfy the
@@ -2451,6 +2479,23 @@ object SparkEntry {
       s.read.parquet(eventsZorder3Dir(s, dir))
         .filter(col("user_id") < 8 && col("ts_ns") >= t1 && col("ts_ns") < t2 &&
           col("value") >= 100.0 && col("value") < 200.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(micros(col("value"))), lit(0L)).as("sum_value_micros"))
+        .orderBy("event_type")
+    }),
+
+    // The SAME 2-D slice served from the HILBERT-clustered artifact — read
+    // beside q_events_zorder: identical rows (layout never changes the row
+    // set; the oracle is the same raw-slice replay), different file-level
+    // locality. The continuous curve has no Z-seams, so the slice's
+    // surviving chunk count is ≤ Morton's (ZOrderSpec pins the comparison
+    // quantitatively, including the axis-slice case where the two tie).
+    "q_events_hilbert" -> ((s, dir) => {
+      val t1 = 1704844800L * 1000000000L // 2024-01-10
+      val t2 = 1705276800L * 1000000000L // 2024-01-15
+      s.read.parquet(eventsHilbertDir(s, dir))
+        .filter(col("user_id") < 8 && col("ts_ns") >= t1 && col("ts_ns") < t2)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           coalesce(sum(micros(col("value"))), lit(0L)).as("sum_value_micros"))
@@ -7123,6 +7168,17 @@ object SparkEntry {
     // Layout never changes rows: the z-ordered slice replays as the same
     // slice over the raw table.
     "q_events_zorder" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events
+         |WHERE user_id < 8 AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Layout never changes rows: the Hilbert-clustered slice replays as
+    // the identical raw-table slice (same SQL as q_events_zorder — that IS
+    // the point: same rows, different file locality).
+    "q_events_hilbert" ->
       s"""SELECT event_type, count(*) AS n,
          |  ${sumMicrosSql("value")} AS sum_value_micros
          |FROM events

@@ -75,6 +75,15 @@ object ZOrder {
       .bitwiseOR(shiftleft(spreadBits3(y.cast("long")), 1))
       .bitwiseOR(shiftleft(spreadBits3(z.cast("long")), 2))
 
+  /** Hilbert-curve index of two coordinates in [0, 2^bits) — the layout
+    * alternative to morton2 with strictly better range-predicate locality
+    * (continuous curve, no Z-seam jumps; see HilbertExpr's scaladoc for the
+    * full account and the conversion-cost trade). Same normalization
+    * contract as morton2: comparable bit widths, zBucket skewed domains.
+    */
+  def hilbert2(x: Column, y: Column, bits: Int): Column =
+    HilbertExpr(x, y, bits)
+
   /** Scale a non-negative column with known domain [0, maxExclusive) onto
     * [0, 2^bits): `(c · 2^bits) div maxExclusive`, exact decimal arithmetic
     * (codegen'd), monotone, endpoints tight. This is the per-column

@@ -65,6 +65,92 @@ class ZOrderSpec extends AnyFunSuite {
       s"z-order must beat the 1-D sort 4x+ on the secondary dim: $zy vs $sy")
   }
 
+  test("hilbert2 reproduces the canonical curve, bijectively") {
+    import spark.implicits._
+    // the standard order-2 Hilbert walk (n = 4), the textbook sequence —
+    // an independent golden reference, not a reimplementation of the loop
+    val canonical = Seq(
+      (0L, 0L), (1L, 0L), (1L, 1L), (0L, 1L),
+      (0L, 2L), (0L, 3L), (1L, 3L), (1L, 2L),
+      (2L, 2L), (2L, 3L), (3L, 3L), (3L, 2L),
+      (3L, 1L), (2L, 1L), (2L, 0L), (3L, 0L))
+    val got = canonical.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.hilbert2(col("x"), col("y"), 2).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    canonical.zipWithIndex.foreach { case (xy, i) =>
+      assert(got(xy) == i, s"hilbert2$xy = ${got(xy)}, canonical walk says $i")
+    }
+    // bijectivity at bits=5: the 32×32 grid maps exactly onto [0, 1024)
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+    val hs = grid.toDF("x", "y")
+      .select(ZOrder.hilbert2(col("x"), col("y"), 5).as("h"))
+      .collect().map(_.getLong(0))
+    assert(hs.sorted.toSeq == (0L until 1024L), "hilbert2 is not a bijection onto [0, 4^bits)")
+    // out-of-range coordinates fail loudly (the zBucket contract)
+    val e = intercept[Exception] {
+      Seq((5L, 1L)).toDF("x", "y")
+        .select(ZOrder.hilbert2(col("x"), col("y"), 2)).collect()
+    }
+    assert(e.toString.contains("zBucket") ||
+      Option(e.getCause).exists(_.toString.contains("zBucket")))
+  }
+
+  test("hilbert is CONTINUOUS (every step a grid neighbor) — morton is not; seam slices survive fewer hilbert chunks") {
+    import spark.implicits._
+    val n = 64
+    val grid = for (x <- 0L until n; y <- 0L until n) yield (x, y)
+    val hOf = grid.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.hilbert2(col("x"), col("y"), 6).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // continuity: consecutive curve indices are Manhattan-distance-1 cells
+    val byH = grid.sortBy(hOf)
+    val hJumps = byH.sliding(2).count { case Seq(a, b) =>
+      math.abs(a._1 - b._1) + math.abs(a._2 - b._2) != 1 }
+    assert(hJumps == 0, s"the Hilbert walk teleported $hJumps times — not a Hilbert curve")
+    val byM = grid.sortBy { case (x, y) => mortonRef(x, y) }
+    val mJumps = byM.sliding(2).count { case Seq(a, b) =>
+      math.abs(a._1 - b._1) + math.abs(a._2 - b._2) != 1 }
+    assert(mJumps > 0, "control broke: the Z curve is supposed to jump at quadrant seams")
+
+    // THE CLUSTER TABLE — where Hilbert beats Morton and where it doesn't,
+    // on the metric that decides real scan cost: how many CONTIGUOUS runs
+    // of the curve a query box decomposes into (each run = one contiguous
+    // row-span / byte-range to read; Moon, Jagadish, Faloutsos & Saltz,
+    // "Analysis of the clustering properties of the Hilbert space-filling
+    // curve", TKDE 13(1), 2001, prove Hilbert's run count is strictly
+    // better on average). Chunk-survivor counts at power-of-4 chunk sizes
+    // CANNOT see the difference — both curves' aligned 4^k runs are exact
+    // quadrants with identical min/max boxes — which is exactly why
+    // unaligned chunks and range scans are where Morton loses.
+    def clusters(key: (Long, Long) => Long, x0: Long, x1: Long, y0: Long, y1: Long): Int = {
+      val ks = (for (x <- x0 until x1; y <- y0 until y1) yield key(x, y)).sorted
+      1 + ks.sliding(2).count { case Seq(a, b) => b != a + 1 }
+    }
+    val hKey = (x: Long, y: Long) => hOf((x, y))
+    // (a) 200 random small boxes: Hilbert needs ~half Morton's runs and
+    // must win (strictly fewer) on at least 95% of them
+    val rnd = new scala.util.Random(11)
+    val trials = (1 to 200).map { _ =>
+      val w = 4 + rnd.nextInt(13); val h = 4 + rnd.nextInt(13)
+      val x0 = rnd.nextInt(n.toInt - w).toLong; val y0 = rnd.nextInt(n.toInt - h).toLong
+      (clusters(hKey, x0, x0 + w, y0, y0 + h),
+        clusters(mortonRef, x0, x0 + w, y0, y0 + h))
+    }
+    val (hAvg, mAvg) = (trials.map(_._1).sum / 200.0, trials.map(_._2).sum / 200.0)
+    val hWins = trials.count(t => t._1 < t._2)
+    assert(hAvg < 0.7 * mAvg && hWins >= 190,
+      s"Hilbert must dominate the run-count metric: avg $hAvg vs $mAvg, wins $hWins/200")
+    // (b) a full-height axis slice — the everyday predicate shape: the
+    // continuous curve crosses in/out of the slice far fewer times
+    assert(clusters(hKey, 0, 8, 0, n) < clusters(mortonRef, 0, 8, 0, n),
+      "Hilbert should cover an axis slice in fewer runs")
+    // (c) where it DOESN'T win: a quadrant-ALIGNED box is one contiguous
+    // run under BOTH curves (every 4^k-aligned block is a single curve
+    // segment for either) — alignment erases the advantage
+    assert(clusters(hKey, 0, 16, 0, 16) == 1 && clusters(mortonRef, 0, 16, 0, 16) == 1,
+      "aligned quadrants must be single runs under both curves")
+  }
+
   private def morton3Ref(x: Long, y: Long, z: Long): Long = {
     // independent per-bit reference (no magic masks): bit i of each input
     // lands at bit 3i + lane

@@ -1915,6 +1915,72 @@ object SparkEntry {
         .orderBy("canonical_id")
     }),
 
+    // THE PRETRAINING MIX BUILD END-TO-END (r16): near-dup cluster →
+    // keep-best canonicalization → sqrt-temperature per-source quotas over
+    // the KEPT corpus → per-source quality-weighted PRIORITY draw filling
+    // each quota — the composition an actual mixture build runs, stitching
+    // four individually-proven stages into one oracle-exact plan. Quotas
+    // derive from KEPT counts (dedup first, then apportion — sampling
+    // before dedup would let duplicate-heavy sources launder their counts
+    // into quota). The within-source draw is the DLT priority scheme
+    // (w/u over the (0,1] md5 uniform), so the sampled SET replays
+    // row-for-row, and the summary fingerprints it per source.
+    "pipeline_mix_dedup" -> ((s, dir) => {
+      val kTotal = 120.0
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.nearDupClustersFromPairs(nearDupPairsShared(s, dir))
+      val qus = docs.select(col("doc_id"),
+        micros(TextOps.qualityScore(col("text"))).as("q_us"))
+      val best = clusters.join(qus, "doc_id")
+        .groupBy("canonical_id")
+        .agg(max(struct(col("q_us"), (-col("doc_id")).as("nid"))).as("__b"))
+        .select((-col("__b.nid")).as("doc_id"))
+      val keptIds = docs.select("doc_id")
+        .join(clusters.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(best)
+      // checkpointed once: feeds the bounded quota collect AND the draw
+      val kept = docs.join(keptIds, "doc_id").localCheckpoint()
+      // |sources| rows driver-side — identical apportionment arithmetic to
+      // sample_mixture_sqrt, over the deduplicated counts
+      val rows = kept.groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), math.sqrt(r.getLong(1).toDouble)))
+      val bigW = rows.foldLeft(0.0)((a, r) => a + r._3)
+      val base = rows.map { case (src, n, w) =>
+        (src, n, math.floor(kTotal * w / bigW).toLong,
+          kTotal * w / bigW - math.floor(kTotal * w / bigW))
+      }
+      val rem = (kTotal - base.map(_._3).sum).toInt
+      val extras = base.sortBy { case (src, _, _, frac) => (-frac, src) }
+        .take(rem).map(_._1).toSet
+      import s.implicits._
+      val quotaDf = base.map { case (src, n, b, _) =>
+        (src, n, b + (if (extras.contains(src)) 1L else 0L))
+      }.toSeq.toDF("source", "n_kept", "quota")
+      val u = graft.text.Sample.unitCol(
+        concat(lit("mixdd|"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("__pri").desc, col("doc_id"))
+      val sampled = kept
+        .withColumn("__pri", TextOps.qualityScore(col("text")) / u)
+        .withColumn("__rn", row_number().over(w))
+        .join(broadcast(quotaDf.select("source", "quota")), "source")
+        .filter(col("__rn") <= col("quota"))
+      quotaDf.join(
+          sampled.groupBy("source").agg(count(lit(1)).as("n_sampled"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+            sum("doc_id").as("sum_doc_ids"),
+            sum(micros(TextOps.qualityScore(col("text")))).as("sum_q_us")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_kept"), col("quota"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("first_doc"), lit(-1L)).as("first_doc"),
+          coalesce(col("last_doc"), lit(-1L)).as("last_doc"),
+          coalesce(col("sum_doc_ids"), lit(-1L)).as("sum_doc_ids"),
+          coalesce(col("sum_q_us"), lit(-1L)).as("sum_q_us"))
+        .orderBy("source")
+    }),
+
     // The corpus-cleaning pipeline END-TO-END — the composition a
     // training-data user actually runs: quality filter → exact dedup →
     // minhash near-dup drop (keep the smaller doc_id) → benchmark
@@ -6641,6 +6707,59 @@ object SparkEntry {
            |      ORDER BY q_us DESC, doc_id) AS rn
            |  FROM cq) WHERE rn = 1
            |ORDER BY canonical_id""".stripMargin),
+
+    // The mix build replayed whole: minhash pairs → recursive components →
+    // keep-best per cluster → kept corpus → sqrt apportionment over kept
+    // counts → per-source priority ranks ((bits+1)/2^52 draw, one IEEE
+    // division) → per-source sample fingerprints.
+    "pipeline_mix_dedup" ->
+      (s"WITH RECURSIVE ${minhashPairsCtes("documents", "m", 0.5)},\n" +
+        s"""medges AS (SELECT a AS src, b AS dst FROM mpairs
+           |  UNION ALL SELECT b AS src, a AS dst FROM mpairs),
+           |reach(vec_id, comp) AS (
+           |  SELECT src, src FROM medges
+           |  UNION
+           |  SELECT e.dst, r.comp FROM reach r JOIN medges e ON e.src = r.vec_id),
+           |comps AS (SELECT vec_id AS doc_id, min(comp) AS canonical_id
+           |  FROM reach GROUP BY 1),
+           |cq AS (SELECT c.canonical_id, c.doc_id,
+           |    ${microsSql(TextOps.qualityScoreSql("d.text"))} AS q_us
+           |  FROM comps c JOIN documents d ON d.doc_id = c.doc_id),
+           |bestd AS (SELECT doc_id FROM (
+           |    SELECT doc_id, row_number() OVER (PARTITION BY canonical_id
+           |      ORDER BY q_us DESC, doc_id) AS rn FROM cq) WHERE rn = 1),
+           |kept AS MATERIALIZED (SELECT d.* FROM documents d
+           |  WHERE d.doc_id NOT IN (SELECT doc_id FROM comps)
+           |     OR d.doc_id IN (SELECT doc_id FROM bestd)),
+           |c AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY 1),
+           |w AS (SELECT source, n_kept, sqrt(cast(n_kept as double)) AS w FROM c),
+           |tot AS (SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)), (a, b) -> a + b) AS bw FROM w),
+           |q0 AS (SELECT source, n_kept,
+           |    cast(floor(120.0 * w / bw) as bigint) AS base,
+           |    120.0 * w / bw - floor(120.0 * w / bw) AS frac
+           |  FROM w, tot),
+           |q1 AS (SELECT *, row_number() OVER (ORDER BY frac DESC, source) AS fr FROM q0),
+           |quota AS (SELECT source, n_kept,
+           |    base + (CASE WHEN fr <= (SELECT 120 - sum(base) FROM q0) THEN 1 ELSE 0 END) AS quota
+           |  FROM q1),
+           |rk AS (SELECT source, doc_id, q_us, row_number() OVER (
+           |      PARTITION BY source ORDER BY pri DESC, doc_id) AS rn
+           |  FROM (SELECT k.source, k.doc_id,
+           |      ${microsSql(TextOps.qualityScoreSql("k.text"))} AS q_us,
+           |      ${TextOps.qualityScoreSql("k.text")} /
+           |        (cast(cast('0x' || substr(md5('mixdd|' || cast(k.doc_id as varchar)), 1, 13) as bigint) + 1 as double)
+           |          / 4503599627370496.0) AS pri
+           |    FROM kept k)),
+           |smp AS (SELECT r.source, r.doc_id, r.q_us FROM rk r JOIN quota q USING (source)
+           |  WHERE r.rn <= q.quota)
+           |SELECT q.source, q.n_kept, q.quota,
+           |  count(s.doc_id) AS n_sampled,
+           |  coalesce(min(s.doc_id), -1) AS first_doc,
+           |  coalesce(max(s.doc_id), -1) AS last_doc,
+           |  coalesce(cast(sum(s.doc_id) as bigint), -1) AS sum_doc_ids,
+           |  coalesce(cast(sum(s.q_us) as bigint), -1) AS sum_q_us
+           |FROM quota q LEFT JOIN smp s ON s.source = q.source
+           |GROUP BY 1, 2, 3 ORDER BY q.source""".stripMargin),
 
     // The full cleaning pipeline: every stage replayed (quality formula,
     // min-per-md5 exact dedup, the parameterized minhash chain over the

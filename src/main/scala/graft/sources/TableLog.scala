@@ -126,16 +126,24 @@ object TableLog {
     *   silently REPLACE a racing winner's manifest (last-writer-wins, the
     *   lost update this log exists to prevent; TableLogSpec's
     *   racing-appenders test catches exactly that).
-    * - `rename`: Files.move WITHOUT replace-existing — the portable shape
-    *   for stores with no link primitive. On an object store this line maps
-    *   one-for-one to CONDITIONAL PUT, where the store itself guarantees
-    *   the exclusive-or-fail semantics (S3 `If-None-Match: *`, GCS
-    *   `x-goog-if-generation-match: 0`, Azure `If-None-Match: *`). On a
-    *   LOCAL filesystem the no-replace check is check-then-rename (a
-    *   sub-millisecond race window POSIX leaves open), which is why
-    *   hardlink stays the local default — `rename` exists to prove the
-    *   protocol needs nothing link-specific (TableLogSpec races appenders
-    *   through it) and to document the object-store port.
+    * - `rename`: the portable shape for stores with no link primitive. On
+    *   an object store this step maps one-for-one to CONDITIONAL PUT,
+    *   where the store itself guarantees exclusive-or-fail (S3
+    *   `If-None-Match: *`, GCS `x-goog-if-generation-match: 0`, Azure
+    *   `If-None-Match: *`) — ONE atomic call, no claim needed. The LOCAL
+    *   emulation cannot use a bare no-replace Files.move: the UNIX
+    *   provider implements it as check-exists-then-rename(2), and
+    *   rename(2) silently REPLACES — two racers can both pass the check
+    *   and one manifest vanishes (the r16 full-suite run caught exactly
+    *   that, racing 8 appenders under parallel-suite load). So the
+    *   emulation claims the version first with an atomic-exclusive mkdir
+    *   (`v<N>.json.claim/` — EEXIST = taken), then moves the complete tmp
+    *   into place unraced. Claim dirs persist as commit tombstones
+    *   (vacuum reclaims them with their manifests); a crash between claim
+    *   and move orphans the claim and parks that version number — the
+    *   recovery is removing the claim by hand, a liveness caveat the real
+    *   conditional put does not have (and hardlink does not either, which
+    *   is why it stays the local default).
     *
     * Both consume-or-keep `src` safely: the caller deletes any leftover.
     */
@@ -146,8 +154,12 @@ object TableLog {
         try { Files.createLink(dst, src); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       case "rename" =>
-        try { Files.move(src, dst); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        val claim = dst.resolveSibling(dst.getFileName.toString + ".claim")
+        try {
+          Files.createDirectory(claim) // atomic-exclusive: the winner's claim
+          Files.move(src, dst)         // unraced — the claim is held
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       case m => throw new IllegalArgumentException(
         s"graft.tablelog.publish=$m — expected hardlink|rename")
     }
@@ -414,8 +426,13 @@ object TableLog {
       }
       rm(d)
     }
-    (1 until keepFromVersion).foreach(v =>
-      Files.deleteIfExists(manifestFile(table, v).toPath))
+    (1 until keepFromVersion).foreach { v =>
+      Files.deleteIfExists(manifestFile(table, v).toPath)
+      // rename-mode commits leave a claim tombstone per version (see
+      // createExclusive) — reclaim it with its manifest
+      Files.deleteIfExists(new java.io.File(logDir(table),
+        manifestFile(table, v).getName + ".claim").toPath)
+    }
     reclaimed.length
   }
 

@@ -61,10 +61,21 @@ object Bench {
     // post-probe AND pass i+1's pre-probe, and a pass's verdict gates on
     // max(pre, post). Reported as `calib_secs` (the full probe sequence,
     // passes+1 readings) for round-over-round normalization.
+    // One probe = the fixed fold, timed. A probe fired right after a heavy
+    // pass can read the PASS's debris (GC debt, demoted code) rather than
+    // ambient load and mislabel a quiet host stormy — so a calibration is
+    // the MIN of two back-to-back probes after a GC nudge: transient
+    // self-inflicted spikes inflate one reading, a real ambient storm
+    // inflates both (a storm gap shorter than the ~0.3 s probe pair is not
+    // a plausible contention pattern on this host).
     def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(400000000L).selectExpr("sum(id * 3 + 1)").collect()
-      (System.nanoTime() - t0) / 1e9
+      System.gc()
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(400000000L).selectExpr("sum(id * 3 + 1)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
     }
     val calib = scala.collection.mutable.ArrayBuffer.empty[Double]
 

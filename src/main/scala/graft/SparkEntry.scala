@@ -1025,6 +1025,41 @@ object SparkEntry {
   private def nanos(c: org.apache.spark.sql.Column) =
     floor(c.cast("double") * lit(1.0e9) + lit(0.5))
 
+  /** The CDC-merged TableLog table (versions 1–5: four upsert slices then
+    * the tombstone batch, via the five-micro-batch streaming MERGE), built
+    * ONCE per session and shared by q_stream_merge_cdc (reads v4/v5) and
+    * q_stream_changefeed_ivm (compacts v6, then consumes the change feed)
+    * — the nearDupPairsShared discipline applied to the lake demo: the
+    * streaming merge is the dominant cost of both queries and their inputs
+    * are the same deterministic table, so building it twice per bench pass
+    * measured duplication, not operators (r16: the pair cost ~15 s/pass,
+    * shared ~10 s).
+    */
+  private def cdcLogTableShared(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/cdclogtable") {
+      val n = streamSinkSeq.incrementAndGet()
+      val base = replayCkptBase(n)
+      val table = new java.io.File(base, "cdclog").getAbsolutePath
+      withStreamShufflePartitions(s, 4) {
+        val replay = eventsCdcReplayDir(s, dir)
+        val src = s.readStream
+          .schema(s.read.option("pathGlobFilter", "*.parquet").parquet(replay).schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("latestFirst", "false")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(replay)
+        val q = src.writeStream
+          .foreachBatch(graft.streaming.StreamOps.upsertBatchLogCdc(table) _)
+          .option("checkpointLocation",
+            new java.io.File(base, "cdcckpt").getAbsolutePath)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      GraftCache.onClear(() => rmTree(base))
+      table
+    }
+
   /** The four streaming queries (watermarked tumbling windows, dedup under
     * duplicate delivery, the stateful sessionizer, and the documents-replay
     * LSH near-dup) run CONCURRENTLY over their memoized-per-scale-dir
@@ -2938,26 +2973,7 @@ object SparkEntry {
     // v5. UpsertSpec drives delete-then-reinsert and the emptied-day case
     // through BOTH paths (raw dynamic-overwrite and log) directly.
     "q_stream_merge_cdc" -> ((s, dir) => {
-      val n = streamSinkSeq.incrementAndGet()
-      val base = replayCkptBase(n)
-      val table = new java.io.File(base, "cdclog").getAbsolutePath
-      withStreamShufflePartitions(s, 4) {
-        val replay = eventsCdcReplayDir(s, dir)
-        val src = s.readStream
-          .schema(s.read.option("pathGlobFilter", "*.parquet").parquet(replay).schema)
-          .option("maxFilesPerTrigger", "1")
-          .option("latestFirst", "false")
-          .option("pathGlobFilter", "*.parquet")
-          .parquet(replay)
-        val q = src.writeStream
-          .foreachBatch(graft.streaming.StreamOps.upsertBatchLogCdc(table) _)
-          .option("checkpointLocation",
-            new java.io.File(base, "cdcckpt").getAbsolutePath)
-          .start()
-        q.processAllAvailable()
-        q.stop()
-      }
-      GraftCache.onClear(() => rmTree(base))
+      val table = cdcLogTableShared(s, dir)
       val res = GraftCache.track(
         Seq(4, 5).map { v =>
           graft.sources.TableLog.read(s, table, Some(v))
@@ -2986,29 +3002,27 @@ object SparkEntry {
     // maintained rollup after source version k — checked against the full
     // recompute of every version in the oracle.
     "q_stream_changefeed_ivm" -> ((s, dir) => {
+      val table = cdcLogTableShared(s, dir) // v1–5 (shared with merge_cdc)
       val n = streamSinkSeq.incrementAndGet()
       val base = replayCkptBase(n)
-      val table = new java.io.File(base, "ivmlog").getAbsolutePath
-      val view  = new java.io.File(base, "ivmview").getAbsolutePath
+      val view = new java.io.File(base, "ivmview").getAbsolutePath
+      // v6: a compaction lands before the consumer catches up — its feed is
+      // empty and the maintained state must pass through unchanged. The
+      // head guard keeps the shared table deterministic if this query ever
+      // runs twice in one session.
+      if (graft.sources.TableLog.headVersion(table) == 5)
+        graft.sources.TableLog.compact(s, table)
       withStreamShufflePartitions(s, 4) {
         val replay = eventsCdcReplayDir(s, dir)
-        def srcStream = s.readStream
+        // consumer: the 5-file replay is only the TICK CLOCK here —
+        // 5 ticks walk the cursor v1 (bootstrap) → v6
+        val qc = s.readStream
           .schema(s.read.option("pathGlobFilter", "*.parquet").parquet(replay).schema)
           .option("maxFilesPerTrigger", "1")
           .option("latestFirst", "false")
           .option("pathGlobFilter", "*.parquet")
           .parquet(replay)
-        val qp = srcStream.writeStream
-          .foreachBatch(graft.streaming.StreamOps.upsertBatchLogCdc(table) _)
-          .option("checkpointLocation",
-            new java.io.File(base, "ivmpckpt").getAbsolutePath)
-          .start()
-        qp.processAllAvailable()
-        qp.stop()
-        graft.sources.TableLog.compact(s, table) // v6, mid-stream for the consumer
-        // consumer: the same 5-file replay is only the TICK CLOCK here —
-        // 5 ticks walk the cursor v1 (bootstrap) → v6
-        val qc = srcStream.writeStream
+          .writeStream
           .foreachBatch(graft.streaming.StreamOps.changeFeedIvm(table, view) _)
           .option("checkpointLocation",
             new java.io.File(base, "ivmcckpt").getAbsolutePath)

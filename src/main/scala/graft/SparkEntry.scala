@@ -3170,6 +3170,60 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Hybrid (predicate + vector) top-k, PRE-FILTER regime: label = 3 keeps
+    // ~10% of the corpus — at or below graft.ann.prefilterMaxSel the
+    // dispatcher scans the survivors exactly (the reference's own shape:
+    // roubust.py materializes a filtered subset, then every vector query
+    // runs over it). Queries themselves are NOT label-constrained — the
+    // predicate restricts the corpus side only.
+    "ann_filtered_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, assigned) = ivfDet(s, dir)
+      Ann.filteredTopK(emb.filter(col("vec_id") < 100), assigned, centroids,
+          col("label") === 3, k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("score"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Hybrid top-k, POST-FILTER regime: label != 3 keeps ~90% — filtering
+    // first would barely shrink the corpus, so the dispatcher runs the
+    // unfiltered IVF search oversampled 4× (40 candidates), keeps the
+    // predicate's survivors, re-ranks to 10. The candidate set is the
+    // broadcast side of the filter join; the corpus scan streams map-only.
+    // Approximate by contract (probe misses + oversample starvation) —
+    // every step deterministic, so the whole chain replays in SQL.
+    "ann_filtered_post_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, assigned) = ivfDet(s, dir)
+      Ann.filteredTopK(emb.filter(col("vec_id") < 100), assigned, centroids,
+          col("label") =!= 3, k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Hybrid-search acceptance gauge: per-query recall@10 of the
+    // post-filter path against the exact filtered ground truth (brute over
+    // the label != 3 survivors) — the number that decides the oversample
+    // factor γ at scale. Both paths replay in SQL, so the recall itself is
+    // oracle-exact.
+    "ann_filtered_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, assigned) = ivfDet(s, dir)
+      val q    = emb.filter(col("vec_id") < 100)
+      val post = Ann.filteredIvf(q, assigned, centroids, col("label") =!= 3,
+          k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      Ann.filteredBrute(q, assigned, col("label") =!= 3, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(post, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // IVF accuracy/latency trade-off curve as DATA: recall@10 vs nprobe ∈
     // {1,2,4,8,16} from the PERSISTED parquet index. One probe ranking of
     // all 16 centroids per query serves every sweep point (probe sets are
@@ -4781,13 +4835,12 @@ object SparkEntry {
     (entry +: rnds).mkString(",\n")
   }
 
-  /** The layered traversal's full replay: rep membership (Horner md5-mod,
-    * the engine's GraftCols.md5Mod), the rep layer's OWN kNN edges (same
-    * rank-then-re-rank derivation as the base graph, restricted to reps),
-    * the rep-sampled entry set, phase 1 unrolled over `redges`, phase 2
-    * unrolled over `edges` seeded by phase 1's final beam.
+  /** The rep layer's replay (no leading WITH): membership (Horner md5-mod,
+    * the engine's GraftCols.md5Mod) and the layer's OWN kNN edges — same
+    * rank-then-re-rank derivation as the base graph, restricted to reps.
+    * Shared by the layered search and the delete repair replays.
     */
-  private def layeredSearchCtes(qv: String): String = {
+  private def repLayerCtes: String = {
     val dd = "(cast(a.embedding[i] as double) - cast(b.embedding[i] as double))"
     s"""reps AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
        |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|grep'", RepMod.toString)} = 0),
@@ -4801,16 +4854,23 @@ object SparkEntry {
        |redges AS MATERIALIZED (SELECT * FROM (
        |    SELECT query_id AS src, neighbor_id AS dst, dist,
        |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS r2
-       |    FROM rknn WHERE neighbor_id <> query_id) WHERE r2 <= ${2 * M}),
-       |rent AS (SELECT vec_id AS node FROM reps
-       |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
-       |""".stripMargin +
+       |    FROM rknn WHERE neighbor_id <> query_id) WHERE r2 <= ${2 * M})""".stripMargin
+  }
+
+  /** The layered traversal's full replay: the rep layer (repLayerCtes),
+    * the rep-sampled entry set, phase 1 unrolled over `redges`, phase 2
+    * unrolled over `edges` seeded by phase 1's final beam.
+    */
+  private def layeredSearchCtes(qv: String): String =
+    repLayerCtes + ",\n" +
+      s"""rent AS (SELECT vec_id AS node FROM reps
+         |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
+         |""".stripMargin +
       graphSearchCtesOver(qv, "lr", "redges",
         s"SELECT q.query_id, e.node FROM $qv q, rent e", RepBeam, RepRounds) +
       ",\n" +
       graphSearchCtesOver(qv, "lb", "edges",
         s"SELECT query_id, node FROM lrb$RepRounds", BaseBeam, BaseRounds)
-  }
 
   /** The incremental-insert replay (no leading WITH): old-corpus split, the
     * old artifact's TWO kNN layers rebuilt from scratch (same rank-then-
@@ -7850,6 +7910,63 @@ object SparkEntry {
            |FROM bk b LEFT JOIN ivfk i
            |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
            |GROUP BY b.query_id ORDER BY 1""".stripMargin),
+
+    // Hybrid pre-filter replay: exact cosine top-10 with the corpus side
+    // restricted to the predicate's survivors (queries unrestricted).
+    "ann_filtered_topk" -> cosineSql(
+      queryFilter = "q.vec_id < 100 AND c.vec_id IN " +
+        "(SELECT vec_id FROM embeddings WHERE label = 3)",
+      k = 10,
+      select = """SELECT query_id, neighbor_id, score,
+                  |  cast(row_number() OVER w as bigint) AS rank
+                  |FROM pairs WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+                  |QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // Hybrid post-filter replay: the UNfiltered IVF candidate ranking cut
+    // at the 4× oversample budget (r0 ≤ 40), predicate filter, re-rank to
+    // 10 — each step the exact arithmetic the Spark path runs.
+    "ann_filtered_post_topk" ->
+      (s"WITH $ivfDetCtes,\n" +
+        """oc AS (SELECT query_id, neighbor_id, score FROM (
+          |    SELECT query_id, neighbor_id, score,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r0
+          |    FROM cand) WHERE r0 <= 40
+          |      AND neighbor_id IN (SELECT vec_id FROM embeddings WHERE label != 3))
+          |SELECT query_id, neighbor_id, cast(rank as bigint) AS rank FROM (
+          |  SELECT query_id, neighbor_id,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          |  FROM oc) WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin),
+
+    // Hybrid acceptance gauge replay: post-filter top-10 vs the exact
+    // filtered ground truth, both from the same nrm scan.
+    "ann_filtered_recall" ->
+      (s"WITH $ivfDetCtes,\n" +
+        s"""oc AS (SELECT query_id, neighbor_id, score FROM (
+           |    SELECT query_id, neighbor_id, score,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS r0
+           |    FROM cand) WHERE r0 <= 40
+           |      AND neighbor_id IN (SELECT vec_id FROM embeddings WHERE label != 3)),
+           |pk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |    FROM oc) WHERE rank <= 10),
+           |fpairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    CASE WHEN sqrt(q.sq) * sqrt(c.sq) = 0 THEN 0.0 ELSE
+           |      list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
+           |        i -> cast(q.embedding[i] as double) * cast(c.embedding[i] as double))), (acc, x) -> acc + x)
+           |      / (sqrt(q.sq) * sqrt(c.sq)) END AS score
+           |  FROM nrm q, nrm c WHERE q.vec_id < 100
+           |    AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE label != 3)),
+           |fk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |    FROM fpairs) WHERE rank <= 10)
+           |SELECT f.query_id, cast(count(p.neighbor_id) as bigint) AS n_hit,
+           |  cast(count(p.neighbor_id) as double) / count(*) AS recall
+           |FROM fk f LEFT JOIN pk p
+           |  ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+           |GROUP BY f.query_id ORDER BY 1""".stripMargin),
 
     // nprobe sweep replay: rank ALL centroids per query (no rn ≤ nprobe
     // cut), and recall@10(nprobe) = fraction of brute-cosine top-10 pairs

@@ -265,6 +265,77 @@ object Ann {
     (cents, spark.read.parquet(s"$dir/assigned"))
   }
 
+  // ---- Filtered (hybrid) search: attribute predicate + vector top-k ----
+
+  /** Pre-filter regime: exact cosine top-k over the predicate's survivors.
+    * The survivors ride the same broadcast kernel as bruteCosine — right for
+    * SELECTIVE predicates, where σ(C) is small enough to broadcast and the
+    * result is exact by construction — the reference's own pattern:
+    * compare/roubust.py:50-63 materializes a predicate's survivors
+    * (`data[indices_to_keep]`) and every downstream vector query scans
+    * that filtered set exactly.
+    */
+  def filteredBrute(queries: DataFrame, corpus: DataFrame,
+                    pred: org.apache.spark.sql.Column, k: Int): DataFrame =
+    bruteCosine(queries, corpus.filter(pred), k, kernel = "fold")
+
+  /** Post-filter regime: run the UNfiltered IVF search with an oversampled
+    * candidate budget k·oversample, keep the candidates that satisfy the
+    * predicate, re-rank to k. Right for UNSELECTIVE predicates, where
+    * filtering first would barely shrink the corpus but would invalidate
+    * the write-once index layout. Approximate twice over (IVF probe misses
+    * + oversample starvation): a query whose top-k·γ candidates are
+    * predicate-dense loses nothing; one whose candidates the filter eats
+    * returns FEWER than k rows rather than reaching past the budget —
+    * the honest contract, gauged by `filteredRecall` consumers.
+    *
+    * Join shape at scale: the candidate set is |Q|·k·γ (id, score) rows —
+    * it is the BROADCAST side; the corpus-side predicate scan streams
+    * map-only against it (no corpus shuffle, no candidate-side window
+    * until after the filter).
+    */
+  def filteredIvf(queries: DataFrame, assignedCorpus: DataFrame,
+                  centroids: Array[Array[Float]],
+                  pred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
+                  oversample: Int = 4): DataFrame = {
+    val cand = ivfDetSearch(queries, assignedCorpus, centroids, k * oversample, nprobe)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    assignedCorpus.filter(pred).select(col("vec_id").as("neighbor_id"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** Selectivity-dispatched hybrid search. Predicates at or below
+    * `graft.ann.prefilterMaxSel` (default 0.5) take the exact pre-filter
+    * path; above it, the post-filter oversampled IVF. The selectivity
+    * estimate here is one counting aggregate over the corpus — at 100 TB
+    * the same number comes for free from catalog/manifest column stats
+    * (TableLog `statsCols`) or a fixed-size sample, so the gate's cost is
+    * a lookup, not a scan; the DISPATCH RULE is the part that carries.
+    * Pre-filter survivors beyond `graft.ann.broadcastMaxRows` fall back to
+    * IVF over the filtered inverted lists (the assignment column survives
+    * the filter — an IVF index supports subset search natively), trading
+    * exactness for the only shape with no broadcast bound.
+    */
+  def filteredTopK(queries: DataFrame, assignedCorpus: DataFrame,
+                   centroids: Array[Array[Float]],
+                   pred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
+                   oversample: Int = 4): DataFrame = {
+    val spark  = queries.sparkSession
+    val maxSel = spark.conf.get("graft.ann.prefilterMaxSel", "0.5").toDouble
+    val total  = nRows(assignedCorpus)
+    val kept   = assignedCorpus.filter(pred).count()
+    val sel    = if (total == 0) 1.0 else kept.toDouble / total.toDouble
+    if (sel <= maxSel) {
+      val broadcastMax = spark.conf.get("graft.ann.broadcastMaxRows", "10000000").toLong
+      if (kept <= broadcastMax) filteredBrute(queries, assignedCorpus, pred, k)
+      else ivfDetSearch(queries, assignedCorpus.filter(pred), centroids, k, nprobe)
+    } else filteredIvf(queries, assignedCorpus, centroids, pred, k, nprobe, oversample)
+  }
+
   /** Recall@k of an approximate result against the exact baseline. */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): Double = {
     val hits = approx.filter(col("rank") <= k)

@@ -232,6 +232,79 @@ object GraphAnn {
       insertLayer(repBeamFinal.join(repQueries, "query_id"), repEdgesOld, outDeg))
   }
 
+  /** INCREMENTAL DELETE — the repair half of the LSM bargain (r16 wave 2,
+    * complement of insertBatch). Dropping a node's rows is trivial; the
+    * graph property that must be REPAIRED is the navigability its in-edges
+    * provided: a search path that used to route s → victim → target dies
+    * with the victim unless s inherits a way around. The standard
+    * consolidation rule (FreshDiskANN's delete, batched):
+    *
+    *   1. drop the victims' own adjacency lists (src ∈ V) and every edge
+    *      INTO a victim (dst ∈ V);
+    *   2. each surviving node s that lost an edge to victim v inherits v's
+    *      surviving out-neighbors as CANDIDATE edges s → c (c ∉ V, c ≠ s,
+    *      c not already adjacent to s), scored by a fresh fold-L2 — the
+    *      two-hop bridge over the hole the victim leaves;
+    *   3. s re-trims to its best `outDeg` over {remaining edges ∪
+    *      candidates} ((dist, dst) order — the engine's universal tie
+    *      rule). A loser with too few candidates keeps a SHORT list
+    *      rather than fabricating far edges.
+    *
+    * Untouched nodes' lists survive VERBATIM — the update is a
+    * partition-local upsert of ≤ |in-neighbors of V| adjacency lists, not
+    * a rebuild. Determinism: every step is a pure set/argmin function of
+    * (corpus, victims, old edges) — no sequencing — so the repaired
+    * artifact replays as closed-form SQL (no unrolled search needed; the
+    * repair rule is cheaper to verify than the insert's).
+    *
+    * 100 TB shape: victims' lists are |V|·outDeg rows, losers are the
+    * victims' in-neighborhood (≤ |V|·in-degree), candidates ≤ |lost
+    * edges|·outDeg — every join is an equi-join on node id against the
+    * bucketed edge/corpus artifacts, every window partitions by src over
+    * ≤ outDeg·(1+outDeg) rows. Within-batch semantics: victims deleted
+    * TOGETHER never bridge through each other (v1's candidates exclude
+    * v2's targets) — the mirror of insertBatch's within-batch blindness,
+    * and the same bargain.
+    */
+  final case class LayerDelete(retrimmed: DataFrame, repaired: DataFrame)
+
+  /** One layer's delete repair: `victims` is (node); `oldEdges` (src, dst,
+    * dist); `corpus` (vec_id, embedding) scores the inherited candidates.
+    * Returns the touched (re-trimmed) lists and the full repaired layer.
+    */
+  def deleteLayer(victims: DataFrame, oldEdges: DataFrame,
+                  corpus: DataFrame, outDeg: Int): LayerDelete = {
+    val vs   = victims.select(col("node")).distinct()
+    val vSrc = vs.withColumnRenamed("node", "src")
+    val vDst = vs.withColumnRenamed("node", "dst")
+    val owned = oldEdges.select("src", "dst", "dist").join(vSrc, Seq("src"), "left_anti")
+    val keep  = owned.join(vDst, Seq("dst"), "left_anti")
+    // (loser s, victim v): s survives, s → v was an edge
+    val lost  = owned.join(vDst, Seq("dst"), "left_semi")
+      .select(col("src"), col("dst").as("vv"))
+    // victims' surviving out-neighbors — the inheritance pool
+    val vAdj  = oldEdges.select("src", "dst").join(vSrc, Seq("src"), "left_semi")
+      .join(vDst, Seq("dst"), "left_anti")
+      .select(col("src").as("vv"), col("dst").as("cand"))
+    val candPairs = lost.join(vAdj, "vv")
+      .filter(col("cand") =!= col("src"))
+      .select("src", "cand").distinct()
+      .join(keep.select(col("src"), col("dst").as("cand")), Seq("src", "cand"), "left_anti")
+    val scored = candPairs
+      .join(corpus.select(col("vec_id").as("src"), col("embedding").as("se")), "src")
+      .join(corpus.select(col("vec_id").as("cand"), col("embedding").as("ce")), "cand")
+      .withColumn("dist", VectorOps.l2Col(col("se"), col("ce")))
+      .select(col("src"), col("cand").as("dst"), col("dist"))
+    val touched = lost.select("src").distinct()
+    val ws = Window.partitionBy("src").orderBy(col("dist"), col("dst"))
+    val retrimmed = keep.join(touched, "src").unionByName(scored)
+      .withColumn("rn", row_number().over(ws)).filter(col("rn") <= outDeg)
+      .drop("rn")
+    val repaired = keep.join(touched, Seq("src"), "left_anti")
+      .unionByName(retrimmed)
+    LayerDelete(retrimmed, repaired)
+  }
+
   /** One round's frontier expansion: neighbors of the beam not already IN
     * the beam; a node dropped in an earlier round may be re-scored — dist
     * is a pure function, so the result equals the oracle's simpler

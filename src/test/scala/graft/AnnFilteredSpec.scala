@@ -1,0 +1,94 @@
+package graft
+
+import graft.ann.Ann
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hybrid (predicate + vector) search: regime dispatch, contract honesty
+  * (post-filter may under-fill, never over-reaches), and the exactness
+  * limits of each path.
+  */
+class AnnFilteredSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val emb   = Tables.embeddings(spark, TestSpark.sf0001).cache()
+  lazy val cents = Ann.ivfDetCentroids(emb, nlist = 16)
+  lazy val asg   = Ann.ivfDetAssign(emb, cents).cache()
+  lazy val queries = emb.filter(col("vec_id") < 30)
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("selective predicate dispatches to the exact pre-filter path") {
+    val pred = col("label") === 3
+    val got  = Ann.filteredTopK(queries, asg, cents, pred, k = 5, nprobe = 4)
+    val exact = Ann.filteredBrute(queries, asg, pred, k = 5)
+    assert(got.orderBy("query_id", "rank").collect()
+      .sameElements(exact.orderBy("query_id", "rank").collect()),
+      "dispatcher must take the pre-filter (exact) path at ~10% selectivity")
+    // every returned neighbor satisfies the predicate
+    val keep = emb.filter(pred).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pairs(got).forall { case (_, n) => keep(n) })
+    // and it IS brute-over-survivors (not an approximation)
+    val manual = Ann.bruteCosine(queries, emb.filter(pred), 5, kernel = "fold")
+    assert(pairs(got) == pairs(manual))
+  }
+
+  test("unselective predicate dispatches to the post-filter oversampled path") {
+    val pred = col("label") =!= 3
+    val got  = Ann.filteredTopK(queries, asg, cents, pred, k = 5, nprobe = 4)
+    val post = Ann.filteredIvf(queries, asg, cents, pred, k = 5, nprobe = 4)
+    assert(got.orderBy("query_id", "rank").collect()
+      .sameElements(post.orderBy("query_id", "rank").collect()),
+      "dispatcher must take the post-filter path at ~90% selectivity")
+    val keep = emb.filter(pred).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pairs(got).forall { case (_, n) => keep(n) })
+    // post-filter results are a subset of the unfiltered oversampled
+    // candidate set — the contract: the filter never reaches PAST the
+    // candidate budget for replacements
+    val cand = Ann.ivfDetSearch(queries, asg, cents, k = 5 * 4, nprobe = 4)
+    assert(pairs(got).subsetOf(pairs(cand)))
+    // per-query cardinality never exceeds k
+    val maxPer = got.groupBy("query_id").count().agg(max("count")).head().getLong(0)
+    assert(maxPer <= 5)
+  }
+
+  test("oversample starvation under-fills instead of over-reaching") {
+    // force the POST regime onto a rare predicate: the 20-candidate budget
+    // (k=5, γ=4, nprobe=4) rarely holds 5 label-3 rows, so queries must
+    // come back short — and none may carry a non-matching neighbor
+    spark.conf.set("graft.ann.prefilterMaxSel", "0.0")
+    try {
+      val pred = col("label") === 3
+      val got  = Ann.filteredTopK(queries, asg, cents, pred, k = 5, nprobe = 4)
+      val keep = emb.filter(pred).select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(pairs(got).forall { case (_, n) => keep(n) })
+      val perQ = got.groupBy("query_id").count().collect().map(_.getLong(1))
+      assert(perQ.forall(_ <= 5))
+      assert(perQ.exists(_ < 5) || perQ.isEmpty,
+        "a 20-candidate budget over a ~10% predicate should starve somewhere")
+    } finally spark.conf.unset("graft.ann.prefilterMaxSel")
+  }
+
+  test("post-filter converges to exact at full probe + full budget") {
+    val pred = col("label") =!= 3
+    val n = emb.count().toInt
+    val post = Ann.filteredIvf(queries, asg, cents, pred, k = 5, nprobe = 16,
+      oversample = n / 5 + 1)
+    val exact = Ann.filteredBrute(queries, asg, pred, k = 5)
+    assert(pairs(post) == pairs(exact),
+      "nprobe = nlist and a corpus-sized budget must recover the exact result")
+  }
+
+  test("pre-filter survivors beyond the broadcast wall fall back to IVF-over-subset") {
+    spark.conf.set("graft.ann.broadcastMaxRows", "0")
+    try {
+      val pred = col("label") === 3
+      // nprobe = nlist: the subset search is exact, so the fallback must
+      // agree with brute-over-survivors even through the join regime
+      val got = Ann.filteredTopK(queries, asg, cents, pred, k = 5, nprobe = 16)
+      val exact = Ann.filteredBrute(queries, asg, pred, k = 5)
+      assert(pairs(got) == pairs(exact))
+    } finally spark.conf.unset("graft.ann.broadcastMaxRows")
+  }
+}

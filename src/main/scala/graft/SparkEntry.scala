@@ -617,6 +617,58 @@ object SparkEntry {
       }
     }
 
+  /** INCREMENTAL-DELETE artifact (GraphAnn.deleteLayer): victims are a
+    * keyed-md5 1-in-DelMod slice of the corpus; BOTH layers of the standard
+    * full-corpus layered artifact (base kNN graph + rep layer) are repaired
+    * by the delete-consolidation rule — losers inherit their victims'
+    * surviving out-neighbors, grouped re-trim to 2M. Persists the repaired
+    * layers (bucketed by src, searches consume the layout exchange-free)
+    * and the delete SUMMARY (per-src fingerprints of every re-trimmed
+    * list — what ann_graph_delete checks against the closed-form SQL
+    * replay of the repair rule).
+    */
+  private val DelMod = 16
+  private def graphDeleteDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/graphdel") {
+      val k = ArtifactIO.contentKey(s"$dir|m=$M|del=$DelMod|rep=$RepMod|v1",
+        new java.io.File(s"$dir/embeddings.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_graphdel_$k")
+      ArtifactIO.publishDir(out, valid = o =>
+        Seq("deledges", "delrep", "summary").forall(d =>
+          new java.io.File(o, s"$d/_SUCCESS").isFile)) { staging =>
+        val emb = Tables.embeddings(s, dir)
+        val victims = emb.filter(isDelVictim).select(col("vec_id").as("node"))
+        val (baseEdges, _) = KnnGraph.read(s, graphArtifactDir(s, dir))
+        val repEdges = ArtifactIO.readBucketed(s,
+          s"${graphLayeredDir(s, dir)}/repedges",
+          "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
+        val base = GraphAnn.deleteLayer(victims,
+          baseEdges.select("src", "dst", "dist"), emb, 2 * M)
+        val rep = GraphAnn.deleteLayer(
+          victims.join(repsOf(emb).select(col("vec_id").as("node")), "node"),
+          repEdges.select("src", "dst", "dist"), emb, 2 * M)
+        ArtifactIO.writeBucketed(base.repaired,
+          s"${staging.getAbsolutePath}/deledges", "src", KnnGraph.EdgeBuckets)
+        ArtifactIO.writeBucketed(rep.repaired,
+          s"${staging.getAbsolutePath}/delrep", "src", KnnGraph.EdgeBuckets)
+        def fp(df: DataFrame, part: String): DataFrame =
+          df.groupBy("src").agg(
+            count(lit(1)).as("n_edges"),
+            sum(floor(col("dist") * lit(1.0e9) + lit(0.5)).cast("long"))
+              .as("sum_dist_nanos"),
+            sum("dst").as("sum_dst"))
+            .select(lit(part).as("part"), col("src"), col("n_edges"),
+              col("sum_dist_nanos"), col("sum_dst"))
+        fp(base.retrimmed, "base_trim")
+          .unionByName(fp(rep.retrimmed, "rep_trim"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${staging.getAbsolutePath}/summary")
+      }
+    }
+  private def isDelVictim: org.apache.spark.sql.Column =
+    graft.functions.GraftCols.md5Mod(
+      concat(col("vec_id").cast("string"), lit("|gdel")), DelMod) === 0L
+
   /** The corpus as a BUCKETED-by-vec_id table — the edge artifact's layout
     * treatment applied to graph search's OTHER per-round join (candidate
     * scoring): beam rounds then join candidates against the corpus with no
@@ -3451,6 +3503,47 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Incremental graph-ANN DELETE: the per-src fingerprints of every
+    // adjacency list the repair re-trimmed (both layers) — the whole
+    // delete-consolidation rule (losers inherit their victims' surviving
+    // out-neighbors, grouped re-trim to 2M) replayed as closed-form SQL.
+    "ann_graph_delete" -> ((s, dir) => {
+      val art = graphDeleteDir(s, dir)
+      s.read.parquet(s"$art/summary").orderBy("part", "src")
+    }),
+
+    // The delete acceptance gauge: probes (vec_id < 100, victims included —
+    // searching for deleted content is legal) over the REPAIRED artifact
+    // with the standard layered parameters, against the exact top-10 over
+    // the SURVIVING corpus. Entry sample comes from the surviving reps.
+    // Read beside ann_graph_recall_layered: this is the "no rebuild after
+    // deletes" claim. Itself oracle-exact (repaired layers + search + the
+    // filtered ground truth all replay in SQL).
+    "ann_graph_delete_recall" -> ((s, dir) => {
+      val art = graphDeleteDir(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val survivors = emb.filter(!isDelVictim)
+      val dBase = ArtifactIO.readBucketed(s, s"$art/deledges",
+        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
+      val dRep = ArtifactIO.readBucketed(s, s"$art/delrep",
+        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
+      val g = GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
+        embBucketed(s, dir), dRep, dBase,
+        GraphAnn.entryPoints(repsOf(survivors), GraphEntries),
+        k = 10, repBeam = RepBeam, baseBeam = BaseBeam,
+        repRounds = RepRounds, baseRounds = BaseRounds)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      Knn.exact(emb.filter(col("vec_id") < 100), survivors, 10,
+          metric = "l2", kernel = "fold")
+        .select(col("query_id"), col("neighbor_id"))
+        .join(g, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // ANN — approximate LSH join path. Deterministic variant: keyed md5
     // Box–Muller hyperplanes (float32-quantized, the attack_insert
     // technique) instead of spark.ml's seeded RNG — same bucket-join plan,
@@ -4948,6 +5041,54 @@ object SparkEntry {
          |    LEFT JOIN rtouch t ON e.src = t.src WHERE t.src IS NULL
          |  UNION ALL SELECT src, dst, dist FROM rtrim
          |  UNION ALL SELECT src, dst, dist FROM nrep)""".stripMargin
+  }
+
+  /** The incremental-delete replay (no leading WITH; requires graphCtes'
+    * `edges` and repLayerCtes' `reps`/`redges` in scope): victims from the
+    * keyed md5-mod slice, then the closed-form repair per layer — kept
+    * edges (both endpoints survive), the (loser, victim) in-edge set, the
+    * victims' surviving out-neighbors as inherited candidates (self and
+    * already-adjacent pairs excluded), fresh fold-L2 scores, grouped
+    * re-trim to 2M. Emits db- and dr-prefixed chains; `dbedges2` and
+    * `dredges2` are the repaired layers, `dbtrim`/`drtrim` the re-trimmed
+    * lists.
+    */
+  private def deleteCtes: String = {
+    val dd = "(cast(a.embedding[i] as double) - cast(b.embedding[i] as double))"
+    def layer(pfx: String, edgesCte: String, victCte: String): String =
+      s"""${pfx}keep AS MATERIALIZED (SELECT e.src, e.dst, e.dist FROM $edgesCte e
+         |  LEFT JOIN $victCte v1 ON e.src = v1.node
+         |  LEFT JOIN $victCte v2 ON e.dst = v2.node
+         |  WHERE v1.node IS NULL AND v2.node IS NULL),
+         |${pfx}lost AS (SELECT e.src, e.dst AS vv FROM $edgesCte e
+         |  JOIN $victCte v ON e.dst = v.node
+         |  LEFT JOIN $victCte v1 ON e.src = v1.node WHERE v1.node IS NULL),
+         |${pfx}vadj AS (SELECT e.src AS vv, e.dst AS cand FROM $edgesCte e
+         |  JOIN $victCte v ON e.src = v.node
+         |  LEFT JOIN $victCte v2 ON e.dst = v2.node WHERE v2.node IS NULL),
+         |${pfx}cand AS (SELECT DISTINCT l.src, a.cand FROM ${pfx}lost l
+         |  JOIN ${pfx}vadj a ON l.vv = a.vv
+         |  LEFT JOIN ${pfx}keep k ON k.src = l.src AND k.dst = a.cand
+         |  WHERE a.cand <> l.src AND k.src IS NULL),
+         |${pfx}scored AS (SELECT c.src, c.cand AS dst,
+         |    sqrt(list_reduce(list_transform(range(1, ${D + 1}), i -> $dd * $dd), (x, y) -> x + y)) AS dist
+         |  FROM ${pfx}cand c JOIN embeddings a ON a.vec_id = c.src
+         |  JOIN embeddings b ON b.vec_id = c.cand),
+         |${pfx}touch AS (SELECT DISTINCT src FROM ${pfx}lost),
+         |${pfx}trim AS MATERIALIZED (SELECT src, dst, dist FROM (
+         |    SELECT u.src, u.dst, u.dist,
+         |      row_number() OVER (PARTITION BY u.src ORDER BY u.dist, u.dst) AS rn
+         |    FROM (SELECT k.src, k.dst, k.dist FROM ${pfx}keep k JOIN ${pfx}touch t ON k.src = t.src
+         |          UNION ALL SELECT src, dst, dist FROM ${pfx}scored) u) WHERE rn <= ${2 * M}),
+         |${pfx}edges2 AS MATERIALIZED (
+         |  SELECT k.src, k.dst, k.dist FROM ${pfx}keep k
+         |    LEFT JOIN ${pfx}touch t ON k.src = t.src WHERE t.src IS NULL
+         |  UNION ALL SELECT src, dst, dist FROM ${pfx}trim)""".stripMargin
+    s"""dvict AS MATERIALIZED (SELECT vec_id AS node FROM embeddings
+       |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|gdel'", DelMod.toString)} = 0),
+       |rvict AS (SELECT r.vec_id AS node FROM reps r JOIN dvict v ON r.vec_id = v.node),
+       |${layer("db", "edges", "dvict")},
+       |${layer("dr", "redges", "rvict")}""".stripMargin
   }
 
   /** PQ codebook + assignment CTEs (embed_pq's semantics): `cb` = the 16
@@ -7861,6 +8002,55 @@ object SparkEntry {
            |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
            |  cast(count(i.neighbor_id) as double) / count(*) AS recall
            |FROM jbk b LEFT JOIN jk i
+           |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin),
+
+    // The WHOLE delete-repair rule replayed closed-form (no unrolled
+    // search needed): victims, kept edges, loser/victim in-edges,
+    // inherited candidates, fresh fold-L2 scores, grouped re-trim — then
+    // the same per-src fingerprints over both layers' re-trimmed lists.
+    "ann_graph_delete" ->
+      (graphCtes + ",\n" + repLayerCtes + ",\n" + deleteCtes + "\n" +
+        """SELECT part, src, n_edges, sum_dist_nanos, sum_dst FROM (
+          |  SELECT 'base_trim' AS part, src, count(*) AS n_edges,
+          |    cast(sum(cast(floor(dist * 1000000000.0 + 0.5) as bigint)) as bigint) AS sum_dist_nanos,
+          |    cast(sum(dst) as bigint) AS sum_dst FROM dbtrim GROUP BY 2
+          |  UNION ALL
+          |  SELECT 'rep_trim', src, count(*),
+          |    cast(sum(cast(floor(dist * 1000000000.0 + 0.5) as bigint)) as bigint),
+          |    cast(sum(dst) as bigint) FROM drtrim GROUP BY 2)
+          |ORDER BY part, src""".stripMargin),
+
+    // Recall over the REPAIRED layers: the delete replay's dbedges2/
+    // dredges2, the standard layered search unrolled over them (entry
+    // sample from the SURVIVING reps), against the exact top-10 over the
+    // surviving corpus.
+    "ann_graph_delete_recall" ->
+      (graphCtes + ",\n" + repLayerCtes + ",\n" + deleteCtes + ",\n" +
+        s"""sreps AS (SELECT r.vec_id FROM reps r
+           |  LEFT JOIN dvict v ON r.vec_id = v.node WHERE v.node IS NULL),
+           |dent AS (SELECT vec_id AS node FROM sreps
+           |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
+           |gq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+           |""".stripMargin +
+        graphSearchCtesOver("gq", "kr", "dredges2",
+          "SELECT q.query_id, e.node FROM gq q, dent e", RepBeam, RepRounds) +
+        ",\n" +
+        graphSearchCtesOver("gq", "kb", "dbedges2",
+          s"SELECT query_id, node FROM krb$RepRounds", BaseBeam, BaseRounds) +
+        ",\n" +
+        s"""kk AS (SELECT query_id, node AS neighbor_id FROM (
+           |    SELECT query_id, node,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+           |    FROM kbb$BaseRounds) WHERE rn <= 10),
+           |sk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT k.query_id, k.neighbor_id,
+           |      row_number() OVER (PARTITION BY k.query_id ORDER BY k.dist, k.neighbor_id) AS rn
+           |    FROM knn k LEFT JOIN dvict v ON k.neighbor_id = v.node
+           |    WHERE k.query_id < 100 AND v.node IS NULL) WHERE rn <= 10)
+           |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
+           |  cast(count(i.neighbor_id) as double) / count(*) AS recall
+           |FROM sk b LEFT JOIN kk i
            |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
            |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin),
 

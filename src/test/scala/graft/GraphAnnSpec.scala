@@ -140,6 +140,48 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(repNewIds == repMembers, s"rep inserts $repNewIds != members $repMembers")
   }
 
+  test("deleteLayer: victims gone, untouched lists verbatim, inherited edges only bridge through a lost victim") {
+    import graft.functions.GraftCols
+    val isVict = GraftCols.md5Mod(
+      concat(col("vec_id").cast("string"), lit("|t16d")), 8) === 0L
+    val victims = emb.filter(isVict).select(col("vec_id").as("node")).cache()
+    val victIds = victims.collect().map(_.getLong(0)).toSet
+    val oldEdges = edges.select("src", "dst", "dist").cache()
+    val d = GraphAnn.deleteLayer(victims, oldEdges, emb, 16)
+    val rep = d.repaired.cache()
+    // no victim survives as either endpoint
+    assert(rep.filter(col("src").isin(victIds.toSeq: _*) ||
+      col("dst").isin(victIds.toSeq: _*)).count() == 0, "victim endpoint survived")
+    // degree cap holds everywhere
+    assert(rep.groupBy("src").agg(count(lit(1)).as("d")).collect()
+      .forall(_.getLong(1) <= 16), "out-degree cap violated after repair")
+    // untouched nodes (no edge into any victim) keep their lists verbatim
+    val losers = oldEdges.filter(col("dst").isin(victIds.toSeq: _*))
+      .select("src").distinct()
+    val untouchedOld = oldEdges
+      .filter(!col("src").isin(victIds.toSeq: _*))
+      .join(losers, Seq("src"), "left_anti")
+    assert(untouchedOld.exceptAll(rep.join(losers, Seq("src"), "left_anti"))
+      .count() == 0, "an untouched adjacency list changed")
+    // every NEW edge (absent from the old table) bridges a lost victim:
+    // s had an edge to some victim v, and v had the new target c
+    val newEdges = rep.select("src", "dst")
+      .exceptAll(oldEdges.select("src", "dst")).cache()
+    val bridge = newEdges.as("n")
+      .join(oldEdges.filter(col("dst").isin(victIds.toSeq: _*))
+        .select(col("src"), col("dst").as("vv")).as("l"), "src")
+      .join(oldEdges.select(col("src").as("vv"), col("dst").as("cand")).as("va"),
+        Seq("vv"))
+      .filter(col("cand") === col("n.dst"))
+      .select("n.src", "n.dst").distinct()
+    assert(newEdges.distinct().exceptAll(bridge).count() == 0,
+      "an inherited edge does not bridge through any lost victim")
+    // determinism: a second run reproduces the repaired table exactly
+    val rep2 = GraphAnn.deleteLayer(victims, oldEdges, emb, 16).repaired
+    assert(rep.exceptAll(rep2).count() == 0 && rep2.exceptAll(rep).count() == 0)
+    rep.unpersist(); newEdges.unpersist(); victims.unpersist(); oldEdges.unpersist()
+  }
+
   test("per-round frontier join consumes the bucketed edge artifact — no edge-side Exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeExec}

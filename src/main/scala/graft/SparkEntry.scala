@@ -7,7 +7,7 @@ import graft.experiments.Experiments
 import graft.functions.Hashing
 import graft.multimodal.Multimodal
 import graft.functions.GraftCols
-import graft.text.{Bm25, Dedup, TextOps}
+import graft.text.{Bm25, Dedup, Pii, TextOps}
 import graft.graph.KnnGraph
 import graft.knn.Knn
 import graft.metrics.Metrics
@@ -4334,6 +4334,35 @@ object SparkEntry {
         .orderBy("rule")
     }),
 
+    // PII scrub (emails / IPv4 / intl phones → typed tags), map-only
+    // codegen regexes. The fixture corpus is digit-free word salad, so the
+    // PII the scrubber must find is PLANTED deterministically from doc_id
+    // (the multimodal asset device): doc_id%4 selects an email, an IP, a
+    // phone, or nothing. Counts audit BEFORE the scrub; the md5 of the
+    // scrubbed text proves byte-equality of the whole redaction across
+    // engines — java.util.regex and RE2 must agree on every match span.
+    "text_pii_redact" -> ((s, dir) => {
+      val aug = Tables.documents(s, dir).withColumn("aug",
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0."), (col("doc_id") % 97).cast("string"), lit(" logged")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit(" call +1 555 "), (col("doc_id") % 1000 + 1000).cast("string"),
+              lit(" today")))
+          .otherwise(lit(""))))
+      aug.select(col("doc_id"),
+          Pii.emailCount(col("aug")).cast("long").as("n_email"),
+          Pii.ipCount(col("aug")).cast("long").as("n_ip"),
+          Pii.phoneCount(col("aug")).cast("long").as("n_phone"),
+          length(Pii.redact(col("aug"))).cast("long").as("len_redacted"),
+          md5(Pii.redact(col("aug"))).as("md5_redacted"))
+        .orderBy("doc_id")
+    }),
+
     // Int8 symmetric scalar quantization of the embedding column — the
     // standard vector-store compression step (scale = max|v|/127 per
     // vector, q ∈ [−127, 127]) — with exact dequantization-error
@@ -6717,6 +6746,24 @@ object SparkEntry {
         |  UNION ALL SELECT 'dup_tokens', f_tk, s_tk, n_docs FROM a
         |  UNION ALL SELECT 'top_2gram', f_t2, s_t2, n_docs FROM a)
         |ORDER BY rule""".stripMargin,
+
+    // PII scrub replay: identical planted augmentation, RE2 editions of
+    // the same pattern strings (Pii.redactSql/countSql), md5 of the
+    // scrubbed text byte-for-byte.
+    "text_pii_redact" ->
+      (s"""WITH aug AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' contact user' || cast(doc_id as varchar) || '@example.com now'
+         |         WHEN doc_id % 4 = 1 THEN ' from 10.' || cast(doc_id % 256 as varchar) || '.0.' || cast(doc_id % 97 as varchar) || ' logged'
+         |         WHEN doc_id % 4 = 2 THEN ' call +1 555 ' || cast(doc_id % 1000 + 1000 as varchar) || ' today'
+         |         ELSE '' END AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${Pii.countSql("aug", Pii.EmailRe)} AS n_email,
+         |  ${Pii.countSql("aug", Pii.Ipv4Re)} AS n_ip,
+         |  ${Pii.countSql("aug", Pii.PhoneRe)} AS n_phone,
+         |  cast(length(${Pii.redactSql("aug")}) as bigint) AS len_redacted,
+         |  md5(${Pii.redactSql("aug")}) AS md5_redacted
+         |FROM aug ORDER BY doc_id""".stripMargin),
 
     // float→double→round arithmetic is IEEE-identical in both engines
     // (round is half-away-from-zero on doubles in both); error totals fold

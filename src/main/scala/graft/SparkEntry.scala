@@ -390,6 +390,33 @@ object SparkEntry {
       }
     }
 
+  /** SCHEMA-EVOLUTION artifact: v1 commits the pre-cut events WITHOUT the
+    * value column (the early pipeline didn't extract it), v2 appends the
+    * post-cut slice WITH it. Both DDLs live in the manifest; the head read
+    * resolves the drift from the log (old dirs null-backfill `us`, newest
+    * column order wins) — TableLog.readEntries, never a footer merge.
+    */
+  private def eventsEvolveDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/eventsevo") {
+      val k = ArtifactIO.contentKey(s"$dir|evolve|v1",
+        new java.io.File(s"$dir/events.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_eventsevo_$k")
+      ArtifactIO.publishDir(out, valid = o =>
+        graft.sources.TableLog.headVersion(o.getAbsolutePath) == 2) { staging =>
+        val cut = lit(IncrCutDay).cast("date")
+        val withDay = eventsWithDay(s, dir)
+        graft.sources.TableLog.overwrite(
+          withDay.filter(col("day") < cut)
+            .select(col("event_id"), col("ts_ns"), col("event_type")),
+          staging.getAbsolutePath)
+        graft.sources.TableLog.append(
+          withDay.filter(col("day") >= cut)
+            .select(col("event_id"), col("ts_ns"), col("event_type"),
+              micros(col("value")).as("us")),
+          staging.getAbsolutePath)
+      }
+    }
+
   /** CDC replay fixture: the events table as FIVE parquet micro-batch files
     * with strictly increasing mtimes — four upsert slices time-contiguous
     * in (ts_ns, event_id) with op='U', then one tombstone batch (op='D')
@@ -2452,6 +2479,23 @@ object SparkEntry {
           .select(lit(v).as("version"), col("n_events"),
             col("sum_value_micros"), col("n_days"))
       }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
+    // SCHEMA EVOLUTION on the log table: v1 committed the pre-cut events
+    // without the micros column, v2 appended the post-cut slice with it —
+    // the head read resolves the drift FROM THE MANIFEST (per-schema scan
+    // groups, NULL backfill for old dirs, no parquet footer merge), and
+    // this rollup proves rows and nulls land exactly where the commit
+    // history says: n counts every row, n_scored only rows whose dir ever
+    // had the column. Oracle replays the day cut over raw events.
+    "q_events_schema_evolve" -> ((s, dir) => {
+      val table = eventsEvolveDir(s, dir)
+      graft.sources.TableLog.read(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("us").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+          coalesce(sum("us"), lit(0L)).as("sum_value_micros"))
+        .orderBy("event_type")
     }),
 
     // CHANGE FEED between TableLog versions: v1→v3 spans a partition-level
@@ -7473,6 +7517,17 @@ object SparkEntry {
          |  count(DISTINCT cast(ts AS date)) AS n_days
          |FROM events
          |ORDER BY version""".stripMargin,
+
+    // Evolution replay: rows committed before the cut never had the
+    // micros column (n_scored counts only post-cut rows), the sum covers
+    // exactly the post-cut slice — the null backfill contributes nothing.
+    "q_events_schema_evolve" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  cast(sum(CASE WHEN cast(ts AS date) >= DATE '$IncrCutDay'
+         |    THEN 1 ELSE 0 END) as bigint) AS n_scored,
+         |  cast(sum(CASE WHEN cast(ts AS date) >= DATE '$IncrCutDay'
+         |    THEN ${microsSql("value")} ELSE 0 END) as bigint) AS sum_value_micros
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // v1→v3 net change = (insert: every day ≥ the cut) + (delete: the
     // prune day's non-click rows); the identically-rewritten click rows

@@ -46,10 +46,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the adds). Entries without stats for the queried column are always kept:
   * conservative, never wrong, so stats can be adopted incrementally.
   *
+  * Schema evolution (r16 wave 2): every commit records its frame's DDL in
+  * the manifest entry, and reads resolve drift FROM THE LOG (`readEntries`)
+  * — per-schema scan groups folded with unionByName, a column added by a
+  * later commit reading as NULL from older directories, never a parquet
+  * footer merge. ADD-COLUMN only; renames/retypes are a rewrite, as in
+  * Delta without column mapping.
+  *
   * What this deliberately leaves out (and where the real formats earn their
   * complexity): per-FILE stats (directory grain here; finer skipping stays
-  * with parquet row-group stats), schema evolution, and multi-table
-  * transactions.
+  * with parquet row-group stats) and multi-table transactions.
   */
 object TableLog {
 
@@ -211,7 +217,7 @@ object TableLog {
       val base = headVersion(table)
       val prev = if (base == 0) Seq.empty else manifest(table, base)
       val rel = writeData(df, table, base + 1)
-      val add = if (stats.isEmpty) rel else s"$rel||${renderStats(stats)}"
+      val add = s"$rel||${renderStats(stats)}|${renderSchema(df)}"
       v = tryCommit(table, base, prev.filter(keep) :+ add)
     }
     v
@@ -227,14 +233,28 @@ object TableLog {
              statsCols: Seq[String] = Nil): Int =
     commit(df, table, _ => true, statsCols)
 
-  /** Manifest entry format: `path[|tag[|stats]]` — positional '|'-separated
-    * fields. Field 1 (tag) is the partition tag; empty means untagged (an
-    * append/overwrite with stats renders `path||stats`). Field 2 (stats) is
-    * `col:min:max` triples joined with ';', values long-encoded
-    * (statLongCol), column names URL-encoded. Pre-r16 entries have ≤ 2
-    * fields and parse identically (no stats → conservative keep).
+  /** Manifest entry format: `path[|tag[|stats[|schema]]]` — positional
+    * '|'-separated fields. Field 1 (tag) is the partition tag; empty means
+    * untagged (an append/overwrite with stats renders `path||stats|…`).
+    * Field 2 (stats) is `col:min:max` triples joined with ';', values
+    * long-encoded (statLongCol), column names URL-encoded. Field 3
+    * (schema, r16 wave 2) is the committed frame's DDL, URL-encoded — the
+    * log-recorded schema that makes reads EVOLUTION-AWARE (readEntries)
+    * without ever merging parquet footers. Pre-r16 entries have ≤ 2
+    * fields, earlier-r16 entries 3; both parse identically (no stats →
+    * conservative keep; no schema → footer-inferred read group).
     */
   private def entryFields(e: String): Array[String] = e.split("\\|", -1)
+
+  /** The committed DDL of a manifest entry's directory, if recorded. */
+  def entrySchemaDdl(e: String): Option[String] = {
+    val f = entryFields(e)
+    if (f.length < 4 || f(3).isEmpty) None
+    else Some(java.net.URLDecoder.decode(f(3), "UTF-8"))
+  }
+
+  private def renderSchema(df: DataFrame): String =
+    java.net.URLEncoder.encode(df.schema.toDDL, "UTF-8")
 
   /** Partition tag of a manifest entry, if any. Untagged entries (plain
     * append/overwrite data) carry no partition semantics and survive every
@@ -368,8 +388,9 @@ object TableLog {
           s"partition value '$tag' contains a manifest delimiter " +
             "(\" or |) — unsupported as a TableLog partition key")
         val st = statsByTag.getOrElse(tag, Map.empty)
-        if (st.isEmpty) s"$rel/${d.getName}|$tag"
-        else s"$rel/${d.getName}|$tag|${renderStats(st)}"
+        // the data files under __pt= subdirs hold df's columns (partitionBy
+        // consumes only the derived __pt), so df's DDL IS the dir schema
+        s"$rel/${d.getName}|$tag|${renderStats(st)}|${renderSchema(df)}"
       }
       val replaced = adds.map(entryTag(_).get).toSet ++ alsoReplace
       val keep = prev.filter(e => entryTag(e).forall(t => !replaced.contains(t)))
@@ -440,9 +461,42 @@ object TableLog {
            version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(headVersion(table))
     require(v >= 1, s"$table has no committed version")
-    val dirs = manifest(table, v)
-      .map(e => new java.io.File(table, entryPath(e)).getAbsolutePath)
-    spark.read.parquet(dirs: _*)
+    readEntries(spark, table, manifest(table, v))
+  }
+
+  /** SCHEMA EVOLUTION (r16 wave 2, add-column only): read a set of live
+    * entries with schema drift resolved FROM THE LOG. Entries group by
+    * their recorded DDL (newest first — commit appends adds at the tail),
+    * each group scans with exactly that schema (no parquet footer merging,
+    * ever: the log is the source of truth, Delta's schema-in-log
+    * discipline — `mergeSchema` would re-derive the same answer by
+    * footer-reading every file of the table on every read), and groups
+    * fold with `unionByName(allowMissingColumns)`: a column added by a
+    * later commit reads as NULL from directories written before it, and
+    * the NEWEST commit's column order wins. Entries without a recorded
+    * DDL (pre-evolution manifests) form one footer-inferred group —
+    * incremental adoption, same contract as untagged/stats-less entries.
+    * The overwhelmingly common single-schema table takes the plain
+    * one-scan path: zero plan change, zero union. Renames and type
+    * changes are NOT supported (same-name columns must type-match across
+    * groups or the union fails loudly — the honest failure; a rename is
+    * semantically a drop+add and needs a rewrite, exactly as in Delta
+    * without column mapping).
+    */
+  private def readEntries(spark: SparkSession, table: String,
+                          entries: Seq[String]): DataFrame = {
+    require(entries.nonEmpty, s"readEntries on $table: no entries")
+    def paths(es: Seq[String]) =
+      es.map(e => new java.io.File(table, entryPath(e)).getAbsolutePath)
+    val keys = entries.reverse.map(entrySchemaDdl).distinct
+    val frames = keys.map { k =>
+      val dirs = paths(entries.filter(e => entrySchemaDdl(e) == k))
+      k match {
+        case Some(ddl) => spark.read.schema(ddl).parquet(dirs: _*)
+        case None      => spark.read.parquet(dirs: _*)
+      }
+    }
+    frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   /** The data directories a tag-predicate read resolves to — MANIFEST-LEVEL
@@ -457,10 +511,14 @@ object TableLog {
     * operational tooling can assert exactly what a predicate scans.
     */
   def pruneDirs(table: String, tagPred: String => Boolean,
-                version: Option[Int] = None): Seq[String] = {
+                version: Option[Int] = None): Seq[String] =
+    pruneEntries(table, tagPred, version).map(entryPath)
+
+  private def pruneEntries(table: String, tagPred: String => Boolean,
+                           version: Option[Int]): Seq[String] = {
     val v = version.getOrElse(headVersion(table))
     require(v >= 1, s"$table has no committed version")
-    manifest(table, v).filter(e => entryTag(e).forall(tagPred)).map(entryPath)
+    manifest(table, v).filter(e => entryTag(e).forall(tagPred))
   }
 
   /** Read only the partitions whose tag satisfies `tagPred` at `version`
@@ -475,11 +533,10 @@ object TableLog {
     */
   def readWhere(spark: SparkSession, table: String, tagPred: String => Boolean,
                 version: Option[Int] = None): DataFrame = {
-    val dirs = pruneDirs(table, tagPred, version)
-      .map(p => new java.io.File(table, p).getAbsolutePath)
-    require(dirs.nonEmpty,
+    val es = pruneEntries(table, tagPred, version)
+    require(es.nonEmpty,
       s"readWhere pruned every entry of $table — no partition matches")
-    spark.read.parquet(dirs: _*)
+    readEntries(spark, table, es)
   }
 
   /** DATA SKIPPING on a VALUE predicate: the directories a closed-range
@@ -496,7 +553,12 @@ object TableLog {
     * even if they also hold nulls.
     */
   def pruneDirsRange(table: String, statsCol: String, lo: Long, hi: Long,
-                     version: Option[Int] = None): Seq[String] = {
+                     version: Option[Int] = None): Seq[String] =
+    pruneEntriesRange(table, statsCol, lo, hi, version).map(entryPath)
+
+  private def pruneEntriesRange(table: String, statsCol: String,
+                                lo: Long, hi: Long,
+                                version: Option[Int]): Seq[String] = {
     val v = version.getOrElse(headVersion(table))
     require(v >= 1, s"$table has no committed version")
     manifest(table, v).filter { e =>
@@ -504,7 +566,7 @@ object TableLog {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None           => true
       }
-    }.map(entryPath)
+    }
   }
 
   /** Read only the directories whose committed stats admit
@@ -516,12 +578,11 @@ object TableLog {
   def readWhereRange(spark: SparkSession, table: String, statsCol: String,
                      lo: Long, hi: Long,
                      version: Option[Int] = None): DataFrame = {
-    val dirs = pruneDirsRange(table, statsCol, lo, hi, version)
-      .map(p => new java.io.File(table, p).getAbsolutePath)
-    require(dirs.nonEmpty,
+    val es = pruneEntriesRange(table, statsCol, lo, hi, version)
+    require(es.nonEmpty,
       s"readWhereRange pruned every entry of $table — no directory can " +
         s"hold $statsCol in [$lo, $hi]")
-    spark.read.parquet(dirs: _*)
+    readEntries(spark, table, es)
   }
 
   /** Row-level change feed between two committed versions: what `vB` added
@@ -537,9 +598,14 @@ object TableLog {
     * rows are netted per-occurrence, not set-collapsed.
     */
   def changeFeed(spark: SparkSession, table: String, vA: Int, vB: Int): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val a = manifest(table, vA).map(entryPath).toSet
-    val b = manifest(table, vB).map(entryPath).toSet
+    import org.apache.spark.sql.functions.{col, lit}
+    val entA = manifest(table, vA)
+    val entB = manifest(table, vB)
+    val a = entA.map(entryPath).toSet
+    val b = entB.map(entryPath).toSet
+    // entB last: if both versions reference a path, the newer entry (same
+    // dir, possibly richer metadata) wins the lookup
+    val byPath = (entA ++ entB).map(e => entryPath(e) -> e).toMap
     // Empty-side schema donor: ANY live data dir of either endpoint — NOT
     // `read(vB).limit(0)`, which throws on a zero-path parquet read when
     // vB's manifest is itself empty (a pure-drop commit: alsoReplace
@@ -556,12 +622,19 @@ object TableLog {
         s"changeFeed($vA, $vB) on $table: no retained version references " +
           "any data directory — no schema available for the empty side"))
     def rd(dirs: Set[String]): DataFrame =
-      if (dirs.nonEmpty)
-        spark.read.parquet(dirs.toSeq.sorted
-          .map(p => new java.io.File(table, p).getAbsolutePath): _*)
+      if (dirs.nonEmpty) readEntries(spark, table, dirs.toSeq.sorted.map(byPath))
       else spark.read.parquet(donor.getAbsolutePath).limit(0)
-    val added   = rd(b -- a)
-    val dropped = rd(a -- b)
+    val added0   = rd(b -- a)
+    val dropped0 = rd(a -- b)
+    // Align both sides to the union schema before the multiset diff: an
+    // evolution boundary between vA and vB otherwise feeds exceptAll two
+    // different-width frames. A row that only gained NULL columns still
+    // nets out (nulls compare equal within exceptAll's grouping), so a
+    // pure add-column commit over identical rows diffs EMPTY, like a
+    // compaction.
+    val added   = added0.unionByName(dropped0.limit(0), allowMissingColumns = true)
+    val dropped = dropped0.unionByName(added0.limit(0), allowMissingColumns = true)
+      .select(added.columns.map(col): _*)
     added.exceptAll(dropped).withColumn("_change_type", lit("insert"))
       .unionByName(
         dropped.exceptAll(added).withColumn("_change_type", lit("delete")))

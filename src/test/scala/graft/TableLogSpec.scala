@@ -270,11 +270,44 @@ class TableLogSpec extends AnyFunSuite {
       s"null-partition replace-where must swap the null partition only: $got")
   }
 
+  test("schema evolution: a later add-column commit reads back with NULL backfill, old versions keep their shape") {
+    import spark.implicits._
+    val t = tmpTable()
+    TableLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), t)
+    TableLog.append(Seq((3L, "c", 30L)).toDF("id", "name", "score"), t)
+    // head: union schema, newest column order wins, old rows null-backfilled
+    val head = TableLog.read(spark, t)
+    assert(head.columns.toSeq == Seq("id", "name", "score"))
+    val rows = head.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(30L))))
+    // time travel: v1 keeps its committed two-column shape
+    assert(TableLog.read(spark, t, Some(1)).columns.toSeq == Seq("id", "name"))
+    // change feed across the boundary: only the added row, aligned to the
+    // union schema
+    val feed = TableLog.changeFeed(spark, t, 1, 2).collect()
+    assert(feed.length == 1 && feed.head.getLong(0) == 3L &&
+      feed.head.getString(3) == "insert")
+    // compact lands one directory carrying the union schema; rows unchanged
+    TableLog.compact(spark, t)
+    val compacted = TableLog.read(spark, t)
+    assert(compacted.columns.toSeq == Seq("id", "name", "score"))
+    assert(compacted.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq == rows)
+    // and a post-compaction feed is EMPTY: null-backfill is not a change
+    assert(TableLog.changeFeed(spark, t, 2, 3).count() == 0,
+      "compaction across an evolution boundary must diff empty")
+  }
+
   test("orphaned data from lost races stays invisible") {
     val t = tmpTable()
     TableLog.overwrite(df(1), t)
     TableLog.append(df(2), t)
-    val live = TableLog.manifest(t, TableLog.headVersion(t)).toSet
+    // entries are path|tag|stats|schema — compare the path field
+    val live = TableLog.manifest(t, TableLog.headVersion(t))
+      .map(_.split("\\|")(0)).toSet
     val onDisk = new java.io.File(t, "data").listFiles().map("data/" + _.getName).toSet
     assert(live.subsetOf(onDisk), "manifest references a missing data dir")
     // any orphan (onDisk -- live) is legal and must simply not be read

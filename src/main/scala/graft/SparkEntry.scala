@@ -166,6 +166,23 @@ object SparkEntry {
       (c, GraftCache.track(Ann.ivfDetAssign(emb, c)))
     }
 
+  /** Incrementally-maintained IVF index: centroids sampled from the OLD
+    * corpus (1-in-16 keyed-md5 rows held out as the "new" batch), old rows
+    * assigned, batch inserted via Ann.ivfInsert — lossless by the per-row
+    * purity of assignment (the spec pins bit-equality with the
+    * from-scratch union assignment under the same centroids).
+    */
+  private def ivfIns(s: SparkSession, dir: String): (Array[Array[Float]], DataFrame) =
+    GraftCache.memoAny(s"$dir/ivfins") {
+      val emb = Tables.embeddings(s, dir)
+      val isNew = GraftCols.md5Mod(
+        concat(col("vec_id").cast("string"), lit("|iins")), 16) === 0L
+      val oldC = emb.filter(!isNew)
+      val c = Ann.ivfDetCentroids(oldC, nlist = 16)
+      (c, GraftCache.track(
+        Ann.ivfInsert(Ann.ivfDetAssign(oldC, c), c, emb.filter(isNew))))
+    }
+
   /** Deterministic-LSH top-5 of the first 100 queries, built per consumer
     * over the SHARED pre-hashed corpus memo. Deliberately NOT a memoized
     * result frame: the bucket join + re-rank over the (tiny) query side is
@@ -3245,6 +3262,21 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
         .orderBy("query_id", "rank")
       finally s.conf.unset("graft.ann.broadcastMaxRows")
+    }),
+
+    // IVF incremental insert: the 1-in-16 held-out batch assigned against
+    // the OLD corpus' centroids and appended (Ann.ivfInsert) — LOSSLESS,
+    // unlike the graph family's add (assignment is a per-row pure
+    // function; no recall trade, no within-batch blindness). The standard
+    // search runs over the incremented index; the oracle replays the
+    // old-corpus centroid sample + union assignment in closed form.
+    "ann_ivf_insert_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (cents, incremented) = ivfIns(s, dir)
+      Ann.ivfDetSearch(emb.filter(col("vec_id") < 100), incremented, cents,
+          k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     }),
 
     // ANN acceptance gauge: per-query recall@10 of the IVF path against the
@@ -8179,6 +8211,20 @@ object SparkEntry {
     // by construction; this row driver-gates it, the spec only unit-gates).
     "ann_ivf_join_topk" -> ivfTopkOracle,
 
+    // Incremental-insert replay: centroids sampled from the OLD corpus
+    // (md5-mod holdout), assignment over the WHOLE table — exactly the
+    // incremented index, by the losslessness of per-row assignment.
+    "ann_ivf_insert_topk" ->
+      (s"""WITH ioldc AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+          |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|iins'", "16")} <> 0),
+          |""".stripMargin +
+        ivfDetCtesFrom("ioldc") + "\n" +
+        """SELECT query_id, neighbor_id, cast(rank as bigint) AS rank FROM (
+          |  SELECT query_id, neighbor_id,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          |  FROM cand) WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin),
+
     // IVF acceptance gauge: per-query recall@10 against the brute-force
     // cosine ground truth, both sides replayed from the same nrm scan.
     "ann_ivf_recall" ->
@@ -8792,11 +8838,17 @@ object SparkEntry {
     * embedding-query chain (ivfDetCtes) and the cross-modal probe chain.
     * No leading WITH.
     */
-  private def ivfIndexCtes: String =
+  private def ivfIndexCtes: String = ivfIndexCtesFrom("embeddings")
+
+  /** Same chain with the CENTROID SAMPLE drawn from `centSrc` (table or
+    * prior CTE); assignment still covers the whole embeddings table — the
+    * incremental-insert replay draws centroids from the OLD corpus only.
+    */
+  private def ivfIndexCtesFrom(centSrc: String): String =
     s"""cent AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY md5('ivf|' || cast(vec_id as varchar)), vec_id) - 1 AS cluster,
        |    embedding
-       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |  FROM (SELECT vec_id, embedding FROM $centSrc
        |        ORDER BY md5('ivf|' || cast(vec_id as varchar)), vec_id LIMIT 16)),
        |nrm AS MATERIALIZED (SELECT vec_id, embedding,
        |    list_reduce(list_prepend(0.0, list_transform(range(1, ${D + 1}),
@@ -8825,8 +8877,10 @@ object SparkEntry {
     * assignment + probe, fold-cosine candidate scores) — shared by
     * ann_ivf_topk and ann_ivf_recall. No leading WITH.
     */
-  private def ivfDetCtes: String =
-    s"""$ivfIndexCtes,
+  private def ivfDetCtes: String = ivfDetCtesFrom("embeddings")
+
+  private def ivfDetCtesFrom(centSrc: String): String =
+    s"""${ivfIndexCtesFrom(centSrc)},
        |$ivfProbeCte,
        |cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,

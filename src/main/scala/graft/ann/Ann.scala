@@ -265,6 +265,43 @@ object Ann {
     (cents, spark.read.parquet(s"$dir/assigned"))
   }
 
+  // ---- Index maintenance: incremental insert / delete ----
+
+  /** INCREMENTAL INSERT into an IVF index — and unlike the graph family's
+    * insertBatch, this one is LOSSLESS: cluster assignment is a per-row
+    * pure function of (vector, centroids), so assigning only the new batch
+    * against the EXISTING centroids and appending yields exactly the index
+    * a from-scratch assignment of the union would build — searches over
+    * the incremented index are bit-identical, no recall trade, no
+    * within-batch blindness (AnnFilteredSpec pins the equality). The
+    * centroids deliberately do NOT move: a quantizer refit would reshuffle
+    * every existing row's list membership (a full rebuild in disguise);
+    * IVF recall comes from nprobe, not centroid optimality, and the
+    * standard production posture is periodic offline refit.
+    *
+    * 100 TB shape: the new batch's assignment is one map-only pass over
+    * the batch (broadcast of nlist centroid vectors); the index artifact
+    * update is a pure APPEND — a new parquet directory per batch under
+    * the assignment table (TableLog.append on an index-as-table layout),
+    * never a rewrite of existing inverted lists.
+    */
+  def ivfInsert(assignedOld: DataFrame, centroids: Array[Array[Float]],
+                newVecs: DataFrame): DataFrame =
+    assignedOld.unionByName(
+      ivfDetAssign(newVecs, centroids).select(assignedOld.columns.map(col): _*))
+
+  /** INCREMENTAL DELETE from an IVF index: drop the victims' assignment
+    * rows. Also lossless — inverted lists are independent row sets, so the
+    * filtered index IS the index of the surviving corpus under the same
+    * centroids (subset search; the same property filteredTopK's
+    * beyond-broadcast pre-filter fallback rides). At scale this is a
+    * tombstone/anti-join against the assignment table, compacted on the
+    * normal maintenance cadence.
+    */
+  def ivfDelete(assigned: DataFrame,
+                victims: org.apache.spark.sql.Column): DataFrame =
+    assigned.filter(!victims)
+
   // ---- Filtered (hybrid) search: attribute predicate + vector top-k ----
 
   /** Pre-filter regime: exact cosine top-k over the predicate's survivors.

@@ -80,6 +80,31 @@ class AnnFilteredSpec extends AnyFunSuite {
       "nprobe = nlist and a corpus-sized budget must recover the exact result")
   }
 
+  test("IVF incremental insert is LOSSLESS; delete is exact subset search") {
+    import graft.functions.GraftCols
+    val isNew = GraftCols.md5Mod(
+      concat(col("vec_id").cast("string"), lit("|tins")), 8) === 0L
+    val oldC = emb.filter(!isNew)
+    val c8 = Ann.ivfDetCentroids(oldC, nlist = 8)
+    val incremented = Ann.ivfInsert(Ann.ivfDetAssign(oldC, c8), c8, emb.filter(isNew))
+    val scratch = Ann.ivfDetAssign(emb, c8)
+    // insert: bit-identical to the from-scratch union assignment under the
+    // SAME centroids — rows, scores, ranks (the graph add trades recall
+    // here; IVF does not)
+    val a = Ann.ivfDetSearch(queries, incremented, c8, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect()
+    val b = Ann.ivfDetSearch(queries, scratch, c8, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect()
+    assert(a.sameElements(b), "incremental insert diverged from the rebuild")
+    // delete: the filtered index IS the survivors' index — full probe
+    // recovers the exact filtered result
+    val deleted = Ann.ivfDelete(scratch, col("label") === 2)
+    val full  = Ann.ivfDetSearch(queries, deleted, c8, k = 5, nprobe = 8)
+    val exact = Ann.filteredBrute(queries, emb, col("label") =!= 2, k = 5)
+    assert(pairs(full) == pairs(exact),
+      "post-delete full-probe search must equal exact search over survivors")
+  }
+
   test("pre-filter survivors beyond the broadcast wall fall back to IVF-over-subset") {
     spark.conf.set("graft.ann.broadcastMaxRows", "0")
     try {

@@ -434,6 +434,45 @@ object SparkEntry {
       }
     }
 
+  /** CLUSTERED-OPTIMIZE artifact: v1 commits the events projection as one
+    * unclustered directory; v2 is `TableLog.overwriteClustered` by the top
+    * 4 bits of the Hilbert code over (user_id, rebased hour) — 16 curve
+    * quadrants, one directory each — with per-dir min/max on BOTH ts_ns
+    * and user_id. After the rewrite a range predicate on EITHER dimension
+    * (or their conjunction — readWhereRanges) prunes at the manifest; the
+    * 1-D day-tag layout (eventsTimetravelDir) gives that to time alone.
+    */
+  private def eventsOptimizeDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/eventsopt") {
+      val k = ArtifactIO.contentKey(s"$dir|optimize|v2", // v2: zBucket-normalized curve
+        new java.io.File(s"$dir/events.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_eventsopt_$k")
+      ArtifactIO.publishDir(out, valid = o =>
+        graft.sources.TableLog.headVersion(o.getAbsolutePath) == 2) { staging =>
+        val hourNs = 3600L * 1000000000L
+        val baseNs = 1704067200L * 1000000000L // 2024-01-01, the fixture floor
+        val hourIx = expr(s"(ts_ns - ${baseNs}L) div $hourNs")
+        val ev = Tables.events(s, dir).select(col("event_id"), col("ts_ns"),
+          col("user_id"), col("event_type"), micros(col("value")).as("us"))
+        graft.sources.TableLog.overwrite(ev, staging.getAbsolutePath)
+        // OPTIMIZE legitimately scans; the domain bounds for the zBucket
+        // normalization come from that scan (raw coordinates occupy a
+        // corner of their bit range — unnormalized, most top-level curve
+        // cells would be empty and the bucketization collapses; ZOrder's
+        // scaladoc documents exactly this trap)
+        val head = graft.sources.TableLog.read(s, staging.getAbsolutePath, Some(1))
+        val b = head.agg(max("user_id"), max(hourIx)).head()
+        val curve = graft.functions.ZOrder.hilbert2(
+          graft.functions.ZOrder.zBucket(col("user_id"), b.getLong(0) + 1, 5),
+          graft.functions.ZOrder.zBucket(hourIx, b.getLong(1) + 1, 5),
+          bits = 5)
+        graft.sources.TableLog.overwriteClustered(
+          head, staging.getAbsolutePath,
+          shiftright(curve, 6), // 16 top-level curve cells, one dir each
+          statsCols = Seq("ts_ns", "user_id"))
+      }
+    }
+
   /** CDC replay fixture: the events table as FIVE parquet micro-batch files
     * with strictly increasing mtimes — four upsert slices time-contiguous
     * in (ts_ns, event_id) with op='U', then one tombstone batch (op='D')
@@ -2496,6 +2535,26 @@ object SparkEntry {
           .select(lit(v).as("version"), col("n_events"),
             col("sum_value_micros"), col("n_days"))
       }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
+    // OPTIMIZE + 2-D data skipping: the zorder slice (user < 8 ×
+    // 5 days) served through readWhereRanges over the CLUSTERED log table
+    // — both box edges prune at the MANIFEST (per-dir stats on both
+    // clustered dimensions), before any file is listed. Same slice and
+    // oracle as q_events_zorder: clustering never changes rows, it only
+    // moves where the pruning happens (parquet row-group stats there,
+    // manifest stats here). ClusteredOptimizeSpec pins the dir counts.
+    "q_events_optimize_cluster" -> ((s, dir) => {
+      val t1 = 1704844800L * 1000000000L // 2024-01-10
+      val t2 = 1705276800L * 1000000000L // 2024-01-15
+      val table = eventsOptimizeDir(s, dir)
+      graft.sources.TableLog.readWhereRanges(s, table,
+          Seq(("ts_ns", t1, t2 - 1), ("user_id", 0L, 7L)))
+        .filter(col("ts_ns") >= t1 && col("ts_ns") < t2 && col("user_id") < 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("us"), lit(0L)).as("sum_value_micros"))
+        .orderBy("event_type")
     }),
 
     // SCHEMA EVOLUTION on the log table: v1 committed the pre-cut events
@@ -7549,6 +7608,16 @@ object SparkEntry {
          |  count(DISTINCT cast(ts AS date)) AS n_days
          |FROM events
          |ORDER BY version""".stripMargin,
+
+    // Clustering never changes rows: the optimize-clustered slice replays
+    // as the identical raw-table slice (the zorder/hilbert oracle).
+    "q_events_optimize_cluster" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events
+         |WHERE user_id < 8 AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Evolution replay: rows committed before the cut never had the
     // micros column (n_scored counts only post-cut rows), the sum covers

@@ -411,6 +411,68 @@ object TableLog {
   def compact(spark: SparkSession, table: String): Int =
     overwrite(read(spark, table), table)
 
+  /** CLUSTERED OPTIMIZE — `OPTIMIZE … ZORDER BY` at the TableLog grain:
+    * rewrite `df` (typically `read(table)`) as ONE commit of many
+    * directories, one per value of `bucket` (a space-filling-curve bucket
+    * expression: ZOrder.morton2/hilbert2 over normalized coordinates,
+    * top bits as the bucket), REPLACING the whole previous manifest. Each
+    * directory gets its own `statsCols` min/max entry — and because the
+    * curve keeps every bucket narrow on EVERY clustered dimension, a
+    * range predicate on ANY of them prunes at the manifest afterwards
+    * (readWhereRange): the multi-dimensional data skipping a 1-D
+    * partition tag can't give. The bucket expression is consumed by the
+    * write (it becomes the derived `__pt` directory column); data files
+    * keep exactly `df`'s columns, so the rewrite is invisible to readers
+    * beyond its speed. Row-identical like compact (which this
+    * generalizes — compact is overwriteClustered with a constant
+    * bucket); history before it stays readable until vacuum.
+    */
+  def overwriteClustered(df: DataFrame, table: String,
+                         bucket: org.apache.spark.sql.Column,
+                         statsCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, max, min}
+    val statsByTag: Map[String, Map[String, (Long, Long)]] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        val key = coalesce(bucket.cast("string"),
+          lit("__HIVE_DEFAULT_PARTITION__")).as("__pt_key")
+        val aggs = statsCols.flatMap(c =>
+          Seq(min(statLongCol(df, c)), max(statLongCol(df, c))))
+        df.groupBy(key).agg(aggs.head, aggs.tail: _*).collect().map { r =>
+          r.getString(0) -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+            if (r.isNullAt(1 + 2 * i)) None
+            else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+          }.toMap
+        }.toMap
+      }
+    var v = -1
+    var tries = 0
+    while (v < 0) {
+      if (tries >= MaxCommitAttempts) exhausted(table)
+      tries += 1
+      val base = headVersion(table)
+      val rel = s"data/c${base + 1}-${ProcessHandle.current().pid()}-" +
+        java.util.UUID.randomUUID.toString.take(8)
+      val abs = new java.io.File(table, rel)
+      df.withColumn("__pt", bucket.cast("string"))
+        .write.partitionBy("__pt").parquet(abs.getAbsolutePath)
+      val written = abs.listFiles((f: java.io.File) =>
+        f.isDirectory && f.getName.startsWith("__pt="))
+      val adds = written.toSeq.map { d =>
+        val tag = java.net.URLDecoder.decode(
+          d.getName.stripPrefix("__pt="), "UTF-8")
+        require(!tag.contains('"') && !tag.contains('|'),
+          s"bucket value '$tag' contains a manifest delimiter " +
+            "(\" or |) — unsupported as a TableLog cluster bucket")
+        val st = statsByTag.getOrElse(tag, Map.empty)
+        s"$rel/${d.getName}|$tag|${renderStats(st)}|${renderSchema(df)}"
+      }
+      // REPLACE-ALL: unlike overwritePartitions, no previous entry survives
+      v = tryCommit(table, base, adds)
+    }
+    v
+  }
+
   /** Retention: drop every manifest BELOW `keepFromVersion` and delete every
     * data directory no retained manifest references. This is the ONLY
     * operation that deletes anything; after it, time travel to a vacuumed
@@ -582,6 +644,33 @@ object TableLog {
     require(es.nonEmpty,
       s"readWhereRange pruned every entry of $table — no directory can " +
         s"hold $statsCol in [$lo, $hi]")
+    readEntries(spark, table, es)
+  }
+
+  /** Multi-dimensional data skipping: keep only the directories whose
+    * stats admit EVERY `(col, lo, hi)` predicate — the read shape a
+    * clustered layout (overwriteClustered) earns, where each directory is
+    * narrow on every clustered dimension and a conjunctive box predicate
+    * prunes multiplicatively. Per-column contract identical to
+    * pruneDirsRange (stats-less columns keep the entry, conservative).
+    */
+  def readWhereRanges(spark: SparkSession, table: String,
+                      preds: Seq[(String, Long, Long)],
+                      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(headVersion(table))
+    require(v >= 1, s"$table has no committed version")
+    val es = manifest(table, v).filter { e =>
+      val st = entryStats(e)
+      preds.forall { case (c, lo, hi) =>
+        st.get(c) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None           => true
+        }
+      }
+    }
+    require(es.nonEmpty,
+      s"readWhereRanges pruned every entry of $table — no directory can " +
+        s"satisfy ${preds.mkString(", ")}")
     readEntries(spark, table, es)
   }
 

@@ -301,6 +301,33 @@ class TableLogSpec extends AnyFunSuite {
       "compaction across an evolution boundary must diff empty")
   }
 
+  test("overwriteClustered: curve buckets give multi-dimensional manifest skipping") {
+    import spark.implicits._
+    // one row per cell of a 32×32 grid — every cell occupied, so dir
+    // counts below are exact, not probabilistic
+    val g = spark.range(1024)
+      .select(expr("id % 32").as("x"), expr("id div 32").as("y"))
+    val t = tmpTable()
+    TableLog.overwrite(g, t)
+    val curve = graft.functions.ZOrder.hilbert2(col("x"), col("y"), bits = 5)
+    TableLog.overwriteClustered(TableLog.read(spark, t, Some(1)), t,
+      shiftright(curve, 6), statsCols = Seq("x", "y"))
+    // row-identical (clustering only moves rows), data schema unchanged
+    val back = TableLog.read(spark, t)
+    assert(back.columns.toSeq == Seq("x", "y"), "bucket column leaked into data")
+    assert(back.count() == 1024 && back.exceptAll(g).count() == 0)
+    // 16 dirs — the top-4-bit Hilbert cells, each an 8×8 quadrant
+    assert(TableLog.manifest(t, 2).size == 16)
+    // a 1-D slice prunes to its quadrant row/column: 4 of 16; the
+    // conjunctive box multiplies: exactly ONE dir (64 rows = one cell)
+    assert(TableLog.pruneDirsRange(t, "x", 0, 7).size == 4)
+    assert(TableLog.pruneDirsRange(t, "y", 0, 7).size == 4)
+    val box = TableLog.readWhereRanges(spark, t, Seq(("x", 0L, 7L), ("y", 0L, 7L)))
+    assert(box.count() == 64, "box predicate must resolve exactly one 8×8 cell")
+    // and the unclustered v1 can't skip at all: one dir holds everything
+    assert(TableLog.pruneDirsRange(t, "x", 0, 7, Some(1)).size == 1)
+  }
+
   test("orphaned data from lost races stays invisible") {
     val t = tmpTable()
     TableLog.overwrite(df(1), t)

@@ -183,6 +183,28 @@ object SparkEntry {
         Ann.ivfInsert(Ann.ivfDetAssign(oldC, c), c, emb.filter(isNew))))
     }
 
+  /** INDEX-AS-TABLE: the deterministic IVF assignment persisted as a
+    * TableLog table partitioned by CLUSTER tag — the layout the ivfInsert
+    * scaladoc prescribes for 100 TB. A search's nprobe then becomes
+    * MANIFEST-LEVEL partition pruning: the probed cluster ids resolve to
+    * exactly their directories (readWhere on the tag set), unprobed
+    * inverted lists are never listed, never opened. Incremental insert on
+    * this layout is overwritePartitions of the touched clusters only.
+    */
+  private def ivfLogDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/ivflog") {
+      val k = ArtifactIO.contentKey(s"$dir|ivflog|v1",
+        new java.io.File(s"$dir/embeddings.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_ivflog_$k")
+      ArtifactIO.publishDir(out, valid = o =>
+        graft.sources.TableLog.headVersion(o.getAbsolutePath) >= 1) { staging =>
+        val (_, assigned) = ivfDet(s, dir)
+        graft.sources.TableLog.overwritePartitions(
+          assigned.select(col("vec_id"), col("embedding"), col("cluster")),
+          staging.getAbsolutePath, "cluster")
+      }
+    }
+
   /** Deterministic-LSH top-5 of the first 100 queries, built per consumer
     * over the SHARED pre-hashed corpus memo. Deliberately NOT a memoized
     * result frame: the bucket join + re-rank over the (tiny) query side is
@@ -3334,6 +3356,26 @@ object SparkEntry {
       val (cents, incremented) = ivfIns(s, dir)
       Ann.ivfDetSearch(emb.filter(col("vec_id") < 100), incremented, cents,
           k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // INDEX-AS-TABLE search: the SAME IVF search served from the
+    // TableLog-persisted assignment, where the query batch's probe set
+    // (a driver-known list of ≤ nlist cluster ids, from one map-only
+    // probe ranking) resolves ONLY its clusters' directories at the
+    // MANIFEST — unprobed inverted lists are never listed, never opened.
+    // Rows must be bit-identical to ann_ivf_topk (the probed subset
+    // contains every list the search scans), gated by the same oracle;
+    // IvfLogSpec pins the resolved-dir count = |probe set|.
+    "ann_ivf_log_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (cents, _) = ivfDet(s, dir)
+      val q = emb.filter(col("vec_id") < 100)
+      val probed = Ann.probeRanks(q, cents).filter(col("pr") <= 4)
+        .select("cluster").distinct().collect().map(_.getInt(0).toString).toSet
+      val lists = graft.sources.TableLog.readWhere(s, ivfLogDir(s, dir), probed)
+      Ann.ivfDetSearch(q, lists, cents, k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -8293,6 +8335,10 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
           |  FROM cand) WHERE rank <= 10
           |ORDER BY query_id, rank""".stripMargin),
+
+    // Index-as-table: identical rows to ann_ivf_topk by construction (the
+    // probed subset contains every list the search scans) — same replay.
+    "ann_ivf_log_topk" -> ivfTopkOracle,
 
     // IVF acceptance gauge: per-query recall@10 against the brute-force
     // cosine ground truth, both sides replayed from the same nrm scan.

@@ -3637,6 +3637,35 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Hybrid search on the GRAPH family — the post-filter regime's graph
+    // form: the traversal runs UNfiltered (filtering edges mid-walk would
+    // break navigability — the candidate a filter drops may be the only
+    // route to ones it keeps) with the base beam widened to the k·γ
+    // candidate budget (20 = 2×k — the graph's oversample is beam width,
+    // where IVF's was list depth), then the predicate keeps survivors and
+    // a re-rank cuts to k. Same under-fill-never-over-reach contract as
+    // filteredIvf; both unrolled phases + the filter replay in SQL.
+    "ann_filtered_graph_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (baseEdges, _) = KnnGraph.read(s, graphArtifactDir(s, dir))
+      val repEdges = ArtifactIO.readBucketed(s,
+        s"${graphLayeredDir(s, dir)}/repedges",
+        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
+      val cand = GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
+        embBucketed(s, dir), repEdges, baseEdges,
+        GraphAnn.entryPoints(repsOf(emb), GraphEntries),
+        k = 20, repBeam = RepBeam, baseBeam = 20,
+        repRounds = RepRounds, baseRounds = BaseRounds)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+      emb.filter(col("label") =!= 3).select(col("vec_id").as("neighbor_id"))
+        .join(broadcast(cand.select("query_id", "neighbor_id", "dist")),
+          Seq("neighbor_id"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // INCREMENTAL INSERT into the layered artifact (GraphAnn.insertBatch —
     // HNSW's add in batch form): a 1-in-16 keyed-md5 corpus slice joins the
     // OLD artifact via layered search at insert beam 2M; new out-edges =
@@ -8197,6 +8226,26 @@ object SparkEntry {
            |FROM lbk b LEFT JOIN lk i
            |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
            |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin),
+
+    // Hybrid graph-search replay: the coarse phase from layeredSearchCtes
+    // (its base-width lb chain goes unused — DuckDB prunes unreferenced
+    // CTEs), a refine chain at the widened k·γ = 20 beam, then the
+    // predicate filter + re-rank — each step the engine's arithmetic.
+    "ann_filtered_graph_topk" ->
+      (graphCtes + ",\n" +
+        s"""gq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+           |${layeredSearchCtes("gq")},
+           |""".stripMargin +
+        graphSearchCtesOver("gq", "fb", "edges",
+          s"SELECT query_id, node FROM lrb$RepRounds", 20, BaseRounds) +
+        ",\n" +
+        s"""fcand AS (SELECT query_id, node AS neighbor_id, dist FROM fbb$BaseRounds
+           |  WHERE node IN (SELECT vec_id FROM embeddings WHERE label != 3))
+           |SELECT query_id, neighbor_id, cast(rank as bigint) AS rank FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+           |  FROM fcand) WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin),
 
     // The WHOLE insert procedure replayed: old-corpus kNN layers, both
     // unrolled search phases at beam 2M over the old layers, the two

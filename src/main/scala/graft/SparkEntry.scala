@@ -3666,6 +3666,38 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The graph-hybrid acceptance gauge: per-query recall@10 of the
+    // widened-beam post-filter path against the exact L2 top-10 over the
+    // predicate's survivors — the γ(beam)-sizing data for the graph form,
+    // read beside ann_filtered_recall's IVF numbers. Itself oracle-exact.
+    "ann_filtered_graph_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (baseEdges, _) = KnnGraph.read(s, graphArtifactDir(s, dir))
+      val repEdges = ArtifactIO.readBucketed(s,
+        s"${graphLayeredDir(s, dir)}/repedges",
+        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
+      val q = emb.filter(col("vec_id") < 100)
+      val cand = GraphAnn.layeredSearch(q, embBucketed(s, dir), repEdges,
+        baseEdges, GraphAnn.entryPoints(repsOf(emb), GraphEntries),
+        k = 20, repBeam = RepBeam, baseBeam = 20,
+        repRounds = RepRounds, baseRounds = BaseRounds)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+      val post = emb.filter(col("label") =!= 3).select(col("vec_id").as("neighbor_id"))
+        .join(broadcast(cand.select("query_id", "neighbor_id", "dist")),
+          Seq("neighbor_id"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      Knn.exact(q, emb.filter(col("label") =!= 3), 10, metric = "l2", kernel = "fold")
+        .select(col("query_id"), col("neighbor_id"))
+        .join(post, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // INCREMENTAL INSERT into the layered artifact (GraphAnn.insertBatch —
     // HNSW's add in batch form): a 1-in-16 keyed-md5 corpus slice joins the
     // OLD artifact via layered search at insert beam 2M; new out-edges =
@@ -8246,6 +8278,33 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
            |  FROM fcand) WHERE rank <= 10
            |ORDER BY query_id, rank""".stripMargin),
+
+    // Graph-hybrid gauge replay: the same fr/fb chains + filter, against
+    // the exact L2 top-10 over the predicate's survivors (knn filtered).
+    "ann_filtered_graph_recall" ->
+      (graphCtes + ",\n" +
+        s"""gq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+           |${layeredSearchCtes("gq")},
+           |""".stripMargin +
+        graphSearchCtesOver("gq", "fb", "edges",
+          s"SELECT query_id, node FROM lrb$RepRounds", 20, BaseRounds) +
+        ",\n" +
+        s"""fck AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, node AS neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rank
+           |    FROM fbb$BaseRounds
+           |    WHERE node IN (SELECT vec_id FROM embeddings WHERE label != 3))
+           |  WHERE rank <= 10),
+           |fbk AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT k.query_id, k.neighbor_id,
+           |      row_number() OVER (PARTITION BY k.query_id ORDER BY k.dist, k.neighbor_id) AS rn
+           |    FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+           |    WHERE k.query_id < 100 AND e.label != 3) WHERE rn <= 10)
+           |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
+           |  cast(count(i.neighbor_id) as double) / count(*) AS recall
+           |FROM fbk b LEFT JOIN fck i
+           |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin),
 
     // The WHOLE insert procedure replayed: old-corpus kNN layers, both
     // unrolled search phases at beam 2M over the old layers, the two

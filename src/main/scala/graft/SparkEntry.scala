@@ -3792,6 +3792,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Hybrid search, LSH form — the family's post-filter regime: the
+    // bucket-join candidate set is fixed by the hash tables (like IVF's
+    // probe, unlike the graph's re-aimable beam), so the oversample is
+    // re-rank depth k·γ = 20, then predicate + re-rank to 5. Same
+    // under-fill contract; whole chain SQL-replayed over lshDetCtes.
+    "ann_filtered_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cand = Knn.lshDet(emb.filter(col("vec_id") < 100), emb, 20, D,
+        bucketLength = 1.0, numHashTables = 5, seed = "lsh",
+        prehashed = Some(lshHashedShared(s, dir)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+      emb.filter(col("label") =!= 3).select(col("vec_id").as("neighbor_id"))
+        .join(broadcast(cand.select("query_id", "neighbor_id", "dist")),
+          Seq("neighbor_id"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH acceptance gauge: per-query recall@5 of the deterministic LSH
     // path against the brute-force L2 ground truth (the memoized rawKnn
     // frame — its 17-deep ranks contain the top-5).
@@ -8612,6 +8632,21 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
            |  FROM scored) WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin),
+
+    // LSH-hybrid replay: the bucket-join candidate ranking cut at the
+    // re-rank budget (r0 ≤ 20), predicate filter, re-rank to 5.
+    "ann_filtered_lsh_topk" ->
+      (s"WITH $lshDetCtes,\n" +
+        """lc AS (SELECT query_id, neighbor_id, dist FROM (
+          |    SELECT query_id, neighbor_id, dist,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS r0
+          |    FROM scored) WHERE r0 <= 20
+          |      AND neighbor_id IN (SELECT vec_id FROM embeddings WHERE label != 3))
+          |SELECT query_id, neighbor_id, cast(rank as bigint) AS rank FROM (
+          |  SELECT query_id, neighbor_id,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+          |  FROM lc) WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin),
 
     // LSH acceptance gauge: per-query recall@5 against the brute-force
     // fold-L2 ground truth (self included on both sides).

@@ -705,18 +705,10 @@ object SparkEntry {
           s"${staging.getAbsolutePath}/inedges", "src", KnnGraph.EdgeBuckets)
         ArtifactIO.writeBucketed(rep.incremented,
           s"${staging.getAbsolutePath}/inrep", "src", KnnGraph.EdgeBuckets)
-        def fp(df: DataFrame, part: String): DataFrame =
-          df.groupBy("src").agg(
-            count(lit(1)).as("n_edges"),
-            sum(floor(col("dist") * lit(1.0e9) + lit(0.5)).cast("long"))
-              .as("sum_dist_nanos"),
-            sum("dst").as("sum_dst"))
-            .select(lit(part).as("part"), col("src"), col("n_edges"),
-              col("sum_dist_nanos"), col("sum_dst"))
-        fp(base.newEdges, "base_new")
-          .unionByName(fp(base.retrimmed, "base_trim"))
-          .unionByName(fp(rep.newEdges, "rep_new"))
-          .unionByName(fp(rep.retrimmed, "rep_trim"))
+        adjacencyFp(base.newEdges, "base_new")
+          .unionByName(adjacencyFp(base.retrimmed, "base_trim"))
+          .unionByName(adjacencyFp(rep.newEdges, "rep_new"))
+          .unionByName(adjacencyFp(rep.retrimmed, "rep_trim"))
           .coalesce(1).write.mode("overwrite")
           .parquet(s"${staging.getAbsolutePath}/summary")
       }
@@ -732,6 +724,20 @@ object SparkEntry {
     * list — what ann_graph_delete checks against the closed-form SQL
     * replay of the repair rule).
     */
+  /** Per-src adjacency-list fingerprint (edge count, nano-sum of dists,
+    * dst sum) — the summary layout BOTH mutation artifacts persist and
+    * their oracles replay; one definition so the formula can never drift
+    * between the insert and delete summaries and their SQL mirrors.
+    */
+  private def adjacencyFp(df: DataFrame, part: String): DataFrame =
+    df.groupBy("src").agg(
+      count(lit(1)).as("n_edges"),
+      sum(floor(col("dist") * lit(1.0e9) + lit(0.5)).cast("long"))
+        .as("sum_dist_nanos"),
+      sum("dst").as("sum_dst"))
+      .select(lit(part).as("part"), col("src"), col("n_edges"),
+        col("sum_dist_nanos"), col("sum_dst"))
+
   private val DelMod = 16
   private def graphDeleteDir(s: SparkSession, dir: String): String =
     GraftCache.memoAny(s"$dir/graphdel") {
@@ -756,16 +762,8 @@ object SparkEntry {
           s"${staging.getAbsolutePath}/deledges", "src", KnnGraph.EdgeBuckets)
         ArtifactIO.writeBucketed(rep.repaired,
           s"${staging.getAbsolutePath}/delrep", "src", KnnGraph.EdgeBuckets)
-        def fp(df: DataFrame, part: String): DataFrame =
-          df.groupBy("src").agg(
-            count(lit(1)).as("n_edges"),
-            sum(floor(col("dist") * lit(1.0e9) + lit(0.5)).cast("long"))
-              .as("sum_dist_nanos"),
-            sum("dst").as("sum_dst"))
-            .select(lit(part).as("part"), col("src"), col("n_edges"),
-              col("sum_dist_nanos"), col("sum_dst"))
-        fp(base.retrimmed, "base_trim")
-          .unionByName(fp(rep.retrimmed, "rep_trim"))
+        adjacencyFp(base.retrimmed, "base_trim")
+          .unionByName(adjacencyFp(rep.retrimmed, "rep_trim"))
           .coalesce(1).write.mode("overwrite")
           .parquet(s"${staging.getAbsolutePath}/summary")
       }

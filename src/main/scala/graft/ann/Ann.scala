@@ -300,7 +300,10 @@ object Ann {
     */
   def ivfDelete(assigned: DataFrame,
                 victims: org.apache.spark.sql.Column): DataFrame =
-    assigned.filter(!victims)
+    // null-safe: a row where the victim predicate evaluates to SQL NULL
+    // (e.g. a null attribute) is a SURVIVOR — bare filter(!victims) would
+    // silently delete it (!NULL is NULL, and filters drop NULL)
+    assigned.filter(!coalesce(victims, lit(false)))
 
   // ---- Filtered (hybrid) search: attribute predicate + vector top-k ----
 

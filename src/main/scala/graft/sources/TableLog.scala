@@ -80,6 +80,19 @@ object TableLog {
       .foldLeft(0)(math.max)
   }
 
+  /** Oldest RETAINED version, 0 if none — after a vacuum this is
+    * `keepFromVersion`, not 1. Consumers that bootstrap from history
+    * (changeFeedIvm) must start here; a literal 1 fails forever on any
+    * table that has ever been vacuumed.
+    */
+  def oldestVersion(table: String): Int = {
+    val fs = logDir(table).listFiles()
+    if (fs == null) 0
+    else fs.iterator.flatMap(f =>
+      """^v(\d+)\.json$""".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .foldLeft(0)((a, b) => if (a == 0) b else math.min(a, b))
+  }
+
   /** Live data directories (relative to the table root) at `version`. */
   def manifest(table: String, version: Int): Seq[String] = {
     require(version >= 1, s"version=$version")
@@ -307,6 +320,30 @@ object TableLog {
     }
   }
 
+  /** Per-key (partition tag / cluster bucket) min/max stats: ONE grouped
+    * aggregate keyed by the SAME string cast the directory names derive
+    * from (null → Spark's default-partition rendering). Bounded driver
+    * state: one row per written key. Shared by overwritePartitions and
+    * overwriteClustered — the stats encoding must never diverge between
+    * the two multi-dir write paths.
+    */
+  private def statsByKey(df: DataFrame, keyCol: org.apache.spark.sql.Column,
+                         statsCols: Seq[String]): Map[String, Map[String, (Long, Long)]] =
+    if (statsCols.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions.{coalesce, lit, max, min}
+      val key = coalesce(keyCol.cast("string"),
+        lit("__HIVE_DEFAULT_PARTITION__")).as("__pt_key")
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(statLongCol(df, c)), max(statLongCol(df, c))))
+      df.groupBy(key).agg(aggs.head, aggs.tail: _*).collect().map { r =>
+        r.getString(0) -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(1 + 2 * i)) None
+          else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+        }.toMap
+      }.toMap
+    }
+
   /** Partition-level overwrite — Delta's `replaceWhere` shape: the new
     * version replaces exactly the `partCol` values present in `df` and
     * keeps every other entry. ONE write job (partitionBy under the commit's
@@ -336,27 +373,10 @@ object TableLog {
   def overwritePartitions(df: DataFrame, table: String, partCol: String,
                           alsoReplace: Set[String] = Set.empty,
                           statsCols: Seq[String] = Nil): Int = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, max, min}
+    import org.apache.spark.sql.functions.col
     alsoReplace.foreach(t => require(!t.contains('"') && !t.contains('|'),
       s"partition value '$t' contains a manifest delimiter (\" or |)"))
-    // Per-PARTITION min/max stats, one grouped aggregate job keyed by the
-    // SAME string cast the write derives directory names from (so keys
-    // match the manifest tags; null → Spark's default-partition rendering).
-    // Bounded driver state: one row per written partition.
-    val statsByTag: Map[String, Map[String, (Long, Long)]] =
-      if (statsCols.isEmpty) Map.empty
-      else {
-        val key = coalesce(col(partCol).cast("string"),
-          lit("__HIVE_DEFAULT_PARTITION__")).as("__pt_key")
-        val aggs = statsCols.flatMap(c =>
-          Seq(min(statLongCol(df, c)), max(statLongCol(df, c))))
-        df.groupBy(key).agg(aggs.head, aggs.tail: _*).collect().map { r =>
-          r.getString(0) -> statsCols.zipWithIndex.flatMap { case (c, i) =>
-            if (r.isNullAt(1 + 2 * i)) None
-            else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
-          }.toMap
-        }.toMap
-      }
+    val statsByTag = statsByKey(df, col(partCol), statsCols)
     var v = -1
     var tries = 0
     while (v < 0) {
@@ -430,21 +450,7 @@ object TableLog {
   def overwriteClustered(df: DataFrame, table: String,
                          bucket: org.apache.spark.sql.Column,
                          statsCols: Seq[String] = Nil): Int = {
-    import org.apache.spark.sql.functions.{coalesce, lit, max, min}
-    val statsByTag: Map[String, Map[String, (Long, Long)]] =
-      if (statsCols.isEmpty) Map.empty
-      else {
-        val key = coalesce(bucket.cast("string"),
-          lit("__HIVE_DEFAULT_PARTITION__")).as("__pt_key")
-        val aggs = statsCols.flatMap(c =>
-          Seq(min(statLongCol(df, c)), max(statLongCol(df, c))))
-        df.groupBy(key).agg(aggs.head, aggs.tail: _*).collect().map { r =>
-          r.getString(0) -> statsCols.zipWithIndex.flatMap { case (c, i) =>
-            if (r.isNullAt(1 + 2 * i)) None
-            else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
-          }.toMap
-        }.toMap
-      }
+    val statsByTag = statsByKey(df, bucket, statsCols)
     var v = -1
     var tries = 0
     while (v < 0) {

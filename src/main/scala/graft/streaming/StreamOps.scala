@@ -289,11 +289,44 @@ object StreamOps {
     def rollup(df: DataFrame): DataFrame =
       df.groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("us").as("sum_value_micros"))
-    if (TableLog.headVersion(view) == 0)
+    if (TableLog.headVersion(view) == 0) {
+      // bootstrap from the OLDEST RETAINED source version — a literal 1
+      // fails forever on any table that has ever been vacuumed
+      val v0 = TableLog.oldestVersion(table)
       TableLog.overwrite(
-        rollup(TableLog.read(s, table, Some(1))).withColumn("__v", lit(1)), view)
-    val cur = TableLog.read(s, view)
-      .agg(max("__v")).head().getInt(0) // bounded: one driver-side int
+        rollup(TableLog.read(s, table, Some(v0))).withColumn("__v", lit(v0)), view)
+    }
+    // The cursor rides the view's rows (max(__v) of the head) — but a
+    // source version that EMPTIES the table commits a zero-row view state
+    // whose max is NULL. The cursor is still fully determined by the
+    // view's own durable history: every view commit (bootstrap included)
+    // advances the cursor by exactly one, so walking back to the newest
+    // non-empty view version k0 (cursor c0) gives cur = c0 + (head − k0);
+    // a history that is empty all the way down means every commit since
+    // the bootstrap advanced from it, and the walk's require fails loudly
+    // only if that history was vacuumed away mid-walk. Normal ticks never
+    // walk: the head is non-empty and one read answers.
+    val viewHead = TableLog.headVersion(view)
+    def cursorAt(k: Int): Int =
+      if (k < 1) {
+        // every retained view version is empty — the invariant the cursor
+        // certifies is `view state == rollup(source @ cursor)`, and an
+        // EMPTY view satisfies it at ANY source version whose state is
+        // empty: re-baseline on the oldest retained one (verified empty;
+        // a non-empty oldest state means the true cursor was vacuumed
+        // away and resuming would silently skip content — fail loudly)
+        val v0 = TableLog.oldestVersion(table)
+        require(TableLog.read(s, table, Some(v0)).isEmpty,
+          s"changeFeedIvm: $view is empty at every retained version but " +
+            s"$table@v$v0 (its oldest retained) is not — the cursor's " +
+            "history was vacuumed away; rebuild the view")
+        v0
+      } else {
+        val r = TableLog.read(s, view, Some(k)).agg(max("__v")).head()
+        if (!r.isNullAt(0)) r.getInt(0) + (viewHead - k)
+        else cursorAt(k - 1)
+      }
+    val cur = cursorAt(viewHead) // bounded: one driver-side int per step
     val head = TableLog.headVersion(table)
     if (head > cur) {
       val next = cur + 1

@@ -27,9 +27,11 @@ object Pii {
   /** user@host.tld — conservative: requires a dotted TLD of letters. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
 
-  /** Dotted quad. \\b guards keep version strings like 1.2.3.4.5 from
-    * yielding a partial match on a prefix with trailing context — the
-    * boundary semantics are the same in java.util.regex and RE2.
+  /** Dotted quad. The \\b guards only block digit-ADJACENT runs (a1.2.3.4,
+    * 1.2.3.4567); a longer dotted run like 1.2.3.4.5 still matches its
+    * first four octets ('.'-adjacency IS a word boundary) — PiiSpec pins
+    * that behavior deliberately, and the boundary semantics are the same
+    * in java.util.regex and RE2 (the parity the oracle gates).
     */
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 

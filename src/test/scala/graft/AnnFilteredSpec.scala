@@ -103,6 +103,15 @@ class AnnFilteredSpec extends AnyFunSuite {
     val exact = Ann.filteredBrute(queries, emb, col("label") =!= 2, k = 5)
     assert(pairs(full) == pairs(exact),
       "post-delete full-probe search must equal exact search over survivors")
+    // null-safe victims: a row whose predicate evaluates to SQL NULL is a
+    // SURVIVOR, not a silent casualty
+    val withNulls = scratch.withColumn("label",
+      when(col("vec_id") % 7 === 0, lit(null)).otherwise(col("label")))
+    val kept = Ann.ivfDelete(withNulls, col("label") === 2)
+    val expected = withNulls.filter(col("label").isNull || col("label") =!= 2)
+    assert(kept.count() == expected.count() &&
+      kept.select("vec_id").exceptAll(expected.select("vec_id")).count() == 0,
+      "rows with a NULL victim predicate must survive the delete")
   }
 
   test("pre-filter survivors beyond the broadcast wall fall back to IVF-over-subset") {

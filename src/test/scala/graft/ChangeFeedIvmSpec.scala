@@ -56,6 +56,33 @@ class ChangeFeedIvmSpec extends AnyFunSuite {
     assert(viewAt(v, 4).keySet == Set("c"), s"stale groups survived: ${viewAt(v, 4)}")
   }
 
+  test("a version that empties the table doesn't lose the cursor") {
+    val t = tmp(); val v = tmp()
+    TableLog.overwrite(rows("a" -> 10L, "b" -> 7L), t) // v1
+    tick(t, v)
+    TableLog.overwrite(rows(), t)                      // v2: full delete
+    TableLog.overwrite(rows("c" -> 3L), t)             // v3: rows return
+    tick(t, v) // consumes v2 — the view state is now EMPTY (no __v row)
+    assert(TableLog.read(spark, v).count() == 0,
+      "the emptied state must commit as zero rows, not zero-count groups")
+    tick(t, v) // the cursor must survive the empty state and consume v3
+    assert(TableLog.headVersion(v) == 3,
+      "the cursor was lost crossing the empty view state")
+    assert(viewAt(v, 3) == recompute(t, 3))
+  }
+
+  test("bootstrap starts from the oldest RETAINED source version, not the literal 1") {
+    val t = tmp(); val v = tmp()
+    TableLog.overwrite(rows("a" -> 1L), t)             // v1
+    TableLog.append(rows("b" -> 2L), t)                // v2
+    TableLog.vacuum(t, keepFromVersion = 2)            // v1 is gone
+    tick(t, v) // must bootstrap from v2, not fail on the vacuumed v1
+    assert(viewAt(v, 1) == recompute(t, 2))
+    TableLog.append(rows("c" -> 5L), t)                // v3
+    tick(t, v)
+    assert(viewAt(v, 2) == recompute(t, 3))
+  }
+
   test("a tick past the head is a no-op (restart/idempotence)") {
     val t = tmp(); val v = tmp()
     TableLog.overwrite(rows("a" -> 1L), t)

@@ -495,6 +495,29 @@ object SparkEntry {
       }
     }
 
+  /** RESTORE artifact: v1 the pre-cut slice, v2 an "accidental" overwrite
+    * (click rows only), v3 = TableLog.restore(1) — the undo. The head
+    * must read back as v1's exact content with zero data copied (the
+    * restore commit references v1's directories verbatim).
+    */
+  private def eventsRestoreDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/eventsrestore") {
+      val k = ArtifactIO.contentKey(s"$dir|restore|v1",
+        new java.io.File(s"$dir/events.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_eventsrst_$k")
+      ArtifactIO.publishDir(out, valid = o =>
+        graft.sources.TableLog.headVersion(o.getAbsolutePath) == 3) { staging =>
+        val cut = lit(IncrCutDay).cast("date")
+        val ev = eventsWithDay(s, dir).select(col("event_id"), col("ts_ns"),
+          col("event_type"), micros(col("value")).as("us"), col("day"))
+        graft.sources.TableLog.overwrite(ev.filter(col("day") < cut),
+          staging.getAbsolutePath)
+        graft.sources.TableLog.overwrite(
+          ev.filter(col("event_type") === "click"), staging.getAbsolutePath)
+        graft.sources.TableLog.restore(staging.getAbsolutePath, 1)
+      }
+    }
+
   /** CDC replay fixture: the events table as FIVE parquet micro-batch files
     * with strictly increasing mtimes — four upsert slices time-contiguous
     * in (ts_ns, event_id) with op='U', then one tombstone batch (op='D')
@@ -2571,6 +2594,21 @@ object SparkEntry {
       graft.sources.TableLog.readWhereRanges(s, table,
           Seq(("ts_ns", t1, t2 - 1), ("user_id", 0L, 7L)))
         .filter(col("ts_ns") >= t1 && col("ts_ns") < t2 && col("user_id") < 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("us"), lit(0L)).as("sum_value_micros"))
+        .orderBy("event_type")
+    }),
+
+    // RESTORE on the log table: v2 "accidentally" overwrote the table
+    // with its click rows; v3 = restore(1) commits v1's manifest entries
+    // as the new head — zero data copied, full history intact. The head
+    // rollup must equal v1's definition exactly; the oracle replays that
+    // definition over raw events (it never sees the detour, which is the
+    // point).
+    "q_events_restore" -> ((s, dir) => {
+      val table = eventsRestoreDir(s, dir)
+      graft.sources.TableLog.read(s, table)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           coalesce(sum("us"), lit(0L)).as("sum_value_micros"))
@@ -7738,6 +7776,13 @@ object SparkEntry {
          |FROM events
          |WHERE user_id < 8 AND ts >= TIMESTAMP '2024-01-10 00:00:00'
          |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Restore replay: the head IS v1's definition — the pre-cut slice.
+    "q_events_restore" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events WHERE cast(ts AS date) < DATE '$IncrCutDay'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Evolution replay: rows committed before the cut never had the

@@ -431,6 +431,28 @@ object TableLog {
   def compact(spark: SparkSession, table: String): Int =
     overwrite(read(spark, table), table)
 
+  /** RESTORE — Delta's time-travel WRITE: commit `version`'s manifest
+    * entries as the next head, making the historical state current again
+    * without copying a byte (data dirs are immutable and shared across
+    * manifests). History stays intact: the pre-restore head remains
+    * readable, the restore is itself a version, and vacuum keeps every
+    * dir a RETAINED manifest references — so a restored head's data
+    * survives retention by the same rule as everything else. The one
+    * caveat is vacuum's: restoring a version whose manifests were already
+    * vacuumed fails loudly at the `manifest` require.
+    */
+  def restore(table: String, version: Int): Int = {
+    val entries = manifest(table, version)
+    var v = -1
+    var tries = 0
+    while (v < 0) {
+      if (tries >= MaxCommitAttempts) exhausted(table)
+      tries += 1
+      v = tryCommit(table, headVersion(table), entries)
+    }
+    v
+  }
+
   /** CLUSTERED OPTIMIZE — `OPTIMIZE … ZORDER BY` at the TableLog grain:
     * rewrite `df` (typically `read(table)`) as ONE commit of many
     * directories, one per value of `bucket` (a space-filling-curve bucket

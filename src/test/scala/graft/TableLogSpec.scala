@@ -328,6 +328,25 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.pruneDirsRange(t, "x", 0, 7, Some(1)).size == 1)
   }
 
+  test("restore: a historical state becomes the head without copying; history and retention hold") {
+    val t = tmpTable()
+    TableLog.overwrite(df(1, 2), t)        // v1
+    TableLog.overwrite(df(9), t)           // v2 — the "mistake"
+    val v3 = TableLog.restore(t, 1)        // undo
+    assert(v3 == 3)
+    def ids(v: Int) = TableLog.read(spark, t, Some(v))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(3) == Seq(1L, 2L), "restored head must equal the restored version")
+    assert(ids(2) == Seq(9L), "the pre-restore head must stay readable")
+    // zero copy: v3 references exactly v1's data dirs
+    assert(TableLog.manifest(t, 3) == TableLog.manifest(t, 1))
+    // retention: vacuuming everything below the restore keeps the restored
+    // head's dirs (they are referenced by a RETAINED manifest)
+    TableLog.vacuum(t, keepFromVersion = 3)
+    assert(ids(3) == Seq(1L, 2L), "vacuum reclaimed dirs the restored head references")
+    intercept[IllegalArgumentException](TableLog.read(spark, t, Some(2)))
+  }
+
   test("orphaned data from lost races stays invisible") {
     val t = tmpTable()
     TableLog.overwrite(df(1), t)

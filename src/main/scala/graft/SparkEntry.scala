@@ -3253,7 +3253,12 @@ object SparkEntry {
           .option("pathGlobFilter", "*.parquet")
           .parquet(replay)
           .writeStream
-          .foreachBatch(graft.streaming.StreamOps.changeFeedIvm(table, view) _)
+          // auditing mode (1 source version per tick): this query's POINT is
+          // the version-by-version parity of the maintained history; the
+          // default whole-backlog catch-up is q_stream_ivm_catchup's subject
+          .foreachBatch(
+            graft.streaming.StreamOps.changeFeedIvm(table, view,
+              maxVersionsPerTick = 1) _)
           .option("checkpointLocation",
             new java.io.File(base, "ivmcckpt").getAbsolutePath)
           .start()
@@ -3263,6 +3268,45 @@ object SparkEntry {
       GraftCache.onClear(() => rmTree(base))
       val res = GraftCache.track(
         (1 to graft.sources.TableLog.headVersion(view)).map { v =>
+          graft.sources.TableLog.read(s, view, Some(v))
+            .select(col("__v").as("version"), col("event_type"), col("n"),
+              col("sum_value_micros"))
+        }.reduce(_.unionByName(_)).orderBy("version", "event_type"))
+      res.count() // materialize before the view dir can be cleared
+      res
+    }),
+
+    // IVM CATCH-UP (r17): the same change-feed consumer in its DEFAULT
+    // whole-backlog mode — a consumer that was down for the table's entire
+    // v1–v6 history (5 CDC merges + a compaction) converges in ONE tick:
+    // bootstrap from v1, then one changeFeed(1, 6) fold, which reads only
+    // the directories the two ENDPOINT manifests don't share (intermediate
+    // churn — rows added by v2–v4 and tombstoned by v5, the compaction's
+    // rewrite — cancels at the manifest and is never read). A 500-commit
+    // backlog is one manifest diff, not 500 micro-batches. The tick
+    // function is driven directly here (it is exactly what foreachBatch
+    // invokes — q_stream_changefeed_ivm proves the streaming plumbing);
+    // the second tick proves convergence is a no-op. The view history is
+    // the capability's signature: TWO versions — the bootstrap (__v=1) and
+    // the folded step (__v=6) — against the same full-recompute oracle
+    // endpoints.
+    "q_events_ivm_catchup" -> ((s, dir) => {
+      val table = cdcLogTableShared(s, dir) // v1–5 (shared with merge_cdc)
+      // same guard as q_stream_changefeed_ivm: v6 (a compaction) exists
+      // whichever of the three sharing queries runs first
+      if (graft.sources.TableLog.headVersion(table) == 5)
+        graft.sources.TableLog.compact(s, table)
+      val n = streamSinkSeq.incrementAndGet()
+      val base = replayCkptBase(n)
+      val view = new java.io.File(base, "ivmcatchup").getAbsolutePath
+      val tick = graft.streaming.StreamOps.changeFeedIvm(table, view) _
+      tick(s.range(1).toDF(), 0L) // bootstrap + ONE folded step: v1 → v6
+      tick(s.range(1).toDF(), 1L) // already converged — must be a no-op
+      require(graft.sources.TableLog.headVersion(view) == 2,
+        "catch-up must converge the 5-version backlog in one tick")
+      GraftCache.onClear(() => rmTree(base))
+      val res = GraftCache.track(
+        (1 to 2).map { v =>
           graft.sources.TableLog.read(s, view, Some(v))
             .select(col("__v").as("version"), col("event_type"), col("n"),
               col("sum_value_micros"))
@@ -7628,6 +7672,25 @@ object SparkEntry {
          |SELECT cast(k.range AS integer) AS version, event_type, count(*) AS n,
          |  ${sumMicrosSql("value")} AS sum_value_micros
          |FROM post, range(5, 7) k GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Catch-up replay: exactly the two ENDPOINTS the folded consumer
+    // commits — the bootstrap (source v1 = the first cumulative CDC
+    // quartile slice, version label 1) and the whole-backlog fold (source
+    // v6 = the post-tombstone set, version label 6). The intermediate
+    // versions are deliberately ABSENT: the fold never materializes them.
+    "q_events_ivm_catchup" ->
+      s"""WITH r AS (SELECT event_type, value,
+         |    ((row_number() OVER (ORDER BY ts, event_id) - 1) * 4)
+         |      // (SELECT count(*) FROM events) AS b
+         |  FROM events)
+         |SELECT cast(1 AS integer) AS version, event_type, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM r WHERE b < 1 GROUP BY 2
+         |UNION ALL
+         |SELECT cast(6 AS integer) AS version, event_type, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events WHERE event_id % 37 <> 0 GROUP BY 2
          |ORDER BY 1, 2""".stripMargin,
 
     // The incremental artifact's content IS the raw table when maintenance

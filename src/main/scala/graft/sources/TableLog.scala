@@ -13,6 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   table/
   *     data/c<version>-<pid>-<uuid>/part-*.parquet   — IMMUTABLE, never edited
   *     _log/v00001.json, v00002.json, …              — one manifest per commit
+  *     _log/_head.hint, _log/_oldest.hint            — advisory O(1) lookups
   * }}}
   * A manifest is the COMPLETE list of live data directories at that version.
   * Commits never mutate data files — a commit writes new data dirs, derives
@@ -65,32 +66,104 @@ object TableLog {
   private def manifestFile(table: String, v: Int) =
     new java.io.File(logDir(table), f"v$v%05d.json")
 
-  /** Highest committed version, 0 if none. The match is `v(\d+)` — NOT a
-    * fixed five digits: manifestFile's %05d zero-padding widens to six
-    * digits at version 100000, and a five-digit-only regex would pin the
-    * head at 99999 forever (every commit would then retry the same taken
-    * version — an infinite loop, not a wrap). Zero-padded names still sort
-    * correctly for ls aesthetics; resolution is numeric here regardless.
+  // ---- O(1) version resolution: checkpoint hints (Delta's _last_checkpoint
+  //      pattern). Without them, head/oldest lookup LISTS the whole _log
+  //      directory — O(versions) per call, which a streaming consumer pays
+  //      on every micro-batch and a 10⁴-commit table pays everywhere. A
+  //      hint is ADVISORY, never trusted blind: the reader verifies it
+  //      against the manifests that actually exist and probes past it, so
+  //      a stale, corrupt, missing, or torn hint can only cost speed (fall
+  //      back to the listing), never correctness. Writes are best-effort
+  //      (temp + atomic move; any failure is swallowed) — the hint is a
+  //      CACHE of log state, not log state.
+
+  private def headHintFile(table: String)   = new java.io.File(logDir(table), "_head.hint")
+  private def oldestHintFile(table: String) = new java.io.File(logDir(table), "_oldest.hint")
+
+  private def readHint(f: java.io.File): Int =
+    try {
+      if (!f.isFile) 0
+      else new String(Files.readAllBytes(f.toPath), "UTF-8").trim.toInt
+    } catch { case _: Exception => 0 } // torn/corrupt hint = no hint
+
+  private def writeHint(f: java.io.File, v: Int): Unit =
+    try {
+      val tmp = new java.io.File(f.getParentFile,
+        s".hint-${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID.toString.take(8)}")
+      Files.write(tmp.toPath, v.toString.getBytes("UTF-8"))
+      try Files.move(tmp.toPath, f.toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp.toPath, f.toPath, StandardCopyOption.REPLACE_EXISTING)
+      }
+    } catch { case _: Exception => () } // best-effort: readers verify anyway
+
+  /** Diagnostic: how many times version resolution fell back to the full
+    * `_log` listing, PER TABLE (parallel suites touch other tables
+    * concurrently — a global counter would be flaky). Spec-facing only
+    * (TableLogSpec asserts hinted lookups at a 1000-commit log never
+    * list); zero runtime behavior hangs off it.
     */
-  def headVersion(table: String): Int = {
+  private val listingScans =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private[graft] def listingScansFor(table: String): Long = {
+    val a = listingScans.get(table)
+    if (a == null) 0L else a.get()
+  }
+
+  private def scanVersions(table: String)(fold: (Int, Int) => Int): Int = {
+    listingScans.computeIfAbsent(table,
+      _ => new java.util.concurrent.atomic.AtomicLong(0)).incrementAndGet()
     val fs = logDir(table).listFiles()
     if (fs == null) 0
     else fs.iterator.flatMap(f =>
       """^v(\d+)\.json$""".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      .foldLeft(0)(math.max)
+      .foldLeft(0)(fold)
+  }
+
+  /** Highest committed version, 0 if none. O(1 + commits-since-hint): the
+    * head hint (written after every successful commit) is verified to exist
+    * and probed FORWARD past any commits by racing writers; only a missing
+    * or invalid hint falls back to listing `_log`. The fallback match is
+    * `v(\d+)` — NOT a fixed five digits: manifestFile's %05d zero-padding
+    * widens to six digits at version 100000, and a five-digit-only regex
+    * would pin the head at 99999 forever (every commit would then retry the
+    * same taken version — an infinite loop, not a wrap). Zero-padded names
+    * still sort correctly for ls aesthetics; resolution is numeric here
+    * regardless.
+    */
+  def headVersion(table: String): Int = {
+    val hinted = readHint(headHintFile(table))
+    if (hinted >= 1 && manifestFile(table, hinted).isFile) {
+      // probe FORWARD from the verified hint: sound because the commit
+      // protocol makes versions gap-free (every commit publishes head+1),
+      // so the first absent successor IS the head
+      var v = hinted
+      while (manifestFile(table, v + 1).isFile) v += 1
+      v
+    } else scanVersions(table)(math.max)
   }
 
   /** Oldest RETAINED version, 0 if none — after a vacuum this is
     * `keepFromVersion`, not 1. Consumers that bootstrap from history
     * (changeFeedIvm) must start here; a literal 1 fails forever on any
-    * table that has ever been vacuumed.
+    * table that has ever been vacuumed. O(1) via the oldest hint (written
+    * by vacuum; version 1 implied for never-vacuumed tables once any head
+    * hint exists): valid iff the hinted manifest exists and its predecessor
+    * does not — a LATER vacuum invalidates the second check and falls back
+    * to the listing (which that vacuum's own hint write normally prevents).
     */
   def oldestVersion(table: String): Int = {
-    val fs = logDir(table).listFiles()
-    if (fs == null) 0
-    else fs.iterator.flatMap(f =>
-      """^v(\d+)\.json$""".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      .foldLeft(0)((a, b) => if (a == 0) b else math.min(a, b))
+    val hinted = {
+      val h = readHint(oldestHintFile(table))
+      // a committed table without an oldest hint has never been vacuumed:
+      // oldest is 1 by construction (commits only ever add versions)
+      if (h >= 1) h else if (manifestFile(table, 1).isFile) 1 else 0
+    }
+    if (hinted >= 1 && manifestFile(table, hinted).isFile &&
+        !manifestFile(table, hinted - 1).isFile) hinted
+    else scanVersions(table)((a, b) => if (a == 0) b else math.min(a, b))
   }
 
   /** Live data directories (relative to the table root) at `version`. */
@@ -132,7 +205,10 @@ object TableLog {
     // loop forever, writing a fresh orphan data directory per iteration
     // (an unbounded disk-fill). Those propagate to the caller.
     try {
-      if (createExclusive(manifestFile(table, v).toPath, tmp.toPath)) v else -1
+      if (createExclusive(manifestFile(table, v).toPath, tmp.toPath)) {
+        writeHint(headHintFile(table), v) // O(1) head lookup for every reader
+        v
+      } else -1
     } finally Files.deleteIfExists(tmp.toPath)
   }
 
@@ -544,6 +620,7 @@ object TableLog {
       Files.deleteIfExists(new java.io.File(logDir(table),
         manifestFile(table, v).getName + ".claim").toPath)
     }
+    writeHint(oldestHintFile(table), keepFromVersion) // O(1) oldest lookup
     reclaimed.length
   }
 

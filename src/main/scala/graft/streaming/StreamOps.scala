@@ -261,9 +261,9 @@ object StreamOps {
     *
     *   - bootstrap (view empty): the rollup of `table` version 1, committed
     *     with `__v = 1`;
-    *   - step: `delta = changeFeed(cursor, cursor+1)` rolled up signed
+    *   - step: `delta = changeFeed(cursor, target)` rolled up signed
     *     (insert = +1/+us, delete = −1/−us), merged full_outer into the
-    *     view, committed with `__v = cursor+1`. A version whose feed is
+    *     view, committed with `__v = target`. A span whose feed is
     *     EMPTY (a compaction, a no-op commit) still commits — identical
     *     rows, advanced `__v` — so the cursor passes it and the view
     *     history records it (state unchanged, ChangeFeedIvmSpec-pinned).
@@ -275,15 +275,27 @@ object StreamOps {
     * from the committed cursor, never double-applies. (This is the
     * checkpointing Delta's streaming source gets from the offset log;
     * riding it on the view's commit needs no second durability domain.)
-    * One version per tick keeps per-batch work bounded and the view
-    * history 1:1 with the source history; a catch-up consumer would loop
-    * `while (head > cursor)` with the same step.
+    *
+    * CATCH-UP: by default one tick folds the WHOLE backlog —
+    * `target = head`, one changeFeed resolution across the span. That is
+    * not an approximation of stepping: changeFeed(cur, head) reads only
+    * the directories the two ENDPOINT manifests don't share, so a row
+    * added by one intermediate version and dropped by another is never
+    * even read, and the net diff IS the sum of the per-version deltas
+    * (they're additive). A consumer that was down for 500 commits pays one
+    * manifest diff, not 500 micro-batches (the r16 shape) — and strictly
+    * LESS I/O than 500 steps would, since intermediate churn cancels at
+    * the manifest. `maxVersionsPerTick` bounds the span for consumers that
+    * want the view history 1:1 with the source history (the auditing mode
+    * q_stream_changefeed_ivm registers, target = cursor+1 per tick).
     *
     * At 100 TB: each step reads only the directories the diffed manifests
     * don't share (changeFeed's contract) and touches only changed groups —
     * the maintained view never rescans the table.
     */
-  def changeFeedIvm(table: String, view: String)(tick: DataFrame, batchId: Long): Unit = {
+  def changeFeedIvm(table: String, view: String,
+                    maxVersionsPerTick: Int = Int.MaxValue)(
+                    tick: DataFrame, batchId: Long): Unit = {
     import graft.sources.TableLog
     val s = tick.sparkSession
     def rollup(df: DataFrame): DataFrame =
@@ -299,20 +311,33 @@ object StreamOps {
     // The cursor rides the view's rows (max(__v) of the head) — but a
     // source version that EMPTIES the table commits a zero-row view state
     // whose max is NULL. The cursor is still fully determined by the
-    // view's own durable history: every view commit (bootstrap included)
-    // advances the cursor by exactly one, so walking back to the newest
+    // view's own durable history: every EMPTY view commit advances the
+    // cursor by exactly one (non-empty commits carry their own __v, and
+    // catch-up spans that would land an empty state are forced
+    // single-step — see the guard below), so walking back to the newest
     // non-empty view version k0 (cursor c0) gives cur = c0 + (head − k0);
     // a history that is empty all the way down means every commit since
     // the bootstrap advanced from it, and the walk's require fails loudly
     // only if that history was vacuumed away mid-walk. Normal ticks never
     // walk: the head is non-empty and one read answers.
-    val viewHead = TableLog.headVersion(view)
+    val viewHead   = TableLog.headVersion(view)
+    val viewOldest = TableLog.oldestVersion(view)
     def cursorAt(k: Int): Int =
-      if (k < 1) {
-        // every retained view version is empty — the invariant the cursor
-        // certifies is `view state == rollup(source @ cursor)`, and an
-        // EMPTY view satisfies it at ANY source version whose state is
-        // empty: re-baseline on the oldest retained one (verified empty;
+      if (k < viewOldest && viewOldest > 1)
+        // the walk needs a version the view's OWN vacuum already reclaimed
+        // — without it the cursor is unrecoverable, and falling through to
+        // TableLog.manifest's generic "no committed version" require would
+        // hide what actually happened
+        throw new IllegalStateException(
+          s"changeFeedIvm: every RETAINED version of $view (v$viewOldest.." +
+            s"v$viewHead) is empty and the older history that held the " +
+            "cursor was vacuumed away — the cursor cannot be recovered; " +
+            "rebuild the view (drop it and let the next tick re-bootstrap)")
+      else if (k < 1) {
+        // every view version since the bootstrap is empty — the invariant
+        // the cursor certifies is `view state == rollup(source @ cursor)`,
+        // and an EMPTY view satisfies it at ANY source version whose state
+        // is empty: re-baseline on the oldest retained one (verified empty;
         // a non-empty oldest state means the true cursor was vacuumed
         // away and resuming would silently skip content — fail loudly)
         val v0 = TableLog.oldestVersion(table)
@@ -329,20 +354,36 @@ object StreamOps {
     val cur = cursorAt(viewHead) // bounded: one driver-side int per step
     val head = TableLog.headVersion(table)
     if (head > cur) {
-      val next = cur + 1
-      val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
-      val delta = TableLog.changeFeed(s, table, cur, next)
-        .groupBy("event_type")
-        .agg(sum(sign).as("dn"), sum(sign * col("us")).as("dus"))
-      val merged = TableLog.read(s, view).drop("__v")
-        .join(delta, Seq("event_type"), "full_outer")
-        .select(col("event_type"),
-          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
-          (coalesce(col("sum_value_micros"), lit(0L)) + coalesce(col("dus"), lit(0L)))
-            .as("sum_value_micros"))
-        .filter(col("n") =!= 0L)
-        .withColumn("__v", lit(next))
-      TableLog.overwrite(merged, view)
+      def stateAfter(target: Int): DataFrame = {
+        val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+        val delta = TableLog.changeFeed(s, table, cur, target)
+          .groupBy("event_type")
+          .agg(sum(sign).as("dn"), sum(sign * col("us")).as("dus"))
+        TableLog.read(s, view).drop("__v")
+          .join(delta, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("sum_value_micros"), lit(0L)) + coalesce(col("dus"), lit(0L)))
+              .as("sum_value_micros"))
+          .filter(col("n") =!= 0L)
+          .withColumn("__v", lit(target))
+      }
+      val target0 = math.min(head.toLong, cur.toLong + maxVersionsPerTick).toInt
+      if (target0 == cur + 1) TableLog.overwrite(stateAfter(target0), view)
+      else {
+        // An EMPTY state carries no __v row, so recovery (cursorAt's walk)
+        // counts each empty view commit as advancing the cursor by exactly
+        // ONE — a catch-up span that lands an empty state would silently
+        // break that arithmetic (the walk would resume at cur+1 and re-apply
+        // a diff against the wrong baseline). Guard: if the folded span's
+        // state is empty, commit a SINGLE-STEP tick instead (state =
+        // rollup(source@cur+1), possibly empty — the +1 invariant holds
+        // either way); catch-up resumes once the state is non-empty again.
+        // localCheckpoint materializes the span state once, so the common
+        // non-empty case pays one emptiness probe, not a recompute.
+        val m0 = stateAfter(target0).localCheckpoint()
+        TableLog.overwrite(if (m0.isEmpty) stateAfter(cur + 1) else m0, view)
+      }
     }
     ()
   }

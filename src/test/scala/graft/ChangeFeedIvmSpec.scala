@@ -23,7 +23,13 @@ class ChangeFeedIvmSpec extends AnyFunSuite {
     xs.toDF("event_type", "us")
   }
 
+  /** Auditing mode: one source version per tick (view history 1:1). */
   private def tick(table: String, view: String): Unit =
+    StreamOps.changeFeedIvm(table, view, maxVersionsPerTick = 1)(
+      spark.range(1).toDF(), 0L)
+
+  /** Default catch-up mode: one tick folds the whole backlog. */
+  private def tickAll(table: String, view: String): Unit =
     StreamOps.changeFeedIvm(table, view)(spark.range(1).toDF(), 0L)
 
   private def viewAt(view: String, v: Int): Map[String, (Long, Long)] =
@@ -81,6 +87,53 @@ class ChangeFeedIvmSpec extends AnyFunSuite {
     TableLog.append(rows("c" -> 5L), t)                // v3
     tick(t, v)
     assert(viewAt(v, 2) == recompute(t, 3))
+  }
+
+  test("catch-up: a multi-version backlog converges in ONE tick") {
+    val t = tmp(); val v = tmp()
+    TableLog.overwrite(rows("a" -> 10L, "b" -> 7L), t)  // v1
+    TableLog.append(rows("a" -> 1L), t)                 // v2
+    TableLog.append(rows("c" -> 100L), t)               // v3
+    TableLog.compact(spark, t)                          // v4 (empty feed inside the span)
+    TableLog.append(rows("b" -> 2L, "d" -> 9L), t)      // v5
+    tickAll(t, v) // bootstrap (__v=1) + ONE folded step (__v=5)
+    assert(TableLog.headVersion(v) == 2,
+      s"a 4-version backlog must converge in one tick, not ${TableLog.headVersion(v)} commits")
+    assert(viewAt(v, 2) == recompute(t, 5))
+    assert(TableLog.read(spark, v).agg(max("__v")).head().getInt(0) == 5,
+      "the folded commit must advance the cursor to the source head")
+    tickAll(t, v) // no new source version — must not commit
+    assert(TableLog.headVersion(v) == 2)
+  }
+
+  test("catch-up: a span that lands an EMPTY state falls back to single-step (cursor recovery invariant)") {
+    val t = tmp(); val v = tmp()
+    TableLog.overwrite(rows("a" -> 10L), t) // v1
+    tickAll(t, v)                           // bootstrap, cursor = 1
+    TableLog.overwrite(rows(), t)           // v2: table emptied
+    TableLog.overwrite(rows(), t)           // v3: still empty
+    tickAll(t, v) // span 1→3 would land empty — must commit single-step (cursor 2)
+    assert(TableLog.read(spark, v).count() == 0)
+    TableLog.overwrite(rows("c" -> 3L), t)  // v4: rows return
+    tickAll(t, v) // cursor recovered as 2 (+1 per empty commit), folds 2→4
+    tickAll(t, v) // idempotence guard: at most one more step needed
+    assert(viewAt(v, TableLog.headVersion(v)) == recompute(t, 4),
+      "the view drifted after catching up across an emptied span")
+  }
+
+  test("a vacuumed view history fails with the rebuild diagnostic, not a raw manifest error") {
+    val t = tmp(); val v = tmp()
+    TableLog.overwrite(rows("a" -> 1L), t)  // v1
+    tick(t, v)                              // view v1 (non-empty, __v=1)
+    TableLog.overwrite(rows(), t)           // v2: table emptied
+    tick(t, v)                              // view v2 (empty)
+    TableLog.overwrite(rows(), t)           // v3: still empty
+    tick(t, v)                              // view v3 (empty)
+    TableLog.vacuum(v, keepFromVersion = 2) // the only non-empty view version is gone
+    TableLog.append(rows("c" -> 5L), t)     // v4
+    val e = intercept[IllegalStateException] { tick(t, v) }
+    assert(e.getMessage.contains("rebuild the view"),
+      s"expected the dedicated vacuumed-cursor diagnostic, got: ${e.getMessage}")
   }
 
   test("a tick past the head is a no-op (restart/idempotence)") {

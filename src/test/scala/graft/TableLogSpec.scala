@@ -150,10 +150,80 @@ class TableLogSpec extends AnyFunSuite {
       java.nio.file.Paths.get(t, "_log", "v00001.json"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(t, "_log", "v100000.json"), body)
+    // the manufactured jump (v2..v99999 absent) is impossible under the
+    // commit protocol — drop the hint so the LISTING path (whose regex is
+    // this test's subject) resolves the head
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(t, "_log", "_head.hint"))
     assert(TableLog.headVersion(t) == 100000,
       "six-digit manifest invisible — head stuck below the rollover")
     assert(TableLog.read(spark, t, Some(100000)).count() == 1)
     assert(TableLog.append(df(2), t) == 100001, "commit past the rollover")
+  }
+
+  test("checkpoint hints: head/oldest lookup at a 1000-commit log is O(1) — no _log listing") {
+    val t = tmpTable()
+    TableLog.overwrite(df(1), t) // v1 (real commit — writes the head hint)
+    // manufacture the other 999 versions the way the protocol would lay
+    // them out (gap-free, each manifest complete); 1000 real Spark commits
+    // would test the same resolution path at 100× the wall-clock
+    val body = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_log", "v00001.json"))
+    (2 to 1000).foreach { v =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(t, "_log", f"v$v%05d.json"), body)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(t, "_log", "_head.hint"),
+      "1000".getBytes("UTF-8"))
+    val scans0 = TableLog.listingScansFor(t)
+    assert(TableLog.headVersion(t) == 1000)
+    assert(TableLog.oldestVersion(t) == 1)
+    assert(TableLog.listingScansFor(t) == scans0,
+      "a fresh hint must resolve head AND oldest without listing _log")
+    // a stale hint (writer crashed before the hint write, or another
+    // writer committed since) probes FORWARD — still no listing
+    java.nio.file.Files.write(java.nio.file.Paths.get(t, "_log", "_head.hint"),
+      "997".getBytes("UTF-8"))
+    assert(TableLog.headVersion(t) == 1000 &&
+      TableLog.listingScansFor(t) == scans0,
+      "a stale hint must probe forward to the true head without listing")
+    // every degraded hint state falls back to the listing, never to a
+    // wrong answer: corrupt content, then a missing file
+    java.nio.file.Files.write(java.nio.file.Paths.get(t, "_log", "_head.hint"),
+      "not-a-version".getBytes("UTF-8"))
+    assert(TableLog.headVersion(t) == 1000, "corrupt hint broke resolution")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t, "_log", "_head.hint"))
+    assert(TableLog.headVersion(t) == 1000, "missing hint broke resolution")
+    assert(TableLog.listingScansFor(t) > scans0,
+      "the degraded states must have taken the listing fallback")
+    // a real commit on top restores the O(1) path
+    assert(TableLog.append(df(2), t) == 1001)
+    val scans1 = TableLog.listingScansFor(t)
+    assert(TableLog.headVersion(t) == 1001 &&
+      TableLog.listingScansFor(t) == scans1,
+      "the commit's own hint write must restore listing-free resolution")
+  }
+
+  test("checkpoint hints: vacuum records the oldest version; stale/corrupt oldest hints stay correct") {
+    val t = tmpTable()
+    TableLog.overwrite(df(1), t)              // v1
+    (2 to 6).foreach(i => TableLog.append(df(i.toLong), t)) // v2..v6
+    TableLog.vacuum(t, keepFromVersion = 4)
+    val scans0 = TableLog.listingScansFor(t)
+    assert(TableLog.oldestVersion(t) == 4)
+    assert(TableLog.listingScansFor(t) == scans0,
+      "vacuum's oldest hint must resolve without listing _log")
+    // a SECOND vacuum moves the floor; suppress its hint write by
+    // restoring the stale one — the verify (predecessor must be absent)
+    // rejects it and the listing answers correctly
+    TableLog.vacuum(t, keepFromVersion = 6)
+    java.nio.file.Files.write(java.nio.file.Paths.get(t, "_log", "_oldest.hint"),
+      "4".getBytes("UTF-8"))
+    assert(TableLog.oldestVersion(t) == 6,
+      "a stale oldest hint (its manifest vacuumed) must fall back, not lie")
+    java.nio.file.Files.write(java.nio.file.Paths.get(t, "_log", "_oldest.hint"),
+      "garbage".getBytes("UTF-8"))
+    assert(TableLog.oldestVersion(t) == 6, "corrupt oldest hint broke resolution")
   }
 
   test("readWhere prunes at the manifest: fewer dirs resolved, same rows as a filter") {

@@ -1939,7 +1939,7 @@ object SparkEntry {
         .join(ranked.withColumnRenamed("vec_id", "wm_id"), "wm_id")
         .localCheckpoint()
       val pdf = TmGridPs.toDF("p")
-      val agg = mc.crossJoin(pdf)
+      val agg = mc.crossJoin(broadcast(pdf))
         .filter(col("__grank") <= lit(n) - ceil(lit(n) * col("p")))
         .groupBy("p")
         .agg(count(lit(1)).as("n_matched"),
@@ -7849,12 +7849,17 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Evolution replay: rows committed before the cut never had the
-    // micros column (n_scored counts only post-cut rows), the sum covers
-    // exactly the post-cut slice — the null backfill contributes nothing.
+    // micros column, the sum covers exactly the post-cut slice — the null
+    // backfill contributes nothing. n_scored's definitions are ALIGNED,
+    // not merely coincident: the Spark side counts `us IS NOT NULL`, which
+    // is post-cut membership AND a non-null value (a post-cut row whose
+    // raw value were NULL would carry a NULL us in its own directory too),
+    // so the oracle carries both conjuncts — the equivalence must not lean
+    // on the fixture never producing NULL values.
     "q_events_schema_evolve" ->
       s"""SELECT event_type, count(*) AS n,
          |  cast(sum(CASE WHEN cast(ts AS date) >= DATE '$IncrCutDay'
-         |    THEN 1 ELSE 0 END) as bigint) AS n_scored,
+         |    AND value IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_scored,
          |  cast(sum(CASE WHEN cast(ts AS date) >= DATE '$IncrCutDay'
          |    THEN ${microsSql("value")} ELSE 0 END) as bigint) AS sum_value_micros
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

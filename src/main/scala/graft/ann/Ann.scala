@@ -350,11 +350,18 @@ object Ann {
 
   /** Selectivity-dispatched hybrid search. Predicates at or below
     * `graft.ann.prefilterMaxSel` (default 0.5) take the exact pre-filter
-    * path; above it, the post-filter oversampled IVF. The selectivity
-    * estimate here is one counting aggregate over the corpus — at 100 TB
-    * the same number comes for free from catalog/manifest column stats
-    * (TableLog `statsCols`) or a fixed-size sample, so the gate's cost is
-    * a lookup, not a scan; the DISPATCH RULE is the part that carries.
+    * path; above it, the post-filter oversampled IVF.
+    *
+    * The selectivity comes from `selectivityHint` when the caller has one
+    * — at 100 TB it does: TableLog manifest `statsCols` bound a range
+    * predicate's survivors, a catalog or a fixed-size sample bounds the
+    * rest, so the gate costs a LOOKUP and zero corpus jobs (the dispatch
+    * RULE is the part that carries). Without a hint, one counting
+    * aggregate over the filtered frame measures it exactly; the count job
+    * doubles as the kept-rows figure the broadcast gate needs, and the
+    * SAME filtered frame feeds the chosen pre-filter path — the predicate
+    * is planned once per job, never re-derived three times.
+    *
     * Pre-filter survivors beyond `graft.ann.broadcastMaxRows` fall back to
     * IVF over the filtered inverted lists (the assignment column survives
     * the filter — an IVF index supports subset search natively), trading
@@ -363,16 +370,27 @@ object Ann {
   def filteredTopK(queries: DataFrame, assignedCorpus: DataFrame,
                    centroids: Array[Array[Float]],
                    pred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
-                   oversample: Int = 4): DataFrame = {
-    val spark  = queries.sparkSession
-    val maxSel = spark.conf.get("graft.ann.prefilterMaxSel", "0.5").toDouble
-    val total  = nRows(assignedCorpus)
-    val kept   = assignedCorpus.filter(pred).count()
-    val sel    = if (total == 0) 1.0 else kept.toDouble / total.toDouble
+                   oversample: Int = 4,
+                   selectivityHint: Option[Double] = None): DataFrame = {
+    val spark    = queries.sparkSession
+    val maxSel   = spark.conf.get("graft.ann.prefilterMaxSel", "0.5").toDouble
+    val filtered = assignedCorpus.filter(pred) // ONE definition, reused below
+    // (sel, kept): hinted → no predicate scan (kept derives from the hint
+    // and the memoized total); unhinted → one memoized total + one
+    // filtered count
+    val (sel, kept) = selectivityHint match {
+      case Some(h) =>
+        require(h >= 0.0 && h <= 1.0, s"selectivityHint=$h outside [0, 1]")
+        (h, (h * nRows(assignedCorpus)).toLong)
+      case None =>
+        val total = nRows(assignedCorpus)
+        val n     = filtered.count()
+        (if (total == 0) 1.0 else n.toDouble / total.toDouble, n)
+    }
     if (sel <= maxSel) {
       val broadcastMax = spark.conf.get("graft.ann.broadcastMaxRows", "10000000").toLong
-      if (kept <= broadcastMax) filteredBrute(queries, assignedCorpus, pred, k)
-      else ivfDetSearch(queries, assignedCorpus.filter(pred), centroids, k, nprobe)
+      if (kept <= broadcastMax) bruteCosine(queries, filtered, k, kernel = "fold")
+      else ivfDetSearch(queries, filtered, centroids, k, nprobe)
     } else filteredIvf(queries, assignedCorpus, centroids, pred, k, nprobe, oversample)
   }
 

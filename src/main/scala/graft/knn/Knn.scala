@@ -15,7 +15,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    scan per query partition with a bounded max-heap. On a cluster this is
   *    embarrassingly parallel in the queries with ZERO shuffle (one
   *    broadcast, map-only). Right whenever the corpus fits an executor
-  *    (~≤ 10^7 × 64 floats = 2.5 GB); the 100 TB path for big corpora is
+  *    (~≤ 10^7 × 64 floats = 2.5 GB) — ENFORCED by a total byte wall
+  *    (`graft.knn.broadcastMaxBytes`, default 2 GiB) that fails loudly
+  *    before any large allocation; the 100 TB path for big corpora is
   *    `lsh` (or graft.ann.Ann's IVF). Two l2 kernels:
   *      - "fast" (default): ‖q−c‖² = ‖q‖² + ‖c‖² − 2·q·c with unrolled
   *        accumulators — half the flops of the diff form and vectorizes.
@@ -62,24 +64,59 @@ object Knn {
     FlatIndex(ids, flat, if (needNorms) sqNormsOf(flat, n, d) else null)
   }
 
+  /** The broadcast regime's TOTAL memory wall. The per-group wall
+    * (exactGrouped's `maxIndexRows`) bounds one index's scan cost but not
+    * the RESIDENT SET — the sum of every index the driver builds and every
+    * executor hosts — and `n ≤ Int.MaxValue` alone sits far above driver
+    * memory (a 10⁸-row × d=64 corpus is ~26 GB of flat floats). This wall
+    * fails LOUDLY, before any large allocation, the moment the first
+    * streamed row reveals the dimension — naming the families that carry
+    * the workload beyond the broadcast regime instead of letting the
+    * driver OOM. `graft.knn.broadcastMaxBytes` (default 2 GiB — a
+    * comfortable slice of one executor's memory, the quantity a broadcast
+    * must fit in) is a session conf so deployments size it to their
+    * executors.
+    */
+  private def checkBroadcastBudget(totalRows: Long, d: Int, needNorms: Boolean,
+                                   budget: Long, what: String): Unit = {
+    val perRow = d.toLong * 4 + 8 + (if (needNorms) 8 else 0) // flat + id + norm
+    val bytes  = totalRows * perRow
+    if (bytes > budget) throw new IllegalStateException(
+      f"$what: the broadcast index needs $bytes%,d bytes ($totalRows%,d rows × " +
+        f"d=$d) — over graft.knn.broadcastMaxBytes=$budget%,d. The exact " +
+        "broadcast regime is for corpora that fit one executor; beyond it, " +
+        "use the scale families: graft.ann.Ann.ivfDetSearch (IVF inverted " +
+        "lists, partition-pruned by nprobe), Knn.lsh/lshDet (bucketed LSH " +
+        "join), or graft.ann.GraphAnn (beam search).")
+  }
+
+  private def broadcastBudget(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("graft.knn.broadcastMaxBytes", (2L << 30).toString).toLong
+
   /** Index build that never holds the corpus as boxed driver rows: rows
     * stream in (one partition at a time) into pre-sized primitive arrays,
     * then are id-sorted via an index permutation. Peak driver memory is
     * ~2× the flat index (vs collect()'s boxed row array — tuple + array
     * headers per row — held ALONGSIDE the index). Costs one extra corpus
     * scan for the pre-count; the corpus is broadcast-regime-sized by
-    * contract, so that scan is cheap.
+    * contract, so that scan is cheap. The byte wall fires at the FIRST row
+    * (the dimension's first availability), before the flat allocation.
     */
   private def buildIndexStreaming(it: Iterator[(Long, Array[Float])], n: Int,
-                                  needNorms: Boolean): FlatIndex = {
+                                  needNorms: Boolean, budget: Long): FlatIndex = {
     require(n > 0, "empty corpus")
-    val ids0 = new Array[Long](n)
+    var ids0: Array[Long] = null
     var flat0: Array[Float] = null
     var d = 0
     var i = 0
     while (it.hasNext) {
       val (id, v) = it.next()
-      if (flat0 == null) { d = v.length; flat0 = new Array[Float](n * d) }
+      if (flat0 == null) {
+        d = v.length
+        checkBroadcastBudget(n, d, needNorms, budget, "Knn.exact")
+        ids0 = new Array[Long](n)
+        flat0 = new Array[Float](n * d)
+      }
       require(i < n, "corpus grew during index build")
       ids0(i) = id
       System.arraycopy(v, 0, flat0, i * d, d)
@@ -223,7 +260,7 @@ object Knn {
     // partition, so a 32-partition corpus pays 32 sequential driver
     // round-trips; a handful of fat partitions stream the same bytes in ~4
     val idx = buildIndexStreaming(corpusDs.coalesce(4).toLocalIterator().asScala, nCorpus.toInt,
-      needNorms = fastL2 || metric == "cosine")
+      needNorms = fastL2 || metric == "cosine", budget = broadcastBudget(spark))
     val bc    = spark.sparkContext.broadcast(idx)
     val parts = spark.sparkContext.defaultParallelism
 
@@ -254,6 +291,10 @@ object Knn {
     * re-ranks the per-sub top-ks to the bit-identical global result. When
     * no group exceeds the bound the original zero-shuffle map-only plan is
     * kept unchanged.
+    *
+    * The per-group wall bounds one index's SCAN; the RESIDENT SET (the sum
+    * of every group index, riding one broadcast) is bounded by the same
+    * total byte wall as `exact` (`graft.knn.broadcastMaxBytes`).
     */
   def exactGrouped(queries: DataFrame, corpus: DataFrame, k: Int, groupCol: String,
                    metric: String = "l2", kernel: String = "fast",
@@ -278,11 +319,19 @@ object Knn {
     val parts = spark.sparkContext.defaultParallelism
     import scala.jdk.CollectionConverters._
 
+    // the TOTAL wall: per-group walls bound one index, not the resident
+    // set — the SUM of every group index rides one broadcast
+    val totalRows = counts.values.sum
+    val budget    = broadcastBudget(spark)
+
     if (!anySplit) {
       val fill = scala.collection.mutable.HashMap[Double, (Array[Long], Array[Float], Array[Int])]()
       var dDim = -1
       ds.coalesce(4).toLocalIterator().asScala.foreach { case (g, id, v) =>
-        if (dDim < 0) dDim = v.length
+        if (dDim < 0) {
+          dDim = v.length
+          checkBroadcastBudget(totalRows, dDim, needNorms, budget, "Knn.exactGrouped")
+        }
         val (ids0, flat0, cur) = fill.getOrElseUpdate(g, {
           val n = counts(g).toInt
           (new Array[Long](n), new Array[Float](n * dDim), Array(0))
@@ -322,7 +371,10 @@ object Knn {
       val fill = scala.collection.mutable.HashMap[(Double, Int), Grow]()
       var dDim = -1
       ds.coalesce(4).toLocalIterator().asScala.foreach { case (g, id, v) =>
-        if (dDim < 0) dDim = v.length
+        if (dDim < 0) {
+          dDim = v.length
+          checkBroadcastBudget(totalRows, dDim, needNorms, budget, "Knn.exactGrouped")
+        }
         val subs = subsOf(g)
         val sub  = if (subs == 1) 0 else graft.functions.Hashing.md5Mod(s"knnsub|$id", subs.toLong).toInt
         val b = fill.getOrElseUpdate((g, sub), {

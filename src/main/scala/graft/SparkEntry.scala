@@ -926,21 +926,11 @@ object SparkEntry {
         }
         best
       }
-      // one coarse Lloyd step from the shared "ivf" sample: per-(cluster,
-      // dim) micros sums → float32 means; an empty cell (possible only for
-      // bit-identical duplicate sample vectors) keeps its init point
-      val cents0 = Ann.ivfDetCentroids(emb, nlist = 16)
-      val cstat = Ann.ivfDetAssign(emb, cents0)
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("j", "v")))
-        .groupBy("cluster", "j")
-        .agg(sum(floor(col("v").cast("double") * lit(1000000.0) + lit(0.5)).cast("long")).as("m"),
-          count(lit(1)).as("n"))
-        .collect()
-      val cents1 = cents0.map(_.clone())
-      cstat.foreach { r =>
-        cents1(r.getInt(0))(r.getInt(1)) =
-          ((r.getLong(2).toDouble / r.getLong(3)) / 1000000.0).toFloat
-      }
+      // one coarse Lloyd step from the shared "ivf" sample (Ann.lloydRefine:
+      // micros-sum means, empty cells keep their init point) — steps = 1 is
+      // this index's pinned default; the knob's recall-vs-steps behavior is
+      // quantified by IvfScaleProbe's refine gauge (DESIGN §4)
+      val cents1 = Ann.lloydRefine(emb, Ann.ivfDetCentroids(emb, nlist = 16), steps = 1)
       val assigned = GraftCache.track(Ann.ivfDetAssign(emb, cents1))
       // residual codebook init: the "pqres" keyed sample's residuals vs
       // their OWN refined cell (the same fold argmin the corpus pass uses)
@@ -3409,12 +3399,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // The SAME search forced through the beyond-broadcast probed-join
-    // regime (the shape IVF takes past graft.ann.broadcastMaxRows): rows
-    // must be bit-identical to ann_ivf_topk, and this row gates that with
-    // the driver's oracle, not just the unit spec. The conf toggle is
-    // scoped to the plan construction — the regime choice happens when
-    // ivfDetSearch is CALLED.
+    // The SAME search forced through the beyond-broadcast EXECUTOR-SIDE
+    // regime (the shape IVF takes past graft.ann.broadcastMaxRows — since
+    // r17 the cogrouped kernel, which shuffles lists and probed queries on
+    // cluster id and builds each sub-index inside its own task; it retired
+    // the probed-join fallback): rows must be bit-identical to
+    // ann_ivf_topk, and this row gates that with the driver's oracle, not
+    // just the unit spec. The conf toggle is scoped to the plan
+    // construction — the regime choice happens when ivfDetSearch is CALLED.
     "ann_ivf_join_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val (centroids, assigned) = ivfDet(s, dir)

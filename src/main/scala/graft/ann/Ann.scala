@@ -127,6 +127,37 @@ object Ann {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
 
+  /** Deterministic Lloyd refinement of sampled centroids: `steps` rounds of
+    * assign (fold-L2 argmin, ties to the lower id) → per-(cluster, dim)
+    * mean. Means accumulate as exact integer MICROS sums (floor(v·10⁶+0.5))
+    * so the refined float32 centroids are bit-identical across partition
+    * counts and replayable in SQL — the same arithmetic the IVFADC index
+    * build has used since r12, now a knob: `steps = 0` returns the sample
+    * itself (the closed-form default — IVF recall comes from nprobe, not
+    * centroid optimality), `steps ≥ 1` buys balanced cells at one
+    * assign-pass + one (nlist × d)-row grouped aggregate per step. An
+    * empty cell (possible only under bit-identical duplicate sample
+    * vectors) keeps its previous point. The driver state is nlist × d
+    * longs per step — bounded, never the corpus.
+    */
+  def lloydRefine(corpus: DataFrame, cents: Array[Array[Float]],
+                  steps: Int): Array[Array[Float]] =
+    if (steps <= 0) cents
+    else {
+      val cstat = ivfDetAssign(corpus, cents)
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("j", "v")))
+        .groupBy("cluster", "j")
+        .agg(sum(floor(col("v").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long")).as("m"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      cstat.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          ((r.getLong(2).toDouble / r.getLong(3)) / 1000000.0).toFloat
+      }
+      lloydRefine(corpus, next, steps - 1)
+    }
+
   /** Assign each corpus row to its nearest sampled centroid (ties to the
     * lower cluster id). Map-only over a broadcast of nlist vectors.
     */
@@ -169,15 +200,21 @@ object Ann {
     *
     * REGIME GUARD: exactGrouped streams the WHOLE assigned corpus into
     * driver-side flat arrays and ships it as one broadcast — the same
-    * driver-memory wall as Knn.exact, just grouped. Above
+    * driver-memory budget as Knn.exact, just grouped. Above
     * `graft.ann.broadcastMaxRows` (default 10^7 — Knn.exact's documented
-    * broadcast regime) the search falls back to the probed equi-join on
-    * cluster id: slower per IvfScaleProbe where both shapes fit, but the
-    * only shape with no driver/broadcast bound. The join fallback takes a
-    * per-(query, cluster) top-k BEFORE the global merge, so the final
-    * window sees |Q|·nprobe·k rows, not whole inverted lists; scores and
-    * tie-breaks are bit-identical to the kernel path (sequential fold
-    * cosine both ways — AnnMultimodalStreamSpec gates parity).
+    * broadcast regime) the inverted-list scan runs EXECUTOR-SIDE instead
+    * (Knn.exactGroupedCogrouped, r17): corpus and probed queries shuffle
+    * on cluster id, each task builds its own lists' flat sub-indexes and
+    * scans with the SAME searchOne kernel — no driver in the data path,
+    * per-task memory one sub-index, results bit-identical to the kernel
+    * path (AnnMultimodalStreamSpec + the ann_ivf_join_topk oracle row gate
+    * it). This retired the r12 probed equi-join fallback, which shuffled
+    * full embedding vectors of every (query, probed-member) pair — the
+    * cogrouped shape shuffles each corpus vector ONCE and each query
+    * nprobe times, and scans lists with the heap kernel instead of a
+    * window over materialized pair rows. (Knn.exactGrouped would also
+    * self-dispatch past its byte budget; the row gate here is the
+    * IVF-level knob the registered queries exercise.)
     */
   def ivfDetSearch(queries: DataFrame, assignedCorpus: DataFrame,
                    centroids: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
@@ -194,26 +231,13 @@ object Ann {
       .withColumn("cluster", explode(probeUdf(col("embedding"))))
     val broadcastMax = spark.conf.get("graft.ann.broadcastMaxRows", "10000000").toLong
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist").desc, col("neighbor_id"))
+    val lists = assignedCorpus.select(col("vec_id"), col("embedding"), col("cluster"))
     val per =
-      if (nRows(assignedCorpus) <= broadcastMax)
-        Knn.exactGrouped(probed,
-          assignedCorpus.select(col("vec_id"), col("embedding"), col("cluster")),
-          k, "cluster", metric = "cosine", kernel = "fold")
-          .select(col("query_id"), col("neighbor_id"), col("dist"))
-      else {
-        val dot = graft.functions.VectorOps.dotCol(col("qe"), col("ce"))
-        val den = graft.functions.VectorOps.normCol(col("qe")) *
-          graft.functions.VectorOps.normCol(col("ce"))
-        val wc = Window.partitionBy(col("query_id"), col("cluster"))
-          .orderBy(col("dist").desc, col("neighbor_id"))
-        probed.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cluster"))
-          .join(assignedCorpus.select(col("vec_id").as("neighbor_id"),
-            col("embedding").as("ce"), col("cluster")), Seq("cluster"))
-          .withColumn("dist", when(den === 0.0, lit(0.0)).otherwise(dot / den))
-          .withColumn("__rc", row_number().over(wc))
-          .filter(col("__rc") <= k)
-          .select(col("query_id"), col("neighbor_id"), col("dist"))
-      }
+      (if (nRows(assignedCorpus) <= broadcastMax)
+        Knn.exactGrouped(probed, lists, k, "cluster", metric = "cosine", kernel = "fold")
+      else
+        Knn.exactGroupedCogrouped(probed, lists, k, "cluster", metric = "cosine", kernel = "fold"))
+        .select(col("query_id"), col("neighbor_id"), col("dist"))
     per
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -294,7 +294,9 @@ object Knn {
     *
     * The per-group wall bounds one index's SCAN; the RESIDENT SET (the sum
     * of every group index, riding one broadcast) is bounded by the same
-    * total byte wall as `exact` (`graft.knn.broadcastMaxBytes`).
+    * total byte budget as `exact` (`graft.knn.broadcastMaxBytes`) — but
+    * instead of failing, grouped search DISPATCHES past the budget to
+    * `exactGroupedCogrouped` (executor-side build, bit-identical results).
     */
   def exactGrouped(queries: DataFrame, corpus: DataFrame, k: Int, groupCol: String,
                    metric: String = "l2", kernel: String = "fast",
@@ -307,9 +309,13 @@ object Knn {
     val needNorms = fastL2 || metric == "cosine"
     // streamed per-group build (same discipline as exact()): pre-count each
     // group, then stream rows into pre-sized primitive arrays — never holds
-    // the corpus as boxed driver rows alongside the indexes
-    val counts = corpus.groupBy(col(groupCol).cast("double").as("__g")).count()
-      .as[(Double, Long)].collect().toMap
+    // the corpus as boxed driver rows alongside the indexes. The aggregate
+    // also carries the DIMENSION (first(size(embedding)) per group) so the
+    // regime dispatch below needs no extra probe job.
+    val countRows = corpus.groupBy(col(groupCol).cast("double").as("__g"))
+      .agg(count(lit(1)).as("n"), first(size(col("embedding"))).as("d"))
+      .as[(Double, Long, Int)].collect()
+    val counts = countRows.map { case (g, n, _) => g -> n }.toMap
     val subsOf = counts.map { case (g, n) =>
       g -> math.max(1, ((n + maxIndexRows - 1) / maxIndexRows).toInt)
     }
@@ -319,10 +325,19 @@ object Knn {
     val parts = spark.sparkContext.defaultParallelism
     import scala.jdk.CollectionConverters._
 
-    // the TOTAL wall: per-group walls bound one index, not the resident
-    // set — the SUM of every group index rides one broadcast
+    // REGIME DISPATCH on the TOTAL resident set: per-group walls bound one
+    // index, not the SUM of every group index riding one broadcast. Past
+    // the byte budget the search routes to the executor-side cogrouped
+    // kernel — bit-identical results (KnnWallSpec gates it), no driver
+    // funnel, per-TASK memory bounded by one sub-index. The in-stream
+    // checkBroadcastBudget below stays as the belt-and-braces for direct
+    // regressions of this dispatch.
     val totalRows = counts.values.sum
     val budget    = broadcastBudget(spark)
+    val dim       = countRows.headOption.map(_._3).getOrElse(0)
+    if (totalRows * (dim.toLong * 4 + 8 + (if (needNorms) 8 else 0)) > budget)
+      return exactGroupedCogrouped(queries, corpus, k, groupCol, metric,
+        kernel, maxIndexRows)
 
     if (!anySplit) {
       val fill = scala.collection.mutable.HashMap[Double, (Array[Long], Array[Float], Array[Int])]()
@@ -415,6 +430,80 @@ object Knn {
         .filter(col("rank") <= k)
         .select(groupCol, "query_id", "neighbor_id", "dist", "rank")
     }
+  }
+
+  /** EXECUTOR-SIDE grouped search — the beyond-broadcast regime of
+    * exactGrouped. The broadcast kernel streams the whole corpus through
+    * the driver (toLocalIterator) and ships the index-set as ONE broadcast:
+    * unbeatable while it fits (zero shuffle, map-only), a driver/executor
+    * memory wall when it doesn't. This shape removes the driver from the
+    * data path entirely: corpus and queries SHUFFLE on (group, sub), one
+    * cogroup task builds its (group, sub)'s flat index from its own
+    * partition and scans its queries through the SAME searchOne kernel —
+    * per-task memory is one sub-index (≤ maxIndexRows × d floats), never
+    * the resident set, so total corpus size is unbounded. The same
+    * hash-multinomial sub split as the broadcast branch spreads a hot
+    * group across tasks; the same (dist, id)-ordered window merge re-ranks
+    * per-sub top-ks — results are BIT-IDENTICAL to the broadcast kernel
+    * (same index sort, same heap, same tie-breaks; KnnWallSpec gates the
+    * equality), so the exactGrouped dispatch boundary is invisible.
+    *
+    * Cost shape vs broadcast: one full shuffle of corpus + |subs|-amplified
+    * queries, vs one driver round-trip + broadcast per call. Broadcast wins
+    * when the corpus is small and reused across many queries; cogroup wins
+    * when the corpus is the big side — exactly the regimes the dispatch
+    * picks between (JoinScaleProbe measures the crossover).
+    */
+  def exactGroupedCogrouped(queries: DataFrame, corpus: DataFrame, k: Int,
+                            groupCol: String, metric: String = "l2",
+                            kernel: String = "fast",
+                            maxIndexRows: Int = 1 << 20): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val maxim  = metric != "l2"
+    val fastL2 = metric == "l2" && kernel == "fast"
+    val fold   = kernel == "fold"
+    val needNorms = fastL2 || metric == "cosine"
+    // group sizes are driver-known (one row per group — the same bounded
+    // aggregate the broadcast branch pays) to derive the skew splits
+    val counts = corpus.groupBy(col(groupCol).cast("double").as("__g")).count()
+      .as[(Double, Long)].collect().toMap
+    val subsOf = counts.map { case (g, n) =>
+      g -> math.max(1, ((n + maxIndexRows - 1) / maxIndexRows).toInt)
+    }
+    val bcSubs = spark.sparkContext.broadcast(subsOf)
+    val ck = corpus.select(col(groupCol).cast("double"), col("vec_id"), col("embedding"))
+      .as[(Double, Long, Array[Float])]
+      .map { case (g, id, v) =>
+        val subs = bcSubs.value(g)
+        val sub  = if (subs == 1) 0
+          else graft.functions.Hashing.md5Mod(s"knnsub|$id", subs.toLong).toInt
+        (g, sub, id, v)
+      }
+    val qk = queries.select(col(groupCol).cast("double"), col("vec_id"), col("embedding"))
+      .as[(Double, Long, Array[Float])]
+      .flatMap { case (g, id, v) =>
+        // a query group absent from the corpus contributes no neighbors
+        (0 until bcSubs.value.getOrElse(g, 0)).map(s => (g, s, id, v))
+      }
+    val perSub = ck.groupByKey(r => (r._1, r._2))
+      .cogroup(qk.groupByKey(r => (r._1, r._2))) { case ((g, _), cit, qit) =>
+        val rows = cit.map(r => (r._3, r._4)).toArray
+        if (rows.isEmpty) Iterator.empty // empty hash-multinomial bucket
+        else {
+          val idx = buildIndex(rows, needNorms) // id-sorted: same order as finishIndex
+          qit.flatMap { case (_, _, qid, q) =>
+            searchOne(q, idx, k, maxim, fastL2, fold)
+              .iterator.map { case (nid, dist) => (g, qid, nid, dist) }
+          }
+        }
+      }
+      .toDF(groupCol, "query_id", "neighbor_id", "dist")
+    val w = Window.partitionBy(col(groupCol), col("query_id"))
+      .orderBy(if (maxim) col("dist").desc else col("dist").asc, col("neighbor_id"))
+    perSub.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(groupCol, "query_id", "neighbor_id", "dist", "rank")
   }
 
   /** Exact top-k against a corpus that differs from `corpus` only in the

@@ -79,7 +79,7 @@ class AnnMultimodalStreamSpec extends AnyFunSuite {
       "members of the removed list must be unreachable")
   }
 
-  test("IVF beyond-broadcast join fallback is bit-identical to the kernel path") {
+  test("IVF beyond-broadcast cogrouped regime is bit-identical to the kernel path") {
     val queries = emb.filter(col("vec_id") < 30)
     val cents = Ann.ivfDetCentroids(emb, nlist = 8)
     val assigned = Ann.ivfDetAssign(emb, cents).cache()

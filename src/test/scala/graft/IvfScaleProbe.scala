@@ -56,6 +56,35 @@ object IvfScaleProbe {
       }
       println(f"[ivfscale] search nprobe=$nprobe%-3d       $dt%8.2f s  recall@10=$recall%.3f")
     }
+    // REFINE GAUGE — the centroid-quality knob (Ann.lloydRefine): recall
+    // and cell balance vs (nlist, steps) at a fixed probe FRACTION
+    // (nprobe = nlist/8, so every row probes ~1/8 of the corpus and the
+    // comparison isolates centroid quality from probe budget). A sampled
+    // quantizer's worst failure mode is an oversized cell (its scan cost
+    // rides the skew guard) and a lopsided recall; Lloyd steps buy balance
+    // at one assign pass + one (nlist × d)-row aggregate each.
+    val nG = math.min(nQueries, 500)
+    val gaugeQ = queries.limit(nG).localCheckpoint()
+    val exactG = exact.join(gaugeQ.select(col("vec_id").as("query_id")), Seq("query_id"), "left_semi")
+      .localCheckpoint()
+    for (nlist <- Seq(16, 64, 256); steps <- Seq(0, 1, 3)) {
+      val t0 = System.nanoTime()
+      val cents = Ann.lloydRefine(corpus, Ann.ivfDetCentroids(corpus, nlist), steps)
+      val tRef = (System.nanoTime() - t0) / 1e9
+      val assignedR = Ann.ivfDetAssign(corpus, cents).persist()
+      val sizes = assignedR.groupBy("cluster").count()
+        .collect().map(_.getLong(1))
+      val maxOverMean = sizes.max.toDouble / (nCorpus.toDouble / nlist)
+      val nprobe = math.max(1, nlist / 8)
+      val approx = Ann.ivfDetSearch(gaugeQ, assignedR, cents, 10, nprobe)
+        .select("query_id", "neighbor_id")
+      val hits = approx.join(exactG, Seq("query_id", "neighbor_id"), "left_semi").count()
+      println(f"[ivfrefine] nlist=$nlist%-3d steps=$steps nprobe=$nprobe%-2d " +
+        f"recall@10=${hits.toDouble / (nG * 10L)}%.3f  cells=${sizes.length}%-3d " +
+        f"maxcell/mean=$maxOverMean%.2f  refine=$tRef%.1f s")
+      assignedR.unpersist()
+      System.gc() // nudge the ContextCleaner: each variant's 1+ GB broadcast
+    }
     spark.stop()
   }
 }

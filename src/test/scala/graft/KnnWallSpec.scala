@@ -3,12 +3,13 @@ package graft
 import graft.knn.Knn
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The exact-kNN broadcast regime's TOTAL memory wall
-  * (`graft.knn.broadcastMaxBytes`): a corpus whose flat index would
-  * outgrow the budget must fail LOUDLY — before any large allocation —
-  * naming the scale families (IVF / LSH / graph), instead of streaming
-  * toward a driver OOM. The per-group wall (exactGrouped's maxIndexRows)
-  * bounds one index's scan cost; this wall bounds the RESIDENT SET.
+/** The exact-kNN broadcast regime's TOTAL memory budget
+  * (`graft.knn.broadcastMaxBytes`). Ungrouped `exact` past the budget must
+  * fail LOUDLY — before any large allocation — naming the scale families
+  * (IVF / LSH / graph), instead of streaming toward a driver OOM; GROUPED
+  * search instead DISPATCHES to the executor-side cogrouped kernel, whose
+  * results must be bit-identical. The per-group wall (maxIndexRows) bounds
+  * one index's scan cost; the byte budget bounds the RESIDENT SET.
   */
 class KnnWallSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -34,22 +35,41 @@ class KnnWallSpec extends AnyFunSuite {
       s"the wall must name the scale alternatives: ${e.getMessage}")
   }
 
-  test("exactGrouped walls on the SUM of group indexes, not any one group") {
+  test("exactGrouped dispatches past the SUM budget to the cogrouped kernel, bit-identically") {
     val df = vecs(100) // two groups of 50: each ~2400 B, sum ~4800 B
-    val e = withBudget(3000L) { // admits either group alone, not both
-      intercept[IllegalStateException] {
-        Knn.exactGrouped(df, df, 3, "grp").count()
-      }
+    val base = Knn.exactGrouped(df, df, 3, "grp", kernel = "fold")
+      .collect().map(_.toSeq).toSet
+    // a budget that admits either group alone but not both: the dispatch
+    // must route to the executor-side cogrouped build and return the SAME
+    // rows (same kernel, same tie-breaks)
+    val dispatched = withBudget(3000L) {
+      Knn.exactGrouped(df, df, 3, "grp", kernel = "fold")
+        .collect().map(_.toSeq).toSet
     }
-    assert(e.getMessage.contains("Knn.exactGrouped") &&
-      e.getMessage.contains("broadcastMaxBytes"), e.getMessage)
-    // the split branch (per-group skew sub-indexes) hits the same wall
-    val e2 = withBudget(3000L) {
-      intercept[IllegalStateException] {
-        Knn.exactGrouped(df, df, 3, "grp", maxIndexRows = 10).count()
-      }
+    assert(dispatched == base,
+      "the beyond-budget cogrouped dispatch must be bit-identical")
+    // the split branch (per-group skew sub-indexes) crosses the same
+    // dispatch with the same result
+    val baseSplit = Knn.exactGrouped(df, df, 3, "grp", kernel = "fold",
+      maxIndexRows = 10).collect().map(_.toSeq).toSet
+    assert(baseSplit == base, "the split broadcast branch must already be bit-identical")
+    val dispatchedSplit = withBudget(3000L) {
+      Knn.exactGrouped(df, df, 3, "grp", kernel = "fold", maxIndexRows = 10)
+        .collect().map(_.toSeq).toSet
     }
-    assert(e2.getMessage.contains("broadcastMaxBytes"), e2.getMessage)
+    assert(dispatchedSplit == base,
+      "the beyond-budget SPLIT cogrouped dispatch must be bit-identical")
+  }
+
+  test("exactGroupedCogrouped equals the broadcast kernel on every metric/kernel") {
+    val df = vecs(60)
+    for ((metric, kernel) <- Seq(("l2", "fast"), ("l2", "fold"), ("cosine", "fold"))) {
+      val a = Knn.exactGrouped(df, df, 4, "grp", metric = metric, kernel = kernel)
+        .collect().map(_.toSeq).toSet
+      val b = Knn.exactGroupedCogrouped(df, df, 4, "grp", metric = metric, kernel = kernel)
+        .collect().map(_.toSeq).toSet
+      assert(a == b, s"cogrouped drifted from broadcast at ($metric, $kernel)")
+    }
   }
 
   test("within the budget, results are unchanged") {

@@ -125,4 +125,23 @@ class AnnFilteredSpec extends AnyFunSuite {
       assert(pairs(got) == pairs(exact))
     } finally spark.conf.unset("graft.ann.broadcastMaxRows")
   }
+
+  test("a selectivity hint skips the counting jobs without changing the dispatch") {
+    val pred = col("label") === 3 // selective: the pre-filter (exact) regime
+    val unhinted = Ann.filteredTopK(queries, asg, cents, pred, k = 5, nprobe = 4)
+    // a hint on the pre-filter side of the gate must land the same path →
+    // identical rows (the estimate feeds only the REGIME choice)
+    val hinted = Ann.filteredTopK(queries, asg, cents, pred, k = 5, nprobe = 4,
+      selectivityHint = Some(0.25))
+    assert(pairs(hinted) == pairs(unhinted),
+      "a same-side selectivity hint must not change any result")
+    // a hint past prefilterMaxSel flips to the post-filter regime — the
+    // documented approximate path, same rows as the measured unselective
+    // dispatch would produce
+    val post = Ann.filteredTopK(queries, asg, cents, pred, k = 5, nprobe = 4,
+      selectivityHint = Some(0.9))
+    val direct = Ann.filteredIvf(queries, asg, cents, pred, k = 5, nprobe = 4)
+    assert(pairs(post) == pairs(direct),
+      "an unselective hint must route to the post-filter regime")
+  }
 }

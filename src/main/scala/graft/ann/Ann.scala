@@ -399,22 +399,42 @@ object Ann {
     val spark    = queries.sparkSession
     val maxSel   = spark.conf.get("graft.ann.prefilterMaxSel", "0.5").toDouble
     val filtered = assignedCorpus.filter(pred) // ONE definition, reused below
-    // (sel, kept): hinted → no predicate scan (kept derives from the hint
-    // and the memoized total); unhinted → one memoized total + one
-    // filtered count
-    val (sel, kept) = selectivityHint match {
+    // (sel, kept, dim): hinted → no predicate scan (kept derives from the
+    // hint and the memoized total; dim from one limit(1) row); unhinted →
+    // one memoized total + one filtered aggregate carrying count AND dim
+    val (sel, kept, dimOf) = selectivityHint match {
       case Some(h) =>
         require(h >= 0.0 && h <= 1.0, s"selectivityHint=$h outside [0, 1]")
-        (h, (h * nRows(assignedCorpus)).toLong)
+        (h, (h * nRows(assignedCorpus)).toLong,
+          // kept > 0 ⇒ the corpus is non-empty, so head() is safe
+          () => assignedCorpus.select(size(col("embedding"))).head().getInt(0))
       case None =>
         val total = nRows(assignedCorpus)
-        val n     = filtered.count()
-        (if (total == 0) 1.0 else n.toDouble / total.toDouble, n)
+        val r = filtered.agg(count(lit(1)), first(size(col("embedding")))).head()
+        val n = r.getLong(0)
+        (if (total == 0) 1.0 else n.toDouble / total.toDouble, n,
+          () => r.getInt(1))
     }
     if (sel <= maxSel) {
-      val broadcastMax = spark.conf.get("graft.ann.broadcastMaxRows", "10000000").toLong
-      if (kept <= broadcastMax) bruteCosine(queries, filtered, k, kernel = "fold")
-      else ivfDetSearch(queries, filtered, centroids, k, nprobe)
+      // zero survivors: the exact path's index build requires a non-empty
+      // corpus — the correct RESULT is simply no neighbors for any query
+      // (and the hinted/unhinted paths must agree on it)
+      if (kept == 0)
+        queries.select(col("vec_id").as("query_id"),
+          col("vec_id").as("neighbor_id"), lit(0.0).as("score"),
+          lit(1).as("rank")).limit(0)
+      else {
+        // the broadcast gate must be BYTE-consistent with Knn.exact's wall
+        // (graft.knn.broadcastMaxBytes): a rows-only gate admits d≥60
+        // corpora the wall then rejects — survivors past EITHER bound take
+        // the IVF subset search, never a throw
+        val maxRows  = spark.conf.get("graft.ann.broadcastMaxRows", "10000000").toLong
+        val maxBytes = spark.conf.get("graft.knn.broadcastMaxBytes", (2L << 30).toString).toLong
+        val perRow   = dimOf().toLong * 4 + 16 // flat + id + norm (cosine)
+        if (kept <= maxRows && kept * perRow <= maxBytes)
+          bruteCosine(queries, filtered, k, kernel = "fold")
+        else ivfDetSearch(queries, filtered, centroids, k, nprobe)
+      }
     } else filteredIvf(queries, assignedCorpus, centroids, pred, k, nprobe, oversample)
   }
 

@@ -14,11 +14,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   *  - `exact`: broadcast the corpus as one flat primitive float array and
   *    scan per query partition with a bounded max-heap. On a cluster this is
   *    embarrassingly parallel in the queries with ZERO shuffle (one
-  *    broadcast, map-only). Right whenever the corpus fits an executor
-  *    (~≤ 10^7 × 64 floats = 2.5 GB) — ENFORCED by a total byte wall
-  *    (`graft.knn.broadcastMaxBytes`, default 2 GiB) that fails loudly
-  *    before any large allocation; the 100 TB path for big corpora is
-  *    `lsh` (or graft.ann.Ann's IVF). Two l2 kernels:
+  *    broadcast, map-only). Right whenever the corpus fits an executor —
+  *    ENFORCED by a total byte wall (`graft.knn.broadcastMaxBytes`,
+  *    default 2 GiB ≈ 7.9M rows at d = 64) that fails loudly before any
+  *    large allocation; the 100 TB path for big corpora is `lsh` (or
+  *    graft.ann.Ann's IVF). Two l2 kernels:
   *      - "fast" (default): ‖q−c‖² = ‖q‖² + ‖c‖² − 2·q·c with unrolled
   *        accumulators — half the flops of the diff form and vectorizes.
   *      - "fold": sequential left-to-right (q_i−c_i)² accumulation whose
@@ -337,7 +337,7 @@ object Knn {
     val dim       = countRows.headOption.map(_._3).getOrElse(0)
     if (totalRows * (dim.toLong * 4 + 8 + (if (needNorms) 8 else 0)) > budget)
       return exactGroupedCogrouped(queries, corpus, k, groupCol, metric,
-        kernel, maxIndexRows)
+        kernel, maxIndexRows, precomputedCounts = Some(counts))
 
     if (!anySplit) {
       val fill = scala.collection.mutable.HashMap[Double, (Array[Long], Array[Float], Array[Int])]()
@@ -457,7 +457,8 @@ object Knn {
   def exactGroupedCogrouped(queries: DataFrame, corpus: DataFrame, k: Int,
                             groupCol: String, metric: String = "l2",
                             kernel: String = "fast",
-                            maxIndexRows: Int = 1 << 20): DataFrame = {
+                            maxIndexRows: Int = 1 << 20,
+                            precomputedCounts: Option[Map[Double, Long]] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val maxim  = metric != "l2"
@@ -465,9 +466,12 @@ object Knn {
     val fold   = kernel == "fold"
     val needNorms = fastL2 || metric == "cosine"
     // group sizes are driver-known (one row per group — the same bounded
-    // aggregate the broadcast branch pays) to derive the skew splits
-    val counts = corpus.groupBy(col(groupCol).cast("double").as("__g")).count()
-      .as[(Double, Long)].collect().toMap
+    // aggregate the broadcast branch pays) to derive the skew splits;
+    // exactGrouped's dispatch passes its own counts so the beyond-budget
+    // (largest-corpus) path never re-aggregates the corpus it just counted
+    val counts = precomputedCounts.getOrElse(
+      corpus.groupBy(col(groupCol).cast("double").as("__g")).count()
+        .as[(Double, Long)].collect().toMap)
     val subsOf = counts.map { case (g, n) =>
       g -> math.max(1, ((n + maxIndexRows - 1) / maxIndexRows).toInt)
     }

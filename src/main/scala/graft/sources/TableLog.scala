@@ -86,10 +86,10 @@ object TableLog {
       else new String(Files.readAllBytes(f.toPath), "UTF-8").trim.toInt
     } catch { case _: Exception => 0 } // torn/corrupt hint = no hint
 
-  private def writeHint(f: java.io.File, v: Int): Unit =
+  private def writeHint(f: java.io.File, v: Int): Unit = {
+    val tmp = new java.io.File(f.getParentFile,
+      s".hint-${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID.toString.take(8)}")
     try {
-      val tmp = new java.io.File(f.getParentFile,
-        s".hint-${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID.toString.take(8)}")
       Files.write(tmp.toPath, v.toString.getBytes("UTF-8"))
       try Files.move(tmp.toPath, f.toPath,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -98,6 +98,8 @@ object TableLog {
           Files.move(tmp.toPath, f.toPath, StandardCopyOption.REPLACE_EXISTING)
       }
     } catch { case _: Exception => () } // best-effort: readers verify anyway
+    finally { try Files.deleteIfExists(tmp.toPath) catch { case _: Exception => () } }
+  }
 
   /** Diagnostic: how many times version resolution fell back to the full
     * `_log` listing, PER TABLE (parallel suites touch other tables

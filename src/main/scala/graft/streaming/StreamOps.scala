@@ -296,6 +296,10 @@ object StreamOps {
   def changeFeedIvm(table: String, view: String,
                     maxVersionsPerTick: Int = Int.MaxValue)(
                     tick: DataFrame, batchId: Long): Unit = {
+    // a non-positive span would pin target = cur: every tick would commit
+    // a duplicate state whose __v never advances — unbounded view growth
+    // masquerading as progress
+    require(maxVersionsPerTick >= 1, s"maxVersionsPerTick=$maxVersionsPerTick must be ≥ 1")
     import graft.sources.TableLog
     val s = tick.sparkSession
     def rollup(df: DataFrame): DataFrame =

@@ -126,6 +126,31 @@ class AnnFilteredSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.ann.broadcastMaxRows")
   }
 
+  test("pre-filter survivors past the BYTE budget route to IVF-over-subset, never the exact wall") {
+    // a rows-only gate would admit survivors Knn.exact's byte wall then
+    // rejects (d ≥ 60 corpora between ~7.9M and 10M rows at the defaults);
+    // force the mismatch at fixture scale: rows admit, bytes don't. The
+    // brute baseline runs BEFORE the tiny budget (it rides the wall too).
+    val pred  = col("label") === 3
+    val exact = pairs(Ann.filteredBrute(queries, asg, pred, k = 5))
+    spark.conf.set("graft.knn.broadcastMaxBytes", "64")
+    try {
+      // nprobe = nlist: subset search exact — must equal brute-over-survivors
+      val got = Ann.filteredTopK(queries, asg, cents, pred, k = 5, nprobe = 16)
+      assert(pairs(got) == exact,
+        "byte-budget overflow must fall back to IVF subset search, not throw")
+    } finally spark.conf.unset("graft.knn.broadcastMaxBytes")
+  }
+
+  test("zero survivors return zero rows on both the hinted and unhinted path") {
+    val none = col("label") === 99 // matches nothing
+    assert(Ann.filteredTopK(queries, asg, cents, none, k = 5, nprobe = 4).count() == 0,
+      "unhinted zero-survivor search must return empty, not crash the index build")
+    assert(Ann.filteredTopK(queries, asg, cents, none, k = 5, nprobe = 4,
+      selectivityHint = Some(0.0)).count() == 0,
+      "a zero hint must return empty, matching the measured dispatch")
+  }
+
   test("a selectivity hint skips the counting jobs without changing the dispatch") {
     val pred = col("label") === 3 // selective: the pre-filter (exact) regime
     val unhinted = Ann.filteredTopK(queries, asg, cents, pred, k = 5, nprobe = 4)

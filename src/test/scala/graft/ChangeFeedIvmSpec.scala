@@ -136,6 +136,15 @@ class ChangeFeedIvmSpec extends AnyFunSuite {
       s"expected the dedicated vacuumed-cursor diagnostic, got: ${e.getMessage}")
   }
 
+  test("a non-positive span is rejected (it would commit duplicate versions forever)") {
+    val t = tmp(); val v = tmp()
+    TableLog.overwrite(rows("a" -> 1L), t)
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.changeFeedIvm(t, v, maxVersionsPerTick = 0)(spark.range(1).toDF(), 0L)
+    }
+    assert(e.getMessage.contains("maxVersionsPerTick"), e.getMessage)
+  }
+
   test("a tick past the head is a no-op (restart/idempotence)") {
     val t = tmp(); val v = tmp()
     TableLog.overwrite(rows("a" -> 1L), t)

@@ -3487,6 +3487,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // The SAME hybrid search with the dispatch driven by a selectivity
+    // HINT instead of the measured count — the 100 TB shape, where the
+    // estimate is a catalog/manifest-stats lookup (TableLog `statsCols`)
+    // and the gate costs zero corpus jobs. label = 3 keeps ~10%, so the
+    // hint lands the same pre-filter regime and the rows must be
+    // BIT-IDENTICAL to ann_filtered_topk (the hint feeds only the regime
+    // choice, never the result) — gated by the same oracle.
+    "ann_filtered_hinted_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, assigned) = ivfDet(s, dir)
+      Ann.filteredTopK(emb.filter(col("vec_id") < 100), assigned, centroids,
+          col("label") === 3, k = 10, nprobe = 4,
+          selectivityHint = Some(0.1))
+        .select(col("query_id"), col("neighbor_id"), col("score"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Hybrid top-k, POST-FILTER regime: label != 3 keeps ~90% — filtering
     // first would barely shrink the corpus, so the dispatcher runs the
     // unfiltered IVF search oversampled 4× (40 candidates), keeps the
@@ -8598,6 +8616,17 @@ object SparkEntry {
     // Hybrid pre-filter replay: exact cosine top-10 with the corpus side
     // restricted to the predicate's survivors (queries unrestricted).
     "ann_filtered_topk" -> cosineSql(
+      queryFilter = "q.vec_id < 100 AND c.vec_id IN " +
+        "(SELECT vec_id FROM embeddings WHERE label = 3)",
+      k = 10,
+      select = """SELECT query_id, neighbor_id, score,
+                  |  cast(row_number() OVER w as bigint) AS rank
+                  |FROM pairs WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+                  |QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // The hinted dispatch must be result-invariant — same oracle as the
+    // measured-dispatch row.
+    "ann_filtered_hinted_topk" -> cosineSql(
       queryFilter = "q.vec_id < 100 AND c.vec_id IN " +
         "(SELECT vec_id FROM embeddings WHERE label = 3)",
       k = 10,

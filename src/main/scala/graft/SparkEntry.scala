@@ -3305,6 +3305,62 @@ object SparkEntry {
       res
     }),
 
+    // STREAMING INDEX INGEST — the lossless-insert property end-to-end
+    // through Structured Streaming AND the lake format: a 4-batch replay
+    // of the embeddings fixture streams through foreachBatch, each batch
+    // assigned against the FIXED write-once centroids (Ann.ivfDetAssign —
+    // a per-row pure function of (vector, centroids)) and APPENDED to a
+    // TableLog index table: one immutable directory per micro-batch, one
+    // manifest swap each, every intermediate index version
+    // time-travelable. Because assignment is pure per-row, the unioned
+    // index is bit-identical to the batch-built one — so the search over
+    // the log-read index must equal ann_ivf_topk EXACTLY (same oracle).
+    // This is the index-freshness story at 100 TB: new embeddings enter
+    // as append-only commits, never a rebuild or a rewrite of existing
+    // inverted lists.
+    "q_stream_ivf_ingest" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (cents, _) = ivfDet(s, dir)
+      val n = streamSinkSeq.incrementAndGet()
+      val base = replayCkptBase(n)
+      val table = new java.io.File(base, "ivfingest").getAbsolutePath
+      withStreamShufflePartitions(s, 4) {
+        val replay = graft.streaming.StreamOps.multiBatchTableDir(
+          s, dir, "embeddings", Seq("vec_id"), 4)
+        val q = s.readStream
+          .schema(s.read.option("pathGlobFilter", "*.parquet").parquet(replay).schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("latestFirst", "false")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(replay)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val b = batch.select(col("vec_id"),
+              col("embedding").cast("array<float>").as("embedding"))
+            graft.sources.TableLog.append(
+              Ann.ivfDetAssign(b, cents).select("vec_id", "embedding", "cluster"),
+              table)
+            ()
+          }
+          .option("checkpointLocation",
+            new java.io.File(base, "ivfingestckpt").getAbsolutePath)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      require(graft.sources.TableLog.headVersion(table) == 4,
+        "the 4-batch replay must land exactly 4 append commits")
+      GraftCache.onClear(() => rmTree(base))
+      val idx = graft.sources.TableLog.read(s, table)
+      val res = GraftCache.track(
+        Ann.ivfDetSearch(emb.filter(col("vec_id") < 100), idx, cents,
+            k = 10, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+          .orderBy("query_id", "rank"))
+      res.count() // materialize before the table dir can be cleared
+      res
+    }),
+
     // Stream-stream interval join (the fifth replay leg): the sink holds the
     // raw (click, purchase) pairs; the registered result aggregates them per
     // user. The oracle replays the pair set as the plain batch interval join
@@ -8565,6 +8621,9 @@ object SparkEntry {
            |GROUP BY b.query_id ORDER BY 1""".stripMargin),
 
     "ann_ivf_topk" -> ivfTopkOracle,
+    // streaming append-ingested index ≡ batch-built index (lossless
+    // insert), so the search replays with the identical oracle
+    "q_stream_ivf_ingest" -> ivfTopkOracle,
 
     // Same replay — the engine side forces the beyond-broadcast probed-join
     // regime, which must land on identical rows (regimes are bit-identical

@@ -3546,7 +3546,7 @@ object SparkEntry {
     // The SAME hybrid search with the dispatch driven by a selectivity
     // HINT instead of the measured count — the 100 TB shape, where the
     // estimate is a catalog/manifest-stats lookup (TableLog `statsCols`)
-    // and the gate costs zero corpus jobs. label = 3 keeps ~10%, so the
+    // and the gate needs no estimation scan. label = 3 keeps ~10%, so the
     // hint lands the same pre-filter regime and the rows must be
     // BIT-IDENTICAL to ann_filtered_topk (the hint feeds only the regime
     // choice, never the result) — gated by the same oracle.
@@ -6072,6 +6072,15 @@ object SparkEntry {
   // shared oracle bodies for queries that run the SAME semantics through a
   // different physical regime (broadcast kernel vs probed join; broadcast
   // vs shuffle-hash candidate join) — one replay gates both rows
+  private lazy val filteredTopkOracle: String = cosineSql(
+    queryFilter = "q.vec_id < 100 AND c.vec_id IN " +
+      "(SELECT vec_id FROM embeddings WHERE label = 3)",
+    k = 10,
+    select = """SELECT query_id, neighbor_id, score,
+                |  cast(row_number() OVER w as bigint) AS rank
+                |FROM pairs WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+                |QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin)
+
   private lazy val ivfTopkOracle: String =
     s"WITH $ivfDetCtes\n" +
       """SELECT query_id, neighbor_id, cast(rank as bigint) AS rank FROM (
@@ -8674,25 +8683,11 @@ object SparkEntry {
 
     // Hybrid pre-filter replay: exact cosine top-10 with the corpus side
     // restricted to the predicate's survivors (queries unrestricted).
-    "ann_filtered_topk" -> cosineSql(
-      queryFilter = "q.vec_id < 100 AND c.vec_id IN " +
-        "(SELECT vec_id FROM embeddings WHERE label = 3)",
-      k = 10,
-      select = """SELECT query_id, neighbor_id, score,
-                  |  cast(row_number() OVER w as bigint) AS rank
-                  |FROM pairs WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
-                  |QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    "ann_filtered_topk" -> filteredTopkOracle,
 
     // The hinted dispatch must be result-invariant — same oracle as the
-    // measured-dispatch row.
-    "ann_filtered_hinted_topk" -> cosineSql(
-      queryFilter = "q.vec_id < 100 AND c.vec_id IN " +
-        "(SELECT vec_id FROM embeddings WHERE label = 3)",
-      k = 10,
-      select = """SELECT query_id, neighbor_id, score,
-                  |  cast(row_number() OVER w as bigint) AS rank
-                  |FROM pairs WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
-                  |QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // measured-dispatch row (one shared literal, so they cannot drift).
+    "ann_filtered_hinted_topk" -> filteredTopkOracle,
 
     // Hybrid post-filter replay: the UNfiltered IVF candidate ranking cut
     // at the 4× oversample budget (r0 ≤ 40), predicate filter, re-rank to

@@ -379,12 +379,18 @@ object Ann {
     * The selectivity comes from `selectivityHint` when the caller has one
     * — at 100 TB it does: TableLog manifest `statsCols` bound a range
     * predicate's survivors, a catalog or a fixed-size sample bounds the
-    * rest, so the gate costs a LOOKUP and zero corpus jobs (the dispatch
-    * RULE is the part that carries). Without a hint, one counting
-    * aggregate over the filtered frame measures it exactly; the count job
-    * doubles as the kept-rows figure the broadcast gate needs, and the
-    * SAME filtered frame feeds the chosen pre-filter path — the predicate
-    * is planned once per job, never re-derived three times.
+    * rest, so the gate costs a LOOKUP, not a corpus scan (the dispatch
+    * RULE is the part that carries; the hinted exact path keeps one
+    * bounded limit(1) existence probe so a wrong hint can never turn
+    * "no survivors" into a crash). The hint drives ONLY the regime —
+    * results are those of the chosen path over the REAL survivors; the
+    * one loud edge is an UNDER-estimated hint admitting a survivor set
+    * past Knn.exact's byte wall, which fails naming the IVF alternative.
+    * Without a hint, one counting aggregate over the filtered frame
+    * measures selectivity exactly; the count doubles as the kept-rows
+    * figure the broadcast gate needs, and the SAME filtered frame feeds
+    * the chosen pre-filter path — the predicate is planned once per job,
+    * never re-derived three times.
     *
     * Pre-filter survivors beyond `graft.ann.broadcastMaxRows` fall back to
     * IVF over the filtered inverted lists (the assignment column survives
@@ -399,41 +405,52 @@ object Ann {
     val spark    = queries.sparkSession
     val maxSel   = spark.conf.get("graft.ann.prefilterMaxSel", "0.5").toDouble
     val filtered = assignedCorpus.filter(pred) // ONE definition, reused below
-    // (sel, kept, dim): hinted → no predicate scan (kept derives from the
-    // hint and the memoized total; dim from one limit(1) row); unhinted →
-    // one memoized total + one filtered aggregate carrying count AND dim
-    val (sel, kept, dimOf) = selectivityHint match {
+    // (sel, kept): hinted → no estimation scans (kept derives from the
+    // hint and the memoized total; the exact path pays one bounded
+    // limit(1) existence probe); unhinted → one memoized total + one
+    // filtered count. A hint is an ESTIMATE that only drives the regime —
+    // the chosen path below stays correct when reality disagrees, except
+    // that an UNDER-estimated hint can admit a survivor set Knn.exact's
+    // byte wall then rejects LOUDLY (the honest failure: the wall names
+    // the IVF alternative, and the fix is the honest hint).
+    val (sel, kept) = selectivityHint match {
       case Some(h) =>
         require(h >= 0.0 && h <= 1.0, s"selectivityHint=$h outside [0, 1]")
-        (h, (h * nRows(assignedCorpus)).toLong,
-          // kept > 0 ⇒ the corpus is non-empty, so head() is safe
-          () => assignedCorpus.select(size(col("embedding"))).head().getInt(0))
+        (h, (h * nRows(assignedCorpus)).toLong)
       case None =>
         val total = nRows(assignedCorpus)
-        val r = filtered.agg(count(lit(1)), first(size(col("embedding")))).head()
-        val n = r.getLong(0)
-        (if (total == 0) 1.0 else n.toDouble / total.toDouble, n,
-          () => r.getInt(1))
+        val n     = filtered.count()
+        (if (total == 0) 1.0 else n.toDouble / total.toDouble, n)
     }
+    def emptyResult: DataFrame =
+      queries.select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(0.0).as("score"),
+        lit(1).as("rank")).limit(0)
     if (sel <= maxSel) {
-      // zero survivors: the exact path's index build requires a non-empty
-      // corpus — the correct RESULT is simply no neighbors for any query
-      // (and the hinted/unhinted paths must agree on it)
-      if (kept == 0)
-        queries.select(col("vec_id").as("query_id"),
-          col("vec_id").as("neighbor_id"), lit(0.0).as("score"),
-          lit(1).as("rank")).limit(0)
+      // zero survivors → no neighbors for any query. Shortcut ONLY when
+      // kept is authoritative: measured exactly (unhinted), or the caller
+      // asserted zero. A small positive hint FLOORS to kept == 0 on a
+      // large corpus ((h·N).toLong) — survivors may well exist, so that
+      // case falls through to the exact path, whose emptiness probe below
+      // settles reality.
+      if (kept == 0 && (selectivityHint.isEmpty || sel == 0.0)) emptyResult
       else {
         // the broadcast gate must be BYTE-consistent with Knn.exact's wall
         // (graft.knn.broadcastMaxBytes): a rows-only gate admits d≥60
-        // corpora the wall then rejects — survivors past EITHER bound take
-        // the IVF subset search, never a throw
+        // corpora the wall then rejects. The dimension is DRIVER-LOCAL —
+        // centroids are sampled corpus rows (ivfDetCentroids), so the
+        // gate costs no probe job.
         val maxRows  = spark.conf.get("graft.ann.broadcastMaxRows", "10000000").toLong
         val maxBytes = spark.conf.get("graft.knn.broadcastMaxBytes", (2L << 30).toString).toLong
-        val perRow   = dimOf().toLong * 4 + 16 // flat + id + norm (cosine)
-        if (kept <= maxRows && kept * perRow <= maxBytes)
-          bruteCosine(queries, filtered, k, kernel = "fold")
-        else ivfDetSearch(queries, filtered, centroids, k, nprobe)
+        val dim      = if (centroids.nonEmpty) centroids(0).length else 0
+        val perRow   = dim.toLong * 4 + 16 // flat + id + norm (cosine)
+        if (kept <= maxRows && kept * perRow <= maxBytes) {
+          // hinted kept is an estimate: an actually-empty survivor set
+          // must return empty, not trip the index build's non-empty
+          // require — one bounded limit(1) probe, hinted path only
+          if (selectivityHint.isDefined && filtered.isEmpty) emptyResult
+          else bruteCosine(queries, filtered, k, kernel = "fold")
+        } else ivfDetSearch(queries, filtered, centroids, k, nprobe)
       }
     } else filteredIvf(queries, assignedCorpus, centroids, pred, k, nprobe, oversample)
   }

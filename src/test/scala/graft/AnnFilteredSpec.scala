@@ -149,6 +149,22 @@ class AnnFilteredSpec extends AnyFunSuite {
     assert(Ann.filteredTopK(queries, asg, cents, none, k = 5, nprobe = 4,
       selectivityHint = Some(0.0)).count() == 0,
       "a zero hint must return empty, matching the measured dispatch")
+    // a POSITIVE hint whose reality is empty (the estimate was wrong) must
+    // also return empty — the hint drives the regime, never the result
+    assert(Ann.filteredTopK(queries, asg, cents, none, k = 5, nprobe = 4,
+      selectivityHint = Some(0.1)).count() == 0,
+      "an optimistic hint over an empty reality must return empty, not crash")
+  }
+
+  test("a tiny positive hint (floors to kept=0) must not erase real survivors") {
+    val pred = col("label") === 3 // real survivors exist
+    val base = pairs(Ann.filteredTopK(queries, asg, cents, pred, k = 5, nprobe = 4))
+    // (h · N).toLong == 0 for h < 1/N — the estimate is tiny but POSITIVE,
+    // so the search must still rank the true survivors, identically
+    val tiny = pairs(Ann.filteredTopK(queries, asg, cents, pred, k = 5, nprobe = 4,
+      selectivityHint = Some(1e-9)))
+    assert(tiny == base,
+      "a sub-1/N positive hint silently returned a wrong (empty) result")
   }
 
   test("a selectivity hint skips the counting jobs without changing the dispatch") {

@@ -31,17 +31,20 @@ object CatchupScaleProbe {
     }
     println(f"[catchup] build: $commits commits in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // fixed tick count, convergence asserted OUTSIDE the timer: tick 1 is
+    // bootstrap + one step (cursor 1 → 2), so commits−1 ticks converge —
+    // a per-tick convergence read would inflate the stepping side with
+    // work the real consumer never does (it resolves its cursor internally)
     val vStep = tmp()
+    val ticks = commits - 1
     val t1 = System.nanoTime()
-    var ticks = 0
-    while (TableLog.headVersion(vStep) == 0 ||
-        TableLog.read(spark, vStep).agg(org.apache.spark.sql.functions.max("__v"))
-          .head().getInt(0) < commits) {
+    (0 until ticks).foreach(i =>
       StreamOps.changeFeedIvm(table, vStep, maxVersionsPerTick = 1)(
-        spark.range(1).toDF(), ticks.toLong)
-      ticks += 1
-    }
+        spark.range(1).toDF(), i.toLong))
     val stepSecs = (System.nanoTime() - t1) / 1e9
+    require(TableLog.read(spark, vStep)
+      .agg(org.apache.spark.sql.functions.max("__v")).head().getInt(0) == commits,
+      "stepping consumer did not converge in commits-1 ticks")
     println(f"[catchup] stepping: $ticks ticks, $stepSecs%.1f s")
 
     val vFold = tmp()

@@ -428,12 +428,13 @@ object Ann {
         lit(1).as("rank")).limit(0)
     if (sel <= maxSel) {
       // zero survivors → no neighbors for any query. Shortcut ONLY when
-      // kept is authoritative: measured exactly (unhinted), or the caller
-      // asserted zero. A small positive hint FLOORS to kept == 0 on a
-      // large corpus ((h·N).toLong) — survivors may well exist, so that
-      // case falls through to the exact path, whose emptiness probe below
-      // settles reality.
-      if (kept == 0 && (selectivityHint.isEmpty || sel == 0.0)) emptyResult
+      // kept was measured exactly (unhinted). EVERY hinted kept == 0 —
+      // including a hint of exactly 0.0 — falls through to the exact
+      // path, whose bounded limit(1) emptiness probe below settles
+      // reality: a hint is an estimate (a stats pipeline may round a tiny
+      // selectivity down to 0.0), and the invariant is that hints drive
+      // the REGIME, never the result.
+      if (kept == 0 && selectivityHint.isEmpty) emptyResult
       else {
         // the broadcast gate must be BYTE-consistent with Knn.exact's wall
         // (graft.knn.broadcastMaxBytes): a rows-only gate admits d≥60

@@ -255,12 +255,24 @@ object Knn {
     val corpusDs = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     val nCorpus  = corpusDs.count()
     require(nCorpus <= Int.MaxValue, s"broadcast-regime corpus too large: $nCorpus")
+    // The byte wall must fire BEFORE the local stream below: toLocalIterator
+    // collects one whole coalesced partition (~1/4 of the corpus as boxed
+    // rows) into the driver before its first next() — waiting for the first
+    // streamed row to reveal d would let a 26 GB corpus OOM the driver
+    // before the "fails loudly before any large allocation" check ever ran.
+    // The dimension costs one limit(1) job here (exactGrouped instead
+    // carries d in its pre-count aggregate).
+    val needNorms = fastL2 || metric == "cosine"
+    if (nCorpus > 0) {
+      val d0 = corpus.select(size(col("embedding"))).head().getInt(0)
+      checkBroadcastBudget(nCorpus, d0, needNorms, broadcastBudget(spark), "Knn.exact")
+    }
     import scala.jdk.CollectionConverters._
     // coalesce before streaming: toLocalIterator schedules one job per
     // partition, so a 32-partition corpus pays 32 sequential driver
     // round-trips; a handful of fat partitions stream the same bytes in ~4
     val idx = buildIndexStreaming(corpusDs.coalesce(4).toLocalIterator().asScala, nCorpus.toInt,
-      needNorms = fastL2 || metric == "cosine", budget = broadcastBudget(spark))
+      needNorms = needNorms, budget = broadcastBudget(spark))
     val bc    = spark.sparkContext.broadcast(idx)
     val parts = spark.sparkContext.defaultParallelism
 
@@ -410,7 +422,11 @@ object Knn {
       val bcSubs = spark.sparkContext.broadcast(subsOf)
       val perSub = queries.select(col(groupCol).cast("double"), col("vec_id"), col("embedding"))
         .as[(Double, Long, Array[Float])]
-        .flatMap { case (g, qid, q) => (0 until bcSubs.value(g)).map(s => (g, s, qid, q)) }
+        // getOrElse, not apply: a query group absent from the corpus must
+        // contribute no neighbors in EVERY regime (the cogrouped branch
+        // already does) — the byte-budget dispatch boundary between the two
+        // must stay invisible, never a crash-vs-empty behavior switch
+        .flatMap { case (g, qid, q) => (0 until bcSubs.value.getOrElse(g, 0)).map(s => (g, s, qid, q)) }
         .repartition(parts)
         .mapPartitions { it =>
           it.flatMap { case (g, s, qid, q) =>

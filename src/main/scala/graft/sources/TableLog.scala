@@ -143,7 +143,14 @@ object TableLog {
       // so the first absent successor IS the head
       var v = hinted
       while (manifestFile(table, v + 1).isFile) v += 1
-      v
+      // re-verify the landing: a vacuum racing this probe can reclaim
+      // manifests BETWEEN the isFile(hinted) verification and the v+1
+      // probes, stopping the probe at a version that no longer exists —
+      // downstream would then fail on a missing manifest the pre-hint
+      // listing fallback never handed out. A reclaimed landing falls back
+      // to the listing, so a concurrent vacuum can only cost speed (the
+      // hints' stated contract), never correctness.
+      if (manifestFile(table, v).isFile) v else scanVersions(table)(math.max)
     } else scanVersions(table)(math.max)
   }
 

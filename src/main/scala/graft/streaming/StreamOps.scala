@@ -285,7 +285,14 @@ object StreamOps {
     * (they're additive). A consumer that was down for 500 commits pays one
     * manifest diff, not 500 micro-batches (the r16 shape) — and strictly
     * LESS I/O than 500 steps would, since intermediate churn cancels at
-    * the manifest. `maxVersionsPerTick` bounds the span for consumers that
+    * the manifest. KNOWN DEGRADATION: a span whose folded state is EMPTY
+    * is forced single-step (see the guard below) to preserve the cursor's
+    * +1 recovery arithmetic, so a backlog whose HEAD state is empty (table
+    * emptied and never refilled) converges in O(backlog) ticks, not one —
+    * each tick is still only a manifest diff, and catch-up resumes the
+    * one-fold fast path at the first non-empty state. The degenerate shape
+    * is bounded, correct, and rare (an empty head state means the source
+    * has no data at all). `maxVersionsPerTick` bounds the span for consumers that
     * want the view history 1:1 with the source history (the auditing mode
     * q_stream_changefeed_ivm registers, target = cursor+1 per tick).
     *

@@ -165,6 +165,14 @@ class AnnFilteredSpec extends AnyFunSuite {
       selectivityHint = Some(1e-9)))
     assert(tiny == base,
       "a sub-1/N positive hint silently returned a wrong (empty) result")
+    // the boundary case of the same invariant: a hint of EXACTLY 0.0 (a
+    // stats pipeline rounding a tiny selectivity down) is still only an
+    // estimate — it must fall through to the existence probe and rank the
+    // real survivors, not short-circuit to empty
+    val zero = pairs(Ann.filteredTopK(queries, asg, cents, pred, k = 5, nprobe = 4,
+      selectivityHint = Some(0.0)))
+    assert(zero == base,
+      "a 0.0 hint over a non-empty reality silently erased real survivors")
   }
 
   test("a selectivity hint skips the counting jobs without changing the dispatch") {

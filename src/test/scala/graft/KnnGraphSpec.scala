@@ -40,6 +40,16 @@ class KnnGraphSpec extends AnyFunSuite {
     // granularity: the hot group's scan now spreads over 4 work units per
     // query instead of one monolithic scan per query
     assert(math.ceil(400.0 / 100).toInt == 4)
+    // a query group ABSENT from the corpus contributes no neighbors in
+    // EVERY regime — unsplit, split, and cogrouped must all return empty,
+    // never throw (the dispatch boundary stays invisible)
+    val ghost = queries.withColumn("grp", lit(7.0))
+    assert(Knn.exactGrouped(ghost, tagged, 5, "grp").count() == 0,
+      "unsplit branch: absent query group must yield no rows")
+    assert(Knn.exactGrouped(ghost, tagged, 5, "grp", maxIndexRows = 100).count() == 0,
+      "split branch: absent query group must yield no rows, not NoSuchElementException")
+    assert(Knn.exactGroupedCogrouped(ghost, tagged, 5, "grp").count() == 0,
+      "cogrouped branch: absent query group must yield no rows")
   }
 
   test("Knn.exact fold kernel is bit-identical to the SQL cross-join plan; fast kernel agrees to FP tolerance") {

@@ -795,6 +795,45 @@ object SparkEntry {
     graft.functions.GraftCols.md5Mod(
       concat(col("vec_id").cast("string"), lit("|gdel")), DelMod) === 0L
 
+  /** BUILD-BY-INSERTION artifact (KnnGraph.buildByInsertion): the whole
+    * layered graph built WITHOUT one exact all-pairs pass — a keyed-md5
+    * SeedChunks-in-BuildChunks seed exact-built, the other chunks added
+    * HNSW-style through GraphAnn.insertBatch chained (each batch searches
+    * the artifact built so far). Persists both final layers (bucketed by
+    * src — searches consume the layout exchange-free) and the summary
+    * (per-src adjacency fingerprints of the FINAL layers, which pin the
+    * entire chained procedure — what ann_graph_build_incremental checks
+    * against the chained SQL replay of seed + every insert step).
+    */
+  private val BuildChunks = 8
+  private val SeedChunks  = 4 // seed = half; each batch 1/8, ≤ 1/4 of its graph
+  private val BuildBeam   = 4 * M // efConstruction = 2× the out-degree cap
+  private def graphBuildDir(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/graphbuild") {
+      val k = ArtifactIO.contentKey(
+        s"$dir|m=$M|bld=$SeedChunks/$BuildChunks|eb=$BuildBeam|rep=$RepMod|v1",
+        new java.io.File(s"$dir/embeddings.parquet"))
+      val out = new java.io.File(sys.props("java.io.tmpdir"), s"graft_graphbld_$k")
+      ArtifactIO.publishDir(out, valid = o =>
+        Seq("bldedges", "bldrep", "summary").forall(d =>
+          new java.io.File(o, s"$d/_SUCCESS").isFile)) { staging =>
+        val emb = Tables.embeddings(s, dir)
+        val isRep = graft.functions.GraftCols.md5Mod(
+          concat(col("vec_id").cast("string"), lit("|grep")), RepMod) === 0L
+        val (base, rep) = KnnGraph.buildByInsertion(emb, M, isRep, GraphEntries,
+          BuildChunks, RepRounds, BaseRounds, seedChunks = SeedChunks,
+          insBeam = BuildBeam)
+        ArtifactIO.writeBucketed(base,
+          s"${staging.getAbsolutePath}/bldedges", "src", KnnGraph.EdgeBuckets)
+        ArtifactIO.writeBucketed(rep,
+          s"${staging.getAbsolutePath}/bldrep", "src", KnnGraph.EdgeBuckets)
+        adjacencyFp(base, "base")
+          .unionByName(adjacencyFp(rep, "rep"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${staging.getAbsolutePath}/summary")
+      }
+    }
+
   /** The corpus as a BUCKETED-by-vec_id table — the edge artifact's layout
     * treatment applied to graph search's OTHER per-round join (candidate
     * scoring): beam rounds then join candidates against the corpus with no
@@ -1224,6 +1263,25 @@ object SparkEntry {
         q.processAllAvailable()
         q.stop()
       }
+      GraftCache.onClear(() => rmTree(base))
+      table
+    }
+
+  /** The IVF-assigned corpus as a TableLog table PARTITIONED BY label with
+    * label stats (which now carry per-entry row counts) — the corpus
+    * layout that makes TableLog.selectivityBound TIGHT: each directory
+    * holds exactly one label, so the bound for a label predicate is the
+    * true row fraction, read from the manifest alone. Shared by
+    * ann_filtered_logbound_topk.
+    */
+  private def ivfLogCorpusShared(s: SparkSession, dir: String): String =
+    GraftCache.memoAny(s"$dir/ivflogcorpus") {
+      val n = streamSinkSeq.incrementAndGet()
+      val base = replayCkptBase(n)
+      val table = new java.io.File(base, "ivfcorpus").getAbsolutePath
+      val (_, assigned) = ivfDet(s, dir)
+      graft.sources.TableLog.overwritePartitions(assigned, table, "label",
+        statsCols = Seq("label"))
       GraftCache.onClear(() => rmTree(base))
       table
     }
@@ -3305,6 +3363,43 @@ object SparkEntry {
       res
     }),
 
+    // IVM AS A FIRST-CLASS OPERATOR (r18): a SECOND view shape — the
+    // per-DAY rollup over the same CDC table — registered through the SAME
+    // maintainView protocol the event_type shape runs on (StreamOps
+    // .changeFeedIvm is now a two-line wrapper): cursor recovery,
+    // empty-state arithmetic, and the whole-backlog fold are shared code,
+    // not a copy. Same two-version history as the catch-up query —
+    // bootstrap (__v=1) + one folded step (__v=6) — against the full
+    // recompute at both endpoints. The group key is the table's PARTITION
+    // column, so each tick's merge touches only the day groups the
+    // manifest diff names.
+    "q_events_ivm_daily" -> ((s, dir) => {
+      val table = cdcLogTableShared(s, dir) // v1–5 (shared with merge_cdc)
+      // same guard as the sibling IVM queries: v6 (a compaction) exists
+      // whichever of the sharing queries runs first
+      if (graft.sources.TableLog.headVersion(table) == 5)
+        graft.sources.TableLog.compact(s, table)
+      val n = streamSinkSeq.incrementAndGet()
+      val base = replayCkptBase(n)
+      val view = new java.io.File(base, "ivmdaily").getAbsolutePath
+      import graft.streaming.StreamOps.{IvmCount, IvmSum}
+      val tick = graft.streaming.StreamOps.maintainView(table, view,
+        Seq("day"), Seq(IvmCount("n"), IvmSum("us", "sum_value_micros"))) _
+      tick(s.range(1).toDF(), 0L) // bootstrap + ONE folded step: v1 → v6
+      tick(s.range(1).toDF(), 1L) // already converged — must be a no-op
+      require(graft.sources.TableLog.headVersion(view) == 2,
+        "catch-up must converge the 5-version backlog in one tick")
+      GraftCache.onClear(() => rmTree(base))
+      val res = GraftCache.track(
+        (1 to 2).map { v =>
+          graft.sources.TableLog.read(s, view, Some(v))
+            .select(col("__v").as("version"), col("day"), col("n"),
+              col("sum_value_micros"))
+        }.reduce(_.unionByName(_)).orderBy("version", "day"))
+      res.count() // materialize before the view dir can be cleared
+      res
+    }),
+
     // STREAMING INDEX INGEST — the lossless-insert property end-to-end
     // through Structured Streaming AND the lake format: a 4-batch replay
     // of the embeddings fixture streams through foreachBatch, each batch
@@ -3556,6 +3651,32 @@ object SparkEntry {
       Ann.filteredTopK(emb.filter(col("vec_id") < 100), assigned, centroids,
           col("label") === 3, k = 10, nprobe = 4,
           selectivityHint = Some(0.1))
+        .select(col("query_id"), col("neighbor_id"), col("score"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LAKE-DERIVED HINT (r18): the same hybrid search, but the hint comes
+    // from TableLog.selectivityBound — a MANIFEST computation (no
+    // SparkSession in its signature: zero estimation jobs by construction)
+    // over the per-entry row counts the stats commit now records. The
+    // corpus table is partitioned by the predicate column, so the bound is
+    // tight (≈ the true 1/10 label selectivity) and lands the same
+    // pre-filter regime the measured dispatch picks; an upper bound can
+    // only overshoot toward the safe IVF side, never under-admit into the
+    // byte wall. Result identical to ann_filtered_hinted_topk (same
+    // oracle literal).
+    "ann_filtered_logbound_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (centroids, _) = ivfDet(s, dir)
+      val table = ivfLogCorpusShared(s, dir)
+      val hint = graft.sources.TableLog.selectivityBound(table, "label", 3L, 3L)
+      require(hint > 0.0 && hint <= 0.5,
+        s"label-partitioned corpus must bound label=3 tightly, got $hint")
+      Ann.filteredTopK(emb.filter(col("vec_id") < 100),
+          graft.sources.TableLog.read(s, table), centroids,
+          col("label") === 3, k = 10, nprobe = 4,
+          selectivityHint = Some(hint))
         .select(col("query_id"), col("neighbor_id"), col("score"),
           col("rank").cast("long"))
         .orderBy("query_id", "rank")
@@ -3919,6 +4040,45 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
       Knn.exact(emb.filter(col("vec_id") < 100), survivors, 10,
           metric = "l2", kernel = "fold")
+        .select(col("query_id"), col("neighbor_id"))
+        .join(g, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
+        .orderBy("query_id")
+    }),
+
+    // SCALABLE BUILD: the whole layered graph constructed by CHUNKED
+    // INSERTION (seed chunk exact-built, later chunks HNSW-added through
+    // GraphAnn.insertBatch chained) — per-src fingerprints of the FINAL
+    // layers, which pin every intermediate search, re-rank, and re-trim of
+    // the chained procedure. This is the G7 construction path that works
+    // past the broadcast byte wall (the exact build's bound);
+    // GraphAnnScaleProbe drives it at probe scale.
+    "ann_graph_build_incremental" -> ((s, dir) => {
+      val art = graphBuildDir(s, dir)
+      s.read.parquet(s"$art/summary").orderBy("part", "src")
+    }),
+
+    // The build acceptance gauge: the standard layered search over the
+    // chunk-built artifact vs the exact top-10 — read beside
+    // ann_graph_recall_layered (the exact-built graph's numbers): the
+    // within-batch-blindness price of never running all-pairs.
+    "ann_graph_build_recall" -> ((s, dir) => {
+      val art = graphBuildDir(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val bBase = ArtifactIO.readBucketed(s, s"$art/bldedges",
+        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
+      val bRep = ArtifactIO.readBucketed(s, s"$art/bldrep",
+        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
+      val g = GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
+        embBucketed(s, dir), bRep, bBase,
+        GraphAnn.entryPoints(repsOf(emb), GraphEntries),
+        k = 10, repBeam = RepBeam, baseBeam = BaseBeam,
+        repRounds = RepRounds, baseRounds = BaseRounds)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10)
         .select(col("query_id"), col("neighbor_id"))
         .join(g, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
@@ -5474,6 +5634,94 @@ object SparkEntry {
          |    LEFT JOIN rtouch t ON e.src = t.src WHERE t.src IS NULL
          |  UNION ALL SELECT src, dst, dist FROM rtrim
          |  UNION ALL SELECT src, dst, dist FROM nrep)""".stripMargin
+  }
+
+  /** The chained BUILD replay (no leading WITH): chunk membership (keyed
+    * md5-mod `|gbld`), the seed chunk's two exact kNN layers (same
+    * rank-then-re-rank derivation as graphCtes, restricted to chunk 0),
+    * then ONE FULL INSERT REPLAY PER LATER CHUNK — each step's unrolled
+    * searches run over the PREVIOUS step's layers, its entry sample over
+    * the accumulated old corpus' reps, exactly the engine chain
+    * (KnnGraph.buildByInsertion). Emits bbase$c/brep$c per step; the last
+    * pair is the built artifact.
+    */
+  private def buildCtes: String = {
+    val dd = "(cast(a.embedding[i] as double) - cast(b.embedding[i] as double))"
+    def knnLayer(pfx: String, corpus: String): String =
+      s"""${pfx}knn0 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    sqrt(list_reduce(list_transform(range(1, ${D + 1}), i -> $dd * $dd), (x, y) -> x + y)) AS dist
+         |  FROM $corpus a, $corpus b),
+         |${pfx}raw AS MATERIALIZED (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+         |    FROM ${pfx}knn0) WHERE rank <= ${2 * M + 1}),
+         |${pfx}edges AS MATERIALIZED (SELECT * FROM (
+         |    SELECT query_id AS src, neighbor_id AS dst, dist,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS r2
+         |    FROM ${pfx}raw WHERE neighbor_id <> query_id) WHERE r2 <= ${2 * M})""".stripMargin
+    def step(c: Int, prevBase: String, prevRep: String): String =
+      s"""bold$c AS MATERIALIZED (SELECT vec_id, embedding FROM bch WHERE ck < $c),
+         |bnew$c AS MATERIALIZED (SELECT vec_id, embedding FROM bch WHERE ck = $c),
+         |bent$c AS (SELECT vec_id AS node FROM bold$c
+         |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|grep'", RepMod.toString)} = 0
+         |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
+         |bq$c AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe FROM bnew$c),
+         |""".stripMargin +
+        graphSearchCtesOver(s"bq$c", s"xr$c", prevRep,
+          s"SELECT q.query_id, e.node FROM bq$c q, bent$c e", BuildBeam, RepRounds) +
+        ",\n" +
+        graphSearchCtesOver(s"bq$c", s"xb$c", prevBase,
+          s"SELECT query_id, node FROM xr${c}b$RepRounds", BuildBeam, BaseRounds) +
+        ",\n" +
+        s"""bnb$c AS MATERIALIZED (SELECT query_id AS src, node AS dst, dist FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+           |    FROM xb${c}b$BaseRounds) WHERE rn <= ${2 * M}),
+           |bbt$c AS (SELECT DISTINCT dst AS src FROM bnb$c),
+           |bbtr$c AS MATERIALIZED (SELECT src, dst, dist FROM (
+           |    SELECT u.src, u.dst, u.dist,
+           |      row_number() OVER (PARTITION BY u.src ORDER BY u.dist, u.dst) AS rn
+           |    FROM (SELECT e.src, e.dst, e.dist FROM $prevBase e JOIN bbt$c t ON e.src = t.src
+           |          UNION ALL
+           |          SELECT n.dst AS src, n.src AS dst, n.dist FROM bnb$c n) u)
+           |  WHERE rn <= ${2 * M}),
+           |bnrq$c AS (SELECT vec_id FROM bnew$c
+           |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|grep'", RepMod.toString)} = 0),
+           |bnr$c AS MATERIALIZED (SELECT query_id AS src, node AS dst, dist FROM (
+           |    SELECT b.query_id, b.node, b.dist,
+           |      row_number() OVER (PARTITION BY b.query_id ORDER BY b.dist, b.node) AS rn
+           |    FROM xr${c}b$RepRounds b JOIN bnrq$c r ON r.vec_id = b.query_id)
+           |  WHERE rn <= ${2 * M}),
+           |brt$c AS (SELECT DISTINCT dst AS src FROM bnr$c),
+           |brtr$c AS MATERIALIZED (SELECT src, dst, dist FROM (
+           |    SELECT u.src, u.dst, u.dist,
+           |      row_number() OVER (PARTITION BY u.src ORDER BY u.dist, u.dst) AS rn
+           |    FROM (SELECT e.src, e.dst, e.dist FROM $prevRep e JOIN brt$c t ON e.src = t.src
+           |          UNION ALL
+           |          SELECT n.dst AS src, n.src AS dst, n.dist FROM bnr$c n) u)
+           |  WHERE rn <= ${2 * M}),
+           |bbase$c AS MATERIALIZED (
+           |  SELECT e.src, e.dst, e.dist FROM $prevBase e
+           |    LEFT JOIN bbt$c t ON e.src = t.src WHERE t.src IS NULL
+           |  UNION ALL SELECT src, dst, dist FROM bbtr$c
+           |  UNION ALL SELECT src, dst, dist FROM bnb$c),
+           |brep$c AS MATERIALIZED (
+           |  SELECT e.src, e.dst, e.dist FROM $prevRep e
+           |    LEFT JOIN brt$c t ON e.src = t.src WHERE t.src IS NULL
+           |  UNION ALL SELECT src, dst, dist FROM brtr$c
+           |  UNION ALL SELECT src, dst, dist FROM bnr$c)""".stripMargin
+    val head =
+      s"""bch AS MATERIALIZED (SELECT vec_id, embedding,
+         |    ${md5ModCol("cast(vec_id as varchar) || '|gbld'", BuildChunks.toString)} AS ck
+         |  FROM embeddings),
+         |bc0 AS MATERIALIZED (SELECT vec_id, embedding FROM bch WHERE ck < $SeedChunks),
+         |br0 AS MATERIALIZED (SELECT vec_id, embedding FROM bc0
+         |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|grep'", RepMod.toString)} = 0),
+         |${knnLayer("yb", "bc0")},
+         |${knnLayer("yr", "br0")}""".stripMargin
+    val steps = (SeedChunks until BuildChunks).map { c =>
+      step(c, if (c == SeedChunks) "ybedges" else s"bbase${c - 1}",
+        if (c == SeedChunks) "yredges" else s"brep${c - 1}")
+    }
+    (head +: steps).mkString(",\n")
   }
 
   /** The incremental-delete replay (no leading WITH; requires graphCtes'
@@ -7768,6 +8016,25 @@ object SparkEntry {
          |FROM events WHERE event_id % 37 <> 0 GROUP BY 2
          |ORDER BY 1, 2""".stripMargin,
 
+    // The daily view shape through the same protocol: v1 = the first
+    // replay quartile's per-day rollup, v6 = the post-tombstone table's —
+    // same endpoints as the catch-up oracle, grouped by day instead of
+    // event_type.
+    "q_events_ivm_daily" ->
+      s"""WITH r AS (SELECT strftime(cast(ts AS date), '%Y-%m-%d') AS day, value,
+         |    ((row_number() OVER (ORDER BY ts, event_id) - 1) * 4)
+         |      // (SELECT count(*) FROM events) AS b
+         |  FROM events)
+         |SELECT cast(1 AS integer) AS version, day, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM r WHERE b < 1 GROUP BY 2
+         |UNION ALL
+         |SELECT cast(6 AS integer) AS version,
+         |  strftime(cast(ts AS date), '%Y-%m-%d') AS day, count(*) AS n,
+         |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events WHERE event_id % 37 <> 0 GROUP BY 2
+         |ORDER BY 1, 2""".stripMargin,
+
     // The incremental artifact's content IS the raw table when maintenance
     // is correct — the full-table rollup is the oracle.
     "q_events_incremental" ->
@@ -8564,6 +8831,49 @@ object SparkEntry {
            |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
            |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin),
 
+    // The WHOLE chained build replayed: seed-chunk kNN layers, then one
+    // full insert replay per later chunk over the previous step's layers —
+    // the final layers' per-src fingerprints.
+    "ann_graph_build_incremental" ->
+      (s"WITH $buildCtes\n" +
+        s"""SELECT part, src, n_edges, sum_dist_nanos, sum_dst FROM (
+           |  SELECT 'base' AS part, src, count(*) AS n_edges,
+           |    cast(sum(cast(floor(dist * 1000000000.0 + 0.5) as bigint)) as bigint) AS sum_dist_nanos,
+           |    cast(sum(dst) as bigint) AS sum_dst FROM bbase${BuildChunks - 1} GROUP BY 2
+           |  UNION ALL
+           |  SELECT 'rep', src, count(*),
+           |    cast(sum(cast(floor(dist * 1000000000.0 + 0.5) as bigint)) as bigint),
+           |    cast(sum(dst) as bigint) FROM brep${BuildChunks - 1} GROUP BY 2)
+           |ORDER BY part, src""".stripMargin),
+
+    // Recall over the CHUNK-BUILT layers: the build replay's final
+    // bbase/brep, the standard layered search unrolled over them (entry
+    // sample from the FULL corpus' reps), against the full-corpus exact
+    // top-10 (raw17).
+    "ann_graph_build_recall" ->
+      (graphCtes + ",\n" + buildCtes + ",\n" +
+        s"""yfent AS (SELECT vec_id AS node FROM embeddings
+           |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|grep'", RepMod.toString)} = 0
+           |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
+           |yq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+           |""".stripMargin +
+        graphSearchCtesOver("yq", "wr", s"brep${BuildChunks - 1}",
+          "SELECT q.query_id, e.node FROM yq q, yfent e", RepBeam, RepRounds) +
+        ",\n" +
+        graphSearchCtesOver("yq", "wb", s"bbase${BuildChunks - 1}",
+          s"SELECT query_id, node FROM wrb$RepRounds", BaseBeam, BaseRounds) +
+        ",\n" +
+        s"""wk AS (SELECT query_id, node AS neighbor_id FROM (
+           |    SELECT query_id, node,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+           |    FROM wbb$BaseRounds) WHERE rn <= 10),
+           |wbk AS (SELECT query_id, neighbor_id FROM raw17 WHERE query_id < 100 AND rank <= 10)
+           |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
+           |  cast(count(i.neighbor_id) as double) / count(*) AS recall
+           |FROM wbk b LEFT JOIN wk i
+           |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin),
+
     // The WHOLE delete-repair rule replayed closed-form (no unrolled
     // search needed): victims, kept edges, loser/victim in-edges,
     // inherited candidates, fresh fold-L2 scores, grouped re-trim — then
@@ -8688,6 +8998,10 @@ object SparkEntry {
     // The hinted dispatch must be result-invariant — same oracle as the
     // measured-dispatch row (one shared literal, so they cannot drift).
     "ann_filtered_hinted_topk" -> filteredTopkOracle,
+
+    // The lake-derived hint drives only the regime — same rows, same
+    // replay as the measured and literal-hinted dispatches.
+    "ann_filtered_logbound_topk" -> filteredTopkOracle,
 
     // Hybrid post-filter replay: the UNfiltered IVF candidate ranking cut
     // at the 4× oversample budget (r0 ≤ 40), predicate filter, re-rank to

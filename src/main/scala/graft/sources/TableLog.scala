@@ -283,20 +283,33 @@ object TableLog {
         "optimistic races — contention storm or a stuck head; aborting " +
         "rather than filling the disk with orphaned attempt directories")
 
-  /** Whole-frame min/max stats for `statsCols`, one aggregate job (ignores
-    * nulls; an all-null column is omitted — conservative keep at read).
+  /** Reserved stats key carrying the entry's ROW COUNT as a degenerate
+    * (n, n) triple — Delta's per-file numRecords in the existing stats
+    * encoding, so no manifest format change. Written whenever statsCols
+    * are requested (the count rides the same aggregate — zero extra
+    * jobs); read by selectivityBound. User stats columns may not take the
+    * name.
+    */
+  private val RowCountKey = "__n"
+
+  /** Whole-frame min/max stats for `statsCols` (+ the row count under
+    * RowCountKey), one aggregate job (ignores nulls; an all-null column is
+    * omitted — conservative keep at read).
     */
   private def frameStats(df: DataFrame, statsCols: Seq[String]): Map[String, (Long, Long)] =
     if (statsCols.isEmpty) Map.empty
     else {
-      import org.apache.spark.sql.functions.{max, min}
+      import org.apache.spark.sql.functions.{count, lit, max, min}
+      require(!statsCols.contains(RowCountKey), s"'$RowCountKey' is reserved")
       val aggs = statsCols.flatMap(c =>
-        Seq(min(statLongCol(df, c)), max(statLongCol(df, c))))
+        Seq(min(statLongCol(df, c)), max(statLongCol(df, c)))) :+ count(lit(1))
       val r = df.agg(aggs.head, aggs.tail: _*).head()
       statsCols.zipWithIndex.flatMap { case (c, i) =>
         if (r.isNullAt(2 * i)) None
         else Some(c -> (r.getLong(2 * i), r.getLong(2 * i + 1)))
-      }.toMap
+      }.toMap + (RowCountKey -> {
+        val n = r.getLong(2 * statsCols.size); (n, n)
+      })
     }
 
   /** Commit `df` against the head via optimistic retry. `keep` filters the
@@ -416,16 +429,19 @@ object TableLog {
                          statsCols: Seq[String]): Map[String, Map[String, (Long, Long)]] =
     if (statsCols.isEmpty) Map.empty
     else {
-      import org.apache.spark.sql.functions.{coalesce, lit, max, min}
+      import org.apache.spark.sql.functions.{coalesce, count, lit, max, min}
+      require(!statsCols.contains(RowCountKey), s"'$RowCountKey' is reserved")
       val key = coalesce(keyCol.cast("string"),
         lit("__HIVE_DEFAULT_PARTITION__")).as("__pt_key")
       val aggs = statsCols.flatMap(c =>
-        Seq(min(statLongCol(df, c)), max(statLongCol(df, c))))
+        Seq(min(statLongCol(df, c)), max(statLongCol(df, c)))) :+ count(lit(1))
       df.groupBy(key).agg(aggs.head, aggs.tail: _*).collect().map { r =>
-        r.getString(0) -> statsCols.zipWithIndex.flatMap { case (c, i) =>
+        r.getString(0) -> (statsCols.zipWithIndex.flatMap { case (c, i) =>
           if (r.isNullAt(1 + 2 * i)) None
           else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
-        }.toMap
+        }.toMap + (RowCountKey -> {
+          val n = r.getLong(1 + 2 * statsCols.size); (n, n)
+        }))
       }.toMap
     }
 
@@ -455,6 +471,15 @@ object TableLog {
     * dynamic-overwrite gap upsertBatchCdc has to patch with an out-of-band
     * directory delete).
     */
+  /** Spec-facing interleave seam: invoked once per overwritePartitions
+    * attempt, after the head/manifest snapshot and before publication —
+    * lets TableLogSpec inject a concurrent winner at the exact window the
+    * conflict detection protects (a real thread race hits the window
+    * nondeterministically). No-op in production; zero behavior hangs off
+    * it beyond the call itself.
+    */
+  @volatile private[graft] var interleaveForTest: () => Unit = () => ()
+
   def overwritePartitions(df: DataFrame, table: String, partCol: String,
                           alsoReplace: Set[String] = Set.empty,
                           statsCols: Seq[String] = Nil): Int = {
@@ -462,6 +487,22 @@ object TableLog {
     alsoReplace.foreach(t => require(!t.contains('"') && !t.contains('|'),
       s"partition value '$t' contains a manifest delimiter (\" or |)"))
     val statsByTag = statsByKey(df, col(partCol), statsCols)
+    // WRITE-WRITE CONFLICT DETECTION (Delta's replaceWhere rule at
+    // partition grain): this writer's logical snapshot is the manifest it
+    // read on its FIRST attempt. Losing the optimistic race and rebasing
+    // is safe only if the interleaved commits did not touch the partitions
+    // this commit replaces — otherwise the rebase would silently drop the
+    // concurrent winner's rows for those partitions (a lost update at
+    // partition grain: both writers "succeed", one's data vanishes).
+    // The replace-set's manifest SLICE (every previous entry whose tag is
+    // being replaced) is captured at the snapshot; a retry whose refreshed
+    // manifest shows a DIFFERENT slice fails loudly naming the partitions.
+    // Disjoint concurrent partition-overwriters leave each other's slices
+    // untouched and still serialize cleanly (TableLogSpec races both
+    // shapes). Appends and overwrites of OTHER partitions never conflict.
+    var snapshot: Option[(Set[String], Seq[String])] = None
+    def sliceOf(prev: Seq[String], replaced: Set[String]): Seq[String] =
+      prev.filter(e => entryTag(e).exists(replaced.contains)).sorted
     var v = -1
     var tries = 0
     while (v < 0) {
@@ -469,6 +510,16 @@ object TableLog {
       tries += 1
       val base = headVersion(table)
       val prev = if (base == 0) Seq.empty else manifest(table, base)
+      snapshot.foreach { case (replaced0, slice0) =>
+        val now = sliceOf(prev, replaced0)
+        if (now != slice0) throw new java.util.ConcurrentModificationException(
+          s"overwritePartitions on $table: a concurrent commit modified " +
+            s"partition(s) ${replaced0.toSeq.sorted.mkString("[", ", ", "]")} " +
+            "between this writer's snapshot and its commit — rebasing would " +
+            "silently discard the concurrent writer's data for those " +
+            "partitions (lost update). Re-read and re-apply this write " +
+            "against the new head.")
+      }
       val rel = s"data/c${base + 1}-${ProcessHandle.current().pid()}-" +
         java.util.UUID.randomUUID.toString.take(8)
       val abs = new java.io.File(table, rel)
@@ -498,7 +549,9 @@ object TableLog {
         s"$rel/${d.getName}|$tag|${renderStats(st)}|${renderSchema(df)}"
       }
       val replaced = adds.map(entryTag(_).get).toSet ++ alsoReplace
+      if (snapshot.isEmpty) snapshot = Some((replaced, sliceOf(prev, replaced)))
       val keep = prev.filter(e => entryTag(e).forall(t => !replaced.contains(t)))
+      interleaveForTest()
       v = tryCommit(table, base, keep ++ adds)
     }
     v
@@ -741,6 +794,49 @@ object TableLog {
       entryStats(e).get(statsCol) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None           => true
+      }
+    }
+  }
+
+  /** SELECTIVITY UPPER BOUND for a closed-range predicate, from the
+    * manifest ALONE — a driver-side file read: no SparkSession in the
+    * signature, so "zero estimation jobs" holds by construction. The bound
+    * is (row count of the directories whose stats admit the range) /
+    * (total row count), using the per-entry RowCountKey counts committed
+    * alongside statsCols. Any entry missing a count (a pre-count commit,
+    * or a table committed without statsCols) degrades the bound to 1.0 —
+    * conservative, never wrong. The intended consumer is
+    * Ann.filteredTopK's `selectivityHint`: a caller holding a TableLog
+    * corpus pays nothing for its hint, and because this is an UPPER bound
+    * the hinted dispatch can only overshoot toward the safe (IVF) side —
+    * it can never under-admit a survivor set into the byte-walled exact
+    * regime (the one failure mode the hint docs call out). A
+    * partition/cluster layout aligned with the predicate column makes the
+    * bound tight (each directory is narrow on the column); a scattered
+    * layout makes it loose — still an upper bound either way.
+    */
+  def selectivityBound(table: String, statsCol: String, lo: Long, hi: Long,
+                       version: Option[Int] = None): Double = {
+    val v = version.getOrElse(headVersion(table))
+    require(v >= 1, s"$table has no committed version")
+    val es = manifest(table, v)
+    if (es.isEmpty) 0.0
+    else {
+      val stats = es.map(entryStats)
+      if (stats.exists(st => !st.contains(RowCountKey))) 1.0
+      else {
+        val total = stats.map(_(RowCountKey)._1).sum
+        if (total == 0L) 0.0
+        else {
+          val kept = stats.iterator.map { st =>
+            val admits = st.get(statsCol) match {
+              case Some((mn, mx)) => mx >= lo && mn <= hi
+              case None           => true
+            }
+            if (admits) st(RowCountKey)._1 else 0L
+          }.sum
+          kept.toDouble / total.toDouble
+        }
       }
     }
   }

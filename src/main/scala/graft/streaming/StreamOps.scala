@@ -251,22 +251,42 @@ object StreamOps {
     ()
   }
 
+  /** Self-maintainable aggregate spec for `maintainView` — COUNT(*) and
+    * SUM(col), the classic IVM class where a change-feed delta folds as a
+    * SIGNED partial aggregate (insert = +1/+x, delete = −1/−x) and merges
+    * into the view by addition. Value columns must be integral (the
+    * engine's exact-micros discipline — a double sum would drift from the
+    * full recompute under reordering). AVG and friends derive as
+    * sum/count downstream; MIN/MAX are NOT self-maintainable under
+    * deletes (a retracted extremum needs a rescan) and are deliberately
+    * absent.
+    */
+  sealed trait IvmAgg { def as: String }
+  final case class IvmCount(as: String) extends IvmAgg
+  final case class IvmSum(value: String, as: String) extends IvmAgg
+
   /** THE CHANGE FEED AS A STREAMING SOURCE — incremental view maintenance
-    * across TableLog commits inside one streaming query. Each foreachBatch
+    * across TableLog commits inside one streaming query, for ANY
+    * (groupCols, self-maintainable aggs) view shape. Each foreachBatch
     * invocation (the micro-batch content is only the tick clock; any stream
     * can drive it) advances a CURSOR over `table`'s version history by at
-    * most one version and maintains a per-event_type rollup in `view`
-    * (itself a TableLog table) from the CHANGE FEED alone — the unchanged
-    * directories of `table` are never re-read after the bootstrap:
+    * most one version and maintains the `groupBy(groupCols).agg(aggs)`
+    * rollup in `view` (itself a TableLog table) from the CHANGE FEED
+    * alone — the unchanged directories of `table` are never re-read after
+    * the bootstrap:
     *
     *   - bootstrap (view empty): the rollup of `table` version 1, committed
     *     with `__v = 1`;
     *   - step: `delta = changeFeed(cursor, target)` rolled up signed
-    *     (insert = +1/+us, delete = −1/−us), merged full_outer into the
+    *     (insert = +1/+x, delete = −1/−x), merged full_outer into the
     *     view, committed with `__v = target`. A span whose feed is
     *     EMPTY (a compaction, a no-op commit) still commits — identical
     *     rows, advanced `__v` — so the cursor passes it and the view
     *     history records it (state unchanged, ChangeFeedIvmSpec-pinned).
+    *
+    * The view keeps a group live while its row count is nonzero, so the
+    * agg list must include at least one IvmCount — the liveness test
+    * (count reaching zero drops the group) falls out of it.
     *
     * The cursor IS the view's own content (`max(__v)` of the head), so the
     * consumer is restart-safe and exactly-once by construction: the feed
@@ -300,18 +320,34 @@ object StreamOps {
     * don't share (changeFeed's contract) and touches only changed groups —
     * the maintained view never rescans the table.
     */
-  def changeFeedIvm(table: String, view: String,
-                    maxVersionsPerTick: Int = Int.MaxValue)(
-                    tick: DataFrame, batchId: Long): Unit = {
+  def maintainView(table: String, view: String,
+                   groupCols: Seq[String], aggs: Seq[IvmAgg],
+                   maxVersionsPerTick: Int = Int.MaxValue)(
+                   tick: DataFrame, batchId: Long): Unit = {
     // a non-positive span would pin target = cur: every tick would commit
     // a duplicate state whose __v never advances — unbounded view growth
     // masquerading as progress
     require(maxVersionsPerTick >= 1, s"maxVersionsPerTick=$maxVersionsPerTick must be ≥ 1")
+    require(groupCols.nonEmpty, "maintainView needs at least one group column")
+    require(aggs.nonEmpty, "maintainView needs at least one aggregate")
+    val liveCol = aggs.collectFirst { case IvmCount(as) => as }.getOrElse(
+      throw new IllegalArgumentException(
+        "maintainView needs at least one IvmCount: group liveness (a " +
+          "group leaves the view when its row count reaches zero) is " +
+          "derived from it"))
+    val aggNames = aggs.map(_.as)
+    require(aggNames.distinct == aggNames &&
+        aggNames.forall(n => !groupCols.contains(n) && n != "__v"),
+      s"aggregate aliases must be unique and distinct from $groupCols/__v")
     import graft.sources.TableLog
     val s = tick.sparkSession
-    def rollup(df: DataFrame): DataFrame =
-      df.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("us").as("sum_value_micros"))
+    def rollup(df: DataFrame): DataFrame = {
+      val cols = aggs.map {
+        case IvmCount(as)    => count(lit(1)).as(as)
+        case IvmSum(v, as)   => sum(col(v)).as(as)
+      }
+      df.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
+    }
     if (TableLog.headVersion(view) == 0) {
       // bootstrap from the OLDEST RETAINED source version — a literal 1
       // fails forever on any table that has ever been vacuumed
@@ -367,16 +403,19 @@ object StreamOps {
     if (head > cur) {
       def stateAfter(target: Int): DataFrame = {
         val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+        val dCols = aggs.map {
+          case IvmCount(as)  => sum(sign).as(s"__d_$as")
+          case IvmSum(v, as) => sum(sign * col(v)).as(s"__d_$as")
+        }
         val delta = TableLog.changeFeed(s, table, cur, target)
-          .groupBy("event_type")
-          .agg(sum(sign).as("dn"), sum(sign * col("us")).as("dus"))
+          .groupBy(groupCols.map(col): _*).agg(dCols.head, dCols.tail: _*)
+        val merged = groupCols.map(col) ++ aggs.map(a =>
+          (coalesce(col(a.as), lit(0L)) + coalesce(col(s"__d_${a.as}"), lit(0L)))
+            .as(a.as))
         TableLog.read(s, view).drop("__v")
-          .join(delta, Seq("event_type"), "full_outer")
-          .select(col("event_type"),
-            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
-            (coalesce(col("sum_value_micros"), lit(0L)) + coalesce(col("dus"), lit(0L)))
-              .as("sum_value_micros"))
-          .filter(col("n") =!= 0L)
+          .join(delta, groupCols, "full_outer")
+          .select(merged: _*)
+          .filter(col(liveCol) =!= 0L)
           .withColumn("__v", lit(target))
       }
       val target0 = math.min(head.toLong, cur.toLong + maxVersionsPerTick).toInt
@@ -398,6 +437,20 @@ object StreamOps {
     }
     ()
   }
+
+  /** The registered per-event_type rollup shape of `maintainView` — the
+    * stable API the streaming queries and ChangeFeedIvmSpec drive. All
+    * protocol code (cursor recovery, empty-state arithmetic, the backlog
+    * fold) lives in maintainView and is shared by every view shape
+    * (q_events_ivm_daily registers a per-day shape through the same
+    * protocol).
+    */
+  def changeFeedIvm(table: String, view: String,
+                    maxVersionsPerTick: Int = Int.MaxValue)(
+                    tick: DataFrame, batchId: Long): Unit =
+    maintainView(table, view, Seq("event_type"),
+      Seq(IvmCount("n"), IvmSum("us", "sum_value_micros")),
+      maxVersionsPerTick)(tick, batchId)
 
   /** General form of the replay builder: split ANY fixture table into
     * `nFiles` parquet files contiguous in `orderCols` with strictly

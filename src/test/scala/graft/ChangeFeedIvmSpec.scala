@@ -62,6 +62,40 @@ class ChangeFeedIvmSpec extends AnyFunSuite {
     assert(viewAt(v, 4).keySet == Set("c"), s"stale groups survived: ${viewAt(v, 4)}")
   }
 
+  test("maintainView: a second view shape (two group cols) runs the same protocol") {
+    import spark.implicits._
+    import StreamOps.{IvmCount, IvmSum}
+    val t = tmp(); val v = tmp()
+    def rows2(xs: (String, String, Long)*) = xs.toDF("cat", "sub", "us")
+    val tick2 = StreamOps.maintainView(t, v, Seq("cat", "sub"),
+      Seq(IvmCount("cnt"), IvmSum("us", "sum_us")), maxVersionsPerTick = 1) _
+    val tickAll2 = StreamOps.maintainView(t, v, Seq("cat", "sub"),
+      Seq(IvmCount("cnt"), IvmSum("us", "sum_us"))) _
+    def recompute2(k: Int) = TableLog.read(spark, t, Some(k))
+      .groupBy("cat", "sub").agg(count(lit(1)).as("cnt"), sum("us").as("sum_us"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    def viewAt2(k: Int) = TableLog.read(spark, v, Some(k))
+      .collect().map(r => (r.getAs[String]("cat"), r.getAs[String]("sub")) ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("sum_us"))).toMap
+    TableLog.overwrite(rows2(("a", "x", 10L), ("a", "y", 5L), ("b", "x", 7L)), t) // v1
+    tick2(spark.range(1).toDF(), 0L) // bootstrap
+    assert(viewAt2(1) == recompute2(1))
+    TableLog.append(rows2(("a", "x", 3L), ("c", "z", 100L)), t) // v2
+    TableLog.compact(spark, t)                                  // v3: empty feed
+    TableLog.overwrite(rows2(("c", "z", 1L)), t)                // v4: groups vanish
+    tickAll2(spark.range(1).toDF(), 1L) // catch-up: fold v1 → v4 in ONE tick
+    assert(TableLog.headVersion(v) == 2, "the backlog must fold in one tick")
+    assert(viewAt2(2) == recompute2(4), "folded state drifted from recompute")
+    // liveness rides the IvmCount: groups emptied by v4 are dropped
+    assert(viewAt2(2).keySet == Set(("c", "z")), s"stale groups: ${viewAt2(2)}")
+    // the liveness contract is enforced, not implicit
+    intercept[IllegalArgumentException] {
+      StreamOps.maintainView(t, v, Seq("cat"), Seq(IvmSum("us", "s")))(
+        spark.range(1).toDF(), 0L)
+    }
+  }
+
   test("a version that empties the table doesn't lose the cursor") {
     val t = tmp(); val v = tmp()
     TableLog.overwrite(rows("a" -> 10L, "b" -> 7L), t) // v1

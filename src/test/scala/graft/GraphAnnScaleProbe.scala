@@ -24,6 +24,97 @@ import org.apache.spark.sql.functions._
   * Findings recorded in DESIGN.md ("Graph-ANN scale probe").
   */
 object GraphAnnScaleProbe {
+
+  /** BUILD-BY-INSERTION leg (`Test/runMain graft.GraphAnnScaleProbe build
+    * [nCorpus] [nQueries]`): constructs the layered graph for a corpus
+    * whose exact all-pairs build is PAST the broadcast byte wall —
+    * the wall is lowered to make the regime boundary explicit at probe
+    * scale (the wall is a deployment conf; what matters is the dispatch,
+    * same technique as KnnWallSpec). Asserts the exact build fails loudly,
+    * then runs KnnGraph.buildByInsertion (seed = 1 of nChunks slices,
+    * batches chained through GraphAnn.insertBatch), times each phase, and
+    * gauges layered-search recall over the chunk-built artifact against
+    * the pre-computed exact ground truth. Findings → DESIGN.md.
+    */
+  def buildLeg(spark: SparkSession, nCorpus: Int, nQueries: Int): Unit = {
+    import graft.functions.GraftCols
+    val d = 8
+    val m = 8
+    val gen = udf((id: Long) => Array.tabulate(d)(j =>
+      (graft.functions.Hashing.unitUniform(s"v|$id|$j").toFloat - 0.5f)))
+    val corpus = spark.range(nCorpus)
+      .select(col("id").as("vec_id"), gen(col("id")).as("embedding"))
+      .localCheckpoint()
+    val queries = corpus.filter(col("vec_id") < nQueries).cache()
+    queries.count()
+    def time[A](label: String)(f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[gabuild] $label%-40s $dt%8.2f s"); (r, dt)
+    }
+    // ground truth BEFORE lowering the wall (it needs the broadcast regime)
+    val (exact, _) = time("exact top-10 (brute baseline)") {
+      val e = Knn.exact(queries, corpus, 10, kernel = "fast")
+        .select("query_id", "neighbor_id").localCheckpoint()
+      e.count(); e
+    }
+    val nExact = exact.count()
+    val nChunks = 8
+    // wall: the full corpus must NOT fit, the 1/nChunks seed must
+    val perRow = d * 4 + 16
+    val wall = nCorpus.toLong * perRow / 2
+    spark.conf.set("graft.knn.broadcastMaxBytes", wall.toString)
+    println(s"[gabuild] wall set to $wall bytes (corpus needs ~${nCorpus.toLong * perRow})")
+    val walled =
+      try { KnnGraph.edges(corpus, m).count(); false }
+      catch { case e: IllegalStateException =>
+        println(s"[gabuild] exact build walled as designed: ${e.getMessage.take(80)}…")
+        true
+      }
+    assert(walled, "the exact build should have hit the byte wall")
+    val isRep = GraftCols.md5Mod(
+      concat(col("vec_id").cast("string"), lit("|grep")), 8) === 0L
+    val ((base, rep), buildS) = time(s"buildByInsertion ($nChunks chunks, seed 1)") {
+      val r = KnnGraph.buildByInsertion(corpus, m, isRep, 64,
+        nChunks = nChunks, repRounds = 2, baseRounds = 2,
+        seedChunks = 1, insBeam = 2 * m)
+      (r._1.count(), r._2.count()); r
+    }
+    spark.conf.unset("graft.knn.broadcastMaxBytes")
+    println(f"[gabuild] built: base ${base.count()}%,d edges, rep ${rep.count()}%,d edges, " +
+      f"${nCorpus / buildS}%,.0f rows/s end-to-end")
+    val entries = GraphAnn.entryPoints(corpus.filter(isRep), 64, seed = "gsp-e")
+    def gauge(tag: String, baseE: org.apache.spark.sql.DataFrame,
+              repE: org.apache.spark.sql.DataFrame): Unit =
+      for ((rb, rr, bb, br) <- Seq((16, 4, 16, 8), (32, 4, 32, 8))) {
+        val t0 = System.nanoTime()
+        val res = GraphAnn.layeredSearch(queries, corpus, repE, baseE,
+          entries, k = 10, repBeam = rb, baseBeam = bb,
+          repRounds = rr, baseRounds = br)
+        val hits = res.select("query_id", "neighbor_id")
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[gabuild] $tag%-11s rep B=$rb%-3d R=$rr base B=$bb%-3d R=$br " +
+          f"recall@10 ${hits.toDouble / nExact}%7.4f $dt%9.2f s")
+      }
+    gauge("chunk-built", base, rep)
+    // build-quality isolation: the SAME search over the EXACT-built graph
+    // (compute-feasible up to ~1M at d=8) — the recall ratio between the
+    // two rows is the within-batch-blindness price, with search-width
+    // effects cancelled out
+    if (nCorpus <= 1000000) {
+      val (exBase, t1) = time("exact build (comparison graph)") {
+        val b = KnnGraph.edges(corpus, m).select("src", "dst", "dist")
+          .repartition(col("src")).localCheckpoint()
+        b.count(); b
+      }
+      val exRep = KnnGraph.edges(corpus.filter(isRep), m)
+        .select("src", "dst", "dist").repartition(col("src")).localCheckpoint()
+      println(f"[gabuild] exact build throughput ${nCorpus / t1}%,.0f rows/s")
+      gauge("exact-built", exBase, exRep)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -31,6 +122,12 @@ object GraphAnnScaleProbe {
       .config("spark.driver.memory", "16g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("build")) {
+      val n  = args.drop(1).headOption.map(_.toInt).getOrElse(5000000)
+      val nq = args.drop(2).headOption.map(_.toInt).getOrElse(100)
+      buildLeg(spark, n, nq)
+      spark.stop(); return
+    }
     val nCorpus  = args.headOption.map(_.toInt).getOrElse(1000000)
     val nQueries = args.drop(1).headOption.map(_.toInt).getOrElse(100)
     val d = 8

@@ -140,6 +140,38 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(repNewIds == repMembers, s"rep inserts $repNewIds != members $repMembers")
   }
 
+  test("buildByInsertion: nChunks=1 IS the exact build; the chain is deterministic, capped, and total") {
+    import graft.functions.GraftCols
+    val isRep = GraftCols.md5Mod(
+      concat(col("vec_id").cast("string"), lit("|grep")), 8) === 0L
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // degenerate case: one chunk = the whole corpus is the seed — both
+    // layers must be BIT-IDENTICAL to the exact all-pairs build
+    val (b1, r1) = KnnGraph.buildByInsertion(emb, 8, isRep, 4,
+      nChunks = 1, repRounds = 2, baseRounds = 2)
+    assert(rows(b1) == rows(edges.select("src", "dst", "dist")),
+      "single-chunk build must equal the exact base graph")
+    assert(rows(r1) == rows(KnnGraph.edges(emb.filter(isRep), 8)
+      .select("src", "dst", "dist")),
+      "single-chunk build must equal the exact rep graph")
+    // chained: a pure function of (corpus, params) — two runs identical
+    val (b4a, r4a) = KnnGraph.buildByInsertion(emb, 8, isRep, 4,
+      nChunks = 4, repRounds = 2, baseRounds = 2, seedChunks = 2)
+    val (b4b, _) = KnnGraph.buildByInsertion(emb, 8, isRep, 4,
+      nChunks = 4, repRounds = 2, baseRounds = 2, seedChunks = 2)
+    assert(rows(b4a) == rows(b4b), "chained build must be deterministic")
+    // structural invariants: every corpus node has a list, degree ≤ 2M,
+    // no self edges; rep layer spans exactly the rep members
+    val deg = b4a.groupBy("src").agg(count(lit(1)).as("d")).cache()
+    assert(deg.count() == emb.count(), "a node got no adjacency list")
+    assert(deg.filter(col("d") > 16).count() == 0, "out-degree cap violated")
+    assert(b4a.filter(col("src") === col("dst")).count() == 0)
+    assert(r4a.select("src").distinct().count() == emb.filter(isRep).count())
+    deg.unpersist()
+  }
+
   test("deleteLayer: victims gone, untouched lists verbatim, inherited edges only bridge through a lost victim") {
     import graft.functions.GraftCols
     val isVict = GraftCols.md5Mod(

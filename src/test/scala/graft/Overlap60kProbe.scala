@@ -1,0 +1,81 @@
+package graft
+import graft.ann.GraphAnn
+import graft.graph.KnnGraph
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Hidden-node overlap at the reference's PUBLISHED N = 60 000 (BASELINE.md
+  * row: overlap 0.880–0.9865 across M = 8/12/16/24 × efC = 50…200 vs the
+  * (M = 12, efC = 100) baseline, hidden ratio 10%;
+  * t_vector/e3_hidden_nodes_ratio_with_diff_M.py:59–95) — the one published
+  * quality table not yet reproduced at its own N (`so4_hidden_overlap`
+  * runs the same arithmetic at fixture scale).
+  *
+  * The reference's overlap varies with (M, efC) because its search counts
+  * come from APPROXIMATE search over the FAISS HNSW index those parameters
+  * shape. The engine's kNN graphs are deterministic, so the faithful
+  * analog counts appearances in `GraphAnn.beamSearch` top-10 over the
+  * M-graph, with the BEAM WIDTH playing efC's role (both control how much
+  * of the neighborhood a search explores, which is what perturbs the
+  * low-traffic tail the hidden set is drawn from). Hidden set = bottom 10%
+  * by search count, ties to the lower id (W3); overlap =
+  * |hidden_cfg ∩ hidden_base| / |hidden_base| vs (M = 12, beam = 25).
+  * One difference is structural: the reference's baseline-vs-itself cell
+  * reads 0.9865 because FAISS HNSW construction is seed-dependent and two
+  * builds differ; the engine's build is a pure function, so the self cell
+  * is exactly 1.0 and every other cell isolates the PARAMETER effect with
+  * no rebuild noise on top.
+  *
+  * Usage: `Test/runMain graft.Overlap60kProbe [n]` (default 60000).
+  * Findings → RESULTS.md ("hidden-node overlap at N = 60 000").
+  */
+object Overlap60kProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = args.headOption.map(_.toInt).getOrElse(60000)
+    val d = 64
+    val genUdf = udf((id: Long) =>
+      Array.tabulate(d)(j => graft.functions.Hashing.gauss(s"n60k|$id|$j").toFloat))
+    val emb = spark.range(n)
+      .select(col("id").as("vec_id"), genUdf(col("id")).as("embedding"))
+      .localCheckpoint()
+    // ONE exact pass at the largest degree feeds every M's edge table
+    // (KnnGraph.edges re-ranks a shared raw frame)
+    val raw = KnnGraph.rawKnn(emb, 2 * 24 + 1).localCheckpoint()
+    println(s"FIXTURE n=$n d=$d (keyed-md5 gaussians); raw rows ${raw.count()}")
+    val entries = GraphAnn.entryPoints(emb, 8, seed = "o60-e").cache()
+    entries.count()
+    val rounds = 5
+    def hidden(m: Int, beam: Int) = {
+      val edges = KnnGraph.edges(emb, m, raw = Some(raw))
+        .repartition(col("src")).localCheckpoint()
+      val res = GraphAnn.beamSearch(emb, emb, edges, entries,
+        k = 10, beam = beam, rounds = rounds)
+      val qc = res.filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("neighbor_id").agg(count(lit(1)).as("qc"))
+      emb.select(col("vec_id"))
+        .join(qc, col("vec_id") === col("neighbor_id"), "left")
+        .select(col("vec_id"), coalesce(col("qc"), lit(0L)).as("qc"))
+        .orderBy(col("qc"), col("vec_id")).limit(math.ceil(n * 0.1).toInt)
+        .select("vec_id").localCheckpoint()
+    }
+    val t0 = System.nanoTime()
+    val base = hidden(12, 25) // the (M=12, efC=100) analog
+    val nb = base.count()
+    println(f"BASELINE (M=12, beam=25): $nb hidden nodes " +
+      f"(${(System.nanoTime() - t0) / 1e9}%.0f s)")
+    // the published M row (efC = 100 column) + the efC axis at M = 12
+    for ((m, beam) <- Seq((8, 25), (12, 25), (16, 25), (24, 25),
+                          (12, 12), (12, 50))) {
+      val t1 = System.nanoTime()
+      val h  = hidden(m, beam)
+      val ov = h.intersect(base).count().toDouble / nb
+      println(f"OVERLAP M=$m%-3d beam=$beam%-3d vs (M=12,beam=25): $ov%.4f " +
+        f"(${(System.nanoTime() - t1) / 1e9}%.0f s)")
+    }
+    spark.stop()
+  }
+}

@@ -417,6 +417,86 @@ class TableLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TableLog.read(spark, t, Some(2)))
   }
 
+  test("overwritePartitions write-write conflicts: same-partition loser fails loudly, disjoint writers both commit") {
+    import spark.implicits._
+    val t = tmpTable()
+    def part(day: String, xs: Long*) = xs.map(x => (day, x)).toDF("day", "x")
+    def dayVals(day: String) = TableLog.read(spark, t)
+      .filter(col("day") === day).select("x")
+      .collect().map(_.getLong(0)).toSet
+    TableLog.overwritePartitions(
+      part("a", 1L, 2L).unionByName(part("b", 10L)), t, "day") // v1: days a, b
+    // CONFLICT: a concurrent winner replaces day a inside this writer's
+    // snapshot→publish window (the seam injects it deterministically —
+    // a thread race hits this window only sometimes). The loser must fail
+    // with a named conflict, never silently discard the winner's rows.
+    var once = true
+    TableLog.interleaveForTest = () => if (once) {
+      once = false
+      TableLog.overwritePartitions(part("a", 99L), t, "day") // the winner
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        TableLog.overwritePartitions(part("a", 50L), t, "day")
+      }
+      assert(e.getMessage.contains("[a]"), s"conflict must name the partition: ${e.getMessage}")
+    } finally TableLog.interleaveForTest = () => ()
+    assert(dayVals("a") == Set(99L),
+      "the concurrent winner's day-a state must survive the failed loser")
+    assert(dayVals("b") == Set(10L), "day b was never in play")
+    // DISJOINT: the same interleave shape, but the concurrent winner
+    // touches day b — both commits land, neither loses data.
+    var once2 = true
+    TableLog.interleaveForTest = () => if (once2) {
+      once2 = false
+      TableLog.overwritePartitions(part("b", 77L), t, "day")
+    }
+    try TableLog.overwritePartitions(part("a", 51L), t, "day")
+    finally TableLog.interleaveForTest = () => ()
+    assert(dayVals("a") == Set(51L) && dayVals("b") == Set(77L),
+      "disjoint partition-overwriters must both commit")
+    // alsoReplace tags (replace-where with an empty source) conflict too
+    var once3 = true
+    TableLog.interleaveForTest = () => if (once3) {
+      once3 = false
+      TableLog.overwritePartitions(part("b", 78L), t, "day")
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        TableLog.overwritePartitions(part("a", 52L), t, "day",
+          alsoReplace = Set("b"))
+      }
+      ()
+    } finally TableLog.interleaveForTest = () => ()
+    assert(dayVals("b") == Set(78L),
+      "the winner's day-b state must survive the alsoReplace loser")
+  }
+
+  test("selectivityBound: manifest-only row-count arithmetic; conservative without counts") {
+    import spark.implicits._
+    val t = tmpTable()
+    val data = (1L to 80L).map(i => (i, i % 4)).toDF("id", "lbl") // 20 rows per label
+    TableLog.overwritePartitions(data, t, "lbl", statsCols = Seq("lbl"))
+    // label-aligned layout → the bound IS the true fraction
+    assert(TableLog.selectivityBound(t, "lbl", 3, 3) == 0.25)
+    assert(TableLog.selectivityBound(t, "lbl", 2, 3) == 0.5)
+    assert(TableLog.selectivityBound(t, "lbl", 9, 9) == 0.0,
+      "a range every directory provably misses must bound to zero")
+    assert(TableLog.selectivityBound(t, "lbl", 0, 9) == 1.0)
+    // a column with no committed stats keeps every directory — bound 1.0
+    assert(TableLog.selectivityBound(t, "id", 1, 1) == 1.0)
+    // counts ride statsCols: a table committed WITHOUT them degrades to
+    // the conservative 1.0, never a wrong number
+    val t2 = tmpTable()
+    TableLog.overwritePartitions(data, t2, "lbl")
+    assert(TableLog.selectivityBound(t2, "lbl", 3, 3) == 1.0)
+    // append path records counts too (frameStats)
+    val t3 = tmpTable()
+    TableLog.append(data.filter(col("lbl") === 0), t3, statsCols = Seq("lbl"))
+    TableLog.append(data.filter(col("lbl") =!= 0), t3, statsCols = Seq("lbl"))
+    assert(TableLog.selectivityBound(t3, "lbl", 0, 0) == 0.25)
+  }
+
   test("orphaned data from lost races stays invisible") {
     val t = tmpTable()
     TableLog.overwrite(df(1), t)

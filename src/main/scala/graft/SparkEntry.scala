@@ -1286,6 +1286,76 @@ object SparkEntry {
       table
     }
 
+  /** STREAMING GRAPH-ANN INGEST tables (q_stream_graph_ingest + its recall
+    * gauge): a vec_id-ordered IngestChunks-batch replay of the embeddings
+    * fixture streams through foreachBatch — batch 0 exact-builds the seed
+    * layers, every later batch runs GraphAnn.insertBatch against the
+    * CURRENT layers and commits the incremented layers as the next
+    * TableLog version (every intermediate graph time-travelable; the
+    * corpus table appends in lockstep). Each step is the same pure
+    * function the batch chain (KnnGraph.insertChunks) computes — reading
+    * the layers back through the log changes no row — so the final
+    * adjacency is BIT-IDENTICAL to the batch build of the same quartile
+    * chunks, which is exactly what the oracle replays (buildCtesFor with
+    * the replay's ntile membership). Within-batch blindness carries over
+    * unchanged: nodes of one micro-batch never link to each other.
+    */
+  private val IngestChunks = 4
+  private def graphIngestShared(s: SparkSession, dir: String): (String, String) =
+    GraftCache.memoAny(s"$dir/graphingest") {
+      val n = streamSinkSeq.incrementAndGet()
+      val base = replayCkptBase(n)
+      val baseT = new java.io.File(base, "gibase").getAbsolutePath
+      val repT  = new java.io.File(base, "girep").getAbsolutePath
+      val corpT = new java.io.File(base, "gicorp").getAbsolutePath
+      val isRep = graft.functions.GraftCols.md5Mod(
+        concat(col("vec_id").cast("string"), lit("|grep")), RepMod) === 0L
+      withStreamShufflePartitions(s, 4) {
+        val replay = graft.streaming.StreamOps.multiBatchTableDir(
+          s, dir, "embeddings", Seq("vec_id"), IngestChunks)
+        val q = s.readStream
+          .schema(s.read.option("pathGlobFilter", "*.parquet").parquet(replay).schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("latestFirst", "false")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(replay)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            import graft.sources.TableLog
+            val b = batch.select(col("vec_id"),
+              col("embedding").cast("array<float>").as("embedding"))
+              .localCheckpoint()
+            if (TableLog.headVersion(baseT) == 0) {
+              TableLog.overwrite(
+                KnnGraph.edges(b, M).select("src", "dst", "dist"), baseT)
+              TableLog.overwrite(
+                KnnGraph.edges(b.filter(isRep), M).select("src", "dst", "dist"),
+                repT)
+            } else {
+              val old = TableLog.read(s, corpT)
+              val (bi, ri) = GraphAnn.insertBatch(b,
+                TableLog.read(s, repT), TableLog.read(s, baseT),
+                GraphAnn.entryPoints(old.filter(isRep), GraphEntries),
+                old, isRep, outDeg = 2 * M, insBeam = BuildBeam,
+                repRounds = RepRounds, baseRounds = BaseRounds)
+              TableLog.overwrite(bi.incremented.select("src", "dst", "dist"), baseT)
+              TableLog.overwrite(ri.incremented.select("src", "dst", "dist"), repT)
+            }
+            TableLog.append(b, corpT)
+            ()
+          }
+          .option("checkpointLocation",
+            new java.io.File(base, "gickpt").getAbsolutePath)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      require(graft.sources.TableLog.headVersion(baseT) == IngestChunks,
+        s"the $IngestChunks-batch replay must land $IngestChunks graph versions")
+      GraftCache.onClear(() => rmTree(base))
+      (baseT, repT)
+    }
+
   /** The four streaming queries (watermarked tumbling windows, dedup under
     * duplicate delivery, the stateful sessionizer, and the documents-replay
     * LSH near-dup) run CONCURRENTLY over their memoized-per-scale-dir
@@ -3397,6 +3467,53 @@ object SparkEntry {
               col("sum_value_micros"))
         }.reduce(_.unionByName(_)).orderBy("version", "day"))
       res.count() // materialize before the view dir can be cleared
+      res
+    }),
+
+    // STREAMING GRAPH-ANN INGEST (r18) — the freshness story for the graph
+    // family, mirroring q_stream_ivf_ingest: each micro-batch HNSW-adds
+    // its vectors to the live layered graph (GraphAnn.insertBatch) and
+    // commits the incremented layers as the next TableLog version — every
+    // intermediate graph time-travelable, never a rebuild. Unlike IVF's
+    // lossless per-row assignment, a graph add is chunk-SEQUENCED, so the
+    // equality the oracle pins is against the batch chain of the SAME
+    // quartile chunks (buildCtesFor over the replay's ntile membership):
+    // streaming through the lake is bit-identical to building in one job.
+    "q_stream_graph_ingest" -> ((s, dir) => {
+      val (baseT, repT) = graphIngestShared(s, dir)
+      val res = GraftCache.track(
+        adjacencyFp(graft.sources.TableLog.read(s, baseT), "base")
+          .unionByName(adjacencyFp(graft.sources.TableLog.read(s, repT), "rep"))
+          .orderBy("part", "src"))
+      res.count() // materialize before the table dirs can be cleared
+      res
+    }),
+
+    // The ingest acceptance gauge: the standard layered search over the
+    // final streamed-in graph vs the exact top-10 — read beside
+    // ann_graph_build_recall (the md5-chunked build's numbers; the
+    // quartile chunking is the only difference).
+    "q_stream_graph_ingest_recall" -> ((s, dir) => {
+      val (baseT, repT) = graphIngestShared(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val g = GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
+        embBucketed(s, dir),
+        graft.sources.TableLog.read(s, repT),
+        graft.sources.TableLog.read(s, baseT),
+        GraphAnn.entryPoints(repsOf(emb), GraphEntries),
+        k = 10, repBeam = RepBeam, baseBeam = BaseBeam,
+        repRounds = RepRounds, baseRounds = BaseRounds)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      val res = GraftCache.track(
+        rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(g, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+            (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
+          .orderBy("query_id"))
+      res.count() // materialize before the table dirs can be cleared
       res
     }),
 
@@ -5645,7 +5762,25 @@ object SparkEntry {
     * (KnnGraph.buildByInsertion). Emits bbase$c/brep$c per step; the last
     * pair is the built artifact.
     */
-  private def buildCtes: String = {
+  private def buildCtes: String = buildCtesFor(
+    s"${md5ModCol("cast(vec_id as varchar) || '|gbld'", BuildChunks.toString)}",
+    BuildChunks, SeedChunks)
+
+  /** buildCtes parameterized over the CHUNK MEMBERSHIP expression and the
+    * (nChunks, seedChunks) split — shared by the md5-chunked batch build
+    * (ann_graph_build_incremental) and the vec_id-quartile streaming
+    * ingest (q_stream_graph_ingest, whose chunks are the replay's
+    * contiguous ntile ranges).
+    */
+  /** The streaming replay's chunk membership: vec_id-ordered ntile — the
+    * exact `((rn − 1) · n) / N` arithmetic multiBatchTableDir splits with.
+    */
+  private def ingestChunkSql: String =
+    s"((row_number() OVER (ORDER BY vec_id) - 1) * $IngestChunks) " +
+      "// (SELECT count(*) FROM embeddings)"
+
+  private def buildCtesFor(chunkSql: String, nChunks: Int,
+                           seedChunks: Int): String = {
     val dd = "(cast(a.embedding[i] as double) - cast(b.embedding[i] as double))"
     def knnLayer(pfx: String, corpus: String): String =
       s"""${pfx}knn0 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -5710,16 +5845,16 @@ object SparkEntry {
            |  UNION ALL SELECT src, dst, dist FROM bnr$c)""".stripMargin
     val head =
       s"""bch AS MATERIALIZED (SELECT vec_id, embedding,
-         |    ${md5ModCol("cast(vec_id as varchar) || '|gbld'", BuildChunks.toString)} AS ck
+         |    $chunkSql AS ck
          |  FROM embeddings),
-         |bc0 AS MATERIALIZED (SELECT vec_id, embedding FROM bch WHERE ck < $SeedChunks),
+         |bc0 AS MATERIALIZED (SELECT vec_id, embedding FROM bch WHERE ck < $seedChunks),
          |br0 AS MATERIALIZED (SELECT vec_id, embedding FROM bc0
          |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|grep'", RepMod.toString)} = 0),
          |${knnLayer("yb", "bc0")},
          |${knnLayer("yr", "br0")}""".stripMargin
-    val steps = (SeedChunks until BuildChunks).map { c =>
-      step(c, if (c == SeedChunks) "ybedges" else s"bbase${c - 1}",
-        if (c == SeedChunks) "yredges" else s"brep${c - 1}")
+    val steps = (seedChunks until nChunks).map { c =>
+      step(c, if (c == seedChunks) "ybedges" else s"bbase${c - 1}",
+        if (c == seedChunks) "yredges" else s"brep${c - 1}")
     }
     (head +: steps).mkString(",\n")
   }
@@ -8861,6 +8996,47 @@ object SparkEntry {
           "SELECT q.query_id, e.node FROM yq q, yfent e", RepBeam, RepRounds) +
         ",\n" +
         graphSearchCtesOver("yq", "wb", s"bbase${BuildChunks - 1}",
+          s"SELECT query_id, node FROM wrb$RepRounds", BaseBeam, BaseRounds) +
+        ",\n" +
+        s"""wk AS (SELECT query_id, node AS neighbor_id FROM (
+           |    SELECT query_id, node,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+           |    FROM wbb$BaseRounds) WHERE rn <= 10),
+           |wbk AS (SELECT query_id, neighbor_id FROM raw17 WHERE query_id < 100 AND rank <= 10)
+           |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
+           |  cast(count(i.neighbor_id) as double) / count(*) AS recall
+           |FROM wbk b LEFT JOIN wk i
+           |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin),
+
+    // The streamed-in graph equals the batch chain of the SAME quartile
+    // chunks: the build replay with the replay's ntile membership, then
+    // the final layers' per-src fingerprints.
+    "q_stream_graph_ingest" ->
+      (s"WITH ${buildCtesFor(ingestChunkSql, IngestChunks, 1)}\n" +
+        s"""SELECT part, src, n_edges, sum_dist_nanos, sum_dst FROM (
+           |  SELECT 'base' AS part, src, count(*) AS n_edges,
+           |    cast(sum(cast(floor(dist * 1000000000.0 + 0.5) as bigint)) as bigint) AS sum_dist_nanos,
+           |    cast(sum(dst) as bigint) AS sum_dst FROM bbase${IngestChunks - 1} GROUP BY 2
+           |  UNION ALL
+           |  SELECT 'rep', src, count(*),
+           |    cast(sum(cast(floor(dist * 1000000000.0 + 0.5) as bigint)) as bigint),
+           |    cast(sum(dst) as bigint) FROM brep${IngestChunks - 1} GROUP BY 2)
+           |ORDER BY part, src""".stripMargin),
+
+    // Recall over the streamed-in layers — same unrolled layered search as
+    // ann_graph_build_recall, over the quartile-chunked replay's layers.
+    "q_stream_graph_ingest_recall" ->
+      (graphCtes + ",\n" + buildCtesFor(ingestChunkSql, IngestChunks, 1) + ",\n" +
+        s"""yfent AS (SELECT vec_id AS node FROM embeddings
+           |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|grep'", RepMod.toString)} = 0
+           |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
+           |yq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+           |""".stripMargin +
+        graphSearchCtesOver("yq", "wr", s"brep${IngestChunks - 1}",
+          "SELECT q.query_id, e.node FROM yq q, yfent e", RepBeam, RepRounds) +
+        ",\n" +
+        graphSearchCtesOver("yq", "wb", s"bbase${IngestChunks - 1}",
           s"SELECT query_id, node FROM wrb$RepRounds", BaseBeam, BaseRounds) +
         ",\n" +
         s"""wk AS (SELECT query_id, node AS neighbor_id FROM (

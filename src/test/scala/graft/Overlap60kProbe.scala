@@ -48,7 +48,7 @@ object Overlap60kProbe {
     println(s"FIXTURE n=$n d=$d (keyed-md5 gaussians); raw rows ${raw.count()}")
     val entries = GraphAnn.entryPoints(emb, 8, seed = "o60-e").cache()
     entries.count()
-    val rounds = 5
+    val rounds = 6
     def hidden(m: Int, beam: Int) = {
       val edges = KnnGraph.edges(emb, m, raw = Some(raw))
         .repartition(col("src")).localCheckpoint()
@@ -63,17 +63,21 @@ object Overlap60kProbe {
         .select("vec_id").localCheckpoint()
     }
     val t0 = System.nanoTime()
-    val base = hidden(12, 25) // the (M=12, efC=100) analog
+    val base = hidden(12, 50) // the (M=12, efC=100) analog
     val nb = base.count()
-    println(f"BASELINE (M=12, beam=25): $nb hidden nodes " +
+    println(f"BASELINE (M=12, beam=50): $nb hidden nodes " +
       f"(${(System.nanoTime() - t0) / 1e9}%.0f s)")
-    // the published M row (efC = 100 column) + the efC axis at M = 12
-    for ((m, beam) <- Seq((8, 25), (12, 25), (16, 25), (24, 25),
-                          (12, 12), (12, 50))) {
+    // the published M row (efC = 100 column) + the efC axis at M = 12.
+    // Beam 50 (≈ efC/2) is the regime where search counts stabilize —
+    // the narrow-beam r18 first pass (beam 25, rounds 5) read 0.76–0.92
+    // because a weak search's counts vary more BETWEEN graphs, exactly
+    // the published table's own low-efC trend (overlap rises with efC).
+    for ((m, beam) <- Seq((8, 50), (12, 50), (16, 50), (24, 50),
+                          (12, 25), (12, 100))) {
       val t1 = System.nanoTime()
       val h  = hidden(m, beam)
       val ov = h.intersect(base).count().toDouble / nb
-      println(f"OVERLAP M=$m%-3d beam=$beam%-3d vs (M=12,beam=25): $ov%.4f " +
+      println(f"OVERLAP M=$m%-3d beam=$beam%-3d vs (M=12,beam=50): $ov%.4f " +
         f"(${(System.nanoTime() - t1) / 1e9}%.0f s)")
     }
     spark.stop()

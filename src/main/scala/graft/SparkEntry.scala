@@ -1267,6 +1267,33 @@ object SparkEntry {
       table
     }
 
+  /** The shared graph-ANN recall-gauge body: the standard layered search
+    * over (repE, baseE) for probes vec_id < 100, scored against the exact
+    * full-corpus top-10 — ONE definition of the gauge arithmetic (k, the
+    * probe cut, the hit join, the n_hit/recall shape) so it can never
+    * drift between the insert/build/ingest acceptance queries. (The
+    * delete gauge stays separate: its ground truth is the SURVIVING
+    * corpus, not the full one.)
+    */
+  private def graphRecallGauge(s: SparkSession, dir: String,
+                               repE: DataFrame, baseE: DataFrame): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val g = GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
+      embBucketed(s, dir), repE, baseE,
+      GraphAnn.entryPoints(repsOf(emb), GraphEntries),
+      k = 10, repBeam = RepBeam, baseBeam = BaseBeam,
+      repRounds = RepRounds, baseRounds = BaseRounds)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+    rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(g, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
+        (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** The IVF-assigned corpus as a TableLog table PARTITIONED BY label with
     * label stats (which now carry per-entry row counts) — the corpus
     * layout that makes TableLog.selectivityBound TIGHT: each directory
@@ -3463,7 +3490,11 @@ object SparkEntry {
       val res = GraftCache.track(
         (1 to 2).map { v =>
           graft.sources.TableLog.read(s, view, Some(v))
-            .select(col("__v").as("version"), col("day"), col("n"),
+            // date_format like every other day-emitting query: the oracle's
+            // strftime is a VARCHAR, and the pandas read path renders a raw
+            // DATE as a midnight timestamp string (hash-mismatch)
+            .select(col("__v").as("version"),
+              date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
               col("sum_value_micros"))
         }.reduce(_.unionByName(_)).orderBy("version", "day"))
       res.count() // materialize before the view dir can be cleared
@@ -3495,24 +3526,9 @@ object SparkEntry {
     // quartile chunking is the only difference).
     "q_stream_graph_ingest_recall" -> ((s, dir) => {
       val (baseT, repT) = graphIngestShared(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val g = GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
-        embBucketed(s, dir),
+      val res = GraftCache.track(graphRecallGauge(s, dir,
         graft.sources.TableLog.read(s, repT),
-        graft.sources.TableLog.read(s, baseT),
-        GraphAnn.entryPoints(repsOf(emb), GraphEntries),
-        k = 10, repBeam = RepBeam, baseBeam = BaseBeam,
-        repRounds = RepRounds, baseRounds = BaseRounds)
-        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-      val res = GraftCache.track(
-        rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10)
-          .select(col("query_id"), col("neighbor_id"))
-          .join(g, Seq("query_id", "neighbor_id"), "left")
-          .groupBy("query_id")
-          .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-          .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
-            (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
-          .orderBy("query_id"))
+        graft.sources.TableLog.read(s, baseT)))
       res.count() // materialize before the table dirs can be cleared
       res
     }),
@@ -4104,25 +4120,11 @@ object SparkEntry {
     // replay in SQL, then the same unrolled layered search runs over them).
     "ann_graph_insert_recall" -> ((s, dir) => {
       val art = graphInsertDir(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val inBase = ArtifactIO.readBucketed(s, s"$art/inedges",
-        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
-      val inRep = ArtifactIO.readBucketed(s, s"$art/inrep",
-        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
-      val g = GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
-        embBucketed(s, dir), inRep, inBase,
-        GraphAnn.entryPoints(repsOf(emb), GraphEntries),
-        k = 10, repBeam = RepBeam, baseBeam = BaseBeam,
-        repRounds = RepRounds, baseRounds = BaseRounds)
-        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-      rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(g, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
-          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
-        .orderBy("query_id")
+      graphRecallGauge(s, dir,
+        ArtifactIO.readBucketed(s, s"$art/inrep",
+          "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets),
+        ArtifactIO.readBucketed(s, s"$art/inedges",
+          "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets))
     }),
 
     // Incremental graph-ANN DELETE: the per-src fingerprints of every
@@ -4184,25 +4186,11 @@ object SparkEntry {
     // within-batch-blindness price of never running all-pairs.
     "ann_graph_build_recall" -> ((s, dir) => {
       val art = graphBuildDir(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      val bBase = ArtifactIO.readBucketed(s, s"$art/bldedges",
-        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
-      val bRep = ArtifactIO.readBucketed(s, s"$art/bldrep",
-        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
-      val g = GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
-        embBucketed(s, dir), bRep, bBase,
-        GraphAnn.entryPoints(repsOf(emb), GraphEntries),
-        k = 10, repBeam = RepBeam, baseBeam = BaseBeam,
-        repRounds = RepRounds, baseRounds = BaseRounds)
-        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-      rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(g, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
-          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
-        .orderBy("query_id")
+      graphRecallGauge(s, dir,
+        ArtifactIO.readBucketed(s, s"$art/bldrep",
+          "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets),
+        ArtifactIO.readBucketed(s, s"$art/bldedges",
+          "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets))
     }),
 
     // ANN — approximate LSH join path. Deterministic variant: keyed md5
@@ -5778,6 +5766,36 @@ object SparkEntry {
   private def ingestChunkSql: String =
     s"((row_number() OVER (ORDER BY vec_id) - 1) * $IngestChunks) " +
       "// (SELECT count(*) FROM embeddings)"
+
+  /** The recall-gauge replay tail over a (repCte, baseCte) layer pair —
+    * entry sample from the full corpus' reps, the two unrolled layered
+    * phases, top-10 vs raw17 — ONE definition shared by the build and
+    * ingest recall oracles (their engine sides share graphRecallGauge the
+    * same way, so neither half of the gauge can drift copy-by-copy).
+    * Requires graphCtes' `raw17` in scope.
+    */
+  private def recallGaugeCtes(repCte: String, baseCte: String): String =
+    s"""yfent AS (SELECT vec_id AS node FROM embeddings
+       |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|grep'", RepMod.toString)} = 0
+       |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
+       |yq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+       |""".stripMargin +
+      graphSearchCtesOver("yq", "wr", repCte,
+        "SELECT q.query_id, e.node FROM yq q, yfent e", RepBeam, RepRounds) +
+      ",\n" +
+      graphSearchCtesOver("yq", "wb", baseCte,
+        s"SELECT query_id, node FROM wrb$RepRounds", BaseBeam, BaseRounds) +
+      ",\n" +
+      s"""wk AS (SELECT query_id, node AS neighbor_id FROM (
+         |    SELECT query_id, node,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+         |    FROM wbb$BaseRounds) WHERE rn <= 10),
+         |wbk AS (SELECT query_id, neighbor_id FROM raw17 WHERE query_id < 100 AND rank <= 10)
+         |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
+         |  cast(count(i.neighbor_id) as double) / count(*) AS recall
+         |FROM wbk b LEFT JOIN wk i
+         |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
 
   private def buildCtesFor(chunkSql: String, nChunks: Int,
                            seedChunks: Int): String = {
@@ -8987,27 +9005,7 @@ object SparkEntry {
     // top-10 (raw17).
     "ann_graph_build_recall" ->
       (graphCtes + ",\n" + buildCtes + ",\n" +
-        s"""yfent AS (SELECT vec_id AS node FROM embeddings
-           |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|grep'", RepMod.toString)} = 0
-           |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
-           |yq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
-           |""".stripMargin +
-        graphSearchCtesOver("yq", "wr", s"brep${BuildChunks - 1}",
-          "SELECT q.query_id, e.node FROM yq q, yfent e", RepBeam, RepRounds) +
-        ",\n" +
-        graphSearchCtesOver("yq", "wb", s"bbase${BuildChunks - 1}",
-          s"SELECT query_id, node FROM wrb$RepRounds", BaseBeam, BaseRounds) +
-        ",\n" +
-        s"""wk AS (SELECT query_id, node AS neighbor_id FROM (
-           |    SELECT query_id, node,
-           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
-           |    FROM wbb$BaseRounds) WHERE rn <= 10),
-           |wbk AS (SELECT query_id, neighbor_id FROM raw17 WHERE query_id < 100 AND rank <= 10)
-           |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
-           |  cast(count(i.neighbor_id) as double) / count(*) AS recall
-           |FROM wbk b LEFT JOIN wk i
-           |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
-           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin),
+        recallGaugeCtes(s"brep${BuildChunks - 1}", s"bbase${BuildChunks - 1}")),
 
     // The streamed-in graph equals the batch chain of the SAME quartile
     // chunks: the build replay with the replay's ntile membership, then
@@ -9028,27 +9026,7 @@ object SparkEntry {
     // ann_graph_build_recall, over the quartile-chunked replay's layers.
     "q_stream_graph_ingest_recall" ->
       (graphCtes + ",\n" + buildCtesFor(ingestChunkSql, IngestChunks, 1) + ",\n" +
-        s"""yfent AS (SELECT vec_id AS node FROM embeddings
-           |  WHERE ${md5ModCol("cast(vec_id as varchar) || '|grep'", RepMod.toString)} = 0
-           |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
-           |yq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
-           |""".stripMargin +
-        graphSearchCtesOver("yq", "wr", s"brep${IngestChunks - 1}",
-          "SELECT q.query_id, e.node FROM yq q, yfent e", RepBeam, RepRounds) +
-        ",\n" +
-        graphSearchCtesOver("yq", "wb", s"bbase${IngestChunks - 1}",
-          s"SELECT query_id, node FROM wrb$RepRounds", BaseBeam, BaseRounds) +
-        ",\n" +
-        s"""wk AS (SELECT query_id, node AS neighbor_id FROM (
-           |    SELECT query_id, node,
-           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
-           |    FROM wbb$BaseRounds) WHERE rn <= 10),
-           |wbk AS (SELECT query_id, neighbor_id FROM raw17 WHERE query_id < 100 AND rank <= 10)
-           |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
-           |  cast(count(i.neighbor_id) as double) / count(*) AS recall
-           |FROM wbk b LEFT JOIN wk i
-           |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
-           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin),
+        recallGaugeCtes(s"brep${IngestChunks - 1}", s"bbase${IngestChunks - 1}")),
 
     // The WHOLE delete-repair rule replayed closed-form (no unrolled
     // search needed): victims, kept edges, loser/victim in-edges,

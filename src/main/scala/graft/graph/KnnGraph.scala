@@ -297,7 +297,8 @@ object KnnGraph {
     * arrival order, no RNG — and replays as SQL: the seed layers are the
     * standard rank-then-re-rank kNN derivation, each batch is one chained
     * insert replay (`ann_graph_build_incremental` oracle-checks the final
-    * layers' per-src fingerprints at nChunks = 3).
+    * layers' per-src fingerprints at the registered seed-4-of-8
+    * configuration — four chained insert replays).
     *
     * Semantics trade (documented, same as insertBatch): nodes of batch c
     * link only against chunks < c — within-batch blindness, the standard

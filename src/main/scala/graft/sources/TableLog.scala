@@ -500,6 +500,14 @@ object TableLog {
     // Disjoint concurrent partition-overwriters leave each other's slices
     // untouched and still serialize cleanly (TableLogSpec races both
     // shapes). Appends and overwrites of OTHER partitions never conflict.
+    // KNOWN CONSERVATISM: the slice compares manifest ENTRY STRINGS, which
+    // embed data paths — a concurrent COMPACTION (row-identical, re-pathed
+    // entries) therefore also conflicts with an in-flight overwrite of a
+    // compacted partition. That is the direction a conflict detector must
+    // err (a spurious retry-able failure, never a silent lost update), and
+    // it is the bargain Delta itself strikes (OPTIMIZE vs replaceWhere
+    // raises ConcurrentOptimize); distinguishing "re-pathed but identical"
+    // would require reading the data a manifest check exists to avoid.
     var snapshot: Option[(Set[String], Seq[String])] = None
     def sliceOf(prev: Seq[String], replaced: Set[String]): Seq[String] =
       prev.filter(e => entryTag(e).exists(replaced.contains)).sorted

@@ -376,7 +376,7 @@ object StreamOps {
         // TableLog.manifest's generic "no committed version" require would
         // hide what actually happened
         throw new IllegalStateException(
-          s"changeFeedIvm: every RETAINED version of $view (v$viewOldest.." +
+          s"maintainView: every RETAINED version of $view (v$viewOldest.." +
             s"v$viewHead) is empty and the older history that held the " +
             "cursor was vacuumed away — the cursor cannot be recovered; " +
             "rebuild the view (drop it and let the next tick re-bootstrap)")
@@ -389,7 +389,7 @@ object StreamOps {
         // away and resuming would silently skip content — fail loudly)
         val v0 = TableLog.oldestVersion(table)
         require(TableLog.read(s, table, Some(v0)).isEmpty,
-          s"changeFeedIvm: $view is empty at every retained version but " +
+          s"maintainView: $view is empty at every retained version but " +
             s"$table@v$v0 (its oldest retained) is not — the cursor's " +
             "history was vacuumed away; rebuild the view")
         v0

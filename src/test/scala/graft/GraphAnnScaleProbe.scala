@@ -120,6 +120,14 @@ object GraphAnnScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "16g")
+      // the build leg is a long chain of shuffle-heavy rounds whose files
+      // are reclaimed only AFTER a GC notifies the ContextCleaner — with a
+      // large heap full GCs can be 30+ min apart (the default periodicGC
+      // interval), and the 5M build accumulated ~10 GB/round of dead
+      // shuffle files past free disk before the first cleanup (missing
+      // shuffle-index/broadcast errors). One forced GC a minute bounds the
+      // dead-file window at roughly one round's worth.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("build")) {

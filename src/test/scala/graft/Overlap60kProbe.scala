@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * of the neighborhood a search explores, which is what perturbs the
   * low-traffic tail the hidden set is drawn from). Hidden set = bottom 10%
   * by search count, ties to the lower id (W3); overlap =
-  * |hidden_cfg ∩ hidden_base| / |hidden_base| vs (M = 12, beam = 25).
+  * |hidden_cfg ∩ hidden_base| / |hidden_base| vs (M = 12, beam = 50).
   * One difference is structural: the reference's baseline-vs-itself cell
   * reads 0.9865 because FAISS HNSW construction is seed-dependent and two
   * builds differ; the engine's build is a pure function, so the self cell

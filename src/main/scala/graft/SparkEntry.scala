@@ -1328,15 +1328,27 @@ object SparkEntry {
     * unchanged: nodes of one micro-batch never link to each other.
     */
   private val IngestChunks = 4
-  private def graphIngestShared(s: SparkSession, dir: String): (String, String) =
-    GraftCache.memoAny(s"$dir/graphingest") {
+
+  /** Both graph layers live in ONE TableLog table with a `layer` column
+    * ("base" | "rep"), so each micro-batch's increment is ONE atomic commit
+    * (r18 committed the layers separately — two manifest swaps and two
+    * write jobs per batch for what is logically one transaction; a reader
+    * landing between them saw base@k+1 beside rep@k). Row content is
+    * unchanged — the split below is a column filter.
+    */
+  private def layerOf(s: SparkSession, layersT: String, which: String) =
+    graft.sources.TableLog.read(s, layersT)
+      .filter(col("layer") === which).drop("layer")
+
+  private def graphIngestBuild(s: SparkSession, dir: String): (String, String) = {
       val n = streamSinkSeq.incrementAndGet()
       val base = replayCkptBase(n)
-      val baseT = new java.io.File(base, "gibase").getAbsolutePath
-      val repT  = new java.io.File(base, "girep").getAbsolutePath
-      val corpT = new java.io.File(base, "gicorp").getAbsolutePath
+      val layersT = new java.io.File(base, "gilayers").getAbsolutePath
+      val corpT   = new java.io.File(base, "gicorp").getAbsolutePath
       val isRep = graft.functions.GraftCols.md5Mod(
         concat(col("vec_id").cast("string"), lit("|grep")), RepMod) === 0L
+      def tag(df: DataFrame, l: String) =
+        df.select("src", "dst", "dist").withColumn("layer", lit(l))
       withStreamShufflePartitions(s, 4) {
         val replay = graft.streaming.StreamOps.multiBatchTableDir(
           s, dir, "embeddings", Seq("vec_id"), IngestChunks)
@@ -1352,21 +1364,21 @@ object SparkEntry {
             val b = batch.select(col("vec_id"),
               col("embedding").cast("array<float>").as("embedding"))
               .localCheckpoint()
-            if (TableLog.headVersion(baseT) == 0) {
+            if (TableLog.headVersion(layersT) == 0) {
               TableLog.overwrite(
-                KnnGraph.edges(b, M).select("src", "dst", "dist"), baseT)
-              TableLog.overwrite(
-                KnnGraph.edges(b.filter(isRep), M).select("src", "dst", "dist"),
-                repT)
+                tag(KnnGraph.edges(b, M), "base")
+                  .unionByName(tag(KnnGraph.edges(b.filter(isRep), M), "rep")),
+                layersT)
             } else {
               val old = TableLog.read(s, corpT)
               val (bi, ri) = GraphAnn.insertBatch(b,
-                TableLog.read(s, repT), TableLog.read(s, baseT),
+                layerOf(s, layersT, "rep"), layerOf(s, layersT, "base"),
                 GraphAnn.entryPoints(old.filter(isRep), GraphEntries),
                 old, isRep, outDeg = 2 * M, insBeam = BuildBeam,
                 repRounds = RepRounds, baseRounds = BaseRounds)
-              TableLog.overwrite(bi.incremented.select("src", "dst", "dist"), baseT)
-              TableLog.overwrite(ri.incremented.select("src", "dst", "dist"), repT)
+              TableLog.overwrite(
+                tag(bi.incremented, "base").unionByName(tag(ri.incremented, "rep")),
+                layersT)
             }
             TableLog.append(b, corpT)
             ()
@@ -1377,11 +1389,38 @@ object SparkEntry {
         q.processAllAvailable()
         q.stop()
       }
-      require(graft.sources.TableLog.headVersion(baseT) == IngestChunks,
+      require(graft.sources.TableLog.headVersion(layersT) == IngestChunks,
         s"the $IngestChunks-batch replay must land $IngestChunks graph versions")
       GraftCache.onClear(() => rmTree(base))
-      (baseT, repT)
+      (layersT, corpT)
+  }
+
+  /** The ingest build runs on a BACKGROUND thread over a CLONED session
+    * (own SQLConf — withStreamShufflePartitions mutates session state, so
+    * the clone keeps the 4-partition stream setting from racing foreground
+    * queries' plans). q_stream_block kicks the future off non-blocking, so
+    * the build overlaps the concurrent stream block and every query between
+    * it and q_stream_graph_ingest — the same per-micro-batch fixed-cost
+    * amortization streamTrio does for its legs, applied across queries.
+    * The memoized value is the FUTURE (one build per scale dir regardless
+    * of which query arrives first); consumers block only on the remainder.
+    */
+  private val ingestWarmLock = new Object
+  private lazy val warmPool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => { val t = new Thread(r, "graft-ingest-warm"); t.setDaemon(true); t })
+  private def graphIngestFuture(s: SparkSession, dir: String)
+      : java.util.concurrent.Future[(String, String)] =
+    ingestWarmLock.synchronized {
+      GraftCache.memoAny(s"$dir/graphingest") {
+        val bg = s.newSession()
+        warmPool.submit(new java.util.concurrent.Callable[(String, String)] {
+          def call(): (String, String) = graphIngestBuild(bg, dir)
+        })
+      }
     }
+  private def graphIngestShared(s: SparkSession, dir: String): (String, String) =
+    try graphIngestFuture(s, dir).get()
+    catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
 
   /** The four streaming queries (watermarked tumbling windows, dedup under
     * duplicate delivery, the stateful sessionizer, and the documents-replay
@@ -3180,6 +3219,9 @@ object SparkEntry {
     // count oracle-checked against the same SQL body the per-leg entries
     // replay.
     "q_stream_block" -> ((s, dir) => {
+      // warm start (non-blocking): the graph-ANN ingest build overlaps the
+      // block's concurrent legs and everything up to q_stream_graph_ingest
+      graphIngestFuture(s, dir)
       val legs = streamTrio(s, dir)
       Seq(
         "dedup"    -> legs("dedup"),
@@ -3511,10 +3553,10 @@ object SparkEntry {
     // quartile chunks (buildCtesFor over the replay's ntile membership):
     // streaming through the lake is bit-identical to building in one job.
     "q_stream_graph_ingest" -> ((s, dir) => {
-      val (baseT, repT) = graphIngestShared(s, dir)
+      val (layersT, _) = graphIngestShared(s, dir)
       val res = GraftCache.track(
-        adjacencyFp(graft.sources.TableLog.read(s, baseT), "base")
-          .unionByName(adjacencyFp(graft.sources.TableLog.read(s, repT), "rep"))
+        adjacencyFp(layerOf(s, layersT, "base"), "base")
+          .unionByName(adjacencyFp(layerOf(s, layersT, "rep"), "rep"))
           .orderBy("part", "src"))
       res.count() // materialize before the table dirs can be cleared
       res
@@ -3525,10 +3567,10 @@ object SparkEntry {
     // ann_graph_build_recall (the md5-chunked build's numbers; the
     // quartile chunking is the only difference).
     "q_stream_graph_ingest_recall" -> ((s, dir) => {
-      val (baseT, repT) = graphIngestShared(s, dir)
+      val (layersT, _) = graphIngestShared(s, dir)
       val res = GraftCache.track(graphRecallGauge(s, dir,
-        graft.sources.TableLog.read(s, repT),
-        graft.sources.TableLog.read(s, baseT)))
+        layerOf(s, layersT, "rep"),
+        layerOf(s, layersT, "base")))
       res.count() // materialize before the table dirs can be cleared
       res
     }),

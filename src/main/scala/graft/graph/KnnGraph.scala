@@ -313,9 +313,16 @@ object KnnGraph {
     * (executor-block-backed) to truncate the chained lineage; a production
     * loop would instead persist each increment to the bucketed TableLog
     * artifact (the `graphInsertDir` discipline) and resume from it.
-    * Chunk extraction filters the corpus once per chunk — at petabyte
-    * scale, pre-partition the corpus BY the chunk key once and read
-    * chunks as partitions instead.
+    * Chunk extraction pays ONE pass: the corpus is written once
+    * partitioned BY the chunk key (one shuffle-free partitioned write),
+    * and each batch is a PARTITION-PRUNED read of its own directory — the
+    * r18 shape re-filtered the full corpus once per chunk, which at
+    * nChunks=64 was 64 full scans for one logical pass (the scan count is
+    * probed in GraphAnnScaleProbe's build leg). The staging directory is
+    * deleted when the build returns (every layer frame is materialized by
+    * then); row order within a chunk is irrelevant — every step of the
+    * chain is (dist, id)-ordered and arrival-order-free, which is also
+    * what makes the SQL replay possible at all.
     */
   def buildByInsertion(corpus: DataFrame, m: Int,
                        isRep: org.apache.spark.sql.Column, nEntry: Int,
@@ -336,19 +343,39 @@ object KnnGraph {
     // a from-scratch build leans harder on candidate quality than a
     // trickle insert, and the wider beam is what moved the recall gauge
     val eb = if (insBeam > 0) insBeam else 2 * outDeg
+    val spark = corpus.sparkSession
     val slim = corpus.select(col("vec_id"), col("embedding"))
     val chunkIdx = graft.functions.GraftCols.md5Mod(
       concat(col("vec_id").cast("string"), lit(s"|$chunkKey")), nChunks)
-    val seed = slim.filter(chunkIdx < seedChunks.toLong).localCheckpoint()
-    require(!seed.filter(isRep).isEmpty,
-      s"buildByInsertion: the seed ($seedChunks/$nChunks of the corpus) has " +
-        "no rep-layer members — lower nChunks or widen the rep predicate " +
-        "(batch inserts descend the rep layer, which must exist)")
-    val seedBase = edges(seed, m).select("src", "dst", "dist")
-    val seedRep  = edges(seed.filter(isRep), m).select("src", "dst", "dist")
-    insertChunks(seed, seedBase, seedRep,
-      (seedChunks until nChunks).map(c => slim.filter(chunkIdx === lit(c.toLong))),
-      isRep, nEntry, outDeg, eb, repRounds, baseRounds)
+    // ONE pass over the corpus: stage it partitioned by the chunk index,
+    // then every chunk (and the seed) is a partition-PRUNED read of its
+    // own directories — never a re-filter of the full corpus.
+    val stage = java.nio.file.Files.createTempDirectory("graft_gbld_chunks").toFile
+    try {
+      slim.withColumn("__chunk", chunkIdx)
+        .write.mode("overwrite").partitionBy("__chunk")
+        .parquet(stage.getAbsolutePath)
+      val chunked = spark.read.parquet(stage.getAbsolutePath)
+      def chunkAt(pred: org.apache.spark.sql.Column) =
+        chunked.filter(pred).select(col("vec_id"), col("embedding"))
+      val seed = chunkAt(col("__chunk") < seedChunks.toLong).localCheckpoint()
+      require(!seed.filter(isRep).isEmpty,
+        s"buildByInsertion: the seed ($seedChunks/$nChunks of the corpus) has " +
+          "no rep-layer members — lower nChunks or widen the rep predicate " +
+          "(batch inserts descend the rep layer, which must exist)")
+      val seedBase = edges(seed, m).select("src", "dst", "dist")
+      val seedRep  = edges(seed.filter(isRep), m).select("src", "dst", "dist")
+      insertChunks(seed, seedBase, seedRep,
+        (seedChunks until nChunks).map(c => chunkAt(col("__chunk") === lit(c.toLong))),
+        isRep, nEntry, outDeg, eb, repRounds, baseRounds)
+      // insertChunks localCheckpoints every layer and corpus frame, so by
+      // here nothing references the staged files (the finally can delete)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(stage)
+    }
   }
 
   /** The chain half of buildByInsertion, seed-agnostic: fold `batches`

@@ -264,8 +264,18 @@ object Knn {
     // carries d in its pre-count aggregate).
     val needNorms = fastL2 || metric == "cosine"
     if (nCorpus > 0) {
-      val d0 = corpus.select(size(col("embedding"))).head().getInt(0)
-      checkBroadcastBudget(nCorpus, d0, needNorms, broadcastBudget(spark), "Knn.exact")
+      // NULL guard + narrow-first-row guard: a NULL first embedding would
+      // NPE at getInt before any named error, and an atypically narrow
+      // first row under-checks the wall — probe the max dimension over the
+      // first non-null rows instead (bounded: filter-then-limit stops at
+      // 1024 found rows, still one cheap job before any large allocation).
+      val dRow = corpus.filter(col("embedding").isNotNull)
+        .select(size(col("embedding")).as("__d")).limit(1024)
+        .agg(max(col("__d"))).head()
+      require(!dRow.isNullAt(0),
+        s"Knn.exact: every probed corpus embedding is NULL ($nCorpus rows) — " +
+          "nothing to index")
+      checkBroadcastBudget(nCorpus, dRow.getInt(0), needNorms, broadcastBudget(spark), "Knn.exact")
     }
     import scala.jdk.CollectionConverters._
     // coalesce before streaming: toLocalIterator schedules one job per

@@ -475,17 +475,29 @@ object TableLog {
     * attempt, after the head/manifest snapshot and before publication —
     * lets TableLogSpec inject a concurrent winner at the exact window the
     * conflict detection protects (a real thread race hits the window
-    * nondeterministically). No-op in production; zero behavior hangs off
-    * it beyond the call itself.
+    * nondeterministically). KEYED BY TABLE PATH so a parallel suite's
+    * writer on an unrelated table never executes another spec's injected
+    * interleave (the same cross-suite flakiness the per-table listing
+    * scans guard elsewhere in this file). No-op in production; zero
+    * behavior hangs off it beyond the call itself.
     */
-  @volatile private[graft] var interleaveForTest: () => Unit = () => ()
+  @volatile private var interleaveMap: Map[String, () => Unit] = Map.empty
+  private[graft] def setInterleaveForTest(table: String, f: () => Unit): Unit =
+    synchronized { interleaveMap += (table -> f) }
+  private[graft] def clearInterleaveForTest(table: String): Unit =
+    synchronized { interleaveMap -= table }
+  private def interleaveForTest(table: String): Unit =
+    interleaveMap.get(table).foreach(_.apply())
 
   def overwritePartitions(df: DataFrame, table: String, partCol: String,
                           alsoReplace: Set[String] = Set.empty,
-                          statsCols: Seq[String] = Nil): Int = {
+                          statsCols: Seq[String] = Nil,
+                          baseVersion: Option[Int] = None): Int = {
     import org.apache.spark.sql.functions.col
     alsoReplace.foreach(t => require(!t.contains('"') && !t.contains('|'),
       s"partition value '$t' contains a manifest delimiter (\" or |)"))
+    baseVersion.foreach(bv => require(bv >= 0,
+      s"baseVersion=$bv must be ≥ 0 (0 = read before any commit)"))
     val statsByTag = statsByKey(df, col(partCol), statsCols)
     // WRITE-WRITE CONFLICT DETECTION (Delta's replaceWhere rule at
     // partition grain): this writer's logical snapshot is the manifest it
@@ -508,9 +520,26 @@ object TableLog {
     // it is the bargain Delta itself strikes (OPTIMIZE vs replaceWhere
     // raises ConcurrentOptimize); distinguishing "re-pathed but identical"
     // would require reading the data a manifest check exists to avoid.
+    // READ-SNAPSHOT (transaction-scoped) MODE: by default the logical
+    // snapshot is the manifest at the FIRST COMMIT ATTEMPT — enough for a
+    // blind overwrite, but a read-modify-write transaction (MERGE) reads
+    // the target BEFORE its first write attempt, and a commit landing in
+    // that read→write gap would be invisible to the slice check (a lost
+    // update the first-attempt snapshot can never see). A caller that pins
+    // `baseVersion` to the version it READ moves the snapshot back to that
+    // manifest: Delta's rule — validate against the READ version, not the
+    // first write attempt.
     var snapshot: Option[(Set[String], Seq[String])] = None
     def sliceOf(prev: Seq[String], replaced: Set[String]): Seq[String] =
       prev.filter(e => entryTag(e).exists(replaced.contains)).sorted
+    def conflict(replaced0: Set[String]): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"overwritePartitions on $table: a concurrent commit modified " +
+          s"partition(s) ${replaced0.toSeq.sorted.mkString("[", ", ", "]")} " +
+          "between this writer's snapshot and its commit — rebasing would " +
+          "silently discard the concurrent writer's data for those " +
+          "partitions (lost update). Re-read and re-apply this write " +
+          "against the new head.")
     var v = -1
     var tries = 0
     while (v < 0) {
@@ -519,14 +548,7 @@ object TableLog {
       val base = headVersion(table)
       val prev = if (base == 0) Seq.empty else manifest(table, base)
       snapshot.foreach { case (replaced0, slice0) =>
-        val now = sliceOf(prev, replaced0)
-        if (now != slice0) throw new java.util.ConcurrentModificationException(
-          s"overwritePartitions on $table: a concurrent commit modified " +
-            s"partition(s) ${replaced0.toSeq.sorted.mkString("[", ", ", "]")} " +
-            "between this writer's snapshot and its commit — rebasing would " +
-            "silently discard the concurrent writer's data for those " +
-            "partitions (lost update). Re-read and re-apply this write " +
-            "against the new head.")
+        if (sliceOf(prev, replaced0) != slice0) conflict(replaced0)
       }
       val rel = s"data/c${base + 1}-${ProcessHandle.current().pid()}-" +
         java.util.UUID.randomUUID.toString.take(8)
@@ -557,9 +579,22 @@ object TableLog {
         s"$rel/${d.getName}|$tag|${renderStats(st)}|${renderSchema(df)}"
       }
       val replaced = adds.map(entryTag(_).get).toSet ++ alsoReplace
-      if (snapshot.isEmpty) snapshot = Some((replaced, sliceOf(prev, replaced)))
+      if (snapshot.isEmpty) {
+        val baseManifest = baseVersion match {
+          case Some(bv) => if (bv == 0) Seq.empty else manifest(table, bv)
+          case None     => prev
+        }
+        snapshot = Some((replaced, sliceOf(baseManifest, replaced)))
+        // With a pinned read version the FIRST attempt must validate too:
+        // commits between the read and this attempt are exactly the gap
+        // the pin exists to close (the top-of-loop check only covers
+        // retries). The data dir written above is orphaned by the throw —
+        // same as any lost-race attempt's — and never enters a manifest.
+        if (baseVersion.isDefined && sliceOf(prev, replaced) != snapshot.get._2)
+          conflict(replaced)
+      }
       val keep = prev.filter(e => entryTag(e).forall(t => !replaced.contains(t)))
-      interleaveForTest()
+      interleaveForTest(table)
       v = tryCommit(table, base, keep ++ adds)
     }
     v
@@ -572,10 +607,15 @@ object TableLog {
   /** Compaction: rewrite the head's content as one fresh overwrite commit.
     * Purely a file-count/layout optimization — the new version is
     * row-identical to the head, and history BEFORE it stays readable until
-    * `vacuum` reclaims it.
+    * `vacuum` reclaims it. Pass `statsCols` to re-record per-entry min/max
+    * and row counts on the rewrite: a stats-carrying table compacted
+    * WITHOUT them loses its manifest stats (readWhere pruning and
+    * `selectivityBound` degrade — conservatively, to "scan everything" /
+    * bound 1.0 — until the next stats-carrying commit).
     */
-  def compact(spark: SparkSession, table: String): Int =
-    overwrite(read(spark, table), table)
+  def compact(spark: SparkSession, table: String,
+              statsCols: Seq[String] = Nil): Int =
+    overwrite(read(spark, table), table, statsCols)
 
   /** RESTORE — Delta's time-travel WRITE: commit `version`'s manifest
     * entries as the next head, making the historical state current again

@@ -153,12 +153,13 @@ object StreamOps {
     * paying the collect for `alsoReplace`).
     */
   private def touchedByDay(table: String, batch: DataFrame,
-                           dayTags: Set[String]): DataFrame = {
+                           dayTags: Set[String], readVersion: Int): DataFrame = {
     import org.apache.spark.sql.functions.col
     val empty = batch.filter(col("event_id").isNull).select(UpsertCols.map(col): _*).limit(0)
-    if (graft.sources.TableLog.headVersion(table) >= 1 &&
-        graft.sources.TableLog.pruneDirs(table, dayTags.contains).nonEmpty)
-      graft.sources.TableLog.readWhere(batch.sparkSession, table, dayTags.contains)
+    if (readVersion >= 1 &&
+        graft.sources.TableLog.pruneDirs(table, dayTags.contains, Some(readVersion)).nonEmpty)
+      graft.sources.TableLog.readWhere(batch.sparkSession, table, dayTags.contains,
+          Some(readVersion))
         .filter(col("day").cast("string").isin(dayTags.toSeq: _*))
         .select(UpsertCols.map(col): _*)
     else empty
@@ -172,9 +173,15 @@ object StreamOps {
 
   def upsertBatchLog(table: String)(batch: DataFrame, batchId: Long): Unit = {
     val dayTags = dayTagsOf(batch.select("day").distinct())
+    // READ-SNAPSHOT pin: the merge's read and its commit validate against
+    // the SAME version — a commit landing in the read→write gap fails the
+    // transaction loudly instead of losing its update (Delta's rule:
+    // conflict-check against the read version, not the first write
+    // attempt).
+    val readV = graft.sources.TableLog.headVersion(table)
     graft.sources.TableLog.overwritePartitions(
-      mergeLatest(batch, touchedByDay(table, batch, dayTags)),
-      table, "day")
+      mergeLatest(batch, touchedByDay(table, batch, dayTags, readV)),
+      table, "day", baseVersion = Some(readV))
     ()
   }
 
@@ -244,10 +251,14 @@ object StreamOps {
   def upsertBatchLogCdc(table: String)(batch: DataFrame, batchId: Long): Unit = {
     val (ups, dels, days) = cdcSplit(batch)
     val dayTags = dayTagsOf(days)
-    val merged = mergeLatest(ups, touchedByDay(table, batch, dayTags))
+    // Same read-snapshot pin as upsertBatchLog: the MERGE is a
+    // read-modify-write transaction, so its conflict window opens at the
+    // READ, not at the first commit attempt.
+    val readV = graft.sources.TableLog.headVersion(table)
+    val merged = mergeLatest(ups, touchedByDay(table, batch, dayTags, readV))
       .join(dels, Seq("event_id"), "left_anti")
     graft.sources.TableLog.overwritePartitions(
-      merged, table, "day", alsoReplace = dayTags)
+      merged, table, "day", alsoReplace = dayTags, baseVersion = Some(readV))
     ()
   }
 
@@ -341,12 +352,29 @@ object StreamOps {
       s"aggregate aliases must be unique and distinct from $groupCols/__v")
     import graft.sources.TableLog
     val s = tick.sparkSession
+    // IvmSum's contract ("value columns must be integral — a double sum
+    // would drift from the full recompute under reordering") is enforced
+    // here, not just documented: a DoubleType value would silently sum as
+    // floating point and the merge's coalesce(lit(0L)) would mix types.
+    def requireIntegralSums(df: DataFrame): DataFrame = {
+      aggs.foreach {
+        case IvmSum(v, _) =>
+          val dt = df.schema(v).dataType
+          require(dt.isInstanceOf[ByteType] || dt.isInstanceOf[ShortType] ||
+              dt.isInstanceOf[IntegerType] || dt.isInstanceOf[LongType],
+            s"maintainView: IvmSum($v) needs an integral column (exact-" +
+              s"micros discipline), got $dt — encode money/time as long " +
+              "micros upstream (statLongCol's rule)")
+        case _ => ()
+      }
+      df
+    }
     def rollup(df: DataFrame): DataFrame = {
       val cols = aggs.map {
         case IvmCount(as)    => count(lit(1)).as(as)
         case IvmSum(v, as)   => sum(col(v)).as(as)
       }
-      df.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
+      requireIntegralSums(df).groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
     }
     if (TableLog.headVersion(view) == 0) {
       // bootstrap from the OLDEST RETAINED source version — a literal 1
@@ -407,13 +435,21 @@ object StreamOps {
           case IvmCount(as)  => sum(sign).as(s"__d_$as")
           case IvmSum(v, as) => sum(sign * col(v)).as(s"__d_$as")
         }
-        val delta = TableLog.changeFeed(s, table, cur, target)
+        val delta = requireIntegralSums(TableLog.changeFeed(s, table, cur, target))
           .groupBy(groupCols.map(col): _*).agg(dCols.head, dCols.tail: _*)
-        val merged = groupCols.map(col) ++ aggs.map(a =>
-          (coalesce(col(a.as), lit(0L)) + coalesce(col(s"__d_${a.as}"), lit(0L)))
-            .as(a.as))
-        TableLog.read(s, view).drop("__v")
-          .join(delta, groupCols, "full_outer")
+        // NULL-SAFE merge: groupBy treats NULL as a regular group, but a
+        // usingColumns full_outer join matches with EqualTo — a NULL group
+        // key in the view would never meet its delta, emitting both a stale
+        // live row and a phantom signed row (silent view-vs-recompute
+        // drift). Join with <=> and coalesce the key from whichever side
+        // has it (both NULL ⇒ stays NULL, which IS the group's key).
+        val viewDf = TableLog.read(s, view).drop("__v")
+        val joinCond = groupCols.map(c => viewDf(c) <=> delta(c)).reduce(_ && _)
+        val merged = groupCols.map(c => coalesce(viewDf(c), delta(c)).as(c)) ++
+          aggs.map(a =>
+            (coalesce(viewDf(a.as), lit(0L)) + coalesce(delta(s"__d_${a.as}"), lit(0L)))
+              .as(a.as))
+        viewDf.join(delta, joinCond, "full_outer")
           .select(merged: _*)
           .filter(col(liveCol) =!= 0L)
           .withColumn("__v", lit(target))

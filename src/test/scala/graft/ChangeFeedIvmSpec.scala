@@ -155,6 +155,48 @@ class ChangeFeedIvmSpec extends AnyFunSuite {
       "the view drifted after catching up across an emptied span")
   }
 
+  test("a NULL group key maintains like any other group (null-safe merge)") {
+    import spark.implicits._
+    import StreamOps.{IvmCount, IvmSum}
+    val t = tmp(); val v = tmp()
+    def rowsN(xs: (String, Long)*) = xs.toDF("cat", "us")
+    def tickN(): Unit = StreamOps.maintainView(t, v, Seq("cat"),
+      Seq(IvmCount("cnt"), IvmSum("us", "sum_us")), maxVersionsPerTick = 1)(
+      spark.range(1).toDF(), 0L)
+    def stateAt(k: Int) = TableLog.read(spark, v, Some(k))
+      .collect().map(r => Option(r.getAs[String]("cat")) ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("sum_us"))).toMap
+    TableLog.overwrite(rowsN(("a", 10L), (null, 5L), (null, 2L)), t) // v1
+    tickN() // bootstrap: the NULL group is a group like any other
+    assert(stateAt(1) == Map(Some("a") -> (1L, 10L), None -> (2L, 7L)))
+    // a delta touching the NULL group must MERGE into it, not emit a
+    // phantom second NULL row next to the stale one (the EqualTo-join bug)
+    TableLog.append(rowsN((null, 100L)), t) // v2
+    tickN()
+    assert(stateAt(2) == Map(Some("a") -> (1L, 10L), None -> (3L, 107L)),
+      s"NULL group drifted: ${stateAt(2)}")
+    assert(TableLog.read(spark, v).filter(col("cat").isNull).count() == 1,
+      "the NULL group must stay ONE row across merges")
+    // and a delete-only delta retracts from it
+    TableLog.overwrite(rowsN(("a", 10L)), t) // v3: all NULL rows gone
+    tickN()
+    assert(stateAt(3) == Map(Some("a") -> (1L, 10L)),
+      s"retracted NULL group survived: ${stateAt(3)}")
+  }
+
+  test("IvmSum rejects non-integral value columns (exact-micros discipline enforced, not just documented)") {
+    import spark.implicits._
+    import StreamOps.{IvmCount, IvmSum}
+    val t = tmp(); val v = tmp()
+    TableLog.overwrite(Seq(("a", 1.5), ("b", 2.5)).toDF("cat", "val"), t)
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.maintainView(t, v, Seq("cat"),
+        Seq(IvmCount("cnt"), IvmSum("val", "s")))(spark.range(1).toDF(), 0L)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    assert(TableLog.headVersion(v) == 0, "the rejected bootstrap must not commit")
+  }
+
   test("a vacuumed view history fails with the rebuild diagnostic, not a raw manifest error") {
     val t = tmp(); val v = tmp()
     TableLog.overwrite(rows("a" -> 1L), t)  // v1

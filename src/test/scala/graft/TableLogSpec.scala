@@ -431,43 +431,43 @@ class TableLogSpec extends AnyFunSuite {
     // a thread race hits this window only sometimes). The loser must fail
     // with a named conflict, never silently discard the winner's rows.
     var once = true
-    TableLog.interleaveForTest = () => if (once) {
+    TableLog.setInterleaveForTest(t, () => if (once) {
       once = false
       TableLog.overwritePartitions(part("a", 99L), t, "day") // the winner
-    }
+    })
     try {
       val e = intercept[java.util.ConcurrentModificationException] {
         TableLog.overwritePartitions(part("a", 50L), t, "day")
       }
       assert(e.getMessage.contains("[a]"), s"conflict must name the partition: ${e.getMessage}")
-    } finally TableLog.interleaveForTest = () => ()
+    } finally TableLog.clearInterleaveForTest(t)
     assert(dayVals("a") == Set(99L),
       "the concurrent winner's day-a state must survive the failed loser")
     assert(dayVals("b") == Set(10L), "day b was never in play")
     // DISJOINT: the same interleave shape, but the concurrent winner
     // touches day b — both commits land, neither loses data.
     var once2 = true
-    TableLog.interleaveForTest = () => if (once2) {
+    TableLog.setInterleaveForTest(t, () => if (once2) {
       once2 = false
       TableLog.overwritePartitions(part("b", 77L), t, "day")
-    }
+    })
     try TableLog.overwritePartitions(part("a", 51L), t, "day")
-    finally TableLog.interleaveForTest = () => ()
+    finally TableLog.clearInterleaveForTest(t)
     assert(dayVals("a") == Set(51L) && dayVals("b") == Set(77L),
       "disjoint partition-overwriters must both commit")
     // alsoReplace tags (replace-where with an empty source) conflict too
     var once3 = true
-    TableLog.interleaveForTest = () => if (once3) {
+    TableLog.setInterleaveForTest(t, () => if (once3) {
       once3 = false
       TableLog.overwritePartitions(part("b", 78L), t, "day")
-    }
+    })
     try {
       intercept[java.util.ConcurrentModificationException] {
         TableLog.overwritePartitions(part("a", 52L), t, "day",
           alsoReplace = Set("b"))
       }
       ()
-    } finally TableLog.interleaveForTest = () => ()
+    } finally TableLog.clearInterleaveForTest(t)
     assert(dayVals("b") == Set(78L),
       "the winner's day-b state must survive the alsoReplace loser")
   }
@@ -495,6 +495,76 @@ class TableLogSpec extends AnyFunSuite {
     TableLog.append(data.filter(col("lbl") === 0), t3, statsCols = Seq("lbl"))
     TableLog.append(data.filter(col("lbl") =!= 0), t3, statsCols = Seq("lbl"))
     assert(TableLog.selectivityBound(t3, "lbl", 0, 0) == 0.25)
+  }
+
+  test("overwritePartitions baseVersion: a commit in the read→write gap fails the pinned transaction loudly; unpinned it is a silent lost update") {
+    import spark.implicits._
+    val t = tmpTable()
+    def part(day: String, xs: Long*) = xs.map(x => (day, x)).toDF("day", "x")
+    def dayVals(day: String) = TableLog.read(spark, t)
+      .filter(col("day") === day).select("x")
+      .collect().map(_.getLong(0)).toSet
+    TableLog.overwritePartitions(part("a", 1L).unionByName(part("b", 10L)), t, "day") // v1
+    // A read-modify-write transaction: "read" at v1 …
+    val readV = TableLog.headVersion(t)
+    // … then a concurrent commit lands in the read→write gap (this is the
+    // window the first-attempt snapshot can never see — the write below is
+    // this writer's FIRST attempt, so without the pin its snapshot is the
+    // post-winner manifest and the check passes vacuously).
+    TableLog.overwritePartitions(part("a", 99L), t, "day") // the winner
+    // PINNED: the transaction validates against its READ version and fails
+    // loudly naming the partition.
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TableLog.overwritePartitions(part("a", 50L), t, "day",
+        baseVersion = Some(readV))
+    }
+    assert(e.getMessage.contains("[a]"), s"conflict must name the partition: ${e.getMessage}")
+    assert(dayVals("a") == Set(99L), "the winner's state must survive the failed transaction")
+    // DISJOINT partitions don't conflict even across the gap.
+    TableLog.overwritePartitions(part("b", 77L), t, "day", baseVersion = Some(readV))
+    assert(dayVals("b") == Set(77L))
+    // UNPINNED (old behavior, documented): the same shape silently
+    // discards the winner — exactly the lost update baseVersion closes.
+    TableLog.overwritePartitions(part("a", 88L), t, "day") // a new winner
+    TableLog.overwritePartitions(part("a", 51L), t, "day") // unpinned RMW write
+    assert(dayVals("a") == Set(51L), "unpinned blind overwrite wins by design")
+    // baseVersion = 0 pins "read before any commit": any prior commit to a
+    // replaced partition conflicts.
+    val t2 = tmpTable()
+    TableLog.overwritePartitions(part("a", 1L), t2, "day")
+    intercept[java.util.ConcurrentModificationException] {
+      TableLog.overwritePartitions(part("a", 2L), t2, "day", baseVersion = Some(0))
+    }
+    ()
+  }
+
+  test("compact with statsCols re-records manifest stats; without them pruning degrades conservatively") {
+    import spark.implicits._
+    val t = tmpTable()
+    val data = (1L to 80L).map(i => (i, i % 4)).toDF("id", "lbl")
+    TableLog.overwritePartitions(data, t, "lbl", statsCols = Seq("lbl"))
+    assert(TableLog.selectivityBound(t, "lbl", 3, 3) == 0.25)
+    // compact WITHOUT statsCols: row-identical, but the rewrite carries no
+    // stats — the bound degrades to the conservative 1.0 (never wrong)
+    TableLog.compact(spark, t)
+    assert(TableLog.read(spark, t).count() == 80)
+    assert(TableLog.selectivityBound(t, "lbl", 3, 3) == 1.0)
+    // compact WITH statsCols: stats re-recorded on the rewrite. The
+    // compacted layout is one overwrite commit (not label-partitioned), so
+    // the bound is whatever the new directories' min/max admit — still a
+    // true upper bound, and readWhereRange pruning still works.
+    TableLog.compact(spark, t, statsCols = Seq("lbl"))
+    val b = TableLog.selectivityBound(t, "lbl", 3, 3)
+    assert(b > 0.0 && b <= 1.0)
+    assert(TableLog.readWhereRange(spark, t, "lbl", 3, 3)
+      .filter(col("lbl") === 3).count() == 20)
+    // a clustered rewrite (which REPLACES the whole manifest — an
+    // overwritePartitions can't address the compact's untagged entries)
+    // restores tightness: one directory per label, bound = true fraction
+    TableLog.overwriteClustered(TableLog.read(spark, t), t, col("lbl"),
+      statsCols = Seq("lbl"))
+    assert(TableLog.selectivityBound(t, "lbl", 3, 3) == 0.25)
+    assert(TableLog.read(spark, t).count() == 80)
   }
 
   test("orphaned data from lost races stays invisible") {

@@ -3543,6 +3543,41 @@ object SparkEntry {
       res
     }),
 
+    // IVM WITH NON-DISTRIBUTIVE AGGREGATES (r19): MIN/MAX through the same
+    // maintainView protocol — inserts tighten the extremum in the fold;
+    // a span that DELETES a group's current extremum re-aggregates only
+    // that group from the source at the target version (the v1→v6 fold
+    // here retracts real extrema: the tombstone batch deletes every
+    // event_id % 37 == 0 row, some of which carry day extremes — the
+    // rescan path runs inside this query, not just its spec). Same
+    // two-endpoint history as the sibling IVM queries.
+    "q_events_ivm_minmax" -> ((s, dir) => {
+      val table = cdcLogTableShared(s, dir) // v1–5 (shared with merge_cdc)
+      if (graft.sources.TableLog.headVersion(table) == 5)
+        graft.sources.TableLog.compact(s, table)
+      val n = streamSinkSeq.incrementAndGet()
+      val base = replayCkptBase(n)
+      val view = new java.io.File(base, "ivmminmax").getAbsolutePath
+      import graft.streaming.StreamOps.{IvmCount, IvmMax, IvmMin}
+      val tick = graft.streaming.StreamOps.maintainView(table, view,
+        Seq("day"), Seq(IvmCount("n"), IvmMin("us", "min_value_micros"),
+          IvmMax("us", "max_value_micros"))) _
+      tick(s.range(1).toDF(), 0L) // bootstrap + ONE folded step: v1 → v6
+      tick(s.range(1).toDF(), 1L) // already converged — must be a no-op
+      require(graft.sources.TableLog.headVersion(view) == 2,
+        "catch-up must converge the 5-version backlog in one tick")
+      GraftCache.onClear(() => rmTree(base))
+      val res = GraftCache.track(
+        (1 to 2).map { v =>
+          graft.sources.TableLog.read(s, view, Some(v))
+            .select(col("__v").as("version"),
+              date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+              col("min_value_micros"), col("max_value_micros"))
+        }.reduce(_.unionByName(_)).orderBy("version", "day"))
+      res.count() // materialize before the view dir can be cleared
+      res
+    }),
+
     // STREAMING GRAPH-ANN INGEST (r18) — the freshness story for the graph
     // family, mirroring q_stream_ivf_ingest: each micro-batch HNSW-adds
     // its vectors to the live layered graph (GraphAnn.insertBatch) and
@@ -8227,6 +8262,26 @@ object SparkEntry {
          |SELECT cast(6 AS integer) AS version,
          |  strftime(cast(ts AS date), '%Y-%m-%d') AS day, count(*) AS n,
          |  ${sumMicrosSql("value")} AS sum_value_micros
+         |FROM events WHERE event_id % 37 <> 0 GROUP BY 2
+         |ORDER BY 1, 2""".stripMargin,
+
+    // The min/max view shape: same two endpoints, per-day count + extrema
+    // as exact integer micros (min/max need no decimal discipline — they
+    // select, never sum — but micros keeps both engines on BIGINT).
+    "q_events_ivm_minmax" ->
+      s"""WITH r AS (SELECT strftime(cast(ts AS date), '%Y-%m-%d') AS day, value,
+         |    ((row_number() OVER (ORDER BY ts, event_id) - 1) * 4)
+         |      // (SELECT count(*) FROM events) AS b
+         |  FROM events)
+         |SELECT cast(1 AS integer) AS version, day, count(*) AS n,
+         |  cast(min(${microsSql("value")}) as bigint) AS min_value_micros,
+         |  cast(max(${microsSql("value")}) as bigint) AS max_value_micros
+         |FROM r WHERE b < 1 GROUP BY 2
+         |UNION ALL
+         |SELECT cast(6 AS integer) AS version,
+         |  strftime(cast(ts AS date), '%Y-%m-%d') AS day, count(*) AS n,
+         |  cast(min(${microsSql("value")}) as bigint) AS min_value_micros,
+         |  cast(max(${microsSql("value")}) as bigint) AS max_value_micros
          |FROM events WHERE event_id % 37 <> 0 GROUP BY 2
          |ORDER BY 1, 2""".stripMargin,
 

@@ -38,6 +38,45 @@ import org.apache.spark.sql.DataFrame
   */
 object GraphAnn {
 
+  /** SEARCH-WIDTH SCHEDULE — efSearch as a function of corpus size, not a
+    * constant. The reference pins efSearch = 100 for every experiment at
+    * N ≤ 60 000 (impact/impact.py:47; index setup watermarking.py:289); an
+    * engine serving 100× that N cannot: HNSW recall at FIXED ef decays
+    * roughly linearly in log N (the r18 GraphAnnScaleProbe 5M leg read
+    * 0.55/0.62 at beam 16/32 where the 500k exact-built control isolates
+    * the build's own price at 3–6% — the decay is search width, not
+    * construction). The standard remedy is ef ∝ log N, anchored at the
+    * published operating point:
+    *
+    *   ef(N) = max(k, ceil(efRef · ln N / ln nRef))      (efRef=100 @ 60k)
+    *
+    * so ef(60k) = 100 exactly (reference parity), ef(2 000) ≈ 70,
+    * ef(5M) ≈ 141, ef(100M) ≈ 168 — the growth a user pays for constant
+    * recall is logarithmic, which is what makes graph ANN viable at all.
+    * The floor is k (beamSearch's own require). Deliberately DOUBLE-free
+    * at the call sites: both sides of the oracle compute the identical
+    * integer (the DuckDB replay evaluates the same closed form in SQL).
+    */
+  def efSearch(n: Long, k: Int, efRef: Int = 100, nRef: Long = 60000L): Int = {
+    require(n >= 1 && k >= 1 && efRef >= 1 && nRef >= 2,
+      s"efSearch(n=$n, k=$k, efRef=$efRef, nRef=$nRef): all must be positive (nRef ≥ 2)")
+    math.max(k,
+      math.ceil(efRef.toDouble * math.log(n.toDouble) / math.log(nRef.toDouble)).toInt)
+  }
+
+  /** Round schedule: the beam needs at least the graph's greedy-descent
+    * hop count to REACH a query's neighborhood before width can help —
+    * diameter of a degree-`outDeg` navigable graph is ~log_outDeg N — plus
+    * `extra` refinement rounds once there. Fixed R per (N, outDeg) keeps
+    * the traversal SQL-replayable (the oracle unrolls exactly R blocks).
+    */
+  def searchRounds(n: Long, outDeg: Int, extra: Int = 1): Int = {
+    require(n >= 1 && outDeg >= 2, s"searchRounds(n=$n, outDeg=$outDeg)")
+    math.max(1,
+      math.ceil(math.log(math.max(n, 2L).toDouble) / math.log(outDeg.toDouble)).toInt
+        + extra)
+  }
+
   /** Entry points: the `nEntry` corpus rows in md5("seed|"+vec_id) order —
     * same closed-form sampling as Ann.ivfDetCentroids, so the oracle
     * replays the choice as ORDER BY md5 LIMIT n.

@@ -262,19 +262,34 @@ object StreamOps {
     ()
   }
 
-  /** Self-maintainable aggregate spec for `maintainView` — COUNT(*) and
-    * SUM(col), the classic IVM class where a change-feed delta folds as a
+  /** Aggregate specs for `maintainView`. COUNT(*) and SUM(col) are the
+    * classic SELF-maintainable class: a change-feed delta folds as a
     * SIGNED partial aggregate (insert = +1/+x, delete = −1/−x) and merges
-    * into the view by addition. Value columns must be integral (the
+    * into the view by addition. Sum value columns must be integral (the
     * engine's exact-micros discipline — a double sum would drift from the
-    * full recompute under reordering). AVG and friends derive as
-    * sum/count downstream; MIN/MAX are NOT self-maintainable under
-    * deletes (a retracted extremum needs a rescan) and are deliberately
-    * absent.
+    * full recompute under reordering; enforced at every tick). AVG and
+    * friends derive as sum/count downstream.
+    *
+    * MIN/MAX (r19) are NOT self-maintainable under deletes — a retracted
+    * extremum's replacement is unknowable from the delta — so they fold
+    * the standard way (Griffin/Libkin's treatment of non-distributive
+    * aggregates): inserts TIGHTEN the extremum in place (least/greatest),
+    * and only a tick whose span deletes a row CARRYING a group's current
+    * extremum re-aggregates THAT GROUP from the source at the target
+    * version. Non-extremum deletes never rescan (spec-pinned via
+    * `rescanTicks`); untouched groups are never read.
     */
   sealed trait IvmAgg { def as: String }
   final case class IvmCount(as: String) extends IvmAgg
   final case class IvmSum(value: String, as: String) extends IvmAgg
+  final case class IvmMin(value: String, as: String) extends IvmAgg
+  final case class IvmMax(value: String, as: String) extends IvmAgg
+
+  /** Diagnostic counter: how many maintainView ticks ran an extremum
+    * rescan. Test seam only (ChangeFeedIvmSpec pins "non-extremum deletes
+    * do not rescan"); no behavior hangs off it.
+    */
+  private[graft] val rescanTicks = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** THE CHANGE FEED AS A STREAMING SOURCE — incremental view maintenance
     * across TableLog commits inside one streaming query, for ANY
@@ -373,6 +388,8 @@ object StreamOps {
       val cols = aggs.map {
         case IvmCount(as)    => count(lit(1)).as(as)
         case IvmSum(v, as)   => sum(col(v)).as(as)
+        case IvmMin(v, as)   => min(col(v)).as(as)
+        case IvmMax(v, as)   => max(col(v)).as(as)
       }
       requireIntegralSums(df).groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
     }
@@ -430,10 +447,18 @@ object StreamOps {
     val head = TableLog.headVersion(table)
     if (head > cur) {
       def stateAfter(target: Int): DataFrame = {
-        val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
-        val dCols = aggs.map {
-          case IvmCount(as)  => sum(sign).as(s"__d_$as")
-          case IvmSum(v, as) => sum(sign * col(v)).as(s"__d_$as")
+        val isIns = col("_change_type") === "insert"
+        val sign = when(isIns, lit(1L)).otherwise(lit(-1L))
+        val dCols = aggs.flatMap {
+          case IvmCount(as)  => Seq(sum(sign).as(s"__d_$as"))
+          case IvmSum(v, as) => Seq(sum(sign * col(v)).as(s"__d_$as"))
+          // extremum deltas split by direction: inserted-side extremum
+          // (tightens in place) and deleted-side extremum (detects a
+          // retraction — the only case that cannot fold)
+          case IvmMin(v, as) => Seq(min(when(isIns, col(v))).as(s"__i_$as"),
+                                    min(when(!isIns, col(v))).as(s"__x_$as"))
+          case IvmMax(v, as) => Seq(max(when(isIns, col(v))).as(s"__i_$as"),
+                                    max(when(!isIns, col(v))).as(s"__x_$as"))
         }
         val delta = requireIntegralSums(TableLog.changeFeed(s, table, cur, target))
           .groupBy(groupCols.map(col): _*).agg(dCols.head, dCols.tail: _*)
@@ -445,14 +470,69 @@ object StreamOps {
         // has it (both NULL ⇒ stays NULL, which IS the group's key).
         val viewDf = TableLog.read(s, view).drop("__v")
         val joinCond = groupCols.map(c => viewDf(c) <=> delta(c)).reduce(_ && _)
+        // a group needs a rescan iff this span DELETED a row at (or beyond)
+        // its current extremum — the deleted value existed at `cur`, so
+        // "beyond" can only be equality, but ≤/≥ is the safe spelling
+        val rescanCol = aggs.collect {
+          case IvmMin(_, as) => viewDf(as).isNotNull &&
+            delta(s"__x_$as").isNotNull && delta(s"__x_$as") <= viewDf(as)
+          case IvmMax(_, as) => viewDf(as).isNotNull &&
+            delta(s"__x_$as").isNotNull && delta(s"__x_$as") >= viewDf(as)
+        }.foldLeft(lit(false))(_ || _)
         val merged = groupCols.map(c => coalesce(viewDf(c), delta(c)).as(c)) ++
-          aggs.map(a =>
-            (coalesce(viewDf(a.as), lit(0L)) + coalesce(delta(s"__d_${a.as}"), lit(0L)))
-              .as(a.as))
-        viewDf.join(delta, joinCond, "full_outer")
-          .select(merged: _*)
+          aggs.map {
+            case a @ (IvmCount(_) | IvmSum(_, _)) =>
+              (coalesce(viewDf(a.as), lit(0L)) + coalesce(delta(s"__d_${a.as}"), lit(0L)))
+                .as(a.as)
+            // least/greatest skip NULLs: a new group takes the inserted
+            // extremum, an untouched one keeps the view's
+            case a: IvmMin => least(viewDf(a.as), delta(s"__i_${a.as}")).as(a.as)
+            case a: IvmMax => greatest(viewDf(a.as), delta(s"__i_${a.as}")).as(a.as)
+          }
+        val folded = viewDf.join(delta, joinCond, "full_outer")
+          .select((merged :+ rescanCol.as("__rescan")): _*)
           .filter(col(liveCol) =!= 0L)
-          .withColumn("__v", lit(target))
+        val hasExtrema = aggs.exists {
+          case _: IvmMin | _: IvmMax => true; case _ => false
+        }
+        val finished =
+          if (!hasExtrema) folded.drop("__rescan")
+          else {
+            // RETRACTION RESCAN: re-aggregate ONLY the groups whose current
+            // extremum this span deleted, from source@target (a group whose
+            // count reached zero was already dropped above and never
+            // rescans). The common no-retraction tick pays one emptiness
+            // probe on the checkpointed fold — same bargain as the
+            // catch-up empty-state guard below. At 100 TB the rescan is a
+            // semi-joined scan of the source for a handful of groups; a
+            // group key aligned with the table's partition column prunes
+            // it to those partitions.
+            val mm = folded.localCheckpoint()
+            val keys = mm.filter(col("__rescan")).select(groupCols.map(col): _*)
+            if (keys.isEmpty) mm.drop("__rescan")
+            else {
+              rescanTicks.incrementAndGet()
+              val rsAggs = aggs.collect {
+                case IvmMin(v, as) => min(col(v)).as(s"__rs_$as")
+                case IvmMax(v, as) => max(col(v)).as(s"__rs_$as")
+              }
+              val src = TableLog.read(s, table, Some(target))
+              val rescanned = src
+                .join(keys, groupCols.map(c => src(c) <=> keys(c)).reduce(_ && _),
+                  "left_semi")
+                .groupBy(groupCols.map(col): _*).agg(rsAggs.head, rsAggs.tail: _*)
+              val outCols = groupCols.map(c => mm(c).as(c)) ++ aggs.map {
+                case a @ (_: IvmMin | _: IvmMax) =>
+                  when(mm("__rescan"), rescanned(s"__rs_${a.as}"))
+                    .otherwise(mm(a.as)).as(a.as)
+                case a => mm(a.as).as(a.as)
+              }
+              mm.join(rescanned,
+                  groupCols.map(c => mm(c) <=> rescanned(c)).reduce(_ && _), "left")
+                .select(outCols: _*)
+            }
+          }
+        finished.withColumn("__v", lit(target))
       }
       val target0 = math.min(head.toLong, cur.toLong + maxVersionsPerTick).toInt
       if (target0 == cur + 1) TableLog.overwrite(stateAfter(target0), view)

@@ -184,6 +184,60 @@ class ChangeFeedIvmSpec extends AnyFunSuite {
       s"retracted NULL group survived: ${stateAt(3)}")
   }
 
+  test("IvmMin/IvmMax: inserts tighten in place, only a retracted extremum rescans its group") {
+    import spark.implicits._
+    import StreamOps.{IvmCount, IvmMax, IvmMin}
+    val t = tmp(); val v = tmp()
+    def rowsV(xs: (String, Long)*) = xs.toDF("cat", "us")
+    def tickV(): Unit = StreamOps.maintainView(t, v, Seq("cat"),
+      Seq(IvmCount("cnt"), IvmMin("us", "min_us"), IvmMax("us", "max_us")),
+      maxVersionsPerTick = 1)(spark.range(1).toDF(), 0L)
+    def stateHead() = TableLog.read(spark, v)
+      .collect().map(r => r.getAs[String]("cat") ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("min_us"), r.getAs[Long]("max_us"))).toMap
+    def recomputeV(k: Int) = TableLog.read(spark, t, Some(k))
+      .groupBy("cat").agg(count(lit(1)), min("us"), max("us"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def rescans = StreamOps.rescanTicks.get()
+    TableLog.overwrite(rowsV(("a", 10L), ("a", 5L), ("b", 7L)), t) // v1
+    tickV() // bootstrap
+    assert(stateHead() == recomputeV(1))
+    // INSERT-only delta: extrema tighten in the fold, NO rescan
+    val r0 = rescans
+    TableLog.append(rowsV(("a", 1L), ("a", 20L), ("c", 3L)), t) // v2
+    tickV()
+    assert(stateHead() == recomputeV(2))
+    assert(stateHead()("a") == ((4L, 1L, 20L)))
+    assert(rescans == r0, "an insert-only delta must not rescan")
+    // NON-extremum delete: a's 5 and 10 go (1 and 20 stay) — still no rescan
+    TableLog.overwrite(rowsV(("a", 1L), ("a", 20L), ("b", 7L), ("c", 3L)), t) // v3
+    tickV()
+    assert(stateHead() == recomputeV(3))
+    assert(rescans == r0, "deleting non-extremum rows must not rescan")
+    // EXTREMUM retraction: a loses its min (1) — exactly one rescan tick,
+    // and the rescanned group lands on the true new extremum
+    TableLog.overwrite(rowsV(("a", 20L), ("b", 7L), ("c", 3L)), t) // v4
+    tickV()
+    assert(stateHead() == recomputeV(4))
+    assert(stateHead()("a") == ((1L, 20L, 20L)))
+    assert(rescans == r0 + 1, "a retracted extremum must rescan (once)")
+    // group drop: c vanishes entirely — dropped by liveness, no rescan for it
+    TableLog.overwrite(rowsV(("a", 20L), ("b", 7L)), t) // v5
+    tickV()
+    assert(stateHead() == recomputeV(5))
+    assert(stateHead().keySet == Set("a", "b"))
+    // catch-up parity: a fresh view folds the whole v1–v5 history in one
+    // tick (retractions inside the span included) and matches the head
+    val v2dir = tmp()
+    StreamOps.maintainView(t, v2dir, Seq("cat"),
+      Seq(IvmCount("cnt"), IvmMin("us", "min_us"), IvmMax("us", "max_us")))(
+      spark.range(1).toDF(), 0L)
+    val catchup = TableLog.read(spark, v2dir)
+      .collect().map(r => r.getAs[String]("cat") ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("min_us"), r.getAs[Long]("max_us"))).toMap
+    assert(catchup == recomputeV(5), "catch-up fold drifted from recompute")
+  }
+
   test("IvmSum rejects non-integral value columns (exact-micros discipline enforced, not just documented)") {
     import spark.implicits._
     import StreamOps.{IvmCount, IvmSum}

@@ -36,7 +36,8 @@ object GraphAnnScaleProbe {
     * gauges layered-search recall over the chunk-built artifact against
     * the pre-computed exact ground truth. Findings → DESIGN.md.
     */
-  def buildLeg(spark: SparkSession, nCorpus: Int, nQueries: Int): Unit = {
+  def buildLeg(spark: SparkSession, nCorpus: Int, nQueries: Int,
+               saveDir: Option[String] = None): Unit = {
     import graft.functions.GraftCols
     val d = 8
     val m = 8
@@ -83,6 +84,17 @@ object GraphAnnScaleProbe {
     spark.conf.unset("graft.knn.broadcastMaxBytes")
     println(f"[gabuild] built: base ${base.count()}%,d edges, rep ${rep.count()}%,d edges, " +
       f"${nCorpus / buildS}%,.0f rows/s end-to-end")
+    // persist the build so search-width sweeps iterate WITHOUT rebuilding
+    // (`sweep <dir>` leg) — a 5M build is tens of minutes, a sweep is not
+    saveDir.foreach { dir =>
+      corpus.write.mode("overwrite").parquet(s"$dir/corpus")
+      exact.write.mode("overwrite").parquet(s"$dir/exact")
+      base.select("src", "dst", "dist").write.mode("overwrite").parquet(s"$dir/base")
+      rep.select("src", "dst", "dist").write.mode("overwrite").parquet(s"$dir/rep")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.txt"),
+        s"$nCorpus $nQueries")
+      println(s"[gabuild] artifacts saved to $dir")
+    }
     val entries = GraphAnn.entryPoints(corpus.filter(isRep), 64, seed = "gsp-e")
     def gauge(tag: String, baseE: org.apache.spark.sql.DataFrame,
               repE: org.apache.spark.sql.DataFrame): Unit =
@@ -115,6 +127,59 @@ object GraphAnnScaleProbe {
     }
   }
 
+  /** SEARCH-WIDTH SWEEP over a SAVED build (`Test/runMain
+    * graft.GraphAnnScaleProbe sweep <dir> [beamsCsv]`): loads the
+    * artifacts `build … <dir>` persisted and gauges layered-search recall
+    * at a ladder of widths INCLUDING the GraphAnn.efSearch/searchRounds
+    * schedule row — the round-19 question: does the scheduled width hold
+    * recall ≥ 0.9 where the r18 fixed beams (16/32) read 0.55/0.62?
+    * Also sweeps the entry count (multi-seed descent) at the scheduled
+    * width to separate entry starvation from beam starvation.
+    */
+  def sweepLeg(spark: SparkSession, dir: String, widths: Seq[Int]): Unit = {
+    import graft.functions.GraftCols
+    val Array(nCorpus, nQueries) = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$dir/meta.txt")).trim.split(" ").map(_.toInt)
+    val corpus = spark.read.parquet(s"$dir/corpus").localCheckpoint()
+    val exact  = spark.read.parquet(s"$dir/exact").localCheckpoint()
+    val base   = spark.read.parquet(s"$dir/base")
+      .repartition(col("src")).localCheckpoint()
+    val rep    = spark.read.parquet(s"$dir/rep")
+      .repartition(col("src")).localCheckpoint()
+    val queries = corpus.filter(col("vec_id") < nQueries).cache()
+    queries.count()
+    val nExact = exact.count()
+    val isRep = GraftCols.md5Mod(
+      concat(col("vec_id").cast("string"), lit("|grep")), 8) === 0L
+    val m = 8
+    val nRep = corpus.filter(isRep).count()
+    val k = 10
+    val efBase = GraphAnn.efSearch(nCorpus, k)
+    val efRep  = GraphAnn.efSearch(nRep, k)
+    val rBase  = GraphAnn.searchRounds(nCorpus, 2 * m)
+    val rRep   = GraphAnn.searchRounds(nRep, 2 * m)
+    println(s"[gasweep] N=$nCorpus nRep=$nRep schedule: rep B=$efRep R=$rRep " +
+      s"base B=$efBase R=$rBase (r18 fixed rows: 16/32)")
+    def gauge(tag: String, nEntry: Int, rb: Int, rr: Int, bb: Int, br: Int): Unit = {
+      val entries = GraphAnn.entryPoints(corpus.filter(isRep), nEntry, seed = "gsp-e")
+      val t0 = System.nanoTime()
+      val res = GraphAnn.layeredSearch(queries, corpus, rep, base,
+        entries, k = k, repBeam = rb, baseBeam = bb,
+        repRounds = rr, baseRounds = br)
+      val hits = res.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[gasweep] $tag%-10s E=$nEntry%-4d rep B=$rb%-4d R=$rr base B=$bb%-4d R=$br " +
+        f"recall@10 ${hits.toDouble / nExact}%7.4f $dt%9.2f s")
+    }
+    // r18 carry rows (fixed beams) for trend continuity, then the width
+    // ladder at scheduled rounds, the schedule row, and the entry sweep
+    gauge("r18-fixed", 64, 16, 4, 16, 8)
+    for (b <- widths) gauge("ladder", 64, math.min(b, efRep), rRep, b, rBase)
+    gauge("schedule", 64, efRep, rRep, efBase, rBase)
+    for (e <- Seq(256, 1024)) gauge("entries", e, efRep, rRep, efBase, rBase)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -133,7 +198,14 @@ object GraphAnnScaleProbe {
     if (args.headOption.contains("build")) {
       val n  = args.drop(1).headOption.map(_.toInt).getOrElse(5000000)
       val nq = args.drop(2).headOption.map(_.toInt).getOrElse(100)
-      buildLeg(spark, n, nq)
+      buildLeg(spark, n, nq, args.drop(3).headOption)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("sweep")) {
+      val dir = args(1)
+      val widths = args.drop(2).headOption
+        .map(_.split(',').map(_.trim.toInt).toSeq).getOrElse(Seq(64, 141))
+      sweepLeg(spark, dir, widths)
       spark.stop(); return
     }
     val nCorpus  = args.headOption.map(_.toInt).getOrElse(1000000)

@@ -39,6 +39,12 @@ object SparkEntry {
   private val GraphEntries = 4
   private val GraphBeam    = 16
   private val GraphRounds  = 4
+  // GraphAnn.searchRounds(N, 2·M) for every shipped fixture N (500 and
+  // 2000 both land on 4); the scaled oracle unrolls exactly this many
+  // rounds, and ann_graph_topk_scaled REQUIRES the runtime schedule to
+  // agree — a regenerated fixture that moves the schedule fails loudly
+  // instead of silently diverging from the replay.
+  private val ScaledGraphRounds = 4
   // Layered graph-ANN (GraphAnn.layeredSearch): a 1-in-RepMod keyed-md5 rep
   // layer descended with a narrow beam, then a base refine at HALF the flat
   // search's beam width — ann_graph_recall_layered gauges the equal-recall
@@ -1312,6 +1318,23 @@ object SparkEntry {
       GraftCache.onClear(() => rmTree(base))
       table
     }
+
+  /** The graph-hybrid candidate beam, sized from the LAKE: the `label !=
+    * 3` predicate's survivor count bounded from the log corpus manifest
+    * (TableLog.survivorBound — complement range, integer, zero estimation
+    * jobs) through GraphAnn.filteredBeam (efSearch of the survivors,
+    * floored at k·γ = 20). Shared by both graph-hybrid queries; the
+    * oracle replays the identical arithmetic over count(*).
+    */
+  private def filteredGraphBeam(s: SparkSession, dir: String): Int = {
+    val table = ivfLogCorpusShared(s, dir)
+    val kept = graft.sources.TableLog.survivorBound(table, "label",
+      Seq((Long.MinValue, 2L), (4L, Long.MaxValue))).getOrElse(
+      throw new IllegalStateException(
+        s"$table carries no row-count stats — it is always committed " +
+          "with statsCols; rebuild the log corpus"))
+    GraphAnn.filteredBeam(kept, 10, 2)
+  }
 
   /** STREAMING GRAPH-ANN INGEST tables (q_stream_graph_ingest + its recall
     * gauge): a vec_id-ordered IngestChunks-batch replay of the embeddings
@@ -4070,6 +4093,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SCHEDULED-WIDTH graph ANN (r19): the same flat traversal with beam =
+    // GraphAnn.efSearch(N, 10) and rounds = searchRounds(N, 2M) — search
+    // width as a FUNCTION of corpus size, the knob a 100M-row graph needs
+    // (fixed beams decay: the 5M probe reads 0.55/0.62 at 16/32). The
+    // oracle computes the identical beam from count(*) inside the SQL, so
+    // the gate holds at every fixture size; rounds are structural and
+    // require-pinned to the unrolled count.
+    "ann_graph_topk_scaled" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nCorpus = emb.count()
+      val beam = GraphAnn.efSearch(nCorpus, 10)
+      val rounds = GraphAnn.searchRounds(nCorpus, 2 * M)
+      require(rounds == ScaledGraphRounds,
+        s"schedule gives $rounds rounds for N=$nCorpus but the oracle " +
+          s"unrolls $ScaledGraphRounds — regenerate the replay " +
+          "(ScaledGraphRounds) for this fixture size")
+      val (edgesDf, _) = KnnGraph.read(s, graphArtifactDir(s, dir))
+      GraphAnn.beamSearch(emb.filter(col("vec_id") < 100), embBucketed(s, dir),
+        edgesDf, GraphAnn.entryPoints(emb, GraphEntries),
+        k = 10, beam = beam, rounds = rounds)
+        .select(col("query_id"), col("neighbor_id"), col("dist"),
+          col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Graph-ANN acceptance gauge: per-query recall@10 against the exact
     // fold-L2 ground truth (the memoized rawKnn frame) — the number that
     // sizes beam/rounds at scale, itself oracle-exact.
@@ -4117,21 +4165,26 @@ object SparkEntry {
     // Hybrid search on the GRAPH family — the post-filter regime's graph
     // form: the traversal runs UNfiltered (filtering edges mid-walk would
     // break navigability — the candidate a filter drops may be the only
-    // route to ones it keeps) with the base beam widened to the k·γ
-    // candidate budget (20 = 2×k — the graph's oversample is beam width,
-    // where IVF's was list depth), then the predicate keeps survivors and
-    // a re-rank cuts to k. Same under-fill-never-over-reach contract as
-    // filteredIvf; both unrolled phases + the filter replay in SQL.
+    // route to ones it keeps) with the base beam AS the candidate budget,
+    // then the predicate keeps survivors and a re-rank cuts to k. The
+    // budget is SURVIVOR-AWARE (r19): GraphAnn.filteredBeam over the
+    // manifest-derived survivor count (TableLog.survivorBound on the
+    // label-partitioned log corpus — an integer, zero estimation jobs),
+    // floored at k·γ = 20 — a highly selective predicate keeps the beam
+    // at the floor instead of paying the full-corpus efSearch width. Same
+    // under-fill-never-over-reach contract as filteredIvf; both unrolled
+    // phases + the filter + the beam arithmetic replay in SQL.
     "ann_filtered_graph_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val (baseEdges, _) = KnnGraph.read(s, graphArtifactDir(s, dir))
       val repEdges = ArtifactIO.readBucketed(s,
         s"${graphLayeredDir(s, dir)}/repedges",
         "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
+      val bw = filteredGraphBeam(s, dir)
       val cand = GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
         embBucketed(s, dir), repEdges, baseEdges,
         GraphAnn.entryPoints(repsOf(emb), GraphEntries),
-        k = 20, repBeam = RepBeam, baseBeam = 20,
+        k = bw, repBeam = RepBeam, baseBeam = bw,
         repRounds = RepRounds, baseRounds = BaseRounds)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
@@ -4154,9 +4207,10 @@ object SparkEntry {
         s"${graphLayeredDir(s, dir)}/repedges",
         "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
       val q = emb.filter(col("vec_id") < 100)
+      val bw = filteredGraphBeam(s, dir)
       val cand = GraphAnn.layeredSearch(q, embBucketed(s, dir), repEdges,
         baseEdges, GraphAnn.entryPoints(repsOf(emb), GraphEntries),
-        k = 20, repBeam = RepBeam, baseBeam = 20,
+        k = bw, repBeam = RepBeam, baseBeam = bw,
         repRounds = RepRounds, baseRounds = BaseRounds)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
@@ -5672,6 +5726,33 @@ object SparkEntry {
         s"SELECT q.query_id, e.node FROM $qv q, gent e",
         GraphBeam, GraphRounds)
 
+  /** The graph-hybrid beam's replay: GraphAnn.filteredBeam's arithmetic —
+    * efSearch over the predicate's survivor count (the engine reads it
+    * from the manifest; count(*) over the predicate is the same integer
+    * on the label-aligned layout), floored at the k·γ = 20 budget.
+    */
+  private def filteredBeamCte: String =
+    "fbw AS (SELECT greatest(20, cast(ceil(100.0 * " +
+      "ln(greatest((SELECT count(*) FROM embeddings WHERE label != 3), 1)) " +
+      "/ ln(60000.0)) AS integer)) AS beam)"
+
+  /** The SCHEDULED-width traversal's replay: the beam is not a literal but
+    * GraphAnn.efSearch's closed form evaluated over count(*) — DuckDB
+    * derives the same integer the engine computes (max(k, ceil(efRef ·
+    * ln N / ln 60000))), so one oracle string is correct at every fixture
+    * size. Rounds are structural (unrolled CTEs) and pinned at
+    * ScaledGraphRounds; the engine asserts its searchRounds(N) equals it.
+    */
+  private def graphSearchCtesScaled(qv: String): String =
+    s"""gent AS (SELECT vec_id AS node FROM embeddings
+       |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
+       |efp AS (SELECT greatest(10, cast(ceil(100.0 * ln(count(*)) / ln(60000.0)) AS integer)) AS beam
+       |  FROM embeddings),
+       |""".stripMargin +
+      graphSearchCtesOver(qv, "sg", "edges",
+        s"SELECT q.query_id, e.node FROM $qv q, gent e",
+        "(SELECT beam FROM efp)", ScaledGraphRounds)
+
   /** Parameterized unrolled-beam generator (shared by the flat and layered
     * replays): emits ${pfx}p0..${pfx}p$rounds / ${pfx}s.. / ${pfx}b.., the
     * last ${pfx}b$rounds being the final beam. `pairs0` is the round-0
@@ -5681,7 +5762,18 @@ object SparkEntry {
     * because fold-L2 is a pure function).
     */
   private def graphSearchCtesOver(qv: String, pfx: String, edgesCte: String,
-                                  pairs0: String, beam: Int, rounds: Int): String = {
+                                  pairs0: String, beam: Int, rounds: Int): String =
+    graphSearchCtesOver(qv, pfx, edgesCte, pairs0, beam.toString, rounds)
+
+  /** String-beam variant: `beamSql` may be any scalar SQL expression —
+    * the scaled replay passes a subquery evaluating GraphAnn.efSearch's
+    * closed form over count(*), so the ORACLE derives the width from the
+    * data exactly like the engine does (a baked literal would silently
+    * pin the replay to one fixture size). Rounds stay a structural Int:
+    * CTEs unroll at build time.
+    */
+  private def graphSearchCtesOver(qv: String, pfx: String, edgesCte: String,
+                                  pairs0: String, beamSql: String, rounds: Int): String = {
     val d2 = "(cast(q.qe[i] as double) - cast(b.embedding[i] as double))"
     def scored(i: Int, pairs: String) =
       s"""${pfx}s$i AS (SELECT p.query_id, p.node,
@@ -5690,7 +5782,7 @@ object SparkEntry {
          |  JOIN embeddings b ON b.vec_id = p.node),
          |${pfx}b$i AS (SELECT query_id, node, dist FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
-         |    FROM ${pfx}s$i) WHERE rn <= $beam)""".stripMargin
+         |    FROM ${pfx}s$i) WHERE rn <= $beamSql)""".stripMargin
     val entry =
       s"""${pfx}p0 AS ($pairs0),
          |${scored(0, s"${pfx}p0")}""".stripMargin
@@ -8954,6 +9046,18 @@ object SparkEntry {
            |  FROM gb$GraphRounds) WHERE rn <= 10
            |ORDER BY query_id, rank""".stripMargin),
 
+    // The scheduled-width traversal: identical structure, beam derived
+    // from count(*) inside the SQL (graphSearchCtesScaled's efp CTE).
+    "ann_graph_topk_scaled" ->
+      (graphCtes + ",\n" +
+        s"""gq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+           |${graphSearchCtesScaled("gq")}
+           |SELECT query_id, node AS neighbor_id, dist, cast(rn as bigint) AS rank FROM (
+           |  SELECT query_id, node, dist,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+           |  FROM sgb$ScaledGraphRounds) WHERE rn <= 10
+           |ORDER BY query_id, rank""".stripMargin),
+
     // Layered traversal: both phases replayed as unrolled SQL — the rep
     // layer's kNN edges rebuilt from the md5-mod membership, phase 2
     // seeded by phase 1's final beam.
@@ -8989,10 +9093,12 @@ object SparkEntry {
     "ann_filtered_graph_topk" ->
       (graphCtes + ",\n" +
         s"""gq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+           |$filteredBeamCte,
            |${layeredSearchCtes("gq")},
            |""".stripMargin +
         graphSearchCtesOver("gq", "fb", "edges",
-          s"SELECT query_id, node FROM lrb$RepRounds", 20, BaseRounds) +
+          s"SELECT query_id, node FROM lrb$RepRounds",
+          "(SELECT beam FROM fbw)", BaseRounds) +
         ",\n" +
         s"""fcand AS (SELECT query_id, node AS neighbor_id, dist FROM fbb$BaseRounds
            |  WHERE node IN (SELECT vec_id FROM embeddings WHERE label != 3))
@@ -9007,10 +9113,12 @@ object SparkEntry {
     "ann_filtered_graph_recall" ->
       (graphCtes + ",\n" +
         s"""gq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+           |$filteredBeamCte,
            |${layeredSearchCtes("gq")},
            |""".stripMargin +
         graphSearchCtesOver("gq", "fb", "edges",
-          s"SELECT query_id, node FROM lrb$RepRounds", 20, BaseRounds) +
+          s"SELECT query_id, node FROM lrb$RepRounds",
+          "(SELECT beam FROM fbw)", BaseRounds) +
         ",\n" +
         s"""fck AS (SELECT query_id, neighbor_id FROM (
            |    SELECT query_id, node AS neighbor_id,

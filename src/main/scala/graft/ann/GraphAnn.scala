@@ -64,6 +64,22 @@ object GraphAnn {
       math.ceil(efRef.toDouble * math.log(n.toDouble) / math.log(nRef.toDouble)).toInt)
   }
 
+  /** HYBRID (filtered) search width: the efSearch schedule evaluated at
+    * the ESTIMATED survivor count — the effective corpus the filtered
+    * answer lives in — floored at the k·oversample candidate budget the
+    * post-filter re-rank needs (in the graph regime the beam IS the
+    * candidate budget; the final beam passes the predicate and re-ranks).
+    * A selective predicate keeps the traversal near the budget floor
+    * instead of paying the full-corpus width (efSearch(5M) = 141 where a
+    * 1k-survivor filter needs ~63); an unselective one converges to the
+    * unfiltered schedule. The intended `keptEstimate` source is
+    * TableLog.survivorBound — a manifest-only integer, no estimation job.
+    */
+  def filteredBeam(keptEstimate: Long, k: Int, oversample: Int = 2): Int = {
+    require(oversample >= 1, s"oversample=$oversample must be ≥ 1")
+    math.max(k * oversample, efSearch(math.max(keptEstimate, 1L), k))
+  }
+
   /** Round schedule: the beam needs at least the graph's greedy-descent
     * hop count to REACH a query's neighborhood before width can help —
     * diameter of a degree-`outDeg` navigable graph is ~log_outDeg N — plus

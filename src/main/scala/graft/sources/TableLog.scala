@@ -889,6 +889,35 @@ object TableLog {
     }
   }
 
+  /** SURVIVOR upper bound as a COUNT — selectivityBound's numerator, for
+    * consumers that want rows, not a ratio (beam sizing: GraphAnn
+    * .filteredBeam takes the estimated survivor count directly, and an
+    * integer count avoids the ratio's float round-trip entirely). `ranges`
+    * is a union of closed ranges, so complement predicates express
+    * exactly: `label != 3` is `Seq((Long.MinValue, 2), (4, Long.MaxValue))`.
+    * A directory counts iff its stats admit ANY range; entries without
+    * stats for the column count too (conservative upper bound, same
+    * contract as pruneDirsRange). None when any entry lacks a row count —
+    * the caller chooses its own fallback; a ratio-1.0 default would
+    * silently masquerade as a real count.
+    */
+  def survivorBound(table: String, statsCol: String,
+                    ranges: Seq[(Long, Long)],
+                    version: Option[Int] = None): Option[Long] = {
+    require(ranges.nonEmpty, "survivorBound needs at least one range")
+    val v = version.getOrElse(headVersion(table))
+    require(v >= 1, s"$table has no committed version")
+    val stats = manifest(table, v).map(entryStats)
+    if (stats.exists(st => !st.contains(RowCountKey))) None
+    else Some(stats.iterator.map { st =>
+      val admits = st.get(statsCol) match {
+        case Some((mn, mx)) => ranges.exists { case (lo, hi) => mx >= lo && mn <= hi }
+        case None           => true
+      }
+      if (admits) st(RowCountKey)._1 else 0L
+    }.sum)
+  }
+
   /** Read only the directories whose committed stats admit
     * `lo ≤ statsCol ≤ hi` at `version` (default head). Callers keep their
     * row filter on top for exactness — the stats prune to the directories

@@ -214,6 +214,33 @@ class GraphAnnSpec extends AnyFunSuite {
     rep.unpersist(); newEdges.unpersist(); victims.unpersist(); oldEdges.unpersist()
   }
 
+  test("search-width schedule: anchored at ef=100 @ 60k, logarithmic in N, floored at k; filteredBeam scales with the survivor estimate") {
+    // the published operating point is exact by construction
+    assert(GraphAnn.efSearch(60000, 10) == 100)
+    // floor: tiny corpora never go below k
+    assert(GraphAnn.efSearch(1, 10) == 10)
+    assert(GraphAnn.efSearch(2, 50) == 50)
+    // logarithmic growth (the 5M probe's scheduled width)
+    assert(GraphAnn.efSearch(2000, 10) == 70)
+    assert(GraphAnn.efSearch(5000000, 10) == 141)
+    assert(GraphAnn.efSearch(100000000L, 10) == 168)
+    // rounds: descent hops ~ log_outDeg N plus refinement
+    assert(GraphAnn.searchRounds(500, 16) == 4)
+    assert(GraphAnn.searchRounds(2000, 16) == 4)
+    assert(GraphAnn.searchRounds(5000000, 16) == 7)
+    // filteredBeam: floor at the k·oversample candidate budget …
+    assert(GraphAnn.filteredBeam(1, 10, 2) == 20)
+    assert(GraphAnn.filteredBeam(0, 10, 2) == 20)
+    // … and above it, the schedule of the SURVIVOR estimate, monotone —
+    // a selective filter never pays the full-corpus width
+    val b1k = GraphAnn.filteredBeam(1000, 10, 2)
+    val b100k = GraphAnn.filteredBeam(100000, 10, 2)
+    val b5m = GraphAnn.filteredBeam(5000000, 10, 2)
+    assert(b1k < b100k && b100k < b5m, s"$b1k, $b100k, $b5m must be monotone")
+    assert(b5m == 141 && b1k == 63,
+      "a 1k-survivor filter must not pay the 5M-corpus beam")
+  }
+
   test("per-round frontier join consumes the bucketed edge artifact — no edge-side Exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeExec}

@@ -495,6 +495,17 @@ class TableLogSpec extends AnyFunSuite {
     TableLog.append(data.filter(col("lbl") === 0), t3, statsCols = Seq("lbl"))
     TableLog.append(data.filter(col("lbl") =!= 0), t3, statsCols = Seq("lbl"))
     assert(TableLog.selectivityBound(t3, "lbl", 0, 0) == 0.25)
+    // survivorBound: the numerator as an integer, multi-range (complement
+    // predicates) — the beam-sizing form (GraphAnn.filteredBeam's input)
+    assert(TableLog.survivorBound(t, "lbl", Seq((3L, 3L))) == Some(20L))
+    assert(TableLog.survivorBound(t, "lbl",
+      Seq((Long.MinValue, 2L), (4L, Long.MaxValue))) == Some(60L),
+      "complement ranges must bound 'lbl != 3' exactly on the aligned layout")
+    assert(TableLog.survivorBound(t, "lbl", Seq((9L, 9L))) == Some(0L))
+    // a column without stats keeps every directory — upper bound = total
+    assert(TableLog.survivorBound(t, "id", Seq((1L, 1L))) == Some(80L))
+    // missing counts → None (never a fake count)
+    assert(TableLog.survivorBound(t2, "lbl", Seq((3L, 3L))).isEmpty)
   }
 
   test("overwritePartitions baseVersion: a commit in the read→write gap fails the pinned transaction loudly; unpinned it is a silent lost update") {

@@ -1284,21 +1284,31 @@ object SparkEntry {
   private def graphRecallGauge(s: SparkSession, dir: String,
                                repE: DataFrame, baseE: DataFrame): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val g = GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
-      embBucketed(s, dir), repE, baseE,
-      GraphAnn.entryPoints(repsOf(emb), GraphEntries),
-      k = 10, repBeam = RepBeam, baseBeam = BaseBeam,
-      repRounds = RepRounds, baseRounds = BaseRounds)
-      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-    rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10)
-      .select(col("query_id"), col("neighbor_id"))
-      .join(g, Seq("query_id", "neighbor_id"), "left")
+    recallVs(
+      rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10),
+      GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
+        embBucketed(s, dir), repE, baseE,
+        GraphAnn.entryPoints(repsOf(emb), GraphEntries),
+        k = 10, repBeam = RepBeam, baseBeam = BaseBeam,
+        repRounds = RepRounds, baseRounds = BaseRounds))
+  }
+
+  /** The shared acceptance-gauge tail (r19: one definition for the 11
+    * copies the r18 review flagged): per-query hits of `approx` within
+    * `truth` — both carrying (query_id, neighbor_id) — as
+    * (query_id, n_hit, recall). Pure refactor; every consumer's rows are
+    * bit-identical to the inlined form this replaces.
+    */
+  private def recallVs(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
       .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
         (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
       .orderBy("query_id")
-  }
 
   /** The IVF-assigned corpus as a TableLog table PARTITIONED BY label with
     * label stats (which now carry per-entry row counts) — the corpus
@@ -3843,16 +3853,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val (centroids, assigned) = ivfDet(s, dir)
       val q   = emb.filter(col("vec_id") < 100)
-      val ivf = Ann.ivfDetSearch(q, assigned, centroids, k = 10, nprobe = 4)
-        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-      cosKnn(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(ivf, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
-          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
-        .orderBy("query_id")
+      recallVs(cosKnn(s, dir),
+        Ann.ivfDetSearch(q, assigned, centroids, k = 10, nprobe = 4))
     }),
 
     // Hybrid (predicate + vector) top-k, PRE-FILTER regime: label = 3 keeps
@@ -3940,17 +3942,9 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val (centroids, assigned) = ivfDet(s, dir)
       val q    = emb.filter(col("vec_id") < 100)
-      val post = Ann.filteredIvf(q, assigned, centroids, col("label") =!= 3,
-          k = 10, nprobe = 4)
-        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-      Ann.filteredBrute(q, assigned, col("label") =!= 3, k = 10)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(post, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
-          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
-        .orderBy("query_id")
+      recallVs(Ann.filteredBrute(q, assigned, col("label") =!= 3, k = 10),
+        Ann.filteredIvf(q, assigned, centroids, col("label") =!= 3,
+          k = 10, nprobe = 4))
     }),
 
     // IVF accuracy/latency trade-off curve as DATA: recall@10 vs nprobe ∈
@@ -4121,18 +4115,9 @@ object SparkEntry {
     // Graph-ANN acceptance gauge: per-query recall@10 against the exact
     // fold-L2 ground truth (the memoized rawKnn frame) — the number that
     // sizes beam/rounds at scale, itself oracle-exact.
-    "ann_graph_recall" -> ((s, dir) => {
-      val g = graphAnnShared(s, dir)
-        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-      rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(g, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
-          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
-        .orderBy("query_id")
-    }),
+    "ann_graph_recall" -> ((s, dir) =>
+      recallVs(rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10),
+        graphAnnShared(s, dir))),
 
     // LAYERED graph-ANN (GraphAnn.layeredSearch): coarse descend over the
     // persisted rep-layer kNN graph (1-in-8 keyed-md5 sample, beam 8 ×
@@ -4149,18 +4134,9 @@ object SparkEntry {
     // The layered gauge: recall@10 vs the exact fold-L2 ground truth —
     // read against ann_graph_recall's flat numbers, this is the
     // equal-recall-at-half-the-beam-width claim, itself oracle-exact.
-    "ann_graph_recall_layered" -> ((s, dir) => {
-      val g = graphAnnLayeredShared(s, dir)
-        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-      rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(g, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
-          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
-        .orderBy("query_id")
-    }),
+    "ann_graph_recall_layered" -> ((s, dir) =>
+      recallVs(rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10),
+        graphAnnLayeredShared(s, dir))),
 
     // Hybrid search on the GRAPH family — the post-filter regime's graph
     // form: the traversal runs UNfiltered (filtering edges mid-walk would
@@ -4218,15 +4194,9 @@ object SparkEntry {
         .join(broadcast(cand.select("query_id", "neighbor_id", "dist")),
           Seq("neighbor_id"))
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
-        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-      Knn.exact(q, emb.filter(col("label") =!= 3), 10, metric = "l2", kernel = "fold")
-        .select(col("query_id"), col("neighbor_id"))
-        .join(post, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
-          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
-        .orderBy("query_id")
+      recallVs(
+        Knn.exact(q, emb.filter(col("label") =!= 3), 10, metric = "l2", kernel = "fold"),
+        post)
     }),
 
     // INCREMENTAL INSERT into the layered artifact (GraphAnn.insertBatch —
@@ -4282,21 +4252,14 @@ object SparkEntry {
         "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
       val dRep = ArtifactIO.readBucketed(s, s"$art/delrep",
         "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
-      val g = GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
-        embBucketed(s, dir), dRep, dBase,
-        GraphAnn.entryPoints(repsOf(survivors), GraphEntries),
-        k = 10, repBeam = RepBeam, baseBeam = BaseBeam,
-        repRounds = RepRounds, baseRounds = BaseRounds)
-        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-      Knn.exact(emb.filter(col("vec_id") < 100), survivors, 10,
-          metric = "l2", kernel = "fold")
-        .select(col("query_id"), col("neighbor_id"))
-        .join(g, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
-          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
-        .orderBy("query_id")
+      recallVs(
+        Knn.exact(emb.filter(col("vec_id") < 100), survivors, 10,
+          metric = "l2", kernel = "fold"),
+        GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
+          embBucketed(s, dir), dRep, dBase,
+          GraphAnn.entryPoints(repsOf(survivors), GraphEntries),
+          k = 10, repBeam = RepBeam, baseBeam = BaseBeam,
+          repRounds = RepRounds, baseRounds = BaseRounds))
     }),
 
     // SCALABLE BUILD: the whole layered graph constructed by CHUNKED
@@ -4357,18 +4320,9 @@ object SparkEntry {
     // LSH acceptance gauge: per-query recall@5 of the deterministic LSH
     // path against the brute-force L2 ground truth (the memoized rawKnn
     // frame — its 17-deep ranks contain the top-5).
-    "ann_lsh_recall" -> ((s, dir) => {
-      val lsh = lshDetShared(s, dir)
-        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-      rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(lsh, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
-          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
-        .orderBy("query_id")
-    }),
+    "ann_lsh_recall" -> ((s, dir) =>
+      recallVs(rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 5),
+        lshDetShared(s, dir))),
 
     // Multimodal — binary-column metadata extraction (payload hash, sizes).
     "multimodal_meta" -> ((s, dir) => {
@@ -5294,18 +5248,9 @@ object SparkEntry {
     // PQ acceptance gauge: recall@10 of the compressed (ADC) scan against
     // the exact uncompressed ground truth — the distortion-vs-recall number
     // that sizes m/ksub before a 100 TB build.
-    "ann_pq_recall" -> ((s, dir) => {
-      val g = pqReconSearch(s, dir, k = 10)
-        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-      rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(g, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
-          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
-        .orderBy("query_id")
-    }),
+    "ann_pq_recall" -> ((s, dir) =>
+      recallVs(rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10),
+        pqReconSearch(s, dir, k = 10))),
 
     // IVFPQ — the full FAISS-style composite: IVF coarse probe (top-4
     // clusters by fold-L2 to the sampled centroids, assignment from REAL
@@ -5329,18 +5274,8 @@ object SparkEntry {
     // against m/ksub (code distortion) before a 100 TB build. Both loss
     // sources show up here; compare ann_ivf_recall (probe loss only) and
     // ann_pq_recall (distortion loss only) to attribute.
-    "ann_ivfpq_recall" -> ((s, dir) => {
-      val g = ivfPqSearch(s, dir)
-        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-      cosKnn(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(g, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
-          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
-        .orderBy("query_id")
-    }),
+    "ann_ivfpq_recall" -> ((s, dir) =>
+      recallVs(cosKnn(s, dir), ivfPqSearch(s, dir))),
 
     // IVFADC proper — the residual-encoded composite (FAISS's production
     // default) at the same nlist/nprobe/8×16 code budget as ann_ivfpq_topk,
@@ -5364,18 +5299,8 @@ object SparkEntry {
     // exact brute cosine — read next to ann_ivfpq_recall (raw-encoded, same
     // budget) to see the residual gain, and ann_ivf_recall (no quantization)
     // to see the remaining distortion loss.
-    "ann_ivfadc_recall" -> ((s, dir) => {
-      val g = ivfAdcSearch(s, dir)
-        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-      cosKnn(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(g, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_base"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .select(col("query_id"), col("n_hit").cast("long").as("n_hit"),
-          (col("n_hit").cast("double") / col("n_base").cast("double")).as("recall"))
-        .orderBy("query_id")
-    }),
+    "ann_ivfadc_recall" -> ((s, dir) =>
+      recallVs(cosKnn(s, dir), ivfAdcSearch(s, dir))),
 
     // One-pass column profiler over lineitem's measure columns: count,
     // distinct count, min/max, exact mean — one scan, one shuffle. The shape

@@ -840,6 +840,24 @@ object SparkEntry {
       }
     }
 
+  /** NN-DESCENT-refined base layer (KnnGraph.refine, one round over the
+    * chunk-built artifact): the r19 graph-QUALITY pass. Chunked insertion
+    * compounds within-batch blindness at scale — the 5M probe's artifact
+    * held 13.5% of the true top-10 as direct edges, capping beam recall at
+    * 0.70 at ANY width — and one local-join round recovers most of it
+    * (probe numbers in DESIGN). At fixture scale the same round is cheap
+    * and oracle-replayable (ann_graph_refine pins every capped window and
+    * candidate score in SQL).
+    */
+  private def graphRefinedShared(s: SparkSession, dir: String): DataFrame =
+    GraftCache.memo(s"$dir/graphrefined") {
+      val art = graphBuildDir(s, dir)
+      KnnGraph.refine(
+        ArtifactIO.readBucketed(s, s"$art/bldedges",
+          "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets),
+        embBucketed(s, dir), 2 * M, rounds = 1)
+    }
+
   /** The corpus as a BUCKETED-by-vec_id table — the edge artifact's layout
     * treatment applied to graph search's OTHER per-round join (candidate
     * scoring): beam rounds then join candidates against the corpus with no
@@ -4287,6 +4305,28 @@ object SparkEntry {
           "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets))
     }),
 
+    // NN-DESCENT REFINEMENT (r19): one local-join round over the
+    // chunk-built base layer — each node scores its undirected
+    // neighborhood's neighborhood and keeps its best 2M. The operator that
+    // repairs chunked construction's compounding blindness at scale
+    // (GraphAnnScaleProbe's refine leg: the 5M artifact's direct-edge
+    // recall and beam recall, before/after, in DESIGN). Fingerprints pin
+    // every capped window and candidate score of the round.
+    "ann_graph_refine" -> ((s, dir) =>
+      adjacencyFp(graphRefinedShared(s, dir), "base").orderBy("part", "src")),
+
+    // The refine acceptance gauge: the standard flat beam search over the
+    // REFINED base layer vs the exact top-10 — read beside
+    // ann_graph_build_recall (the unrefined chunk-built layers) and
+    // ann_graph_recall (the exact-built graph): what one round buys back.
+    "ann_graph_refine_recall" -> ((s, dir) =>
+      recallVs(rawKnn(s, dir).filter(col("query_id") < 100 && col("rank") <= 10),
+        GraphAnn.beamSearch(
+          Tables.embeddings(s, dir).filter(col("vec_id") < 100),
+          embBucketed(s, dir), graphRefinedShared(s, dir),
+          GraphAnn.entryPoints(Tables.embeddings(s, dir), GraphEntries),
+          k = 10, beam = GraphBeam, rounds = GraphRounds))),
+
     // ANN — approximate LSH join path. Deterministic variant: keyed md5
     // Box–Muller hyperplanes (float32-quantized, the attack_insert
     // technique) instead of spark.ml's seeded RNG — same bucket-join plan,
@@ -5844,6 +5884,42 @@ object SparkEntry {
     * (KnnGraph.buildByInsertion). Emits bbase$c/brep$c per step; the last
     * pair is the built artifact.
     */
+  /** One NN-descent round over `edgesCte`, in SQL — KnnGraph.refine's
+    * exact arithmetic: reverse lists capped per node at 2M by (dist, id),
+    * the (src,dst)-deduped undirected neighborhood capped at 4M, the
+    * local join (u and w both adjacent to a pivot, either direction),
+    * fold-L2 scoring of the new pairs only, per-src top-2M over
+    * {current ∪ scored}. Emits rfrev/rfund/rfnew/rfined.
+    */
+  private def refineCtes(edgesCte: String): String = {
+    val dd = "(cast(a.embedding[i] as double) - cast(b.embedding[i] as double))"
+    val m = 2 * M
+    s"""rfrev AS (SELECT dst AS src, src AS dst, dist FROM (
+       |    SELECT src, dst, dist,
+       |      row_number() OVER (PARTITION BY dst ORDER BY dist, src) AS rn
+       |    FROM $edgesCte) WHERE rn <= $m),
+       |rfund AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+       |    FROM (SELECT src, dst, min(dist) AS dist FROM (
+       |        SELECT src, dst, dist FROM $edgesCte
+       |        UNION ALL SELECT src, dst, dist FROM rfrev) GROUP BY 1, 2))
+       |  WHERE rn <= ${2 * m}),
+       |rfnew AS (SELECT c.src, c.dst,
+       |    sqrt(list_reduce(list_transform(range(1, ${D + 1}), i -> $dd * $dd), (x, y) -> x + y)) AS dist
+       |  FROM (SELECT DISTINCT l.src AS src, r.dst AS dst
+       |      FROM rfund l JOIN rfund r ON r.src = l.dst WHERE r.dst <> l.src
+       |      EXCEPT SELECT src, dst FROM $edgesCte) c
+       |  JOIN embeddings a ON a.vec_id = c.src
+       |  JOIN embeddings b ON b.vec_id = c.dst),
+       |rfined AS MATERIALIZED (SELECT src, dst, dist FROM (
+       |    SELECT src, dst, dist,
+       |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+       |    FROM (SELECT src, dst, dist FROM $edgesCte
+       |      UNION ALL SELECT src, dst, dist FROM rfnew))
+       |  WHERE rn <= $m)""".stripMargin
+  }
+
   private def buildCtes: String = buildCtesFor(
     s"${md5ModCol("cast(vec_id as varchar) || '|gbld'", BuildChunks.toString)}",
     BuildChunks, SeedChunks)
@@ -9061,6 +9137,40 @@ object SparkEntry {
            |FROM fbk b LEFT JOIN fck i
            |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
            |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin),
+
+    // One NN-descent round over the chunk-built base layer, replayed
+    // end-to-end: the whole chained build (buildCtes), then the capped
+    // reverse/undirected windows, the local join, and the per-src top-2M —
+    // fingerprints of the refined layer.
+    "ann_graph_refine" ->
+      (s"WITH $buildCtes,\n" + refineCtes(s"bbase${BuildChunks - 1}") + "\n" +
+        s"""SELECT 'base' AS part, src, count(*) AS n_edges,
+           |  cast(sum(cast(floor(dist * 1000000000.0 + 0.5) as bigint)) as bigint) AS sum_dist_nanos,
+           |  cast(sum(dst) as bigint) AS sum_dst
+           |FROM rfined GROUP BY 2 ORDER BY part, src""".stripMargin),
+
+    // The refine gauge: the standard unrolled flat search over the REFINED
+    // layer, against the exact top-10 (raw17).
+    "ann_graph_refine_recall" ->
+      (graphCtes + ",\n" + buildCtes + ",\n" +
+        refineCtes(s"bbase${BuildChunks - 1}") + ",\n" +
+        s"""gq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100),
+           |rfent AS (SELECT vec_id AS node FROM embeddings
+           |  ORDER BY md5('gentry|' || cast(vec_id as varchar)), vec_id LIMIT $GraphEntries),
+           |""".stripMargin +
+        graphSearchCtesOver("gq", "rf", "rfined",
+          "SELECT q.query_id, e.node FROM gq q, rfent e", GraphBeam, GraphRounds) +
+        ",\n" +
+        s"""rk AS (SELECT query_id, node AS neighbor_id FROM (
+           |    SELECT query_id, node,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY dist, node) AS rn
+           |    FROM rfb$GraphRounds) WHERE rn <= 10),
+           |rbk AS (SELECT query_id, neighbor_id FROM raw17 WHERE query_id < 100 AND rank <= 10)
+           |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
+           |  cast(count(i.neighbor_id) as double) / count(*) AS recall
+           |FROM rbk b LEFT JOIN rk i
+           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+           |GROUP BY b.query_id ORDER BY 1""".stripMargin),
 
     // The WHOLE insert procedure replayed: old-corpus kNN layers, both
     // unrolled search phases at beam 2M over the old layers, the two

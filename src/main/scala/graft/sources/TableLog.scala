@@ -852,8 +852,9 @@ object TableLog {
     * is (row count of the directories whose stats admit the range) /
     * (total row count), using the per-entry RowCountKey counts committed
     * alongside statsCols. Any entry missing a count (a pre-count commit,
-    * or a table committed without statsCols) degrades the bound to 1.0 —
-    * conservative, never wrong. The intended consumer is
+    * a table committed without statsCols, or a `compact` that omitted
+    * them — pass statsCols to compact to keep the bound through a
+    * rewrite) degrades the bound to 1.0 — conservative, never wrong. The intended consumer is
     * Ann.filteredTopK's `selectivityHint`: a caller holding a TableLog
     * corpus pays nothing for its hint, and because this is an UPPER bound
     * the hinted dispatch can only overshoot toward the safe (IVF) side —

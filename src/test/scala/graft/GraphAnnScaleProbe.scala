@@ -136,13 +136,43 @@ object GraphAnnScaleProbe {
     * Also sweeps the entry count (multi-seed descent) at the scheduled
     * width to separate entry starvation from beam starvation.
     */
-  def sweepLeg(spark: SparkSession, dir: String, widths: Seq[Int]): Unit = {
+  /** NN-DESCENT REFINE leg (`Test/runMain graft.GraphAnnScaleProbe refine
+    * <dir> <rounds> [slices]`): refines the saved base layer round by
+    * round, printing the direct-edge recall of the exact top-10 after
+    * each (the graph-quality number GraphDiagProbe reads — the thing the
+    * refine exists to raise), and saves each round's layer as
+    * `<dir>/baseR<k>` for `sweep … baseR<k>`.
+    */
+  def refineLeg(spark: SparkSession, dir: String, rounds: Int, slices: Int): Unit = {
+    val corpus = spark.read.parquet(s"$dir/corpus").localCheckpoint()
+    val exact  = spark.read.parquet(s"$dir/exact").localCheckpoint()
+    val nExact = exact.count()
+    val m = 16 // the saved artifacts' out-degree (2M at M=8)
+    var cur = spark.read.parquet(s"$dir/base")
+    def edgeRecall(e: org.apache.spark.sql.DataFrame): Double =
+      exact.join(e.select("src", "dst"),
+        exact("query_id") === col("src") && exact("neighbor_id") === col("dst"),
+        "left_semi").count().toDouble / nExact
+    println(f"[grefine] round 0 direct-edge recall ${edgeRecall(cur)}%.4f")
+    (1 to rounds).foreach { k =>
+      val t0 = System.nanoTime()
+      cur = KnnGraph.refine(cur, corpus, m, rounds = 1, slices = slices)
+      val dt = (System.nanoTime() - t0) / 1e9
+      cur.write.mode("overwrite").parquet(s"$dir/baseR$k")
+      cur = spark.read.parquet(s"$dir/baseR$k")
+      println(f"[grefine] round $k direct-edge recall ${edgeRecall(cur)}%.4f " +
+        f"(${cur.count()}%,d edges, $dt%8.1f s)")
+    }
+  }
+
+  def sweepLeg(spark: SparkSession, dir: String, widths: Seq[Int],
+               baseName: String = "base"): Unit = {
     import graft.functions.GraftCols
     val Array(nCorpus, nQueries) = java.nio.file.Files
       .readString(java.nio.file.Paths.get(s"$dir/meta.txt")).trim.split(" ").map(_.toInt)
     val corpus = spark.read.parquet(s"$dir/corpus").localCheckpoint()
     val exact  = spark.read.parquet(s"$dir/exact").localCheckpoint()
-    val base   = spark.read.parquet(s"$dir/base")
+    val base   = spark.read.parquet(s"$dir/$baseName")
       .repartition(col("src")).localCheckpoint()
     val rep    = spark.read.parquet(s"$dir/rep")
       .repartition(col("src")).localCheckpoint()
@@ -205,7 +235,12 @@ object GraphAnnScaleProbe {
       val dir = args(1)
       val widths = args.drop(2).headOption
         .map(_.split(',').map(_.trim.toInt).toSeq).getOrElse(Seq(64, 141))
-      sweepLeg(spark, dir, widths)
+      sweepLeg(spark, dir, widths, args.drop(3).headOption.getOrElse("base"))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("refine")) {
+      refineLeg(spark, args(1), args.drop(2).headOption.map(_.toInt).getOrElse(2),
+        args.drop(3).headOption.map(_.toInt).getOrElse(4))
       spark.stop(); return
     }
     val nCorpus  = args.headOption.map(_.toInt).getOrElse(1000000)

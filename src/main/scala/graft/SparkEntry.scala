@@ -1464,9 +1464,15 @@ object SparkEntry {
     ingestWarmLock.synchronized {
       GraftCache.memoAny(s"$dir/graphingest") {
         val bg = s.newSession()
-        warmPool.submit(new java.util.concurrent.Callable[(String, String)] {
+        val fut = warmPool.submit(new java.util.concurrent.Callable[(String, String)] {
           def call(): (String, String) = graphIngestBuild(bg, dir)
         })
+        // a pass that starts the warm build but never awaits it (a filtered
+        // BENCH_ONLY run) must not leak the thread into the next pass —
+        // cancel at cache clear (no-op once completed; the consumers always
+        // await before any clear in a full run)
+        GraftCache.onClear(() => { fut.cancel(true); () })
+        fut
       }
     }
   private def graphIngestShared(s: SparkSession, dir: String): (String, String) =

@@ -144,6 +144,11 @@ object GraphAnnScaleProbe {
     * `<dir>/baseR<k>` for `sweep … baseR<k>`.
     */
   def refineLeg(spark: SparkSession, dir: String, rounds: Int, slices: Int): Unit = {
+    // the local join shuffles ~N·undCap² candidate rows — at 5M that is
+    // ~1.3B per slice-round, and 32 shuffle partitions put ~40M rows in
+    // one distinct task (OOM at 28g). A cluster sizes this with its
+    // parallelism; locally the probe widens it for the refine only.
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
     val corpus = spark.read.parquet(s"$dir/corpus").localCheckpoint()
     val exact  = spark.read.parquet(s"$dir/exact").localCheckpoint()
     val nExact = exact.count()

@@ -1266,6 +1266,19 @@ object SparkEntry {
     * measured duplication, not operators (r16: the pair cost ~15 s/pass,
     * shared ~10 s).
     */
+  /** cdcLogTableShared WITH the v6 compaction the change-feed consumers
+    * expect in the shared history — the head guard keeps the table
+    * deterministic whichever of the four sharing queries runs first (and
+    * if one runs twice in a session). One definition; the guard was
+    * copy-pasted at every consumer before r19's review.
+    */
+  private def cdcLogCompactedShared(s: SparkSession, dir: String): String = {
+    val table = cdcLogTableShared(s, dir) // v1–5 (shared with merge_cdc)
+    if (graft.sources.TableLog.headVersion(table) == 5)
+      graft.sources.TableLog.compact(s, table) // v6: empty change feed
+    table
+  }
+
   private def cdcLogTableShared(s: SparkSession, dir: String): String =
     GraftCache.memoAny(s"$dir/cdclogtable") {
       // warm start (non-blocking): the graph-ANN ingest build is the other
@@ -1388,15 +1401,18 @@ object SparkEntry {
     */
   private val IngestChunks = 4
 
-  /** Both graph layers live in ONE TableLog table with a `layer` column
-    * ("base" | "rep"), so each micro-batch's increment is ONE atomic commit
-    * (r18 committed the layers separately — two manifest swaps and two
-    * write jobs per batch for what is logically one transaction; a reader
-    * landing between them saw base@k+1 beside rep@k). Row content is
-    * unchanged — the split below is a column filter.
+  /** Both graph layers live in ONE TableLog table PARTITIONED BY the
+    * `layer` column ("base" | "rep"), so each micro-batch's increment is
+    * ONE atomic commit (r18 committed the layers separately — two manifest
+    * swaps and two write jobs per batch for what is logically one
+    * transaction; a reader landing between them saw base@k+1 beside
+    * rep@k). Because the commit is partition-tagged, reading one layer
+    * prunes the other AT THE MANIFEST (readWhere) — the rep read never
+    * scans the 8×-larger base directories; the residual filter is a
+    * row-wise no-op guarding mixed tables.
     */
   private def layerOf(s: SparkSession, layersT: String, which: String) =
-    graft.sources.TableLog.read(s, layersT)
+    graft.sources.TableLog.readWhere(s, layersT, _ == which)
       .filter(col("layer") === which).drop("layer")
 
   private def graphIngestBuild(s: SparkSession, dir: String): (String, String) = {
@@ -1408,6 +1424,10 @@ object SparkEntry {
         concat(col("vec_id").cast("string"), lit("|grep")), RepMod) === 0L
       def tag(df: DataFrame, l: String) =
         df.select("src", "dst", "dist").withColumn("layer", lit(l))
+      // cleanup registered BEFORE the stream starts: a build cancelled
+      // mid-flight (warm future, filtered run) must still have its dirs
+      // reclaimed at cache clear, not only on the success path
+      GraftCache.onClear(() => rmTree(base))
       withStreamShufflePartitions(s, 4) {
         val replay = graft.streaming.StreamOps.multiBatchTableDir(
           s, dir, "embeddings", Seq("vec_id"), IngestChunks)
@@ -1424,10 +1444,10 @@ object SparkEntry {
               col("embedding").cast("array<float>").as("embedding"))
               .localCheckpoint()
             if (TableLog.headVersion(layersT) == 0) {
-              TableLog.overwrite(
+              TableLog.overwritePartitions(
                 tag(KnnGraph.edges(b, M), "base")
                   .unionByName(tag(KnnGraph.edges(b.filter(isRep), M), "rep")),
-                layersT)
+                layersT, "layer")
             } else {
               val old = TableLog.read(s, corpT)
               val (bi, ri) = GraphAnn.insertBatch(b,
@@ -1435,9 +1455,9 @@ object SparkEntry {
                 GraphAnn.entryPoints(old.filter(isRep), GraphEntries),
                 old, isRep, outDeg = 2 * M, insBeam = BuildBeam,
                 repRounds = RepRounds, baseRounds = BaseRounds)
-              TableLog.overwrite(
+              TableLog.overwritePartitions(
                 tag(bi.incremented, "base").unionByName(tag(ri.incremented, "rep")),
-                layersT)
+                layersT, "layer")
             }
             TableLog.append(b, corpT)
             ()
@@ -1445,12 +1465,13 @@ object SparkEntry {
           .option("checkpointLocation",
             new java.io.File(base, "gickpt").getAbsolutePath)
           .start()
-        q.processAllAvailable()
-        q.stop()
+        // stop in finally: an interrupt from the warm future's cancel must
+        // not leave the query's own execution thread polling the replay
+        // dir for the rest of the session
+        try q.processAllAvailable() finally q.stop()
       }
       require(graft.sources.TableLog.headVersion(layersT) == IngestChunks,
         s"the $IngestChunks-batch replay must land $IngestChunks graph versions")
-      GraftCache.onClear(() => rmTree(base))
       (layersT, corpT)
   }
 
@@ -3484,16 +3505,12 @@ object SparkEntry {
     // maintained rollup after source version k — checked against the full
     // recompute of every version in the oracle.
     "q_stream_changefeed_ivm" -> ((s, dir) => {
-      val table = cdcLogTableShared(s, dir) // v1–5 (shared with merge_cdc)
+      // v6: a compaction lands before the consumer catches up — its feed is
+      // empty and the maintained state must pass through unchanged
+      val table = cdcLogCompactedShared(s, dir)
       val n = streamSinkSeq.incrementAndGet()
       val base = replayCkptBase(n)
       val view = new java.io.File(base, "ivmview").getAbsolutePath
-      // v6: a compaction lands before the consumer catches up — its feed is
-      // empty and the maintained state must pass through unchanged. The
-      // head guard keeps the shared table deterministic if this query ever
-      // runs twice in one session.
-      if (graft.sources.TableLog.headVersion(table) == 5)
-        graft.sources.TableLog.compact(s, table)
       withStreamShufflePartitions(s, 4) {
         val replay = eventsCdcReplayDir(s, dir)
         // consumer: the 5-file replay is only the TICK CLOCK here —
@@ -3543,11 +3560,7 @@ object SparkEntry {
     // the folded step (__v=6) — against the same full-recompute oracle
     // endpoints.
     "q_events_ivm_catchup" -> ((s, dir) => {
-      val table = cdcLogTableShared(s, dir) // v1–5 (shared with merge_cdc)
-      // same guard as q_stream_changefeed_ivm: v6 (a compaction) exists
-      // whichever of the three sharing queries runs first
-      if (graft.sources.TableLog.headVersion(table) == 5)
-        graft.sources.TableLog.compact(s, table)
+      val table = cdcLogCompactedShared(s, dir) // v1–6
       val n = streamSinkSeq.incrementAndGet()
       val base = replayCkptBase(n)
       val view = new java.io.File(base, "ivmcatchup").getAbsolutePath
@@ -3578,11 +3591,7 @@ object SparkEntry {
     // column, so each tick's merge touches only the day groups the
     // manifest diff names.
     "q_events_ivm_daily" -> ((s, dir) => {
-      val table = cdcLogTableShared(s, dir) // v1–5 (shared with merge_cdc)
-      // same guard as the sibling IVM queries: v6 (a compaction) exists
-      // whichever of the sharing queries runs first
-      if (graft.sources.TableLog.headVersion(table) == 5)
-        graft.sources.TableLog.compact(s, table)
+      val table = cdcLogCompactedShared(s, dir) // v1–6
       val n = streamSinkSeq.incrementAndGet()
       val base = replayCkptBase(n)
       val view = new java.io.File(base, "ivmdaily").getAbsolutePath
@@ -3617,9 +3626,7 @@ object SparkEntry {
     // rescan path runs inside this query, not just its spec). Same
     // two-endpoint history as the sibling IVM queries.
     "q_events_ivm_minmax" -> ((s, dir) => {
-      val table = cdcLogTableShared(s, dir) // v1–5 (shared with merge_cdc)
-      if (graft.sources.TableLog.headVersion(table) == 5)
-        graft.sources.TableLog.compact(s, table)
+      val table = cdcLogCompactedShared(s, dir) // v1–6
       val n = streamSinkSeq.incrementAndGet()
       val base = replayCkptBase(n)
       val view = new java.io.File(base, "ivmminmax").getAbsolutePath

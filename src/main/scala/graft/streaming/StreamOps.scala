@@ -285,11 +285,22 @@ object StreamOps {
   final case class IvmMin(value: String, as: String) extends IvmAgg
   final case class IvmMax(value: String, as: String) extends IvmAgg
 
-  /** Diagnostic counter: how many maintainView ticks ran an extremum
-    * rescan. Test seam only (ChangeFeedIvmSpec pins "non-extremum deletes
-    * do not rescan"); no behavior hangs off it.
+  /** Diagnostic counter, KEYED BY VIEW PATH: how many maintainView ticks
+    * ran an extremum rescan for that view. Test seam only (ChangeFeedIvmSpec
+    * pins "non-extremum deletes do not rescan"); keyed so a parallel
+    * suite's min/max view can't perturb another spec's delta — the same
+    * cross-suite discipline as TableLog's per-table interleave seam. No
+    * behavior hangs off it.
     */
-  private[graft] val rescanTicks = new java.util.concurrent.atomic.AtomicLong(0)
+  private val rescanTicks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private[graft] def rescanCount(view: String): Long =
+    Option(rescanTicks.get(view)).map(_.get()).getOrElse(0L)
+  private def noteRescan(view: String): Unit = {
+    rescanTicks.computeIfAbsent(view,
+      _ => new java.util.concurrent.atomic.AtomicLong(0)).incrementAndGet()
+    ()
+  }
 
   /** THE CHANGE FEED AS A STREAMING SOURCE — incremental view maintenance
     * across TableLog commits inside one streaming query, for ANY
@@ -511,7 +522,7 @@ object StreamOps {
             val keys = mm.filter(col("__rescan")).select(groupCols.map(col): _*)
             if (keys.isEmpty) mm.drop("__rescan")
             else {
-              rescanTicks.incrementAndGet()
+              noteRescan(view)
               val rsAggs = aggs.collect {
                 case IvmMin(v, as) => min(col(v)).as(s"__rs_$as")
                 case IvmMax(v, as) => max(col(v)).as(s"__rs_$as")

@@ -198,7 +198,7 @@ class ChangeFeedIvmSpec extends AnyFunSuite {
     def recomputeV(k: Int) = TableLog.read(spark, t, Some(k))
       .groupBy("cat").agg(count(lit(1)), min("us"), max("us"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    def rescans = StreamOps.rescanTicks.get()
+    def rescans = StreamOps.rescanCount(v)
     TableLog.overwrite(rowsV(("a", 10L), ("a", 5L), ("b", 7L)), t) // v1
     tickV() // bootstrap
     assert(stateHead() == recomputeV(1))

@@ -127,15 +127,6 @@ object GraphAnnScaleProbe {
     }
   }
 
-  /** SEARCH-WIDTH SWEEP over a SAVED build (`Test/runMain
-    * graft.GraphAnnScaleProbe sweep <dir> [beamsCsv]`): loads the
-    * artifacts `build … <dir>` persisted and gauges layered-search recall
-    * at a ladder of widths INCLUDING the GraphAnn.efSearch/searchRounds
-    * schedule row — the round-19 question: does the scheduled width hold
-    * recall ≥ 0.9 where the r18 fixed beams (16/32) read 0.55/0.62?
-    * Also sweeps the entry count (multi-seed descent) at the scheduled
-    * width to separate entry starvation from beam starvation.
-    */
   /** NN-DESCENT REFINE leg (`Test/runMain graft.GraphAnnScaleProbe refine
     * <dir> <rounds> [slices]`): refines the saved base layer round by
     * round, printing the direct-edge recall of the exact top-10 after
@@ -170,6 +161,16 @@ object GraphAnnScaleProbe {
     }
   }
 
+  /** SEARCH-WIDTH SWEEP over a SAVED build (`Test/runMain
+    * graft.GraphAnnScaleProbe sweep <dir> [beamsCsv] [baseName]`): loads
+    * the artifacts `build … <dir>` persisted (or a `refine` leg's
+    * `baseR<k>` layer) and gauges layered-search recall at a ladder of
+    * widths INCLUDING the GraphAnn.efSearch/searchRounds schedule row —
+    * the round-19 question: does the scheduled width hold recall ≥ 0.9
+    * where the r18 fixed beams (16/32) read 0.55/0.62? Also sweeps the
+    * entry count (multi-seed descent) at the scheduled width to separate
+    * entry starvation from beam starvation.
+    */
   def sweepLeg(spark: SparkSession, dir: String, widths: Seq[Int],
                baseName: String = "base"): Unit = {
     import graft.functions.GraftCols

@@ -33,6 +33,20 @@ object GraftCache {
     df
   }
 
+  private val retained = new java.util.concurrent.ConcurrentLinkedQueue[AnyRef]()
+
+  /** Pin an object until `clear()`. Used by the lazily-checkpointed search
+    * rounds (GraphAnn.stage): a `localCheckpoint(eager = false)` defers
+    * materialization to the consuming action, by which time the round's
+    * Dataset — the only strong reference to its physical plan and its
+    * SQLMetric accumulators — may have been collected; the task-end
+    * accumulator updates then log spurious "non-existent accumulator"
+    * errors. Retaining the Dataset keeps the (weakly-registered)
+    * accumulators resolvable; the queue drains at the same point the
+    * tracked persists do.
+    */
+  def retain[T <: AnyRef](x: T): T = { retained.add(x); x }
+
   private val cleanups = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 
   /** Register a side-effect to run at `clear()` — e.g. dropping the memory
@@ -49,6 +63,7 @@ object GraftCache {
     anyCache.clear()
     tracked.forEach(_.unpersist())
     tracked.clear()
+    retained.clear()
     cleanups.forEach { f => try f() catch { case _: Throwable => () } }
     cleanups.clear()
   }

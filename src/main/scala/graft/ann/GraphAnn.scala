@@ -38,6 +38,27 @@ import org.apache.spark.sql.DataFrame
   */
 object GraphAnn {
 
+  /** Per-round lineage truncation for the search/insert loops, LAZILY: a
+    * `localCheckpoint(eager = false)` instead of the old eager form. The
+    * logical plan still truncates at the call (the round re-plans against
+    * a LogicalRDD — the reason the checkpoint existed), but materialization
+    * moves into the ONE consuming action instead of R sequential driver
+    * jobs — at fixture scale the eager form paid R × (job submission +
+    * result round-trip) of pure latency per search (guide §1.2: fix the
+    * number of passes before the per-task work; §2.6 on driver-serialized
+    * actions). The round's pre-checkpoint Dataset is RETAINED until the
+    * bench-pass clear: it is the only strong reference to the physical
+    * plan whose SQLMetric accumulators the deferred tasks will update —
+    * without it, task-end accumulator updates race GC and log spurious
+    * "non-existent accumulator" errors. (A tracked lazy `persist()` was
+    * measured first and rejected: InMemoryRelation's columnar build made
+    * the ingest/insert paths 3–7× slower.)
+    */
+  private def stage(df: DataFrame): DataFrame = {
+    graft.GraftCache.retain(df)
+    df.localCheckpoint(false)
+  }
+
   /** SEARCH-WIDTH SCHEDULE — efSearch as a function of corpus size, not a
     * constant. The reference pins efSearch = 100 for every experiment at
     * N ≤ 60 000 (impact/impact.py:47; index setup watermarking.py:289); an
@@ -118,11 +139,11 @@ object GraphAnn {
     var beamDf = topB(score(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         .crossJoin(broadcast(entries))))
-      .localCheckpoint() // per-round lineage truncation, as KnnGraph.bfs
+      .transform(stage) // per-round lineage truncation (lazy: see `stage`)
     var r = 0
     while (r < rounds) {
       beamDf = topB(beamDf.unionByName(score(
-        frontierCandidates(beamDf, edgesDf)))).localCheckpoint()
+        frontierCandidates(beamDf, edgesDf)))).transform(stage)
       r += 1
     }
     beamDf
@@ -165,18 +186,18 @@ object GraphAnn {
     var beamDf = topB(score(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         .crossJoin(broadcast(entries))), repBeam)
-      .localCheckpoint()
+      .transform(stage)
     var r = 0
     while (r < repRounds) {
       beamDf = topB(beamDf.unionByName(score(
-        frontierCandidates(beamDf, repEdges))), repBeam).localCheckpoint()
+        frontierCandidates(beamDf, repEdges))), repBeam).transform(stage)
       r += 1
     }
-    var refined = topB(beamDf, baseBeam).localCheckpoint()
+    var refined = topB(beamDf, baseBeam).transform(stage)
     r = 0
     while (r < baseRounds) {
       refined = topB(refined.unionByName(score(
-        frontierCandidates(refined, baseEdges))), baseBeam).localCheckpoint()
+        frontierCandidates(refined, baseEdges))), baseBeam).transform(stage)
       r += 1
     }
     refined
@@ -267,11 +288,11 @@ object GraphAnn {
     val q0 = newVecs.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       isRep.as("__rep"))
     var beamDf = topB(score(
-      q0.select("query_id", "qe").crossJoin(broadcast(entries)))).localCheckpoint()
+      q0.select("query_id", "qe").crossJoin(broadcast(entries)))).transform(stage)
     var r = 0
     while (r < repRounds) {
       beamDf = topB(beamDf.unionByName(score(
-        frontierCandidates(beamDf, repEdgesOld)))).localCheckpoint()
+        frontierCandidates(beamDf, repEdgesOld)))).transform(stage)
       r += 1
     }
     val repBeamFinal = beamDf
@@ -279,7 +300,7 @@ object GraphAnn {
     r = 0
     while (r < baseRounds) {
       refined = topB(refined.unionByName(score(
-        frontierCandidates(refined, baseEdgesOld)))).localCheckpoint()
+        frontierCandidates(refined, baseEdgesOld)))).transform(stage)
       r += 1
     }
     val repQueries = q0.filter(col("__rep")).select("query_id")

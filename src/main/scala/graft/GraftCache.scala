@@ -47,6 +47,20 @@ object GraftCache {
     */
   def retain[T <: AnyRef](x: T): T = { retained.add(x); x }
 
+  /** Lazy per-round lineage truncation for iterative operators (beam
+    * search, connected components, BFS): `localCheckpoint(eager = false)`
+    * truncates the logical plan exactly like the eager form — the next
+    * round plans against a LogicalRDD — but materialization folds into the
+    * round's own probe action (or the final consumer) instead of a
+    * dedicated job per round. The pre-checkpoint Dataset is retained until
+    * `clear()` so its SQLMetric accumulators outlive the deferred
+    * materialization (see `retain`).
+    */
+  def stage(df: DataFrame): DataFrame = {
+    retain(df)
+    df.localCheckpoint(false)
+  }
+
   private val cleanups = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 
   /** Register a side-effect to run at `clear()` — e.g. dropping the memory

@@ -54,10 +54,7 @@ object GraphAnn {
     * measured first and rejected: InMemoryRelation's columnar build made
     * the ingest/insert paths 3–7× slower.)
     */
-  private def stage(df: DataFrame): DataFrame = {
-    graft.GraftCache.retain(df)
-    df.localCheckpoint(false)
-  }
+  private def stage(df: DataFrame): DataFrame = graft.GraftCache.stage(df)
 
   /** SEARCH-WIDTH SCHEDULE — efSearch as a function of corpus size, not a
     * constant. The reference pins efSearch = 100 for every experiment at

@@ -153,14 +153,15 @@ object KnnGraph {
     * diameter. Returns (vec_id, comp).
     */
   def components(edgesDf: DataFrame, seeds: DataFrame, maxIter: Int = 50): DataFrame = {
-    // Pregel-style loop: every round's frame is eagerly localCheckpoint'ed so
-    // lineage (and Catalyst analysis cost) stays O(1) across rounds instead of
+    // Pregel-style loop: every round's frame is localCheckpoint'ed (lazily —
+    // GraftCache.stage; the round's sig() probe materializes it) so lineage
+    // (and Catalyst analysis cost) stays O(1) across rounds instead of
     // O(rounds); on a multi-executor cluster swap for reliable checkpoint().
     // Fixpoint witness: the node set only grows and per-node labels only
     // decrease, so an unchanged (count, sum(comp)) pair implies no change —
     // one scalar aggregate per round instead of an anti-join pass.
-    var labels = seeds.select(col("vec_id"), col("vec_id").as("comp"))
-      .distinct().localCheckpoint()
+    var labels = graft.GraftCache.stage(
+      seeds.select(col("vec_id"), col("vec_id").as("comp")).distinct())
     def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
         coalesce(sum(col("comp").cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO))).head()
@@ -172,8 +173,8 @@ object KnnGraph {
     while (!done && i < maxIter) {
       val prop = labels.join(edgesDf, labels("vec_id") === edgesDf("src"))
         .select(col("dst").as("vec_id"), col("comp"))
-      val next = labels.unionByName(prop)
-        .groupBy("vec_id").agg(min("comp").as("comp")).localCheckpoint()
+      val next = graft.GraftCache.stage(labels.unionByName(prop)
+        .groupBy("vec_id").agg(min("comp").as("comp")))
       val ns = sig(next)
       done = ns._1 == cur._1 && ns._2.compareTo(cur._2) == 0
       labels = next
@@ -220,9 +221,9 @@ object KnnGraph {
     def mins(s: DataFrame): DataFrame =
       s.groupBy("u").agg(min("v").as("__mn"))
         .select(col("u"), least(col("__mn"), col("u")).as("m"))
-    var e = edgesDf
+    var e = graft.GraftCache.stage(edgesDf
       .select(canon(col("src").cast("long"), col("dst").cast("long")): _*)
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct())
     // per-round convergence probe: one scalar aggregate (count + two exact
     // decimal sums + a keyed mix) instead of two exceptAll passes — the
     // EXACT set compare runs only when the cheap signature repeats, i.e.
@@ -251,7 +252,7 @@ object KnnGraph {
       val ss = sS.join(mS, "u").filter(col("v") <= col("u"))
         .select(canon(col("v"), col("m")): _*)
         .union(mS.select(canon(col("u"), col("m")): _*))
-        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+        .filter(col("a") =!= col("b")).distinct().transform(graft.GraftCache.stage)
       val ns = sig(ss)
       // exact fixpoint: the canonical edge set is unchanged by a full round
       done = ns == cur && ss.exceptAll(e).isEmpty && e.exceptAll(ss).isEmpty
@@ -452,8 +453,8 @@ object KnnGraph {
     val uc = if (undCap > 0) undCap else m + rc
     val ws = Window.partitionBy("src").orderBy(col("dist"), col("dst"))
     val corp = corpus.select(col("vec_id"), col("embedding"))
-    var cur = edgesDf.select("src", "dst", "dist")
-      .repartition(col("src")).localCheckpoint()
+    var cur = graft.GraftCache.stage(
+      edgesDf.select("src", "dst", "dist").repartition(col("src")))
     var r = 0
     while (r < rounds) {
       val rev = cur
@@ -466,7 +467,7 @@ object KnnGraph {
         .groupBy("src", "dst").agg(min("dist").as("dist"))
         .withColumn("rn", row_number().over(ws)).filter(col("rn") <= uc)
         .select("src", "dst")
-        .repartition(col("src")).localCheckpoint()
+        .repartition(col("src")).transform(graft.GraftCache.stage)
       val sliceIdx = graft.functions.GraftCols.md5Mod(
         concat(col("src").cast("string"), lit("|grefine")), slices)
       val parts = (0 until slices).map { sl =>
@@ -484,9 +485,13 @@ object KnnGraph {
           .select("src", "dst", "dist")
         val curSlice =
           if (slices == 1) cur else cur.filter(sliceIdx === sl.toLong)
-        curSlice.unionByName(scored)
+        val out = curSlice.unionByName(scored)
           .withColumn("rn", row_number().over(ws)).filter(col("rn") <= m).drop("rn")
-          .repartition(col("src")).localCheckpoint()
+          .repartition(col("src"))
+        // slices > 1 exists to BOUND concurrent shuffle state (the 5M probe
+        // OOMs without it) — keep those materializations eager so slices
+        // run one after another; the single-slice fixture path stages lazily
+        if (slices == 1) graft.GraftCache.stage(out) else out.localCheckpoint()
       }
       cur = parts.reduce(_.unionByName(_))
       r += 1
@@ -531,11 +536,11 @@ object KnnGraph {
       spark.read.parquet(s"$dir/ai"))
 
   def bfs(edgesDf: DataFrame, seeds: DataFrame, maxIter: Int = 50): DataFrame = {
-    // Same lineage discipline as `components`: eager localCheckpoint per
-    // round keeps the frontier/visited plans O(1)-sized across iterations
-    // (reliable checkpoint() on a real cluster). The emptiness probe runs on
-    // the already-materialized frame, so it costs no recompute.
-    var visited  = seeds.select(col("vec_id")).distinct().localCheckpoint()
+    // Same lineage discipline as `components`: a per-round localCheckpoint
+    // (lazy — GraftCache.stage) keeps the frontier/visited plans O(1)-sized
+    // across iterations (reliable checkpoint() on a real cluster); the
+    // emptiness probe is the materializing action.
+    var visited  = graft.GraftCache.stage(seeds.select(col("vec_id")).distinct())
     var frontier = visited
     var i = 0
     var grew = true
@@ -543,10 +548,10 @@ object KnnGraph {
       val next = frontier.join(edgesDf, frontier("vec_id") === edgesDf("src"))
         .select(col("dst").as("vec_id")).distinct()
         .join(visited, Seq("vec_id"), "left_anti")
-        .localCheckpoint()
+        .transform(graft.GraftCache.stage)
       grew = !next.isEmpty
       if (grew) {
-        visited = visited.union(next).localCheckpoint()
+        visited = graft.GraftCache.stage(visited.union(next))
         frontier = next
       }
       i += 1

@@ -1279,15 +1279,39 @@ object SparkEntry {
     table
   }
 
+  /** The CDC table's warm build, as a memoized FUTURE on a background
+    * thread over a CLONED session (own SQLConf — the build mutates the
+    * stream shuffle-partition setting), mirroring graphIngestFuture: the
+    * earliest change-feed consumer of a pass (q_events_changefeed) kicks
+    * it non-blocking, so the five-micro-batch streaming MERGE overlaps
+    * the lake/changefeed queries between it and the first CDC-table
+    * consumer (q_events_ivm_catchup) — the streamTrio amortization
+    * applied across queries, per the r18 verdict's #1b prescription. The
+    * cost is real and still paid (~3.5 s of background work); it just no
+    * longer serializes the pass. Consumers block only on the remainder.
+    */
+  private def cdcLogFuture(s: SparkSession, dir: String)
+      : java.util.concurrent.Future[String] =
+    ingestWarmLock.synchronized {
+      GraftCache.memoAny(s"$dir/cdclogtable") {
+        val bg = s.newSession()
+        val fut = warmPool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = cdcLogTableBuild(bg, dir)
+        })
+        // a pass that starts the warm build but never awaits it (a filtered
+        // BENCH_ONLY run) must not leak the thread into the next pass
+        GraftCache.onClear(() => { fut.cancel(true); () })
+        fut
+      }
+    }
   private def cdcLogTableShared(s: SparkSession, dir: String): String =
-    GraftCache.memoAny(s"$dir/cdclogtable") {
+    try cdcLogFuture(s, dir).get()
+    catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+
+  private def cdcLogTableBuild(s: SparkSession, dir: String): String = {
       // warm start (non-blocking): the graph-ANN ingest build is the other
-      // session-shared STREAMING artifact, and this memo's first caller is
-      // the earliest streaming-infrastructure consumer of a pass — kicking
-      // the future here widens its overlap window across the whole
-      // CDC/IVM block (the streamTrio amortization, one level up), so the
-      // eventual q_stream_graph_ingest await is only whatever the window
-      // didn't cover
+      // session-shared STREAMING artifact — kick it before this build so
+      // its overlap window spans the whole CDC/IVM block too
       graphIngestFuture(s, dir)
       val n = streamSinkSeq.incrementAndGet()
       val base = replayCkptBase(n)
@@ -2912,6 +2936,11 @@ object SparkEntry {
     // not a file-rewrite echo (TableLogSpec pins a pure compaction diffing
     // EMPTY). The oracle replays the version definitions over raw events.
     "q_events_changefeed" -> ((s, dir) => {
+      // warm start (non-blocking): this is the pass's earliest change-feed
+      // consumer — kick the shared CDC-merge table's background build here
+      // so it overlaps the lake queries between this one and the first
+      // CDC-table consumer (q_events_ivm_catchup); see cdcLogFuture
+      cdcLogFuture(s, dir)
       val table = eventsTimetravelDir(s, dir)
       graft.sources.TableLog.changeFeed(s, table, 1, 3)
         .groupBy("_change_type", "event_type")

@@ -226,12 +226,25 @@ object Experiments {
     val ranksByRep = (0 until reps).map(rep =>
       rep -> Attacks.gridRanks(emb.select("vec_id"),
         s"att-${repSeed(wmKey, rep)}", ai)).toMap
+    // fork the independent per-strength embeds and per-rep rank
+    // checkpoints, as robustnessGrid does
+    val wmSt = scala.collection.concurrent.TrieMap.empty[Double, DataFrame]
+    forked(
+      strengths.map(st => () => {
+        wmSt.put(st, embedFor(emb, scheme, wm, st, th, d, wmKey, scpwKey, ai)
+          .localCheckpoint()); ()
+      }) ++
+      ranksByRep.values.toSeq.flatMap { g =>
+        (if (attack.contains("delete")) Seq(() => { g.del; () }) else Nil) ++
+        (if (attack.contains("modify") || attack == "insert")
+          Seq(() => { g.mod; () }) else Nil) ++
+        (if (ai.isDefined && attack.startsWith("adaptive"))
+          Seq(() => { g.aiRank; () }) else Nil)
+      })
     val plans = for {
       st  <- strengths
-      wmDf  = embedFor(emb, scheme, wm, st, th, d, wmKey, scpwKey, ai)
-        .localCheckpoint()
       rep <- 0 until reps
-    } yield berGridPlan(wmDf, scheme, rep, Seq(attack), ps, wm, d, wmKey, scpwKey, ai,
+    } yield berGridPlan(wmSt(st), scheme, rep, Seq(attack), ps, wm, d, wmKey, scpwKey, ai,
         Some(ranksByRep(rep)))
       .withColumn("scheme", lit(scheme.toString))
       .withColumn("strength", lit(st))
@@ -308,6 +321,20 @@ object Experiments {
       .select("scheme", "attack", "p", "rep", "ber")
   }
 
+  /** Materialize independent eager checkpoints CONCURRENTLY: each thunk's
+    * checkpoint job is independent driver-submitted work on a mostly-idle
+    * local[32] (guide §2.6 — overlap independent jobs), so forking them
+    * overlaps their scheduling + window latencies exactly like
+    * h_impact_compare's carrier futures. Results come back in input order —
+    * determinism is untouched (each thunk is a pure embed/rank build).
+    */
+  private def forked[A](xs: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    xs.map(f => Future(f())).map(Await.result(_, Duration.Inf))
+  }
+
   /** Robustness grid → (scheme, attack, p, rep, ber) result frame.
     * The watermarked table is embedded ONCE per scheme and persisted; every
     * attack×p×rep cell shares it (reps re-roll only the attack draws) — at
@@ -339,14 +366,29 @@ object Experiments {
     val ranksByRep = (0 until reps).map(rep =>
       rep -> Attacks.gridRanks(emb.select("vec_id"),
         s"att-${repSeed(wmKey, rep)}", ai)).toMap
+    // the per-scheme embeds and the per-rep rank checkpoints are mutually
+    // independent — fork their materializations (the GridRanks lazy vals
+    // force each rep's del/mod/ai rank checkpoint; plan construction below
+    // then finds every frame already built)
+    val needDel = attacks.exists(_.contains("delete"))
+    val needMod = attacks.exists(_.contains("modify")) || attacks.contains("insert")
+    val wmStore = scala.collection.concurrent.TrieMap.empty[Scheme, DataFrame]
+    forked(
+      schemes.map(sch => () => {
+        wmStore.put(sch, embedFor(emb, sch, wm, strength, th, d, wmKey, scpwKey,
+          ai, sharedScpwPrep).localCheckpoint()); ()
+      }) ++
+      ranksByRep.values.toSeq.flatMap { g =>
+        (if (needDel) Seq(() => { g.del; () }) else Nil) ++
+        (if (needMod) Seq(() => { g.mod; () }) else Nil) ++
+        (if (ai.isDefined && attacks.exists(_.startsWith("adaptive")))
+          Seq(() => { g.aiRank; () }) else Nil)
+      })
     val plans = for {
       scheme <- schemes
-      wmDf    = embedFor(emb, scheme, wm, strength, th, d, wmKey, scpwKey, ai,
-          sharedScpwPrep)
-        .localCheckpoint()
       rep    <- 0 until reps
-    } yield berGridPlan(wmDf, scheme, rep, attacks, ps, wm, d, wmKey, scpwKey, ai,
-        Some(ranksByRep(rep)))
+    } yield berGridPlan(wmStore(scheme), scheme, rep, attacks, ps, wm, d, wmKey,
+        scpwKey, ai, Some(ranksByRep(rep)))
       .withColumn("scheme", lit(scheme.toString))
       .withColumn("rep", lit(rep))
     plans.reduce(_ unionByName _).select("scheme", "attack", "p", "rep", "ber")

@@ -2229,9 +2229,8 @@ object SparkEntry {
       }
       val n  = ranked.count()
       val nw = tmKey.nw.toDouble
-      val mc = TabularMark.matchedCats(emb, wmDf, tmKey)
-        .join(ranked.withColumnRenamed("vec_id", "wm_id"), "wm_id")
-        .localCheckpoint()
+      val mc = GraftCache.stage(TabularMark.matchedCats(emb, wmDf, tmKey)
+        .join(ranked.withColumnRenamed("vec_id", "wm_id"), "wm_id"))
       val pdf = TmGridPs.toDF("p")
       val agg = mc.crossJoin(broadcast(pdf))
         .filter(col("__grank") <= lit(n) - ceil(lit(n) * col("p")))
@@ -2446,7 +2445,7 @@ object SparkEntry {
         .join(clusters.select("doc_id"), Seq("doc_id"), "left_anti")
         .unionByName(best)
       // checkpointed once: feeds the bounded quota collect AND the draw
-      val kept = docs.join(keptIds, "doc_id").localCheckpoint()
+      val kept = GraftCache.stage(docs.join(keptIds, "doc_id"))
       // |sources| rows driver-side — identical apportionment arithmetic to
       // sample_mixture_sqrt, over the deduplicated counts
       val rows = kept.groupBy("source").agg(count(lit(1)).as("n"))
@@ -2503,11 +2502,10 @@ object SparkEntry {
       // count actions (a fixture-scale composition pays mostly per-job
       // overhead; at 100 TB the same fused plan just runs wider)
       val q = docs.filter(TextOps.qualityScore(col("text")) >= 0.8)
-      val e = Dedup.dropExactDups(q).localCheckpoint()
-      val nd = e.join(
+      val e = GraftCache.stage(Dedup.dropExactDups(q))
+      val nd = GraftCache.stage(e.join(
         Dedup.nearDupPairs(e, 0.5).select(col("b").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+        Seq("doc_id"), "left_anti"))
       val bench = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
       val scan  = nd.filter(pmod(col("doc_id"), lit(100)) =!= 7)
       val fin = scan.join(

@@ -50,8 +50,8 @@ object Bm25 {
     // each consumer (two corpus scans, two explodes). The frame itself is
     // |docs matching a query term| × |matched terms| rows of ids+counts —
     // the small thing the big pass exists to produce — so checkpoint it.
-    val tf = toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = graft.GraftCache.stage(
+      toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val st = docs.select(size(split(col("text"), " ")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tokens"))

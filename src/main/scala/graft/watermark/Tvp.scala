@@ -246,9 +246,9 @@ object Tvp {
     // rn_ai ≤ n_qual, and the phase-2 ai-descending rank WITHIN the
     // non-qual rows is just rn_ai − n_qual. Only the phase-1 scan-order
     // (vec_id) rank needs a second ranking pass, over qual rows only.
-    val ranked = groupedRank(cand, Seq("group_id"), aiB,
-      Seq(col("ai").desc, col("vec_id")), "rn_ai", distributed = big)
-      .localCheckpoint()
+    val ranked = graft.GraftCache.stage(
+      groupedRank(cand, Seq("group_id"), aiB,
+        Seq(col("ai").desc, col("vec_id")), "rn_ai", distributed = big))
     // threshold_ai = ai at (1-based) rank floor(n_cand*th); rank 0 → -inf.
     // The rank compare stays long — an int cast would wrap past 2^31
     // candidate rows per group and silently pick the wrong threshold.

@@ -679,6 +679,27 @@ object SparkEntry {
       }
     }
 
+  /** The widened-beam layered traversal both graph-hybrid queries consume:
+    * ann_filtered_graph_topk (the answer) and ann_filtered_graph_recall
+    * (its acceptance gauge) ran the IDENTICAL search — same probes, same
+    * layers, same survivor-aware beam — twice per pass. One memoized
+    * traversal serves both (the graphAnnLayeredShared discipline).
+    */
+  private def filteredGraphCandShared(s: SparkSession, dir: String): DataFrame =
+    GraftCache.memo(s"$dir/filteredgraphcand") {
+      val emb = Tables.embeddings(s, dir)
+      val (baseEdges, _) = KnnGraph.read(s, graphArtifactDir(s, dir))
+      val repEdges = ArtifactIO.readBucketed(s,
+        s"${graphLayeredDir(s, dir)}/repedges",
+        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
+      val bw = filteredGraphBeam(s, dir)
+      GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
+        embBucketed(s, dir), repEdges, baseEdges,
+        GraphAnn.entryPoints(repsOf(emb), GraphEntries),
+        k = bw, repBeam = RepBeam, baseBeam = bw,
+        repRounds = RepRounds, baseRounds = BaseRounds)
+    }
+
   private def graphAnnLayeredShared(s: SparkSession, dir: String): DataFrame =
     GraftCache.memo(s"$dir/graphannlayered") {
       val emb = Tables.embeddings(s, dir)
@@ -4218,16 +4239,7 @@ object SparkEntry {
     // phases + the filter + the beam arithmetic replay in SQL.
     "ann_filtered_graph_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (baseEdges, _) = KnnGraph.read(s, graphArtifactDir(s, dir))
-      val repEdges = ArtifactIO.readBucketed(s,
-        s"${graphLayeredDir(s, dir)}/repedges",
-        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
-      val bw = filteredGraphBeam(s, dir)
-      val cand = GraphAnn.layeredSearch(emb.filter(col("vec_id") < 100),
-        embBucketed(s, dir), repEdges, baseEdges,
-        GraphAnn.entryPoints(repsOf(emb), GraphEntries),
-        k = bw, repBeam = RepBeam, baseBeam = bw,
-        repRounds = RepRounds, baseRounds = BaseRounds)
+      val cand = filteredGraphCandShared(s, dir)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
       emb.filter(col("label") =!= 3).select(col("vec_id").as("neighbor_id"))
@@ -4244,16 +4256,8 @@ object SparkEntry {
     // read beside ann_filtered_recall's IVF numbers. Itself oracle-exact.
     "ann_filtered_graph_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (baseEdges, _) = KnnGraph.read(s, graphArtifactDir(s, dir))
-      val repEdges = ArtifactIO.readBucketed(s,
-        s"${graphLayeredDir(s, dir)}/repedges",
-        "src BIGINT, dst BIGINT, dist DOUBLE", "src", KnnGraph.EdgeBuckets)
       val q = emb.filter(col("vec_id") < 100)
-      val bw = filteredGraphBeam(s, dir)
-      val cand = GraphAnn.layeredSearch(q, embBucketed(s, dir), repEdges,
-        baseEdges, GraphAnn.entryPoints(repsOf(emb), GraphEntries),
-        k = bw, repBeam = RepBeam, baseBeam = bw,
-        repRounds = RepRounds, baseRounds = BaseRounds)
+      val cand = filteredGraphCandShared(s, dir)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
       val post = emb.filter(col("label") =!= 3).select(col("vec_id").as("neighbor_id"))

@@ -518,7 +518,7 @@ object StreamOps {
             // semi-joined scan of the source for a handful of groups; a
             // group key aligned with the table's partition column prunes
             // it to those partitions.
-            val mm = folded.localCheckpoint()
+            val mm = graft.GraftCache.stage(folded) // lazy: the emptiness probe materializes
             val keys = mm.filter(col("__rescan")).select(groupCols.map(col): _*)
             if (keys.isEmpty) mm.drop("__rescan")
             else {
@@ -558,7 +558,7 @@ object StreamOps {
         // either way); catch-up resumes once the state is non-empty again.
         // localCheckpoint materializes the span state once, so the common
         // non-empty case pays one emptiness probe, not a recompute.
-        val m0 = stateAfter(target0).localCheckpoint()
+        val m0 = graft.GraftCache.stage(stateAfter(target0)) // lazy: the probe materializes
         TableLog.overwrite(if (m0.isEmpty) stateAfter(cur + 1) else m0, view)
       }
     }

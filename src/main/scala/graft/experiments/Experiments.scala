@@ -85,7 +85,8 @@ object Experiments {
   def impactSweep(emb: DataFrame, ths: Seq[Double], wm: String, strength: Double,
                   k: Int, d: Int, wmKey: WmKey, m: Int = 8,
                   sharedRaw: Option[DataFrame] = None,
-                  sharedAi: Option[DataFrame] = None): DataFrame = {
+                  sharedAi: Option[DataFrame] = None,
+                  sharedClassified: Option[DataFrame] = None): DataFrame = {
     import graft.knn.Knn
     val spark = emb.sparkSession
     import spark.implicits._
@@ -105,7 +106,8 @@ object Experiments {
     // Eager localCheckpoints: both frames are referenced by all |ths| embed
     // branches below — truncating them keeps the swept union's analyzed plan
     // O(|ths|) instead of O(|ths| × carrier-selection lineage).
-    val classified  = Tvp.classify(emb, d, wm.length, wmKey).localCheckpoint()
+    val classified  = sharedClassified.getOrElse(
+      Tvp.classify(emb, d, wm.length, wmKey).localCheckpoint())
     val carriersAll = Tvp.carriersAiSwept(classified, bits, strength, ths, aiDf)
       .localCheckpoint()
     // one tagged frame of all ten watermarked tables, one grouped kNN pass:

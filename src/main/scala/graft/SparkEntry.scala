@@ -1376,6 +1376,12 @@ object SparkEntry {
         q.stop()
       }
       GraftCache.onClear(() => rmTree(base))
+      // chain the stream trio's warm build behind this one: its first
+      // consumer (q_stream_block) sits far enough down the pass that the
+      // serialized background chain still finishes early, and chaining
+      // keeps the two streaming builds from contending for the window the
+      // CDC consumers await
+      streamTrioFuture(s, dir)
       table
     }
 
@@ -1585,6 +1591,33 @@ object SparkEntry {
     * runs — the queries share only the immutable replay files, never state.
     */
   private def streamTrio(s: SparkSession, dir: String): Map[String, DataFrame] =
+    try streamTrioFuture(s, dir).get()
+    catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+
+  /** The trio's warm build as a memoized background future on a CLONED
+    * session (the build mutates the stream shuffle-partition conf, and the
+    * memory sinks' temp views live in the building session's catalog — the
+    * legs are returned as that session's Datasets and every consumer reads
+    * its leg standalone), kicked non-blocking by the pass's earliest
+    * streaming-infrastructure consumer alongside the CDC build: the
+    * five-leg concurrent replay then overlaps the lake/changefeed block
+    * instead of serializing inside q_stream_block.
+    */
+  private def streamTrioFuture(s: SparkSession, dir: String)
+      : java.util.concurrent.Future[Map[String, DataFrame]] =
+    ingestWarmLock.synchronized {
+      GraftCache.memoAny(s"$dir/streamtriofut") {
+        val bg = s.newSession()
+        val fut = warmPool.submit(
+          new java.util.concurrent.Callable[Map[String, DataFrame]] {
+            def call(): Map[String, DataFrame] = streamTrioBuild(bg, dir)
+          })
+        GraftCache.onClear(() => { fut.cancel(true); () })
+        fut
+      }
+    }
+
+  private def streamTrioBuild(s: SparkSession, dir: String): Map[String, DataFrame] =
     GraftCache.memoAny(s"$dir/streamtrio") {
       import s.implicits._
       val n = streamSinkSeq.incrementAndGet()
@@ -2984,7 +3017,10 @@ object SparkEntry {
       // warm start (non-blocking): this is the pass's earliest change-feed
       // consumer — kick the shared CDC-merge table's background build here
       // so it overlaps the lake queries between this one and the first
-      // CDC-table consumer (q_events_ivm_catchup); see cdcLogFuture
+      // CDC-table consumer (q_events_ivm_catchup); see cdcLogFuture. The
+      // stream trio chains behind it (kicked as the CDC build finishes) so
+      // the two builds never contend for the window the CDC consumers
+      // await.
       cdcLogFuture(s, dir)
       val table = eventsTimetravelDir(s, dir)
       graft.sources.TableLog.changeFeed(s, table, 1, 3)

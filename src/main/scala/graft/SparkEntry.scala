@@ -130,6 +130,25 @@ object SparkEntry {
     * mutates session conf, so no clone is needed — h_impact_compare's
     * futures already run concurrent jobs on the shared session).
     */
+  /** Warm build of the kNN-pass memo chain (rawKnn → edges → ai): the
+    * memos are lazy persists, so the FIRST consuming query otherwise pays
+    * the whole chain's materialization. One background count() on the ai
+    * frame builds every cache block in the chain; kicked non-blocking by
+    * ann_brute_topk (the family's first member), same discipline as the
+    * other session artifacts. Caller's session — nothing here mutates conf.
+    */
+  private def knnChainFuture(s: SparkSession, dir: String)
+      : java.util.concurrent.Future[Unit] =
+    ingestWarmLock.synchronized {
+      GraftCache.memoAny(s"$dir/knnchainfut") {
+        val fut = warmPool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { ai(s, dir).count(); () }
+        })
+        GraftCache.onClear(() => { fut.cancel(true); () })
+        fut
+      }
+    }
+
   private def nearDupPairsFuture(s: SparkSession, dir: String)
       : java.util.concurrent.Future[DataFrame] =
     ingestWarmLock.synchronized {
@@ -3922,6 +3941,12 @@ object SparkEntry {
     // ANN — brute-force cosine top-k baseline on a query sample
     // (fold kernel: scores bit-match the DuckDB oracle).
     "ann_brute_topk" -> ((s, dir) => {
+      // warm start (non-blocking): the exact kNN pass and its derived
+      // edge/accessibility frames are the session's most-reused memo chain
+      // (every graph query and adaptive attack rides them) — force their
+      // lazy persists on a background thread at the ANN family's first
+      // member so the first consumer reads cache instead of building it
+      knnChainFuture(s, dir)
       val emb = Tables.embeddings(s, dir)
       cosKnn(s, dir)
         .select(col("query_id"), col("neighbor_id"), col("score"),

@@ -47,6 +47,9 @@ object GraftCache {
     */
   def retain[T <: AnyRef](x: T): T = { retained.add(x); x }
 
+  /** Test introspection (StageSpec): size of the retained-pin queue. */
+  private[graft] def retainedCount: Int = retained.size()
+
   /** Lazy per-round lineage truncation for iterative operators (beam
     * search, connected components, BFS): `localCheckpoint(eager = false)`
     * truncates the logical plan exactly like the eager form — the next

@@ -2107,7 +2107,7 @@ object SparkEntry {
         wmDf.select(col("vec_id"), col("embedding"))
           .join(broadcast(ids), Seq("vec_id"), "left_semi")
           .withColumn("sch", lit(tagOf(n)))
-      }.reduce(_ unionByName _).localCheckpoint()
+      }.reduce(_ unionByName _).transform(GraftCache.stage)
       val qAll = cases.map { case (n, _, _) =>
         emb.select(col("vec_id"), col("embedding")).withColumn("sch", lit(tagOf(n)))
       }.reduce(_ unionByName _)
